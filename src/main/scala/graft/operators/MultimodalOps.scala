@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.6).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata
+  * alongside. The testdata has no real media, so the payload is the
+  * UTF-8 encoding of `documents.text` — the point is that the Spark-side
+  * plumbing (schema, batch iteration, partition-friendly bucketing) is
+  * real and oracle-checked; the decoder itself is a clearly-marked
+  * deterministic stub (no image/audio libs in this container).
+  */
+object MultimodalOps {
+
+  /** Binary payload + typed metadata, bucketed for partition-friendly
+    * writes (`bucket` would be the partitionBy/bucketBy key at scale). */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        substring(col("text"), 1, 4).as("prefix"))
+      .withColumn("bucket", col("n_bytes") % 16)
+      .orderBy("doc_id")
+
+  /** Schema returned by the stubbed per-batch decoder. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("feat_mean", DoubleType),
+    StructField("feat_dim", IntegerType)))
+
+  /** Decode/feature-extract plumbing over binary batches.
+    *
+    * Real shape: mapPartitions over (id, payload) rows — exactly where a
+    * JNI/FFI image decoder would run, batched per partition so decoder
+    * init is amortized. STUB: `decodeStub` derives a deterministic fake
+    * feature vector summary from the payload bytes instead of decoding
+    * actual media.
+    */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    payloads.mapPartitions { rows =>
+      // decoder init would happen once per partition here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (mean, dim) = decodeStub(bytes)
+        Row(id, bytes.length.toLong, mean, dim)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  /** STUB decoder: deterministic fake "feature extraction" (mean byte
+    * value as the pooled feature, fixed fake dimensionality). Swap for a
+    * real decoder at deploy time. */
+  private def decodeStub(bytes: Array[Byte]): (Double, Int) = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    (if (bytes.length == 0) 0.0 else s.toDouble / bytes.length, 64)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | substr(text, 1, 4) AS prefix,
+        | CAST(octet_length(encode(text)) AS BIGINT) % 16 AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (mmBinaryMeta(_, _)),
+  )
+}

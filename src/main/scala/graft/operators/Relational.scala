@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query layer + MapReduce-core operators (SURVEY.md §2.1–2.2).
+  *
+  * Design rules (see SURVEY.md §5–6):
+  *  - pure DataFrame API → Catalyst gets pushdown/pruning/join-reorder;
+  *  - dimension tables carry an explicit `broadcast()` hint;
+  *  - every output has a deterministic total ORDER BY (incl. unique
+  *    tiebreak) and identical column aliases to the DuckDB oracle;
+  *  - double aggregates are `round(_, 3|4)` because shuffle-order
+  *    double summation is not bit-stable.
+  *
+  * Scale notes: top-k goes through TakeOrderedAndProject (per-partition
+  * heaps, no global sort); all groupBys partial-aggregate map-side;
+  * fact-fact joins shuffle on their key and rely on AQE skew handling.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: multi-aggregate scan over the biggest fact table. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 3).as("sum_qty"),
+        round(sum("l_extendedprice"), 3).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** map+filter with full scan pushdown (PushedFilters + pruned ReadSchema). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q3 shape: 3-way join, agg, top-10 by revenue. */
+  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 shape: EXISTS as a left-semi join. */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem.filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: 6-way star join; all dims broadcast. */
+  def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: selective scan + single global aggregate. */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 3).as("revenue"))
+
+  /** distinct = shuffle dedup. */
+  def q07Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select("c_nationkey", "c_mktsegment").distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** top-k: Catalyst plans TakeOrderedAndProject (no global sort). */
+  def q08TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+
+  /** Window rank per group (top-5 customers per segment by balance). */
+  def q09WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+    Tables(spark, dir).customer
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 5)
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
+  /** union of mapped branches. */
+  def q10UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      .unionAll(t.supplier.select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+      .orderBy("kind", "id")
+  }
+
+  /** NOT EXISTS as a left-anti join (customers with no orders). */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** left-semi with pushed predicate on the probe side. */
+  def q12SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier
+      .join(t.lineitem.filter(col("l_quantity") >= 49),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** groupBy + HAVING. */
+  def q13GroupbyHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .orderBy("c_nationkey")
+
+  /** TPC-H Q14 shape: CASE-WHEN conditional aggregation over a join. */
+  def q14ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+      .join(broadcast(Tables(spark, dir).part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) / sum(disc),
+        4).as("promo_pct"))
+  }
+
+  /** Global reduce: the redmap `reduce` primitive over the fact table. */
+  def aggReduceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.agg(
+      count(lit(1)).as("n"),
+      round(sum("l_quantity"), 3).as("sum_qty"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      countDistinct("l_orderkey").as("n_orders"))
+
+  /** Time-bucketed aggregation over the events stream table. */
+  def evHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 3).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity) via window lag +
+    * cumulative session counting; micro-second integer arithmetic so the
+    * oracle comparison is exact. */
+  def evSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Semi-structured extraction: JSON props → typed aggregate. */
+  def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 3) AS sum_qty,
+        | round(sum(l_extendedprice), 3) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 48 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q08_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+    "q10_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q13_groupby_having" ->
+      """SELECT c_nationkey, count(*) AS cnt FROM customer
+        |GROUP BY c_nationkey HAVING count(*) >= 5 ORDER BY c_nationkey""".stripMargin,
+    "q14_conditional_agg" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-09-01'""".stripMargin,
+    "agg_reduce_stats" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 3) AS sum_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "ev_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        | round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |s AS (SELECT user_id,
+        |  CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary(_, _)),
+    "q02_filter_project" -> (q02FilterProject(_, _)),
+    "q03_shipping_priority" -> (q03ShippingPriority(_, _)),
+    "q04_order_priority" -> (q04OrderPriority(_, _)),
+    "q05_local_supplier" -> (q05LocalSupplier(_, _)),
+    "q06_forecast_revenue" -> (q06ForecastRevenue(_, _)),
+    "q07_distinct" -> (q07Distinct(_, _)),
+    "q08_topk_orders" -> (q08TopkOrders(_, _)),
+    "q09_window_rank" -> (q09WindowRank(_, _)),
+    "q10_union_all" -> (q10UnionAll(_, _)),
+    "q11_anti_join" -> (q11AntiJoin(_, _)),
+    "q12_semi_join" -> (q12SemiJoin(_, _)),
+    "q13_groupby_having" -> (q13GroupbyHaving(_, _)),
+    "q14_conditional_agg" -> (q14ConditionalAgg(_, _)),
+    "agg_reduce_stats" -> (aggReduceStats(_, _)),
+    "ev_hourly_agg" -> (evHourlyAgg(_, _)),
+    "ev_sessionize" -> (evSessionize(_, _)),
+    "ev_json_extract" -> (evJsonExtract(_, _)),
+  )
+}

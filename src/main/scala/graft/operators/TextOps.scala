@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis pipeline operators (SURVEY.md §2.3).
+  *
+  * Everything is built from codegen'd built-in functions (regexp, array
+  * lambdas, md5) — zero Scala UDFs — so the whole stage stays inside
+  * WholeStageCodegen and scales linearly with input splits.
+  *
+  * Cross-engine parity rules: tokenization is
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')` in both engines; the
+  * only hash used is md5 (identical hex in Spark and DuckDB); ratios are
+  * exact-integer divisions so thresholds compare identically.
+  */
+object TextOps {
+
+  /** Tokenizer used across text/dedup operators (Spark SQL fragment). */
+  val tokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** Same tokenizer in DuckDB SQL. */
+  val tokensSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Per-language corpus quality metrics (length/stopword/alpha ratios). */
+  def txtStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), col("n_chars"), expr(tokensExpr).as("tk"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
+      .select(col("lang"), col("n_chars"), col("alpha"),
+        size(col("tk")).as("n_tokens"),
+        expr(s"size(filter(tk, x -> x IN ($stopList)))").as("n_stop"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(avg(expr("n_stop * 1.0 / n_tokens")), 4).as("avg_stop_ratio"),
+        round(avg(expr("alpha * 1.0 / n_chars")), 4).as("avg_alpha_ratio"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+
+  private val markers = Seq(
+    "en" -> Seq("the", "and", "of", "a", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ein"),
+    "fr" -> Seq("le", "et", "la", "les", "des"),
+    "es" -> Seq("el", "y", "los", "las", "una"))
+
+  /** Marker-word heuristic language ID (deterministic argmax with fixed
+    * tie-break order en>de>fr>es). */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val counts = markers.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(array_intersect(tk, array($arr)))").as(s"c_$l")
+    }
+    Tables(spark, dir).documents
+      .select(col("doc_id") +: expr(tokensExpr).as("tk") +: Nil: _*)
+      .select(col("doc_id") +: counts: _*)
+      .select(col("doc_id"), expr(
+        """CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
+          | WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+          | WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+          | WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END""".stripMargin).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Quality-gate filter: length band + min tokens + alpha-char ratio. */
+  def txtQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars"), expr(tokensExpr).as("tk"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
+      .select(col("doc_id"), col("n_chars"), size(col("tk")).as("n_tokens"), col("alpha"))
+      .filter(col("n_chars").between(100, 5000) && col("n_tokens") >= 20 &&
+        expr("alpha * 1.0 / n_chars") >= 0.6)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(expr("alpha * 1.0 / n_chars"), 4).as("alpha_ratio"))
+      .orderBy("doc_id")
+
+  /** Classic redmap job: word count (flatMap → reduceByKey). */
+  def mrWordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Classic redmap job: distributed grep + per-source count. */
+  def mrGrepCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("text").rlike("merge"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("source")
+
+  private val markerSqlCounts = markers.map { case (l, ws) =>
+    val arr = ws.map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect(tk, [$arr])) AS c_$l"
+  }.mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars, $tokensSql AS tk,
+         |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, n_chars, alpha, len(tk) AS n_tokens,
+         |         len(list_filter(tk, x -> x IN ($stopList))) AS n_stop
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(avg(n_tokens), 4) AS avg_tokens,
+         |  round(avg(n_stop * 1.0 / n_tokens), 4) AS avg_stop_ratio,
+         |  round(avg(alpha * 1.0 / n_chars), 4) AS avg_alpha_ratio,
+         |  round(avg(n_chars), 4) AS avg_chars
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_langid" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |  $markerSqlCounts
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
+         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_quality_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+         |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, round(alpha * 1.0 / n_chars, 4) AS alpha_ratio
+         |FROM d
+         |WHERE n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+         |  AND alpha * 1.0 / n_chars >= 0.6
+         |ORDER BY doc_id""".stripMargin,
+    "mr_wordcount" ->
+      s"""SELECT tok AS word, count(*) AS cnt
+         |FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+         |GROUP BY tok ORDER BY tok""".stripMargin,
+    "mr_grep_count" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE regexp_matches(text, 'merge')
+        |GROUP BY source ORDER BY source""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_stats" -> (txtStats(_, _)),
+    "txt_langid" -> (txtLangid(_, _)),
+    "txt_fingerprint" -> (txtFingerprint(_, _)),
+    "txt_quality_filter" -> (txtQualityFilter(_, _)),
+    "mr_wordcount" -> (mrWordcount(_, _)),
+    "mr_grep_count" -> (mrGrepCount(_, _)),
+  )
+}
