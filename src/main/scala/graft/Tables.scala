@@ -18,7 +18,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  /** events.parquet has INT64 TIMESTAMP(NANOS), which Spark 4 refuses at
+    * scan time unless read as raw longs. We set the legacy conf
+    * defensively (it is a runtime session conf — covers sessions not built
+    * by GraftSession) and convert nanos → a proper microsecond timestamp.
+    * `div` keeps the arithmetic exact-integer so the oracle comparison
+    * (DuckDB reads the same file natively as TIMESTAMP_NS) is bit-stable.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

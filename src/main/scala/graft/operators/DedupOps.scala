@@ -72,7 +72,7 @@ object DedupOps {
     cand
       .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
-      .withColumn("jac", expr("size(array_intersect(s1, s2)) * 1.0 / size(array_union(s1, s2))"))
+      .withColumn("jac", expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
       .filter(col("jac") >= 0.5)
       .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")
@@ -91,7 +91,7 @@ object DedupOps {
     pairs
       .join(sh.select(col("doc_id").as("id1"), size(col("s")).as("n1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), size(col("s")).as("n2")), "id2")
-      .withColumn("jac", expr("common * 1.0 / (n1 + n2 - common)"))
+      .withColumn("jac", expr("CAST(common AS DOUBLE) / (n1 + n2 - common)"))
       .filter(col("jac") >= 0.4)
       .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")

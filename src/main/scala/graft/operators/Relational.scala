@@ -159,7 +159,7 @@ object Relational {
     t.lineitem
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
-      .join(broadcast(Tables(spark, dir).part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) / sum(disc),
         4).as("promo_pct"))

@@ -38,8 +38,8 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg("n_tokens"), 4).as("avg_tokens"),
-        round(avg(expr("n_stop * 1.0 / n_tokens")), 4).as("avg_stop_ratio"),
-        round(avg(expr("alpha * 1.0 / n_chars")), 4).as("avg_alpha_ratio"),
+        round(avg(expr("CAST(n_stop AS DOUBLE) / n_tokens")), 4).as("avg_stop_ratio"),
+        round(avg(expr("CAST(alpha AS DOUBLE) / n_chars")), 4).as("avg_alpha_ratio"),
         round(avg("n_chars"), 4).as("avg_chars"))
       .orderBy("lang")
 
@@ -81,9 +81,9 @@ object TextOps {
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
       .select(col("doc_id"), col("n_chars"), size(col("tk")).as("n_tokens"), col("alpha"))
       .filter(col("n_chars").between(100, 5000) && col("n_tokens") >= 20 &&
-        expr("alpha * 1.0 / n_chars") >= 0.6)
+        expr("CAST(alpha AS DOUBLE) / n_chars") >= 0.6)
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        round(expr("alpha * 1.0 / n_chars"), 4).as("alpha_ratio"))
+        round(expr("CAST(alpha AS DOUBLE) / n_chars"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
   /** Classic redmap job: word count (flatMap → reduceByKey). */
