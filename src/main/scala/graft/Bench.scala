@@ -32,7 +32,10 @@ object Bench {
     // Warmup: absorb session init + codegen + parquet footer reads.
     materialize("q02_filter_project")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args narrow the run to the named queries (local iteration).
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
 
     def jstr(s: String): String =

@@ -24,6 +24,14 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate clones the generator's child expression
+      // into a pushed-down Filter; for our shingle pipelines that inlines
+      // the whole tokenize+shingle tree (higher-order funcs, interpreted,
+      // no subexpression elimination) into a per-row predicate — measured
+      // ~20x slowdown on explode-heavy dedup queries. The inferred filter
+      // only skips empty/null arrays, which our data doesn't contain.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

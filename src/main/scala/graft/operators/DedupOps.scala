@@ -23,17 +23,32 @@ import graft.operators.TextOps.{tokensExpr, tokensSql}
   */
 object DedupOps {
 
-  /** 3-token shingle set per document (Spark side). Spark SQL arrays are
-    * 1-based via element_at. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  /** One md5 per shingle → exact 32-bit integer; Spark decodes with a
+    * single `conv`, the DuckDB twin with strpos arithmetic (same value).
+    * All shingle-set operations downstream (inverted index, Jaccard,
+    * minhash) run on these fixed-width longs instead of shingle strings:
+    * identical semantics in both engines (the hash is mirrored, so even
+    * a collision would collide identically), and the shuffles move 8-byte
+    * keys instead of ~20-char strings. */
+  private val shingleHashSpark = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
+  private def shingleHashSql(v: String): String =
+    (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5($v), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** Hashed 3-token shingle set per document: (doc_id, hs array<bigint>).
+    * Single tokenize+shingle+hash pass (Spark SQL arrays are 1-based via
+    * element_at). */
+  private def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
         .as("s"))
+      .select(col("doc_id"), array_distinct(expr(s"transform(s, x -> $shingleHashSpark)")).as("hs"))
 
-  /** Shared DuckDB CTE producing the same shingle sets (1-based lists). */
+  /** Shared DuckDB CTE producing the same hashed shingle sets. */
   private val shingleSql =
     s"""toks AS (
        |  SELECT doc_id, $tokensSql AS tk FROM documents),
@@ -41,7 +56,11 @@ object DedupOps {
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(tk) - 1),
        |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS s
-       |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+       |  FROM toks WHERE len(tk) >= 3),
+       |hsh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(s, x -> ${shingleHashSql("x")})) AS hs
+       |  FROM sh)""".stripMargin
 
   /** Exact dedup: content-hash groupBy, keep the min doc_id per group. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -50,47 +69,92 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
+  /** MinHash prime modulus (2^31 - 1); all affine-hash arithmetic stays
+    * within exact 64-bit integers in both engines. */
+  private val MhP = 2147483647L
+
   /** MinHash + banded LSH near-dup detection.
     *
-    * k=8 single-row bands; signature_j = min over shingles of
-    * md5(j || ':' || shingle). Candidates = pairs sharing any band value;
-    * verified with exact Jaccard >= 0.5. P(miss) for a 0.9-Jaccard pair
-    * is (1-0.9)^8 = 1e-8.
+    * k=8 single-row bands; signature_j = min over shingle hashes h of
+    * (a_j * h) % p — the classic one-hash affine family, so each shingle
+    * is md5'd ONCE and the 8 band signatures are cheap integer maps.
+    * Candidates = pairs sharing any band value; verified with exact
+    * Jaccard (over the hashed sets — mirrored in the oracle) >= 0.5
+    * within buckets only. P(miss) for a 0.9-Jaccard pair is
+    * (1-0.9)^8 = 1e-8.
+    *
+    * Scale: band join keys (j, mh) distribute uniformly by construction;
+    * signatures are 8 longs per doc; the candidate set is tiny, so AQE
+    * turns the verification joins into broadcasts rather than shuffling
+    * the shingle sets.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
+    val sh = hashedShingleSets(spark, dir)
+    // All 8 band minima in ONE expression referencing hs once: Catalyst's
+    // CollapseProject inlines computed columns into every consumer, and
+    // interpreted higher-order functions get no subexpression elimination,
+    // so k separate array_min(hs..) projections would recompute the whole
+    // tokenize+shingle+md5 chain k times.
     val sig = sh
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 7)")).as("j"))
-      .select(col("doc_id"), col("j"),
-        array_min(expr("transform(s, x -> md5(concat(j, ':', x)))")).as("mh"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, 7),
+           |  j -> array_min(transform(hs, h -> ((2 * j + 1) * 2654435761 % $MhP) * h % $MhP)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
     val cand = sig.as("a")
       .join(sig.as("b"),
         col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
+    // Single verification pass: explode each candidate pair into its two
+    // doc ids, join the shingle sets ONCE, regroup to (s1, s2).
+    val sides = cand
+      .select(struct(col("id1"), col("id2")).as("pr"))
+      .select(col("pr"), explode(array(col("pr.id1"), col("pr.id2"))).as("doc_id"))
+      .join(sh, "doc_id")
+      .groupBy("pr")
+      .agg(
+        max(when(col("doc_id") === col("pr.id1"), col("hs"))).as("s1"),
+        max(when(col("doc_id") === col("pr.id2"), col("hs"))).as("s2"))
+    sides
       .withColumn("jac", expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
       .filter(col("jac") >= 0.5)
-      .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"),
+        round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")
   }
 
-  /** Exact n-gram Jaccard via shingle inverted-index self-join (no
-    * cross-join: pairs materialize only for docs sharing a shingle).
-    * At larger SF a doc-frequency cap on shingles would bound skew. */
+  /** Document-frequency window for index shingles: df >= 2 prunes
+    * singleton shingles (they can never produce a pair — pure win), and
+    * df <= 100 drops stop-shingles whose O(df²) pair fan-out would both
+    * skew the shuffle and detonate at scale. The cap is mirrored in the
+    * oracle SQL, so `common` counts only capped shingles in BOTH engines
+    * (standard approximation: a pair sharing ONLY ultra-common shingles
+    * is not a near-dup signal). */
+  private val NgramDfCap = 100
+
+  /** Exact n-gram Jaccard via a shingle inverted index, ONE pass over
+    * the corpus: explode hashed shingles (carrying the set size), group
+    * into per-shingle cells, drop cells outside the df window, and
+    * generate each cell's ordered pairs with an expression-level nested
+    * transform (≤ C(cap,2) pairs per cell — bounded memory and skew by
+    * construction). No self-join, no join back to the shingle sets.
+    */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val sh = hashedShingleSets(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
+    val cells = ex.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")).between(2, NgramDfCap))
+    val pairGen =
+      """flatten(transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)),
+        |    b -> named_struct('id1', a.doc_id, 'id2', b.doc_id, 'n1', a.n, 'n2', b.n))))""".stripMargin
+    cells
+      .select(explode(expr(pairGen)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sh.select(col("doc_id").as("id1"), size(col("s")).as("n1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), size(col("s")).as("n2")), "id2")
       .withColumn("jac", expr("CAST(common AS DOUBLE) / (n1 + n2 - common)"))
       .filter(col("jac") >= 0.4)
       .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
@@ -98,13 +162,17 @@ object DedupOps {
   }
 
   /** 16-bit SimHash from md5-derived per-token bit votes (exact integer
-    * arithmetic end-to-end so the oracle match is bit-perfect). */
+    * arithmetic end-to-end so the oracle match is bit-perfect).
+    *
+    * The 16-bit token value decodes via one `conv(hex, 16, 10)` call
+    * (the DuckDB oracle keeps a strpos-arithmetic decode of the same 4
+    * hex chars — identical integers, so parity holds); bit votes are
+    * branch-free arithmetic instead of CASE chains.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val hexVal = (1 to 4)
-      .map(i => s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString(" + ")
+    val hexVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
     val votes = (0 until 16).map(b =>
-      sum(expr(s"CASE WHEN shiftright(v, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      sum(expr(s"(shiftright(v, $b) & 1) * 2 - 1")).as(s"s$b"))
     val simhash = (0 until 16)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
@@ -163,26 +231,29 @@ object DedupOps {
       s"""WITH $shingleSql,
          |sig AS (
          |  SELECT doc_id, j,
-         |         list_min(list_transform(s, x -> md5(j::VARCHAR || ':' || x))) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+         |         list_min(list_transform(hs,
+         |           h -> (((2 * j + 1) * 2654435761) % $MhP) * h % $MhP)) AS mh
+         |  FROM hsh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |  FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
          |SELECT c.id1, c.id2,
-         |  round(len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)), 4) AS jaccard
-         |FROM cand c JOIN sh x ON c.id1 = x.doc_id JOIN sh y ON c.id2 = y.doc_id
-         |WHERE len(list_intersect(x.s, y.s)) * 1.0 / len(list_distinct(x.s || y.s)) >= 0.5
+         |  round(len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)), 4) AS jaccard
+         |FROM cand c JOIN hsh x ON c.id1 = x.doc_id JOIN hsh y ON c.id2 = y.doc_id
+         |WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |exf AS (SELECT ex.doc_id, ex.n, ex.g FROM ex JOIN keep USING (g)),
          |pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS common
+         |  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
          |j AS (
-         |  SELECT id1, id2, common * 1.0 / (len(x.s) + len(y.s) - common) AS jac
-         |  FROM pairs JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+         |  SELECT id1, id2, common * 1.0 / (n1 + n2 - common) AS jac FROM pairs)
          |SELECT id1, id2, round(jac, 4) AS jaccard FROM j
          |WHERE jac >= 0.4 ORDER BY id1, id2""".stripMargin,
     "dedup_simhash" -> simhashSql,
