@@ -9,6 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never cache or collect these.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Every query builder comes through here, so this is the one choke
+  // point where graft's native SQL functions (graft_cosine, ...) get
+  // registered — idempotent, and covers driver/spark-shell sessions
+  // that were not built by GraftSession.
+  org.apache.spark.sql.GraftFunctions.register(spark)
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")

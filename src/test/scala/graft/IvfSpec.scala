@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Evidence for the IVF blocking scale posture (SURVEY.md §5):
+  * bounded, near-uniform cell populations and high pair recall — the
+  * two properties the sign-LSH it replaced could not hold together at
+  * the operator's τ = 0.4.
+  */
+class IvfSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("graft_cosine matches the interpreted fold formulation exactly") {
+    val t = Tables(spark, sf)
+    val fold =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
+        " / (sqrt(aggregate(a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))" +
+        " * sqrt(aggregate(b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    val pairs = t.embeddings.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(t.embeddings.limit(5).select(col("embedding").as("b")))
+    val diff = pairs
+      .select(expr(s"graft_cosine(a, b) - ($fold)").as("d"))
+      .agg(max(abs(col("d")))).first().getDouble(0)
+    assert(diff == 0.0, s"codegen'd cosine drifted from the fold by $diff")
+  }
+
+  test("IVF cell populations are bounded and near-uniform") {
+    val cells = SimilarityOps.ivfCells(spark, sf)
+    val n = Tables(spark, sf).embeddings.count()
+    val sizes = cells.groupBy("aid").count().collect().map(_.getLong(1))
+    val expected = SimilarityOps.IvfP.toDouble * n / SimilarityOps.IvfK
+    assert(sizes.length == SimilarityOps.IvfK)
+    // Histogram printed so plan audits can eyeball the spread.
+    info(s"n=$n cells=${sizes.sorted.mkString(",")} (uniform would be $expected)")
+    assert(sizes.max <= 2 * expected,
+      s"max cell ${sizes.max} exceeds 2x the uniform population $expected")
+  }
+
+  test("IVF near-dup blocking recalls >= 85% of true pairs at test SF") {
+    val t = Tables(spark, sf)
+    val e1 = t.embeddings.select(col("vec_id").as("id1"), col("embedding").as("a"))
+    val e2 = t.embeddings.select(col("vec_id").as("id2"), col("embedding").as("b"))
+    val truePairs = e1.crossJoin(e2)
+      .filter(col("id1") < col("id2"))
+      .filter(expr("graft_cosine(a, b) >= 0.4"))
+      .select("id1", "id2")
+    val found = DedupOps.dedupEmbedding(spark, sf).select("id1", "id2")
+    val nTrue = truePairs.count()
+    val nFound = found.count()
+    info(s"true=$nTrue found=$nFound")
+    assert(nTrue > 0)
+    assert(nFound.toDouble / nTrue >= 0.85,
+      s"recall ${nFound.toDouble / nTrue} below 0.85 ($nFound/$nTrue)")
+  }
+}
