@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ MultimodalOps.queries ++
+      graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles
+      SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      graft.sources.Formats.oracles
 }

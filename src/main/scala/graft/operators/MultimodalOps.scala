@@ -77,5 +77,9 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta(_, _)),
+    // No oracle entry: the stubbed decode isn't SQL-expressible, so the
+    // driver records the weaker rows-only check; MultimodalSpec asserts
+    // determinism and batch shape.
+    "mm_decode_stub" -> (mmDecodeStub(_, _)),
   )
 }

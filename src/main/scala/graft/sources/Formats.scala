@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** Source/sink plumbing (SURVEY.md §2.7): csv + jsonl round-trips and
+  * partitioned parquet writes.
+  *
+  * Scale posture: all readers take an explicit schema (no inference scan
+  * — a 100 TB csv must not be read twice), all writers go through the
+  * DataFrameWriter so they distribute per-partition, and the partitioned
+  * writer pairs `partitionBy` with `sortWithinPartitions` so downstream
+  * scans get both partition pruning and clustered row groups.
+  */
+object Formats {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Explicit-schema csv read: header consumed, no inference pass. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Explicit-schema jsonl read (one JSON object per line). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned parquet sink: hive-style partition dirs on `partCols`,
+    * rows clustered by `sortCols` inside each file. */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: Seq[String], sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$name"
+
+  /** nation → csv → back; the oracle reads the original parquet, so a
+    * lossy round-trip (types, quoting, header) would hash-mismatch. */
+  def srcCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir).nation
+    val path = tmp("nation_csv")
+    writeCsv(nation, path)
+    readCsv(spark, path, nation.schema).orderBy("n_nationkey")
+  }
+
+  /** customer → jsonl → back (exercises double round-trip fidelity). */
+  def srcJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir).customer
+    val path = tmp("customer_jsonl")
+    writeJsonl(customer, path)
+    readJsonl(spark, path, customer.schema).orderBy("c_custkey")
+  }
+
+  /** documents → parquet partitioned by lang (sorted by doc_id within
+    * partitions) → aggregate over the read-back; exercises partition
+    * pruning-compatible layout end-to-end. */
+  def srcPartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = tmp("documents_part")
+    writePartitioned(docs.select("doc_id", "lang", "n_chars"), path,
+      partCols = Seq("lang"), sortCols = Seq("doc_id"))
+    spark.read.parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "src_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "src_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
+    "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
+    "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured-streaming twins of the batch event operators (SURVEY.md
+  * §2.8). The transforms are defined over plain Datasets so the SAME
+  * code runs on a `readStream` source in production and on a batch
+  * DataFrame in equivalence specs.
+  *
+  * Scale posture: the windowed aggregate is a standard watermarked
+  * tumbling-window groupBy (state store size bounded by watermark
+  * horizon × distinct keys); sessionization keeps ONE small state row
+  * per user key (last-seen micros, session count, event count) — state
+  * grows with |users|, not |events|.
+  */
+object StreamOps {
+
+  /** Event row used by the streaming twins (micro-second event time —
+    * same integer arithmetic as the batch ev_sessionize). */
+  final case class Ev(event_id: Long, tus: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user sessionization state. */
+  final case class SessState(lastTus: Long, nSessions: Long, nEvents: Long)
+
+  /** Output row: running per-user session/event counts. */
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** 30-minute inactivity gap, in microseconds. */
+  val SessionGapUs: Long = 1800L * 1000 * 1000
+
+  /** Tumbling 1-hour windowed count+sum per event_type. On a streaming
+    * input pair with `.withWatermark("ts", ...)` at the call site. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 3).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization via mapGroupsWithState: the streaming twin
+    * of Relational.evSessionize. Events may arrive across many
+    * micro-batches; state carries the last-seen timestamp so a gap that
+    * spans a batch boundary still splits sessions identically. Within a
+    * micro-batch the group's new events are sorted by (tus, event_id) —
+    * same total order as the batch window spec. */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions] {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val isNew = s.lastTus == Long.MinValue || e.tus - s.lastTus > SessionGapUs
+            s = SessState(e.tus, s.nSessions + (if (isNew) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          UserSessions(userId, s.nSessions, s.nEvents)
+      }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Formats
+
+/** Round-trip and layout specs for graft.sources.Formats (SURVEY §2.7). */
+class FormatsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt_spec/$name"
+
+  test("csv round-trip preserves rows, schema, and values") {
+    val orig = Tables(spark, sf).nation
+    val path = tmp("nation_csv")
+    Formats.writeCsv(orig, path)
+    val back = Formats.readCsv(spark, path, orig.schema)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("jsonl round-trip preserves doubles exactly") {
+    val orig = Tables(spark, sf).customer
+    val path = tmp("customer_jsonl")
+    Formats.writeJsonl(orig, path)
+    val back = Formats.readJsonl(spark, path, orig.schema)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned write produces hive-style dirs and equal data") {
+    val orig = Tables(spark, sf).documents.select("doc_id", "lang", "n_chars")
+    val path = tmp("documents_part")
+    Formats.writePartitioned(orig, path, Seq("lang"), Seq("doc_id"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("lang=")), dirs.mkString(","))
+    val back = spark.read.parquet(path).select("doc_id", "lang", "n_chars")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("partition pruning reaches the partitioned layout") {
+    val path = tmp("documents_part")
+    val plan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        spark.read.parquet(path).filter(col("lang") === "en").explain("formatted")
+      }
+      out.toString
+    }
+    assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)
+  }
+}

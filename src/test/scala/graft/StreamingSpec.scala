@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Ev
+
+/** Batch-equivalence specs for the structured-streaming twins
+  * (SURVEY.md §2.8): the streamed result over the sf0.001 events —
+  * delivered across MULTIPLE micro-batches, split mid-stream so state
+  * must carry across batch boundaries — must equal the batch answer.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def loadEvents(): Seq[Ev] = {
+    val t = Tables(spark, sf)
+    t.events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming sessionize equals batch ev_sessionize across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(e => e.tus)
+    val (first, second) = evs.splitAt(evs.size / 2)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    // Latest state per user (update mode appends one row per touched key
+    // per batch; the final row per user is the answer).
+    val streamed = spark.sql(
+      """SELECT user_id, n_sessions, n_events FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM sess))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = Relational.evSessionize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming hourly agg (complete mode) equals batch grouping") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(_.tus)
+    val (first, second) = evs.splitAt(evs.size / 2)
+
+    val input = MemoryStream[Ev]
+    val withTs = StreamOps.hourlyAgg(
+      input.toDS().withColumn("ts", timestamp_micros(col("tus"))))
+    val q = withTs.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM hourly")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = StreamOps.hourlyAgg(
+      Tables(spark, sf).events.select(col("ts"), col("event_type"), col("value")))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+}
