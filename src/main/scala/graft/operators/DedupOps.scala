@@ -23,30 +23,29 @@ import graft.operators.TextOps.{tokensExpr, tokensSql}
   */
 object DedupOps {
 
-  /** One md5 per shingle → exact 32-bit integer; Spark decodes with a
-    * single `conv`, the DuckDB twin with strpos arithmetic (same value).
+  /** One md5 per shingle → exact 32-bit integer (the Spark side fuses
+    * this into graft.functions.ShingleHashes; the DuckDB twin decodes
+    * the first 8 md5 hex chars with strpos arithmetic — same value).
     * All shingle-set operations downstream (inverted index, Jaccard,
     * minhash) run on these fixed-width longs instead of shingle strings:
     * identical semantics in both engines (the hash is mirrored, so even
     * a collision would collide identically), and the shuffles move 8-byte
     * keys instead of ~20-char strings. */
-  private val shingleHashSpark = "CAST(conv(substr(md5(x), 1, 8), 16, 10) AS BIGINT)"
   private def shingleHashSql(v: String): String =
     (1 to 8)
       .map(i => s"(strpos('0123456789abcdef', substr(md5($v), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
       .mkString("(", " + ", ")")
 
   /** Hashed 3-token shingle set per document: (doc_id, hs array<bigint>).
-    * Single tokenize+shingle+hash pass (Spark SQL arrays are 1-based via
-    * element_at). */
+    * Single tokenize pass feeding graft's fused ShingleHashes expression
+    * (3-gram build + md5 + hex→long + distinct in one codegen'd loop —
+    * see graft.functions.ShingleHashes for the exact SQL pipeline it is
+    * byte-identical to). */
   private def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
-        .as("s"))
-      .select(col("doc_id"), array_distinct(expr(s"transform(s, x -> $shingleHashSpark)")).as("hs"))
+      .select(col("doc_id"), expr("graft_shingle_hashes(tk)").as("hs"))
 
   /** Shared DuckDB CTE producing the same hashed shingle sets. */
   private val shingleSql =
@@ -90,15 +89,14 @@ object DedupOps {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingleSets(spark, dir)
-    // All 8 band minima in ONE expression referencing hs once: Catalyst's
-    // CollapseProject inlines computed columns into every consumer, and
-    // interpreted higher-order functions get no subexpression elimination,
-    // so k separate array_min(hs..) projections would recompute the whole
-    // tokenize+shingle+md5 chain k times.
+    // All 8 band minima in ONE fused expression (graft_minhash_bands)
+    // referencing hs once: Catalyst's CollapseProject inlines computed
+    // columns into every consumer, and interpreted higher-order functions
+    // get no subexpression elimination, so k separate array_min(hs..)
+    // projections would recompute the whole tokenize+shingle+md5 chain
+    // k times.
     val sig = sh
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, 7),
-           |  j -> array_min(transform(hs, h -> ((2 * j + 1) * 2654435761 % $MhP) * h % $MhP)))""".stripMargin)))
+      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
       .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
     val cand = sig.as("a")
       .join(sig.as("b"),
