@@ -197,6 +197,47 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Global total-order sort — redmap's `sort` primitive. Spark plans a
+    * range exchange (sampled split points, one sorted run per partition,
+    * no single-node sort), the distributed equivalent of a
+    * TotalOrderPartitioner job. */
+  def mrSortGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+
+  /** As-of join: each 'click' event matched to the same user's latest
+    * 'view' event at-or-before it (the canonical time-series point-in-
+    * time join; DuckDB expresses it natively as ASOF LEFT JOIN).
+    *
+    * Implementation is the union-scan pattern, NOT a join: tag both
+    * sides, sort per user by (time, side), and carry the last view value
+    * forward with a running `last(ignoreNulls)` window. One shuffle on
+    * user_id, no pair explosion, immune to time-range skew — at 100 TB
+    * this beats a range join by construction. */
+  def evAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"), lit(0).as("side"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id"), lit(1).as("side"), col("value"))
+    // side orders views before clicks at equal timestamps — same tie rule
+    // as ASOF's ts >= condition ((user_id, ts) is unique in the data, so
+    // this only pins determinism).
+    val w = Window.partitionBy("user_id")
+      .orderBy("tus", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("prev_view_value",
+        last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("value").as("click_value"),
+        col("prev_view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -307,6 +348,16 @@ object Relational {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mr_sort_global" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "ev_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.value AS click_value,
+        |       r.value AS prev_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,5 +379,7 @@ object Relational {
     "ev_hourly_agg" -> (evHourlyAgg(_, _)),
     "ev_sessionize" -> (evSessionize(_, _)),
     "ev_json_extract" -> (evJsonExtract(_, _)),
+    "mr_sort_global" -> (mrSortGlobal(_, _)),
+    "ev_asof_join" -> (evAsofJoin(_, _)),
   )
 }

@@ -86,6 +86,41 @@ object TextOps {
         round(expr("CAST(alpha AS DOUBLE) / n_chars"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** BPE-ish pre-tokenizer: disjoint leading-char alternatives so Java
+    * (Spark) and RE2 (DuckDB) agree regardless of alternation policy. */
+  private val bpeRegex = " ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+
+  /** Token counting two ways per document: whitespace runs and a BPE-ish
+    * pre-tokenizer split (the units a GPT-style byte-pair encoder would
+    * merge from). Both pure regex — codegen'd, linear, shuffle-free. */
+  def txtTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$bpeRegex', 0)")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Winnowing document fingerprints (MOSS-style): hash every 5-char
+    * gram of the normalized text, slide a 4-gram window taking each
+    * window's min hash, and keep the distinct selected hashes. Documents
+    * sharing fingerprints share matching substrings — the classic
+    * near-dup/plagiarism sketch. Output: fingerprint count + checksum
+    * per doc (set summary, cross-engine comparable).
+    *
+    * Entirely expression-level (sequence→transform→slice→array_min) —
+    * no shuffle until the final ORDER BY; the md5-derived gram hash is
+    * mirrored in DuckDB digit-for-digit. */
+  def txtWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))").as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"), expr("graft_winnow_fps(norm)").as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, v) -> a + v)").as("fp_sum"))
+      .orderBy("doc_id")
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -156,6 +191,31 @@ object TextOps {
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE regexp_matches(text, 'merge')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "txt_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_winnow" -> {
+      val h = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(substr(norm, i0, 5)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH nrm AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(norm) - 3), i0 -> $h) AS gh
+         |  FROM nrm WHERE len(norm) >= 8),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(gh) - 2),
+         |      i -> list_min(gh[i:i+3]))) AS fps
+         |  FROM g)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,5 +225,7 @@ object TextOps {
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),
     "mr_grep_count" -> (mrGrepCount(_, _)),
+    "txt_token_count" -> (txtTokenCount(_, _)),
+    "txt_winnow" -> (txtWinnow(_, _)),
   )
 }

@@ -28,6 +28,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad documents disagree with the SQL pipeline")
   }
 
+  test("graft_winnow_fps equals the SQL rolling-hash pipeline") {
+    val ghSql =
+      """transform(sequence(1, length(norm) - 4),
+        |  i -> CAST(conv(substr(md5(substr(norm, i, 5)), 1, 8), 16, 10) AS BIGINT))""".stripMargin
+    // The reference formulation re-evaluates the gram-hash subtree per
+    // window position in interpreted mode (O(L² md5) per doc — exactly
+    // the cost the fused expression eliminates), so compare on a sample.
+    val bad = Tables(spark, sf).documents
+      .orderBy("doc_id").limit(25)
+      .select(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))").as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(
+        expr("graft_winnow_fps(norm)").as("fused"),
+        expr(s"array_distinct(transform(sequence(1, size($ghSql) - 3), i -> array_min(slice($ghSql, i, 4))))").as("ref"))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(bad == 0, s"$bad documents disagree with the SQL pipeline")
+  }
+
   test("graft_minhash_bands equals the SQL affine-min formulation") {
     val p = 2147483647L
     val bad = Tables(spark, sf).documents
