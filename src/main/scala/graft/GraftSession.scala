@@ -13,6 +13,7 @@ object GraftSession {
   def local(threads: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new GraftExtensions()(_))
       .appName(appName)
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads.toString)

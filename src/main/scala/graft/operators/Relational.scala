@@ -238,6 +238,51 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation: Spark `percentile`, DuckDB `quantile_cont`). */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy("event_type")
+
+  /** ROLLUP grouping sets: per (priority, status) + subtotals + total.
+    * NULLS FIRST pinned explicitly — Spark and DuckDB default opposite
+    * null orderings. */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Pivot: order counts per status × priority (fixed value list, so the
+    * output schema is static and oracle-mirrorable as conditional
+    * aggregation). */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+
+  /** Dedup keep-best: cluster documents by normalized fingerprint, keep
+    * the highest-quality member (longest, doc_id tiebreak) — the
+    * "representative picker" half of a dedup pipeline. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(expr("CAST(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS BINARY)"))
+    val w = Window.partitionBy("fp").orderBy(desc("n_chars"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars"), fp.as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"), col("n_chars"))
+      .orderBy("fp")
+  }
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -351,6 +396,32 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 3) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q16_pivot" ->
+      """SELECT o_orderstatus,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM f)
+        |SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
     "ev_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value AS click_value,
         |       r.value AS prev_view_value
@@ -381,5 +452,9 @@ object Relational {
     "ev_json_extract" -> (evJsonExtract(_, _)),
     "mr_sort_global" -> (mrSortGlobal(_, _)),
     "ev_asof_join" -> (evAsofJoin(_, _)),
+    "agg_percentiles" -> (aggPercentiles(_, _)),
+    "q15_rollup" -> (q15Rollup(_, _)),
+    "q16_pivot" -> (q16Pivot(_, _)),
+    "dedup_keep_best" -> (dedupKeepBest(_, _)),
   )
 }

@@ -34,4 +34,14 @@ object GraftFunctions {
       }
     }
   }
+
+  /** Same registrations through the public SparkSessionExtensions API
+    * (used by graft.GraftExtensions for config-injected deployments). */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSim].getCanonicalName, name),
+        builder))
+    }
 }

@@ -47,6 +47,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad documents disagree with the SQL pipeline")
   }
 
+  test("RewriteFoldCosine rewrites the portable fold formulation to CosineSim") {
+    val fold =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
+        " / (sqrt(aggregate(a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))" +
+        " * sqrt(aggregate(b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    val t = Tables(spark, sf)
+    val df = t.embeddings.select(col("embedding").as("a"))
+      .crossJoin(t.embeddings.limit(3).select(col("embedding").as("b")))
+      .select(expr(fold).as("c"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+      df.queryExecution.optimizedPlan.toString)
+    // and the rewrite is exact: max |fold result - graft_cosine| == 0
+    val diff = t.embeddings.select(col("embedding").as("a"))
+      .crossJoin(t.embeddings.limit(3).select(col("embedding").as("b")))
+      .select(expr(s"($fold) - graft_cosine(a, b)").as("d"))
+      .agg(max(abs(col("d")))).first().getDouble(0)
+    assert(diff == 0.0)
+  }
+
   test("graft_minhash_bands equals the SQL affine-min formulation") {
     val p = 2147483647L
     val bad = Tables(spark, sf).documents

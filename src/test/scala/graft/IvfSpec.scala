@@ -14,17 +14,33 @@ class IvfSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
   test("graft_cosine matches the interpreted fold formulation exactly") {
-    val t = Tables(spark, sf)
-    val fold =
-      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
-        " / (sqrt(aggregate(a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))" +
-        " * sqrt(aggregate(b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
-    val pairs = t.embeddings.select(col("vec_id"), col("embedding").as("a"))
-      .crossJoin(t.embeddings.limit(5).select(col("embedding").as("b")))
-    val diff = pairs
-      .select(expr(s"graft_cosine(a, b) - ($fold)").as("d"))
-      .agg(max(abs(col("d")))).first().getDouble(0)
-    assert(diff == 0.0, s"codegen'd cosine drifted from the fold by $diff")
+    // Exclude the RewriteFoldCosine optimizer rule for this test — with
+    // it active the fold side would itself become CosineSim and the
+    // comparison would be vacuous.
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, prev.map(_ + ",").getOrElse("") + "graft.plans.RewriteFoldCosine")
+    try {
+      val t = Tables(spark, sf)
+      val fold =
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
+          " / (sqrt(aggregate(a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))" +
+          " * sqrt(aggregate(b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+      val pairs = t.embeddings.select(col("vec_id"), col("embedding").as("a"))
+        .crossJoin(t.embeddings.limit(5).select(col("embedding").as("b")))
+      val cmp = pairs.select(expr(s"graft_cosine(a, b) - ($fold)").as("d"))
+      // Non-vacuity: the fold must have survived as an interpreted
+      // ArrayAggregate next to the single explicit graft_cosine call.
+      val optimized = cmp.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("aggregate("), optimized)
+      val diff = cmp.agg(max(abs(col("d")))).first().getDouble(0)
+      assert(diff == 0.0, s"codegen'd cosine drifted from the fold by $diff")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("IVF cell populations are bounded and near-uniform") {
