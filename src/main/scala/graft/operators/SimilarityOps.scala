@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -118,6 +119,33 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** All-vectors kNN graph (top-5 neighbors each) from IVF cell
+    * candidates — the building block for semantic clustering / SemDeDup.
+    * Candidates are pairs sharing a probed cell (generated once with
+    * id1 < id2, then mirrored) so the join cost is the bounded per-cell
+    * pair join, not n²; ranking is a per-source window over candidates
+    * only. Ties broken by neighbor id; cosine rounded before ranking so
+    * both engines rank identical doubles. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfCells(spark, dir)
+    val l = cells.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
+    val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
+    val pairs = l.join(r, "aid")
+      .filter(col("id1") < col("id2"))
+      .withColumn("c", expr(cosExprSpark("e1", "e2")))
+      .select(col("id1"), col("id2"), round(col("c"), 4).as("cos_sim"))
+      .distinct()
+    val sym = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"), col("cos_sim")))
+    val w = Window.partitionBy("id1").orderBy(desc("cos_sim"), col("id2"))
+    sym
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("id1").as("vec_id"), col("id2").as("neighbor_id"),
+        col("cos_sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Distributed per-label centroid (vector mean via posexplode). */
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
@@ -143,6 +171,21 @@ object SimilarityOps {
          |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) AS cos_sim
          |FROM cand JOIN embeddings e USING (vec_id), qv
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH $ivfCellsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${cosExprSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |  FROM cells a JOIN cells b ON a.aid = b.aid AND a.vec_id < b.vec_id),
+         |sym AS (
+         |  SELECT id1, id2, cos_sim FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS id1, id1 AS id2, cos_sim FROM pairs),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rnk
+         |  FROM sym)
+         |SELECT id1 AS vec_id, id2 AS neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) AS avg_v
@@ -153,6 +196,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
+    "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
   )
 }
