@@ -39,6 +39,45 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 3).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
 
+  /** One closed session: [start_tus, end_tus] and its event count. */
+  final case class ClosedSession(user_id: Long, start_tus: Long,
+      end_tus: Long, n_events: Long)
+
+  /** Per-user open-session state for [[sessionizeSessions]]. */
+  final case class OpenSession(start_tus: Long, lastTus: Long, nEvents: Long)
+
+  /** Gap-based sessionization emitting CLOSED session rows via
+    * flatMapGroupsWithState: a session is emitted the moment a later
+    * event (possibly batches later) arrives more than the gap after it;
+    * the open tail session stays in state. Append-style output — the
+    * natural shape for a session log sink. */
+  def sessionizeSessions(events: Dataset[Ev]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.tus - s.lastTus <= SessionGapUs =>
+                open = Some(OpenSession(s.start_tus, e.tus, s.nEvents + 1))
+              case Some(s) =>
+                closed += ClosedSession(userId, s.start_tus, s.lastTus, s.nEvents)
+                open = Some(OpenSession(e.tus, e.tus, 1))
+              case None =>
+                open = Some(OpenSession(e.tus, e.tus, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via mapGroupsWithState: the streaming twin
     * of Relational.evSessionize. Events may arrive across many
     * micro-batches; state carries the last-seen timestamp so a gap that

@@ -55,6 +55,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState emits exactly the batch-derivable closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(_.tus)
+    val (first, second) = evs.splitAt(evs.size / 2)
+
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionizeSessions(input.toDS())
+      .writeStream.format("memory").queryName("closed_sess")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM closed_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // Batch derivation: number sessions per user via the gap rule, group
+    // events into sessions, drop each user's LAST session (still open in
+    // the stream, so never emitted).
+    Tables(spark, sf).events.createOrReplaceTempView("events_v")
+    val batch = spark.sql(s"""
+      |WITH e AS (
+      |  SELECT user_id, unix_micros(ts) AS tus, event_id
+      |  FROM events_v),
+      |m AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL
+      |              OR tus - lag(tus) OVER w > ${StreamOps.SessionGapUs}
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+      |                      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, sess_id, min(tus) AS start_tus, max(tus) AS end_tus,
+      |         count(*) AS n_events
+      |  FROM s GROUP BY user_id, sess_id)
+      |SELECT user_id, start_tus, end_tus, n_events FROM g
+      |WHERE sess_id < (SELECT max(sess_id) FROM g g2 WHERE g2.user_id = g.user_id)
+      |""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly agg (complete mode) equals batch grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
