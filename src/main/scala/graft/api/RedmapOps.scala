@@ -1,0 +1,91 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+
+/** redmap's job-builder surface as typed Dataset combinators, so a user
+  * of the reference framework can port a job near-verbatim:
+  *
+  * {{{
+  *   // redmap:  job.FlatMap(tokenize).Filter(nonEmpty).ReduceByKey(sum)
+  *   import graft.api.RedmapOps._
+  *   import spark.implicits._
+  *   docs.flatMapOp(tokenize).filterOp(_.nonEmpty)
+  *       .keyByOp(identity).mapValuesOp(_ => 1L).reduceByKeyOp(_ + _)
+  * }}}
+  *
+  * Every combinator delegates to the Dataset API, so Catalyst still
+  * optimizes the whole pipeline (these are NOT RDD ops): chained
+  * mapOp/filterOp fuse into one whole-stage; reduceByKeyOp compiles to
+  * a partial-aggregating groupByKey+reduceGroups (map-side combine —
+  * redmap's combiner — for free); sortOp plans a range exchange; topOp
+  * plans TakeOrderedAndProject.
+  *
+  * Reference behavior: erizocosmico/redmap chains Map/Filter/Reduce
+  * steps over arbitrary Go values shipped to workers; the typed Dataset
+  * is the Spark-native equivalent with Encoders instead of gob
+  * serialization.
+  */
+object RedmapOps {
+
+  implicit class RichDataset[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** redmap `Map`. */
+    def mapOp[U: Encoder](f: T => U): Dataset[U] = ds.map(f)
+
+    /** redmap `Filter`. */
+    def filterOp(p: T => Boolean): Dataset[T] = ds.filter(p)
+
+    /** redmap `FlatMap`. */
+    def flatMapOp[U: Encoder](f: T => IterableOnce[U]): Dataset[U] = ds.flatMap(f)
+
+    /** Key extraction for the shuffle ops below. */
+    def keyByOp[K: Encoder](f: T => K): Dataset[(K, T)] =
+      ds.map(t => (f(t), t))(Encoders.tuple(implicitly[Encoder[K]], ds.encoder))
+
+    /** redmap `Distinct`. */
+    def distinctOp(): Dataset[T] = ds.distinct()
+
+    /** redmap `Sort` (global total order by extracted key; range
+      * exchange, never a single-node sort). */
+    def sortOp[K: Encoder](f: T => K): Dataset[T] = {
+      import ds.sparkSession.implicits._
+      ds.map(t => (f(t), t))(Encoders.tuple(implicitly[Encoder[K]], ds.encoder))
+        .orderBy($"_1")
+        .map(_._2)(ds.encoder)
+    }
+
+    /** redmap `Top`: k smallest by key (TakeOrderedAndProject — a
+      * per-partition heap and a k-row driver merge). */
+    def topOp[K: Encoder](k: Int)(f: T => K): Seq[T] = {
+      import ds.sparkSession.implicits._
+      ds.map(t => (f(t), t))(Encoders.tuple(implicitly[Encoder[K]], ds.encoder))
+        .orderBy($"_1")
+        .limit(k)
+        .map(_._2)(ds.encoder)
+        .collect().toSeq
+    }
+  }
+
+  implicit class RichPairDataset[K, V](private val ds: Dataset[(K, V)]) extends AnyVal {
+
+    /** redmap map over values, keys preserved. */
+    def mapValuesOp[W](f: V => W)(implicit e: Encoder[(K, W)]): Dataset[(K, W)] =
+      ds.map { case (k, v) => (k, f(v)) }
+
+    /** redmap `ReduceByKey` — partial-aggregating groupByKey (map-side
+      * combine included by Spark's aggregation). */
+    def reduceByKeyOp(f: (V, V) => V)(implicit ke: Encoder[K],
+        kve: Encoder[(K, V)]): Dataset[(K, V)] =
+      ds.groupByKey(_._1)
+        .reduceGroups((a: (K, V), b: (K, V)) => (a._1, f(a._2, b._2)))
+        .map(_._2)
+
+    /** Inner equi-join by key with another pair dataset. */
+    def joinByKeyOp[W](other: Dataset[(K, W)])(implicit
+        e: Encoder[(K, V, W)]): Dataset[(K, V, W)] = {
+      val l = ds.toDF("k", "v")
+      val r = other.toDF("k", "w")
+      l.join(r, "k").select("k", "v", "w").as[(K, V, W)]
+    }
+  }
+}

@@ -283,6 +283,19 @@ object Relational {
       .orderBy("fp")
   }
 
+  /** Correlated scalar subquery (customers above their nation's average
+    * balance) — exercises Catalyst's subquery decorrelation: the plan
+    * becomes an aggregate + join, not a per-row subquery execution. */
+  def q17CorrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).customer.createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM graft_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -396,6 +409,12 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q17_corr_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "agg_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.9), 4) AS p90
@@ -452,6 +471,7 @@ object Relational {
     "ev_json_extract" -> (evJsonExtract(_, _)),
     "mr_sort_global" -> (mrSortGlobal(_, _)),
     "ev_asof_join" -> (evAsofJoin(_, _)),
+    "q17_corr_subquery" -> (q17CorrSubquery(_, _)),
     "agg_percentiles" -> (aggPercentiles(_, _)),
     "q15_rollup" -> (q15Rollup(_, _)),
     "q16_pivot" -> (q16Pivot(_, _)),

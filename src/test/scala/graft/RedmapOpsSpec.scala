@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.RedmapOps._
+
+/** The redmap job surface, ported 1:1 onto the typed combinators, must
+  * agree with the DataFrame operators that the oracle gate already
+  * proves correct — and must plan the right physical shapes. */
+class RedmapOpsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("wordcount via redmap combinators equals the DataFrame operator") {
+    import spark.implicits._
+    val texts = Tables(spark, sf).documents.select("text").as[String]
+    val counted = texts
+      .flatMapOp(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+      .keyByOp(identity)
+      .mapValuesOp(_ => 1L)
+      .reduceByKeyOp(_ + _)
+      .collect().toMap
+    val expected = operators.TextOps.mrWordcount(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted == expected)
+  }
+
+  test("top-k via combinators plans TakeOrderedAndProject and matches q08") {
+    import spark.implicits._
+    val orders = Tables(spark, sf).orders
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)]
+    // top 20 by highest price: order by (-price, key)
+    val top = orders.topOp(20) { case (k, p) => (-p, k) }
+    val expected = operators.Relational.q08TopkOrders(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == expected)
+  }
+
+  test("sortOp plans a range exchange (no single-partition sort)") {
+    import spark.implicits._
+    val ds = Tables(spark, sf).customer.select("c_custkey").as[Long].sortOp(identity)
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("joinByKeyOp joins pair datasets by key") {
+    import spark.implicits._
+    val n = Tables(spark, sf).nation
+      .select("n_nationkey", "n_name").as[(Int, String)]
+    val r = Tables(spark, sf).nation
+      .select("n_nationkey", "n_regionkey").as[(Int, Int)]
+    val joined = n.joinByKeyOp(r).collect()
+    assert(joined.length == 25 && joined.forall { case (_, _, rk) => rk >= 0 })
+  }
+}
