@@ -67,16 +67,32 @@ object MultimodalOps {
     (if (bytes.length == 0) 0.0 else s.toDouble / bytes.length, 64)
   }
 
+  /** Container-format classification over the binary payloads via the
+    * native graft_image_meta header parser. On the test corpus every
+    * payload is text bytes, so the oracle asserts exactly that NOTHING
+    * misparses as an image — the parser's positive paths are pinned by
+    * handcrafted PNG/JPEG/GIF bytes in MultimodalSpec. */
+  def mmImageMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(expr("coalesce(graft_image_meta(payload).format, 'unknown')").as("format"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("format")
+
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | substr(text, 1, 4) AS prefix,
         | CAST(octet_length(encode(text)) AS BIGINT) % 16 AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_meta" ->
+      "SELECT 'unknown' AS format, count(*) AS n FROM documents",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta(_, _)),
+    "mm_image_meta" -> (mmImageMeta(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.
