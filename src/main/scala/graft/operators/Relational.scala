@@ -283,6 +283,19 @@ object Relational {
       .orderBy("fp")
   }
 
+  /** Custom typed-Aggregator variance (Welford/Chan merge) next to the
+    * built-in var_samp; the oracle pins both to DuckDB's var_samp, so
+    * the distributed merge path is proven exact to 4 decimals. */
+  def aggVarianceWelford(spark: SparkSession, dir: String): DataFrame = {
+    val welford = udaf(graft.functions.VarianceWelford)
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(welford(col("l_quantity")), 4).as("var_welford"),
+        round(var_samp("l_quantity"), 4).as("var_builtin"))
+      .orderBy("l_returnflag")
+  }
+
   /** Correlated scalar subquery (customers above their nation's average
     * balance) — exercises Catalyst's subquery decorrelation: the plan
     * becomes an aggregate + join, not a per-row subquery execution. */
@@ -409,6 +422,10 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "agg_variance_welford" ->
+      """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_welford,
+        | round(var_samp(l_quantity), 4) AS var_builtin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q17_corr_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c
@@ -471,6 +488,7 @@ object Relational {
     "ev_json_extract" -> (evJsonExtract(_, _)),
     "mr_sort_global" -> (mrSortGlobal(_, _)),
     "ev_asof_join" -> (evAsofJoin(_, _)),
+    "agg_variance_welford" -> (aggVarianceWelford(_, _)),
     "q17_corr_subquery" -> (q17CorrSubquery(_, _)),
     "agg_percentiles" -> (aggPercentiles(_, _)),
     "q15_rollup" -> (q15Rollup(_, _)),

@@ -40,6 +40,20 @@ object Formats {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Bucketed catalog-table sink: the write-side half of the 100 TB
+    * co-located-join posture. Two tables bucketed+sorted on the same
+    * join key join with ZERO exchanges and zero sorts (asserted in
+    * FormatsSpec) — at scale this is what turns the orders⋈lineitem
+    * shuffle into a local merge per bucket. */
+  def writeBucketed(df: DataFrame, table: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path",
+        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$table")
+      .saveAsTable(table)
+
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$name"
 

@@ -40,6 +40,35 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("bucketed tables join with zero exchanges and zero sorts") {
+    val t = Tables(spark, sf)
+    Formats.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"),
+      "g_orders_b", "o_orderkey", 8)
+    Formats.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+      "g_lineitem_b", "l_orderkey", 8)
+    // Test-SF tables are broadcast-sized, which would sidestep bucketing
+    // entirely (and at 100 TB neither side broadcasts) — pin the
+    // shuffle-join path to observe the bucketed layout doing its job.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val joined = spark.table("g_orders_b")
+        .join(spark.table("g_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      // and it computes the same rows as the plain parquet join
+      val expected = t.orders.select("o_orderkey", "o_totalprice")
+        .join(t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("partition pruning reaches the partitioned layout") {
     val path = tmp("documents_part")
     val plan = {
