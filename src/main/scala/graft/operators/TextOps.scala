@@ -121,6 +121,36 @@ object TextOps {
         expr("aggregate(fps, CAST(0 AS BIGINT), (a, v) -> a + v)").as("fp_sum"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-mod sampling: ~10% per source stratum, keyed on
+    * md5(doc_id) so the sample is stable across runs, engines, and
+    * cluster sizes (the scale-safe alternative to seeded random
+    * sampling, whose results depend on partitioning). */
+  def mrSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 10 = 0"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+
+  /** End-to-end curation pipeline composed from the library's own
+    * stages: quality gate → exact-dup removal (keep the lowest doc_id)
+    * → per-language counts of surviving docs. One declarative plan —
+    * Catalyst fuses the stages; nothing materializes in between. */
+  def txtPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val quality = txtQualityFilter(spark, dir).select("doc_id")
+    val docs = Tables(spark, dir).documents
+    val keep = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs
+      .join(quality, "doc_id")
+      .join(keep, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -191,6 +221,26 @@ object TextOps {
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE regexp_matches(text, 'merge')
         |GROUP BY source ORDER BY source""".stripMargin,
+    "mr_sample_hash" -> {
+      val h = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      s"""SELECT source, count(*) AS n_sampled FROM documents
+         |WHERE $h % 10 = 0 GROUP BY source ORDER BY source""".stripMargin
+    },
+    "txt_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+         |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id FROM d
+         |  WHERE n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+         |    AND alpha * 1.0 / n_chars >= 0.6),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents JOIN q USING (doc_id) JOIN k USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
@@ -227,5 +277,7 @@ object TextOps {
     "mr_grep_count" -> (mrGrepCount(_, _)),
     "txt_token_count" -> (txtTokenCount(_, _)),
     "txt_winnow" -> (txtWinnow(_, _)),
+    "mr_sample_hash" -> (mrSampleHash(_, _)),
+    "txt_pipeline" -> (txtPipeline(_, _)),
   )
 }
