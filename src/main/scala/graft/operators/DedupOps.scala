@@ -204,6 +204,40 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** SemDeDup-style component dedup: cluster vectors whose near-dup
+    * graph (IVF-blocked pairs with cosine >= 0.4, see dedupEmbedding)
+    * connects them, and report each component with its representative
+    * (min vec_id) and size. Connected components run as iterative
+    * min-label propagation over DataFrame joins — each round is one
+    * shuffle join + partial-agg min, `localCheckpoint` cuts the lineage
+    * so the loop count (graph diameter, a handful for near-dup
+    * clusters) doesn't nest plans. The DuckDB oracle computes the same
+    * fixpoint with a recursive CTE — an entirely independent algorithm.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, dir).select("id1", "id2")
+    val edges = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
+    val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
+    var labels = vertices.select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels, edges("id1") === labels("vec_id"))
+        .select(col("id2").as("vec_id"), col("label"))
+      val next = labels.select(col("vec_id"), col("label")).unionByName(prop)
+        .groupBy("vec_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "vec_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   private def simhashSql: String = {
     val hexVal = (1 to 4)
       .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
@@ -259,6 +293,21 @@ object DedupOps {
          |SELECT id1, id2, round(jac, 4) AS jaccard FROM j
          |WHERE jac >= 0.4 ORDER BY id1, id2""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "dedup_components" ->
+      s"""WITH RECURSIVE ${SimilarityOps.ivfCellsSql},
+         |p AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+         |  FROM cells a JOIN cells b2 ON a.aid = b2.aid AND a.vec_id < b2.vec_id
+         |  WHERE ${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")} >= 0.4),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p
+         |      UNION ALL SELECT id2, id1 FROM p),
+         |walk(v, l) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, walk.l FROM walk JOIN e ON walk.v = e.a),
+         |lab AS (SELECT v AS vec_id, min(l) AS label FROM walk GROUP BY v)
+         |SELECT label AS component, count(*) AS n_members
+         |FROM lab GROUP BY label ORDER BY component""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${SimilarityOps.ivfCellsSql}
          |SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
@@ -274,5 +323,6 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_components" -> (dedupComponents(_, _)),
   )
 }
