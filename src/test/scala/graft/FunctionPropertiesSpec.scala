@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImageMeta, MinhashBands, ShingleHashes, WinnowFps}
+
+/** Property-based checks of the native expressions' JVM helpers —
+  * pure-function properties that don't need a SparkSession, so they
+  * fuzz broadly and fast. Uses scalacheck generators with a
+  * deterministic seed sweep (the scalatest-scalacheck bridge artifact
+  * is not in the offline cache). */
+class FunctionPropertiesSpec extends AnyFunSuite {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("ImageMeta.parse never throws on arbitrary bytes (fuzz)") {
+    forAllSeeded(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      bytes => ImageMeta.parse(bytes)
+    }
+    // adversarial prefixes: truncated signatures + marker-walk edges
+    val evil = Seq(
+      Array(0x89, 'P', 'N', 'G').map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte),
+      Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte),
+      Array(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff).map(_.toByte),
+      "GIF89a".getBytes.take(6),
+      Array.emptyByteArray)
+    evil.foreach(b => ImageMeta.parse(b))
+  }
+
+  test("ShingleHashes equals a straightforward reference implementation") {
+    val token = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAllSeeded(Gen.listOf(token)) { toks =>
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      val got = ShingleHashes.compute(arr).toLongArray().toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ref = toks.sliding(3).filter(_.size == 3).map { g =>
+        val d = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }.toSeq.distinct
+      assert(got == ref)
+    }
+  }
+
+  test("MinhashBands: each band min is <= every per-element band hash") {
+    val hashes = Gen.listOf(Gen.choose(0L, (1L << 32) - 1))
+    forAllSeeded(hashes) { hs =>
+      whenever(hs.nonEmpty) {
+        val arr = new GenericArrayData(hs.toArray[Any])
+        val bands = MinhashBands.compute(arr).toLongArray()
+        assert(bands.length == MinhashBands.K)
+        (0 until MinhashBands.K).foreach { j =>
+          val mul = (2L * j + 1) * 2654435761L % MinhashBands.P
+          val expected = hs.map(h => mul * h % MinhashBands.P).min
+          assert(bands(j) == expected)
+        }
+      }
+    }
+  }
+
+  test("WinnowFps: fingerprints are a subset of all gram hashes, stable, ASCII-safe") {
+    val ascii = Gen.listOf(Gen.frequency(9 -> Gen.alphaLowerChar, 1 -> Gen.const(' ')))
+      .map(_.mkString)
+    forAllSeeded(ascii) { s =>
+      val a = WinnowFps.compute(UTF8String.fromString(s)).toLongArray().toSeq
+      val b = WinnowFps.compute(UTF8String.fromString(s)).toLongArray().toSeq
+      assert(a == b)
+      if (s.length < 8) assert(a.isEmpty)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val grams = (0 to s.length - 5).map { i =>
+          val d = md.digest(s.substring(i, i + 5).getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }.toSet
+        assert(a.toSet.subsetOf(grams))
+      }
+    }
+  }
+}
