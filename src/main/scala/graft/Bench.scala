@@ -29,8 +29,11 @@ object Bench {
       }
     }
 
-    // Warmup: absorb session init + codegen + parquet footer reads.
-    materialize("q02_filter_project")
+    // Warmup: absorb session init + codegen + parquet footer reads for
+    // each table family (fact scan, text+regexp+explode, vector math)
+    // so per-query numbers attribute work, not first-touch JIT.
+    Seq("q02_filter_project", "mr_wordcount", "sim_topk_cosine")
+      .foreach(materialize)
 
     // Optional args narrow the run to the named queries (local iteration).
     val names =
