@@ -220,17 +220,24 @@ object DedupOps {
       pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
     val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
     var labels = vertices.select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+    // Labels only ever decrease, so sum(label) is a strictly-decreasing
+    // convergence measure — one cheap agg per round instead of a
+    // change-detection join. Two propagation hops per checkpointed
+    // round halve the rounds (same fixpoint; propagation is monotone).
+    def step(ls: DataFrame): DataFrame = {
+      val prop = edges
+        .join(ls, edges("id1") === ls("vec_id"))
+        .select(col("id2").as("vec_id"), col("label"))
+      ls.select(col("vec_id"), col("label")).unionByName(prop)
+        .groupBy("vec_id").agg(min("label").as("label"))
+    }
+    var prevSum = labels.agg(sum("label")).first().getLong(0)
     var converged = false
     while (!converged) {
-      val prop = edges
-        .join(labels, edges("id1") === labels("vec_id"))
-        .select(col("id2").as("vec_id"), col("label"))
-      val next = labels.select(col("vec_id"), col("label")).unionByName(prop)
-        .groupBy("vec_id").agg(min("label").as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "vec_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      labels = step(step(labels)).localCheckpoint()
+      val s = labels.agg(sum("label")).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
       .groupBy(col("label").as("component"))
