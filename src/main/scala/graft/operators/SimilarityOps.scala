@@ -95,7 +95,7 @@ object SimilarityOps {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(expr(cosExprSpark("embedding", "qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
@@ -114,7 +114,7 @@ object SimilarityOps {
     candIds
       .join(emb, "vec_id")
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), round(expr(cosExprSpark("embedding", "qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
@@ -133,7 +133,7 @@ object SimilarityOps {
     val pairs = l.join(r, "aid")
       .filter(col("id1") < col("id2"))
       .withColumn("c", expr(cosExprSpark("e1", "e2")))
-      .select(col("id1"), col("id2"), round(col("c"), 4).as("cos_sim"))
+      .select(col("id1"), col("id2"), (round(col("c"), 4) + lit(0.0)).as("cos_sim"))
       .distinct()
     val sym = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2"), col("cos_sim")))
@@ -146,19 +146,22 @@ object SimilarityOps {
       .orderBy("vec_id", "rnk")
   }
 
-  /** Distributed per-label centroid (vector mean via posexplode). */
+  /** Distributed per-label centroid (vector mean via posexplode).
+    * `+ 0.0` after rounding normalizes IEEE negative zero — a mean of
+    * ~±1e-12 rounds to -0.0 in one engine and +0.0 in the other, and
+    * the driver's value hash distinguishes the sign. */
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
       .groupBy("label", "dim")
-      .agg(round(avg("v"), 4).as("avg_v"))
+      .agg((round(avg("v"), 4) + lit(0.0)).as("avg_v"))
       .orderBy("label", "dim")
 
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) AS cos_sim
+         |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) + 0.0 AS cos_sim
          |FROM embeddings, qv WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_bucket" ->
@@ -168,14 +171,14 @@ object SimilarityOps {
          |cand AS (
          |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
          |  WHERE c.vec_id <> 0)
-         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) AS cos_sim
+         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
          |FROM cand JOIN embeddings e USING (vec_id), qv
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH $ivfCellsSql,
          |pairs AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
-         |    round(${cosExprSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |    round(${cosExprSql("a.embedding", "b.embedding")}, 4) + 0.0 AS cos_sim
          |  FROM cells a JOIN cells b ON a.aid = b.aid AND a.vec_id < b.vec_id),
          |sym AS (
          |  SELECT id1, id2, cos_sim FROM pairs
@@ -188,7 +191,7 @@ object SimilarityOps {
          |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
-        | round(avg(embedding[t.dim + 1]::DOUBLE), 4) AS avg_v
+        | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
   )
