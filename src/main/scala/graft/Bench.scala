@@ -18,6 +18,12 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench")
 
     def materialize(name: String): Either[String, Double] = {
+      // Untimed GC between queries: Spark's ContextCleaner only frees
+      // unreferenced cached/checkpointed blocks and shuffle state after
+      // a JVM GC, so without this, state from 50+ earlier queries (e.g.
+      // dedup_components' localCheckpoints) inflates later timings —
+      // observed 5x inflation on late-alphabet queries in a full run.
+      System.gc()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
