@@ -219,7 +219,12 @@ object DedupOps {
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
     val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
-    var labels = vertices.select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+    // Iterate ONLY over edge-touched vertices: isolated vertices are
+    // already fixed points and rejoin as singleton components at the
+    // end. At scale the loop's working set is |near-dup graph|, not
+    // |corpus|.
+    var labels = edges.select(col("id1").as("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
     // Labels only ever decrease, so sum(label) is a strictly-decreasing
     // convergence measure — one cheap agg per round instead of a
     // change-detection join. Two propagation hops per checkpointed
@@ -239,7 +244,10 @@ object DedupOps {
       converged = s == prevSum
       prevSum = s
     }
-    labels
+    val singletons = vertices
+      .join(labels.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("label"))
+    labels.unionByName(singletons)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("component")
