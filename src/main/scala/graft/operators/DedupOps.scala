@@ -9,17 +9,18 @@ import graft.operators.TextOps.{tokensExpr, tokensSql}
 /** Deduplication pipeline operators (SURVEY.md §2.4).
   *
   * All variants follow the same scale posture: explode → shuffle on a
-  * uniform synthetic key (shingle / band-signature / bucket) → join only
-  * within buckets. Nothing here is O(n²) in the corpus; candidate
-  * verification touches only pairs that share at least one bucket. At
-  * 100 TB the band-bucket join keys are (band_id, min_signature) which
-  * distribute uniformly by construction; a document-frequency cap on
-  * shingles (not needed at test SF, noted inline) bounds worst-case
-  * bucket skew.
+  * uniform synthetic key (shingle hash / band-signature / IVF cell) →
+  * pair generation bounded per key. Nothing here is O(n²) in the
+  * corpus: the n-gram index caps shingle document frequency at
+  * [2, NgramDfCap] before generating pairs inside bounded cells, the
+  * minhash band keys (band_id, min_signature) distribute uniformly by
+  * construction, and embedding candidates come from IVF multi-probe
+  * cells of ~P·n/K members. Hot scalar work (shingle hashing, band
+  * minima, cosine) runs in graft's native codegen'd expressions.
   *
   * Cross-engine parity: md5 is the only hash (Spark murmur3 != DuckDB
-  * hash); Jaccard is exact integer division; signatures are min() over
-  * md5 hex strings, identical in both engines.
+  * hash), decoded to exact 32-bit integers identically in both engines;
+  * Jaccard is exact integer division over the hashed sets.
   */
 object DedupOps {
 
