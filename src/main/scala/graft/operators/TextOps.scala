@@ -50,15 +50,22 @@ object TextOps {
     "es" -> Seq("el", "y", "los", "las", "una"))
 
   /** Marker-word heuristic language ID (deterministic argmax with fixed
-    * tie-break order en>de>fr>es). */
+    * tie-break order en>de>fr>es).
+    *
+    * Shape: explode distinct tokens once, then 4 codegen'd conditional
+    * sums in a hash aggregate. The per-column
+    * `size(array_intersect(tk, ..))` formulation would have
+    * CollapseProject inline the tokenizer into each of the 4 counts
+    * (interpreted, no CSE); a marker count over distinct tokens is the
+    * same number. explode_outer keeps token-less documents. */
   def txtLangid(spark: SparkSession, dir: String): DataFrame = {
     val counts = markers.map { case (l, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString(", ")
-      expr(s"size(array_intersect(tk, array($arr)))").as(s"c_$l")
+      sum(when(col("t").isin(ws: _*), 1).otherwise(0)).as(s"c_$l")
     }
     Tables(spark, dir).documents
-      .select(col("doc_id") +: expr(tokensExpr).as("tk") +: Nil: _*)
-      .select(col("doc_id") +: counts: _*)
+      .select(col("doc_id"), explode_outer(expr(s"array_distinct($tokensExpr)")).as("t"))
+      .groupBy("doc_id")
+      .agg(counts.head, counts.tail: _*)
       .select(col("doc_id"), expr(
         """CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
           | WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
