@@ -18,11 +18,20 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench")
 
     def materialize(name: String): Either[String, Double] = {
-      // Untimed GC between queries: Spark's ContextCleaner only frees
-      // unreferenced cached/checkpointed blocks and shuffle state after
-      // a JVM GC, so without this, state from 50+ earlier queries (e.g.
-      // dedup_components' localCheckpoints) inflates later timings —
-      // observed 5x inflation on late-alphabet queries in a full run.
+      // Untimed cross-query state teardown (VERDICT r2 finding #1: the
+      // driver's 52-query run showed ~3x aggregate inflation vs isolated
+      // runs). Three layers, all deterministic rather than waiting on
+      // the async ContextCleaner:
+      //  1. unpersist every persistent RDD synchronously — frees the
+      //     localCheckpoint blocks queries leave behind (components,
+      //     minhash) instead of letting them squeeze unified execution
+      //     memory for the rest of the suite;
+      //  2. drop any cached relations (none expected — defensive);
+      //  3. GC so the cleaner also reaps shuffle files and broadcast
+      //     blocks whose owners just became unreachable.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       try {

@@ -76,14 +76,28 @@ object ImageMeta {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
     // JPEG: SOI then marker segments; SOF0/1/2 carries height/width.
+    // The walker skips 0xFF fill bytes before reading a marker (legal
+    // padding between segments — ADVICE r2: treating a fill byte as a
+    // segment start read a bogus length from payload bytes) and stops at
+    // SOS (0xda, entropy-coded data follows — a SOF after it would be a
+    // different frame) and EOI (0xd9, end of image).
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var i = 2
-      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
-        val marker = b(i + 1) & 0xff
+      while (i < b.length && (b(i) & 0xff) == 0xff) {
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return null
+        val marker = b(j) & 0xff
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
-          return row("jpeg", be16(b, i + 7), be16(b, i + 5))
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
-        else i += 2 + be16(b, i + 2)
+          return if (j + 8 <= b.length) row("jpeg", be16(b, j + 6), be16(b, j + 4))
+          else null
+        if (marker == 0xd9 || marker == 0xda) return null // EOI / SOS
+        if (marker == 0x01 || marker == 0xd8 ||
+          (marker >= 0xd0 && marker <= 0xd7)) i = j + 1 // standalone, no length
+        else {
+          if (j + 3 > b.length) return null
+          i = j + 1 + be16(b, j + 1)
+        }
       }
       return null
     }

@@ -39,17 +39,23 @@ object MinhashBands {
   private val muls: Array[Long] =
     Array.tabulate(K)(j => (2L * j + 1) * 2654435761L % P)
 
+  /** Null hash slots are skipped — same result as the SQL formulation,
+    * where the affine map sends null → null and array_min/list_min
+    * ignore nulls (ADVICE r2: getLong on a null slot was an executor
+    * NPE for user-supplied containsNull=true arrays). */
   def compute(hs: ArrayData): GenericArrayData = {
     val n = hs.numElements()
     val mins = Array.fill(K)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < K) {
-        val v = muls(j) * h % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < K) {
+          val v = muls(j) * h % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }

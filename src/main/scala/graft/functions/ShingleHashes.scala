@@ -61,7 +61,10 @@ object ShingleHashes {
 
   /** Shared by interpreted eval and generated code. md5 is fed the raw
     * UTF-8 bytes of "t1 t2 t3" directly — byte-identical to hashing the
-    * concat_ws(' ', ..) string, without materializing it. */
+    * concat_ws(' ', ..) string, without materializing it. Null tokens
+    * are dropped from the shingle exactly as concat_ws drops null
+    * arguments (ADVICE r2: a containsNull=true input NPE'd here; the
+    * registered SQL function is user-callable on arbitrary arrays). */
   def compute(tk: ArrayData): GenericArrayData = {
     val n = tk.numElements()
     val md = MessageDigest.getInstance("MD5")
@@ -69,9 +72,16 @@ object ShingleHashes {
     var i = 0
     while (i <= n - 3) {
       md.reset()
-      md.update(tk.getUTF8String(i).getBytes); md.update(Space)
-      md.update(tk.getUTF8String(i + 1).getBytes); md.update(Space)
-      md.update(tk.getUTF8String(i + 2).getBytes)
+      var w = 0
+      var first = true
+      while (w < 3) {
+        if (!tk.isNullAt(i + w)) {
+          if (!first) md.update(Space)
+          md.update(tk.getUTF8String(i + w).getBytes)
+          first = false
+        }
+        w += 1
+      }
       val d = md.digest()
       // first 8 hex chars == first 4 digest bytes as unsigned 32-bit
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

@@ -89,7 +89,12 @@ object DedupOps {
     * the shingle sets.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingleSets(spark, dir)
+    // The shingle sets feed THREE consumers (both sides of the band
+    // self-join + verification); without a materialization barrier the
+    // whole tokenize+shingle+md5 pipeline re-runs for each (r2 plan had
+    // 3 documents scans — VERDICT r2 finding #3). localCheckpoint runs
+    // it once; MEMORY_AND_DISK blocks spill rather than OOM at scale.
+    val sh = hashedShingleSets(spark, dir).localCheckpoint()
     // All 8 band minima in ONE fused expression (graft_minhash_bands)
     // referencing hs once: Catalyst's CollapseProject inlines computed
     // columns into every consumer, and interpreted higher-order functions
@@ -216,16 +221,29 @@ object DedupOps {
     * fixpoint with a recursive CTE — an entirely independent algorithm.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    // localCheckpoint with bookkeeping: track which persistent RDDs each
+    // checkpoint added so superseded iterations are freed as the loop
+    // advances — without this a long-diameter graph (or a long-lived
+    // session running many dedups) accumulates one block set per round.
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val pairs = dedupEmbedding(spark, dir).select("id1", "id2")
-    val edges = pairs.unionByName(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).localCheckpoint()
+    val (edges, edgeIds) = checkpointed(pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
     val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
     // Iterate ONLY over edge-touched vertices: isolated vertices are
     // already fixed points and rejoin as singleton components at the
     // end. At scale the loop's working set is |near-dup graph|, not
     // |corpus|.
-    var labels = edges.select(col("id1").as("vec_id")).distinct()
-      .select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+    var (labels, labelIds) = checkpointed(
+      edges.select(col("id1").as("vec_id")).distinct()
+        .select(col("vec_id"), col("vec_id").as("label")))
     // Labels only ever decrease, so sum(label) is a strictly-decreasing
     // convergence measure — one cheap agg per round instead of a
     // change-detection join. Two propagation hops per checkpointed
@@ -237,14 +255,23 @@ object DedupOps {
       ls.select(col("vec_id"), col("label")).unionByName(prop)
         .groupBy("vec_id").agg(min("label").as("label"))
     }
-    var prevSum = labels.agg(sum("label")).first().getLong(0)
+    // sum over an EMPTY labels set is SQL NULL (a clean corpus with no
+    // near-dup pairs — ADVICE r2); treat it as 0 so the loop converges
+    // immediately instead of NPE-ing, and the output is all singletons.
+    def labelSum(ls: DataFrame): Long =
+      Option(ls.agg(sum("label")).first().getAs[java.lang.Long](0))
+        .fold(0L)(_.longValue)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      labels = step(step(labels)).localCheckpoint()
-      val s = labels.agg(sum("label")).first().getLong(0)
+      val (next, nextIds) = checkpointed(step(step(labels)))
+      val s = labelSum(next)
+      free(labelIds)
+      labels = next; labelIds = nextIds
       converged = s == prevSum
       prevSum = s
     }
+    free(edgeIds)
     val singletons = vertices
       .join(labels.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("vec_id").as("label"))

@@ -16,8 +16,11 @@ import graft.functions.CosineSim
   * and rewrite it to graft's fused codegen'd CosineSim. The fold runs
   * interpreted (higher-order functions have no codegen) at ~30x the
   * cost; the rewrite is exact — CosineSim accumulates in the same
-  * element order with the same float→double widening — so plans that
-  * ship the portable SQL formulation silently get the fast path.
+  * element order with the same float→double widening, AND mirrors the
+  * fold's null semantics (unequal lengths → null via zip_with padding;
+  * any null element → null via sum poisoning — ADVICE r2), so plans
+  * that ship the portable SQL formulation silently get the fast path
+  * with identical results on every input.
   *
   * Registered via [[graft.GraftExtensions]]
   * (`spark.sql.extensions=graft.GraftExtensions`) and by GraftSession.

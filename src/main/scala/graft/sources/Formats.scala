@@ -50,12 +50,15 @@ object Formats {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
-      .option("path",
-        s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$table")
+      .option("path", s"$tmpRoot/graft_bucketed/$table")
       .saveAsTable(table)
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$name"
+  // Per-JVM unique scratch root: fixed /tmp paths collided when two
+  // runs (driver verify + a local bench, say) raced the same directory.
+  private lazy val tmpRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+
+  private def tmp(name: String): String = s"$tmpRoot/$name"
 
   /** nation → csv → back; the oracle reads the original parquet, so a
     * lossy round-trip (types, quoting, header) would hash-mismatch. */

@@ -43,16 +43,26 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF cell populations are bounded and near-uniform") {
-    val cells = SimilarityOps.ivfCells(spark, sf)
-    val n = Tables(spark, sf).embeddings.count()
-    val sizes = cells.groupBy("aid").count().collect().map(_.getLong(1))
-    val expected = SimilarityOps.IvfP.toDouble * n / SimilarityOps.IvfK
-    assert(sizes.length == SimilarityOps.IvfK)
-    // Histogram printed so plan audits can eyeball the spread.
-    info(s"n=$n cells=${sizes.sorted.mkString(",")} (uniform would be $expected)")
-    assert(sizes.max <= 2 * expected,
-      s"max cell ${sizes.max} exceeds 2x the uniform population $expected")
+  test("IVF K scales with n and cell populations stay bounded at two corpus sizes") {
+    // The r2 scale-killer was constant K (quadratic pair joins as the
+    // corpus grows); this pins the fix — K = ivfK(n) anchors exist at
+    // BOTH test corpus sizes and every cell stays within a constant
+    // factor of the uniform population P·n/K.
+    val results = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").map { dir =>
+      val n = Tables(spark, dir).embeddings.count()
+      val k = SimilarityOps.ivfK(n)
+      val cells = SimilarityOps.ivfCells(spark, dir)
+      val sizes = cells.groupBy("aid").count().collect().map(_.getLong(1))
+      val expected = SimilarityOps.IvfP.toDouble * n / k
+      assert(sizes.length == k, s"$dir: ${sizes.length} non-empty cells, K=$k")
+      // Histogram printed so plan audits can eyeball the spread.
+      info(s"$dir n=$n K=$k max cell=${sizes.max} (uniform would be $expected)")
+      assert(sizes.max <= 3 * expected,
+        s"$dir: max cell ${sizes.max} exceeds 3x the uniform population $expected")
+      (n, k)
+    }
+    val Seq((n1, k1), (n2, k2)) = results
+    assert(n2 > n1 && k2 > k1, s"K must grow with n: n=$n1->K=$k1, n=$n2->K=$k2")
   }
 
   test("IVF near-dup blocking recalls >= 85% of true pairs at test SF") {
