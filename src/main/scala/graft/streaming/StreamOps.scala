@@ -32,12 +32,24 @@ object StreamOps {
   val SessionGapUs: Long = 1800L * 1000 * 1000
 
   /** Tumbling 1-hour windowed count+sum per event_type. On a streaming
-    * input pair with `.withWatermark("ts", ...)` at the call site. */
+    * input pair with `.withWatermark("ts", ...)` at the call site, or
+    * use [[hourlyAggWatermarked]] for the production append-mode shape. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 3).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Watermarked hourly aggregate — the append-mode production shape of
+    * [[hourlyAgg]]. The watermark is the state-boundedness contract at
+    * scale: windows older than max(event time) − delay are finalized,
+    * EMITTED EXACTLY ONCE, and evicted from the state store (state is
+    * O(active windows × keys), not O(stream length)); an event arriving
+    * behind the watermark is dropped, never double-counted into an
+    * already-emitted window. StreamingSpec drives late events across
+    * micro-batches to pin both halves (drop + single emission). */
+  def hourlyAggWatermarked(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    hourlyAgg(events.withWatermark("ts", delay))
 
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,

@@ -105,6 +105,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked append mode drops late events and emits each closed window once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Min = 60L * 1000 * 1000 // one minute in micros
+    def ev(id: Long, tus: Long) = Ev(id, tus, 1L, "click", 1.0)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.hourlyAggWatermarked(
+        input.toDS().withColumn("ts", timestamp_micros(col("tus"))), "30 minutes")
+      .writeStream.format("memory").queryName("hourly_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: three hour-0 events + one at 01:45 → watermark after b1 is
+      // 01:15, so the hour-0 window [00:00,01:00) is closeable.
+      input.addData(Seq(ev(1, 0), ev(2, 10 * Min), ev(3, 20 * Min), ev(4, 105 * Min)))
+      q.processAllAvailable()
+      // b2: a LATE hour-0 event (00:05 is behind the 01:15 watermark →
+      // must be dropped, not appended into the already-closed window),
+      // plus an 03:00 event that advances the watermark to 02:30.
+      input.addData(Seq(ev(5, 5 * Min), ev(6, 180 * Min)))
+      q.processAllAvailable()
+      // b3: one more batch so the 02:30 watermark finalizes hour 1.
+      input.addData(Seq(ev(7, 240 * Min)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.sql("SELECT hour, cnt FROM hourly_wm")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toSet
+    // hour 0 emitted once with cnt=3 (late event 5 dropped, NOT 4);
+    // hour 1 emitted once with cnt=1; hours 3/4 still open → absent.
+    assert(emitted == Set((0L, 3L), (3600L, 1L)), s"emitted=$emitted")
+  }
+
   test("streaming hourly agg (complete mode) equals batch grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
