@@ -15,7 +15,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.local(cpus, "graft-bench")
+    // Shuffle-file removal is async by default (the ContextCleaner posts
+    // a non-blocking delete when a shuffle dependency is GC'd), so a
+    // 52-query run can accumulate dead shuffle state faster than the
+    // cleaner drains it (VERDICT r2 finding #1: driver-run totals ~3x
+    // the attributable cost). Blocking shuffle cleanup makes the
+    // teardown in materialize() — unpersist + GC — synchronous end to
+    // end: when a query's timer starts, the previous query's blocks,
+    // broadcasts AND shuffle files are actually gone.
+    val spark = GraftSession.local(cpus, "graft-bench",
+      Map("spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
 
     def materialize(name: String): Either[String, Double] = {
       // Untimed cross-query state teardown (VERDICT r2 finding #1: the

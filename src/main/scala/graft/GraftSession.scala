@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * on a real cluster these come from dynamic AQE coalescing anyway.
   */
 object GraftSession {
-  def local(threads: Int = 4, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  def local(threads: Int = 4, appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .withExtensions(new GraftExtensions()(_))
       .appName(appName)
@@ -34,6 +35,7 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe join tooling (SURVEY.md §5 posture; VERDICT r2 item #7).
+  *
+  * At 100 TB a single hot key (a null-ish default id, a bot user, an
+  * empty-string fingerprint) turns one shuffle partition into a
+  * straggler that runs for hours while 999 executors idle. Two layers
+  * of defense, both demonstrated by SkewSpec and dumped in the plan
+  * audit:
+  *
+  *  1. '''AQE skew-join splitting''' — `spark.sql.adaptive.skewJoin.
+  *     enabled` is on in every GraftSession. At runtime Spark re-plans
+  *     an oversized shuffle partition into multiple splits, each joined
+  *     against a duplicated copy of the matching partition on the other
+  *     side (`SortMergeJoin ... skew=true` in the final adaptive plan).
+  *     Zero code changes in the query; this is the default path and the
+  *     reason graft queries do not hand-roll salting.
+  *
+  *  2. '''Explicit salting''' ([[saltedJoin]]) — for the cases AQE
+  *     cannot fix: a skewed '''broadcast-ineligible many-to-many''' join
+  *     where one key's rows exceed a single task's memory even after
+  *     splitting one side, or engines/paths where AQE is off (streaming
+  *     joins are planned without AQE). The skewed side gets a uniform
+  *     per-row salt in [0, S); the other side is replicated S× (one copy
+  *     per salt value); the join key becomes (key, salt) so the hot
+  *     key's rows spread over S shuffle partitions. Cost: S× shuffle
+  *     volume of the smaller side — pick S ≈ (hot-key rows) /
+  *     (rows-per-task budget), small (8–64).
+  */
+object SkewOps {
+
+  val SaltCol = "__graft_salt"
+
+  /** Equi-join with the skewed (large) side salted `salts` ways.
+    * Result-identical to `skewed.join(other, keys, joinType)`: every
+    * skewed-side row carries exactly one salt value and the other side
+    * is replicated once per salt value, so each (key, salt) cell holds
+    * the full set of `other` rows for that key. Supported join types
+    * are the ones where `other`-side rows may be safely duplicated
+    * before matching: inner, left_outer, left_semi, left_anti.
+    *
+    * The salt is `pmod(hash(monotonically_increasing_id()), salts)` —
+    * uniform (hash of a per-row unique id, so even identical duplicate
+    * rows spread) and stable within an execution (mono_id is a pure
+    * function of partition id × row index, so a task retry recomputes
+    * the same salts).
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving joins only, got $joinType " +
+        "(a right/full join would need the salt on the other side)")
+    val l = skewed.withColumn(SaltCol,
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val r = other.withColumn(SaltCol,
+      explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** Synthetic hot-key fixture shared by SkewSpec and the plan-audit
+    * dump: `facts` is 200k rows where 75% share key 0 (the hot key)
+    * and the rest are unique; `dim` is 1k keys, too large to broadcast
+    * once the broadcast threshold is lowered. A plain shuffle join puts
+    * 150k rows in one partition — the straggler shape. The payload is
+    * murmur3-randomized so lz4 cannot compress the hot partition's
+    * shuffle blocks away (skew detection compares COMPRESSED partition
+    * bytes, and a constant-key run compresses ~10×). */
+  def skewFixture(spark: SparkSession): (DataFrame, DataFrame) = {
+    val facts = spark.range(0, 200000)
+      .select(
+        when(col("id") % 4 === 0, col("id")).otherwise(0L).as("k"),
+        hash(col("id")).cast("long").as("payload"))
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 13).as("dim_payload"))
+    (facts, dim)
+  }
+
+  /** The AQE-skew demo join over [[skewFixture]]: forced to sort-merge
+    * (`merge` hint beats any broadcast decision) so the skewed shuffle
+    * partition exists for AQE to split. Callers set the small
+    * skew thresholds (see SkewSpec / Plans) before executing. */
+  def skewDemoJoin(spark: SparkSession): DataFrame = {
+    val (facts, dim) = skewFixture(spark)
+    facts.join(dim.hint("merge"), Seq("k"))
+  }
+}
