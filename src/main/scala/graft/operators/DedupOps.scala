@@ -199,7 +199,15 @@ object DedupOps {
     * ∝ √n at scale. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val cells = SimilarityOps.ivfCells(spark, dir)
-    val l = cells.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
+    // Repartition the streamed side by aid before the per-cell pair
+    // blowup — same rationale as simKnnGraph: assignment is map-side
+    // over the input splits (locally a single tiny split), so the
+    // compute-heavy join stage needs an explicit spread; hash-on-aid is
+    // the SMJ-required distribution at scale, and the fixed count is
+    // immune to AQE's bytes-based coalescing.
+    val par = spark.sparkContext.defaultParallelism
+    val l = cells.repartition(par, col("aid"))
+      .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
     l.join(r, "aid")
       .filter(col("id1") < col("id2"))
@@ -233,9 +241,12 @@ object DedupOps {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val pairs = dedupEmbedding(spark, dir).select("id1", "id2")
-    val (edges, edgeIds) = checkpointed(pairs.unionByName(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
+    // Checkpoint the pairs BEFORE symmetrizing: the union references the
+    // pair pipeline twice, and without the cut both branches would run
+    // the whole IVF + cell-join + cosine subtree (the r2 knn diamond).
+    val (pairs, edgeIds) = checkpointed(dedupEmbedding(spark, dir).select("id1", "id2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
     // Iterate ONLY over edge-touched vertices: isolated vertices are
     // already fixed points and rejoin as singleton components at the

@@ -159,7 +159,21 @@ object SimilarityOps {
     * join + cosine + distinct tree twice (VERDICT r2 finding #2). */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val cells = ivfCells(spark, dir)
-    val l = cells.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
+    // Spread the streamed side of the cell self-join across the cluster
+    // BEFORE the per-cell pair blowup. Cell assignment is map-side over
+    // however few input splits the corpus arrives in (locally: ONE tiny
+    // parquet split, so without this the join + all candidate cosines +
+    // the distinct's partial agg run in a single task); the explicit
+    // fixed-count hash repartition on aid is exactly the distribution a
+    // sort-merge join needs at scale (no extra exchange if AQE picks
+    // SMJ) and AQE never coalesces a user-requested count, so the
+    // downstream compute-heavy stage keeps its parallelism even though
+    // the shuffled bytes look tiny to the advisory-size heuristic. The
+    // broadcast-candidate side stays unpartitioned (a repartition below
+    // a BroadcastExchange would be pure waste).
+    val par = spark.sparkContext.defaultParallelism
+    val l = cells.repartition(par, col("aid"))
+      .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
     val sym = l.join(r, "aid")
       .filter(col("id1") < col("id2"))
