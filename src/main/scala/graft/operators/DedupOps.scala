@@ -110,21 +110,19 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // Single verification pass: explode each candidate pair into its two
-    // doc ids, join the shingle sets ONCE, regroup to (s1, s2).
-    val sides = cand
-      .select(struct(col("id1"), col("id2")).as("pr"))
-      .select(col("pr"), explode(array(col("pr.id1"), col("pr.id2"))).as("doc_id"))
-      .join(sh, "doc_id")
-      .groupBy("pr")
-      .agg(
-        max(when(col("doc_id") === col("pr.id1"), col("hs"))).as("s1"),
-        max(when(col("doc_id") === col("pr.id2"), col("hs"))).as("s2"))
-    sides
+    // Verification: attach both shingle sets by joining the CHECKPOINTED
+    // sh twice — two block reads, zero recompute (the r2 single-pass
+    // explode+regroup shape existed to avoid a 3rd pipeline run before
+    // the checkpoint; worse, its max(when) regroup aggregated over
+    // array<bigint> values, an interpreted array-ordering agg that
+    // dominated the query once band collisions made candidates
+    // plentiful). Both sides stay codegen'd broadcast/shuffle joins.
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("jac", expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
       .filter(col("jac") >= 0.5)
-      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"),
-        round(col("jac"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")
   }
 
