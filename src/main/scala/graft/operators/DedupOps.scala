@@ -290,6 +290,30 @@ object DedupOps {
       .orderBy("component")
   }
 
+  /** Per-document duplicated-passage coverage (the RefinedWeb/"dedup the
+    * training set" diagnostic): what fraction of each document's distinct
+    * 3-token shingles also appear in at least one OTHER document. High
+    * ratio = the document is mostly recycled passages even if no single
+    * pair crosses a Jaccard threshold.
+    *
+    * Shape: one corpus pass through the fused shingle pipeline, explode,
+    * per-shingle document-frequency agg, join back, per-doc conditional
+    * sum — two shuffles on the uniform shingle hash, one on doc_id, all
+    * partial-aggregated. Because each doc's shingle set is distinct,
+    * df(g) IS the number of documents containing g. */
+  def dedupDocOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingleSets(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+      explode(col("hs")).as("g"))
+    val dfc = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(dfc, "g")
+      .groupBy("doc_id", "n")
+      .agg(sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n").as("n_shingles"), col("n_shared"),
+        round(expr("CAST(n_shared AS DOUBLE) / n"), 4).as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+
   private def simhashSql: String = {
     val hexVal = (1 to 4)
       .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
@@ -360,6 +384,16 @@ object DedupOps {
          |lab AS (SELECT v AS vec_id, min(l) AS label FROM walk GROUP BY v)
          |SELECT label AS component, count(*) AS n_members
          |FROM lab GROUP BY label ORDER BY component""".stripMargin,
+    "dedup_doc_overlap" ->
+      s"""WITH $shingleSql,
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
+         |dfc AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+         |a AS (SELECT doc_id, n,
+         |        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |      FROM ex JOIN dfc USING (g) GROUP BY doc_id, n)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n, 4) AS overlap_ratio
+         |FROM a ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${SimilarityOps.ivfCellsSql}
          |SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
@@ -376,5 +410,6 @@ object DedupOps {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
+    "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
   )
 }

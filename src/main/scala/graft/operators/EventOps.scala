@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics operators (SURVEY.md §2.2 extension): the
+  * bounded-range join, ordered-funnel, and cohort-retention shapes every
+  * clickstream/telemetry pipeline needs.
+  *
+  * Scale posture: everything shuffles on `user_id` (or a (user, time-bin)
+  * composite) — never on a timestamp alone — so partitioning survives a
+  * 1000× fan-out; the range join is banded (each view lands in exactly 2
+  * time-bin cells) so the candidate space is per-(user, bin) cells rather
+  * than the per-user cross product a naive inequality join degenerates to
+  * when one user has millions of events spread over years.
+  */
+object EventOps {
+
+  /** 24 h in microseconds — the band width AND the funnel step window.
+    * Integer microsecond arithmetic end-to-end so oracle parity is exact. */
+  private val W24h = 86400000000L
+
+  /** Bounded-range join: for every click, count the same user's views in
+    * the preceding 24 h window.
+    *
+    * The naive formulation is an inequality join (user equal, view ts in
+    * (click ts - W, click ts]) — Catalyst would plan the time predicate
+    * as a post-join filter, making the join cost per-user quadratic.
+    * Banding makes it equi: each view is replicated to its time bin and
+    * the next (2 rows), each click probes its own bin only; a matching
+    * pair is never more than one bin apart because the window width
+    * equals the bin width. Join keys (user_id, bin) are uniform-ish by
+    * construction, the exact range predicate filters within cells, and
+    * the 2× replication of ONE side is the entire overhead. */
+  def evRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("bin", expr(s"tus div $W24h"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), unix_micros(col("ts")).as("vtus"))
+      .withColumn("bin", explode(expr(s"array(vtus div $W24h, vtus div $W24h + 1)")))
+    val counts = clicks
+      .join(views,
+        col("user_id") === col("v_uid") && clicks("bin") === views("bin") &&
+          col("vtus") >= col("tus") - W24h && col("vtus") < col("tus"))
+      .groupBy("user_id", "event_id")
+      .agg(count(lit(1)).as("n"))
+    clicks
+      .join(counts, Seq("user_id", "event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n"), lit(0L)).as("n_prior_views"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Ordered conversion funnel view → click → purchase, each step within
+    * 24 h of the previous: per user, the deepest step reached, aggregated
+    * to a step histogram.
+    *
+    * Each step is one groupBy(user_id) min — three narrow aggregates
+    * chained by per-user joins, all hash-partitioned on user_id (one
+    * physical shuffle layout reused), never a per-user event-sequence
+    * sort. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + W24h)
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + W24h)
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(expr(
+        """CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+          | WHEN t1 IS NOT NULL THEN 1 ELSE 0 END""".stripMargin).as("steps"))
+      .groupBy("steps")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("steps")
+  }
+
+  /** Cohort retention: users grouped by first-active day, distinct active
+    * users per (cohort day, day offset) for offsets 0–7. The working set
+    * after the first distinct is (user, day) pairs — days-per-user rows,
+    * not events — so the cohort join is tiny relative to the input. */
+  def evRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("d").as("d0"))
+    days.join(cohort, "user_id")
+      .select(col("user_id"), col("d0").as("cohort_day"),
+        datediff(col("d"), col("d0")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ev_range_join" ->
+      s"""SELECT c.user_id, c.event_id,
+         |  (SELECT count(*) FROM events v
+         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |     AND epoch_us(v.ts) >= epoch_us(c.ts) - $W24h
+         |     AND epoch_us(v.ts) < epoch_us(c.ts)) AS n_prior_views
+         |FROM events c WHERE c.event_type = 'click'
+         |ORDER BY user_id, event_id""".stripMargin,
+    "ev_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |v AS (SELECT user_id, min(tus) AS t1 FROM ev
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(tus) AS t2 FROM ev e JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + $W24h GROUP BY 1),
+         |p AS (SELECT e.user_id, min(tus) AS t3 FROM ev e JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + $W24h GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM ev)
+         |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps,
+         |       count(*) AS n_users
+         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         |       LEFT JOIN p USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY 1),
+        |j AS (
+        |  SELECT user_id, d0 AS cohort_day,
+        |         CAST(date_diff('day', d0, d) AS INTEGER) AS day_offset
+        |  FROM days JOIN coh USING (user_id))
+        |SELECT cohort_day, day_offset,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j WHERE day_offset <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_range_join" -> (evRangeJoin(_, _)),
+    "ev_funnel" -> (evFunnel(_, _)),
+    "ev_retention" -> (evRetention(_, _)),
+  )
+}

@@ -309,6 +309,104 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** TPC-H Q18 shape: large-volume orders — aggregate the fact table,
+    * filter on the aggregate, join back to orders + customer. The
+    * groupBy and the orders join share the orderkey hash partitioning,
+    * so Catalyst reuses one exchange for both. */
+  def q18BigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 3).as("sum_qty"))
+      .filter(col("sum_qty") > 180)
+    t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19 shape: OR-of-ANDs disjunctive predicate over a broadcast
+    * dim join — exercises Catalyst's CNF conversion / partial pushdown
+    * (the l_quantity bounds common to all branches reach the scan). */
+  def q19DisjunctivePred(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS — lines in
+    * completed orders with a big quantity whose order has OTHER suppliers
+    * but none of them big: semi-join + semi-join + anti-join, all on the
+    * orderkey (one shuffle layout), supplier dim broadcast at the end. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_quantity")
+    val fKeys = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val l1 = li.filter(col("l_quantity") > 30)
+      .join(fKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val withOther = l1.join(others,
+      col("l_orderkey") === col("o2_orderkey") && col("l_suppkey") =!= col("o2_suppkey"),
+      "left_semi")
+    val bigOthers = li.filter(col("l_quantity") > 30)
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    withOther.join(bigOthers,
+        col("l_orderkey") === col("o3_orderkey") && col("l_suppkey") =!= col("o3_suppkey"),
+        "left_anti")
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    * + NOT EXISTS anti-join + aggregate, via spark.sql so Catalyst's
+    * subquery planning (broadcast of the 1-row aggregate) is exercised
+    * end to end. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("graft_customer")
+    t.orders.createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 3) AS total_bal
+        |FROM graft_customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** KMV distinct-count sketch (graft.functions.KmvDistinct) next to the
+    * exact count: bounded-memory mergeable cardinality estimation whose
+    * result is DETERMINISTIC (the k-min set of a fixed hash is
+    * order-independent), so the DuckDB oracle reproduces the estimate
+    * exactly — the property engine-specific HLL sketches can't give an
+    * oracle gate. Hash = first 8 md5 hex chars of the key, mirrored. */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinct)
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_orderkey"),
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(kmv(col("h")), 3).as("est_distinct"),
+        countDistinct("l_orderkey").as("n_exact"))
+      .orderBy("l_returnflag")
+  }
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -458,6 +556,61 @@ object Relational {
         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM f)
         |SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+    "q18_big_spenders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 3) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING round(sum(l_quantity), 3) > 180) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_disjunctive_pred" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_quantity > 30
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_quantity > 30)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 3) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "agg_kmv_distinct" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH h AS (SELECT DISTINCT l_returnflag, $h8 AS h FROM lineitem),
+         |r AS (SELECT l_returnflag, h,
+         |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |      FROM h),
+         |kth AS (SELECT l_returnflag, h AS hk FROM r WHERE rn = 64),
+         |nd AS (SELECT l_returnflag, count(*) AS n FROM h GROUP BY 1),
+         |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+         |       FROM lineitem GROUP BY 1)
+         |SELECT nd.l_returnflag,
+         |  round(CASE WHEN nd.n < 64 THEN CAST(nd.n AS DOUBLE)
+         |             ELSE 63 * 4294967296.0 / kth.hk END, 3) AS est_distinct,
+         |  CAST(ex.n_exact AS BIGINT) AS n_exact
+         |FROM nd LEFT JOIN kth USING (l_returnflag)
+         |JOIN ex ON ex.l_returnflag = nd.l_returnflag
+         |ORDER BY 1""".stripMargin
+    },
     "ev_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value AS click_value,
         |       r.value AS prev_view_value
@@ -494,5 +647,10 @@ object Relational {
     "q15_rollup" -> (q15Rollup(_, _)),
     "q16_pivot" -> (q16Pivot(_, _)),
     "dedup_keep_best" -> (dedupKeepBest(_, _)),
+    "q18_big_spenders" -> (q18BigSpenders(_, _)),
+    "q19_disjunctive_pred" -> (q19DisjunctivePred(_, _)),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
+    "q22_idle_customers" -> (q22IdleCustomers(_, _)),
+    "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
   )
 }

@@ -204,6 +204,37 @@ object SimilarityOps {
       .agg((round(avg("v"), 4) + lit(0.0)).as("avg_v"))
       .orderBy("label", "dim")
 
+  /** Int8 scalar quantization round-trip: per vector, symmetric scale =
+    * max|x|/127, quantize-reconstruct, and report the scale, the cosine
+    * between original and reconstruction, and the max absolute error —
+    * the compression/recall tradeoff check a vector store runs before
+    * switching its index to int8.
+    *
+    * Entirely per-row expression math (no shuffle until the final sort).
+    * All folds are SEQUENTIAL left-folds over double-cast elements —
+    * max via greatest, dot via zip_with+aggregate — the accumulation
+    * order DuckDB's list folds use, so parity is bit-exact (see memory:
+    * sequential double folds == list_dot_product). Zero vectors are
+    * excluded in both engines (scale undefined). */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("mx", expr("aggregate(e, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("mx") > 0)
+      .withColumn("scale", col("mx") / 127)
+      .withColumn("rec", expr("transform(e, x -> round(x / scale) * scale)"))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        (round(expr(
+          """aggregate(zip_with(e, rec, (a, b) -> a * b), CAST(0 AS DOUBLE), (a, x) -> a + x)
+            | / (sqrt(aggregate(e, CAST(0 AS DOUBLE), (a, x) -> a + x * x))
+            |    * sqrt(aggregate(rec, CAST(0 AS DOUBLE), (a, x) -> a + x * x)))""".stripMargin), 4)
+          + lit(0.0)).as("cos_recon"),
+        round(expr(
+          "aggregate(zip_with(e, rec, (a, b) -> abs(a - b)), CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"), 6)
+          .as("max_err"))
+      .orderBy("vec_id")
+
   val oracles: Map[String, String] = Map(
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
@@ -235,6 +266,19 @@ object SimilarityOps {
          |  FROM sym)
          |SELECT id1 AS vec_id, id2 AS neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS mx FROM e),
+        |s AS (SELECT vec_id, e, mx / 127 AS scale FROM m WHERE mx > 0),
+        |r AS (SELECT vec_id, e, scale,
+        |        list_transform(e, x -> round(x / scale) * scale) AS rec FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_dot_product(e, rec)
+        |        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(rec, rec))), 4)
+        |    + 0.0 AS cos_recon,
+        |  round(list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - rec[i]))), 6) AS max_err
+        |FROM r ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
@@ -247,5 +291,6 @@ object SimilarityOps {
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
+    "emb_quantize" -> (embQuantize(_, _)),
   )
 }

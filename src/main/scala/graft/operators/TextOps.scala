@@ -158,6 +158,27 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Gopher-style repetition signals per document: duplicate-bigram
+    * fraction (1 - distinct/total) and top-bigram fraction (most frequent
+    * bigram's share) — the quality gates that catch boilerplate and
+    * generated spam before training. Shape: one bigram explode → two
+    * chained hash aggregates (per-(doc,bigram) counts, then per-doc
+    * ratios) — both partial-aggregate map-side, no window, no join. */
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_uniq"), max("c").as("max_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(expr("CAST(n_bigrams - n_uniq AS DOUBLE) / n_bigrams"), 4).as("dup_ratio"),
+        round(expr("CAST(max_c AS DOUBLE) / n_bigrams"), 4).as("top_ratio"))
+      .orderBy("doc_id")
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -253,6 +274,20 @@ object TextOps {
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+         |  FROM d WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |             count(*) AS n_uniq, max(c) AS max_c
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(n_bigrams - n_uniq AS DOUBLE) / n_bigrams, 4) AS dup_ratio,
+         |  round(CAST(max_c AS DOUBLE) / n_bigrams, 4) AS top_ratio
+         |FROM a ORDER BY doc_id""".stripMargin,
     "txt_winnow" -> {
       val h = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(substr(norm, i0, 5)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -286,5 +321,6 @@ object TextOps {
     "txt_winnow" -> (txtWinnow(_, _)),
     "mr_sample_hash" -> (mrSampleHash(_, _)),
     "txt_pipeline" -> (txtPipeline(_, _)),
+    "txt_repetition" -> (txtRepetition(_, _)),
   )
 }
