@@ -34,6 +34,13 @@ object GraftSession {
       // only skips empty/null arrays, which our data doesn't contain.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Keep bucketed scans bucketed: the planner's "disable when no
+      // downstream operator needs the distribution" heuristic ALSO
+      // forfeits bucket-filter pruning (a probe with `aid IN (...)` on a
+      // bucketed index read all 8 buckets, SelectedBucketsCount absent).
+      // Our bucketed tables exist precisely for co-located joins and
+      // pruned index probes, so the heuristic only ever costs us.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

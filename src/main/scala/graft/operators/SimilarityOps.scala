@@ -204,6 +204,37 @@ object SimilarityOps {
       .agg((round(avg("v"), 4) + lit(0.0)).as("avg_v"))
       .orderBy("label", "dim")
 
+  /** How many buckets the persisted IVF index uses (small here; at scale
+    * pick ≈ K so each cell is one bucket's worth of files). */
+  val IvfIndexBuckets = 8
+
+  /** ANN over a PERSISTED IVF index — the index-at-rest posture for
+    * repeated probes at 100 TB. [[ivfCells]] is materialized once as a
+    * catalog table bucketed by cell id; a probe then (1) looks up the
+    * query's top-P cells (a P-row driver lookup, like the O(1) query-
+    * vector fetch), (2) scans the index with `aid IN (...)` — a literal
+    * predicate, so Spark's bucket pruning reads ONLY the matching
+    * buckets (`SelectedBucketsCount` in the scan, asserted by IvfSpec)
+    * — and (3) ranks the candidates. Build cost is paid once per corpus
+    * version; every subsequent probe touches ~P/K of the files and
+    * nothing else, with no shuffle (the index carries the vectors).
+    * Result-identical to [[simAnnBucket]] (same oracle). */
+  def simAnnIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cells = ivfCells(spark, dir)
+    graft.sources.Formats.writeBucketed(cells, "graft_ivf_index", "aid", IvfIndexBuckets)
+    val idx = spark.table("graft_ivf_index")
+    val qCellIds = cells.filter(col("vec_id") === 0)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
+      .dropDuplicates("vec_id") // multi-probe: a candidate may sit in 2+ probed cells
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Int8 scalar quantization round-trip: per vector, symmetric scale =
     * max|x|/127, quantize-reconstruct, and report the scale, the cosine
     * between original and reconstruction, and the max absolute error —
@@ -251,6 +282,18 @@ object SimilarityOps {
          |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
          |FROM cand JOIN embeddings e USING (vec_id), qv
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // Same result contract as sim_ann_bucket: the index is a layout
+    // change, not a semantic one.
+    "sim_ann_indexed" ->
+      s"""WITH $ivfCellsSql,
+         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  WHERE c.vec_id <> 0)
+         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
+         |FROM cand JOIN embeddings e USING (vec_id), qv
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH $ivfCellsSql,
          |pairs AS (
@@ -289,6 +332,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
+    "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),

@@ -51,6 +51,25 @@ object StreamOps {
   def hourlyAggWatermarked(events: DataFrame, delay: String = "30 minutes"): DataFrame =
     hourlyAgg(events.withWatermark("ts", delay))
 
+  /** Watermarked streaming deduplication — the streaming twin of
+    * dedup_exact for at-least-once delivery: re-delivered events (same
+    * id + event time) are suppressed while their key is in state, and
+    * the watermark EVICTS keys older than max(event time) − delay, so
+    * state is O(events inside the watermark horizon) rather than
+    * O(stream length) — the only contract that survives an unbounded
+    * stream. The tradeoff is explicit: an event arriving behind the
+    * watermark is dropped (its dedup state may already be gone), which
+    * StreamingSpec pins alongside the suppression path. */
+  def dedupStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id", "ts")
+
+  /** Stream-static enrichment join: each micro-batch broadcast-joins the
+    * static dimension — stateless (nothing outlives a batch), and the
+    * static side is re-resolvable between batches (dim refresh). The
+    * scale shape for "attach user/doc metadata to a firehose". */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)

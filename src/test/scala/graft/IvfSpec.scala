@@ -65,6 +65,27 @@ class IvfSpec extends AnyFunSuite {
     assert(n2 > n1 && k2 > k1, s"K must grow with n: n=$n1->K=$k1, n=$n2->K=$k2")
   }
 
+  test("persisted IVF index probe prunes buckets and matches the unindexed ANN") {
+    // Build + probe; the probe scan must show bucket pruning (only the
+    // query's probed cells' buckets read) and the top-k must equal the
+    // build-free simAnnBucket answer.
+    val indexed = SimilarityOps.simAnnIndexed(spark, sf)
+    val plan = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { indexed.explain("formatted") }
+      bos.toString
+    }
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in probe plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe read all ${m.get.group(2)} buckets — pruning ineffective")
+    val a = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = SimilarityOps.simAnnBucket(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "indexed ANN diverged from unindexed ANN")
+  }
+
   test("IVF near-dup blocking recalls >= 85% of true pairs at test SF") {
     val t = Tables(spark, sf)
     val e1 = t.embeddings.select(col("vec_id").as("id1"), col("embedding").as("a"))

@@ -138,6 +138,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted == Set((0L, 3L), (3600L, 1L)), s"emitted=$emitted")
   }
 
+  test("watermarked stream dedup suppresses re-deliveries and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Min = 60L * 1000 * 1000
+    // Times sit well above epoch 0: an event AT the initial watermark
+    // (0) is swallowed by the late-row predicate before any state
+    // exists — a real edge, but not the one under test.
+    val T0 = 100000L * Min
+    def ev(id: Long, tus: Long) = Ev(id, T0 + tus, 1L, "click", 1.0)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(
+        input.toDS().withColumn("ts", timestamp_micros(col("tus"))), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: two distinct events.
+      input.addData(Seq(ev(1, 0), ev(2, 10 * Min)))
+      q.processAllAvailable()
+      // b2: event 1 re-delivered (same id+ts, still in state → suppressed)
+      // plus a new event.
+      input.addData(Seq(ev(1, 0), ev(3, 20 * Min)))
+      q.processAllAvailable()
+      // b3: advance the watermark to 90 min — evicts the b1/b2 keys.
+      input.addData(Seq(ev(4, 120 * Min)))
+      q.processAllAvailable()
+      // b4: event 1 again, now BEHIND the watermark → dropped as late
+      // (its dedup state is gone; bounded state means exactly this).
+      input.addData(Seq(ev(1, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.sql("SELECT event_id FROM dedup_stream")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L), s"emitted=$ids") // each exactly once
+  }
+
+  test("stream-static enrichment join equals the batch join across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(_.tus)
+    val (first, second) = evs.splitAt(evs.size / 2)
+    val dim = spark.createDataFrame(
+      evs.map(_.user_id).distinct.map(u => (u, if (u % 2 == 0) "even" else "odd")))
+      .toDF("user_id", "segment")
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.enrichStream(input.toDS().toDF(), dim)
+      .select("event_id", "user_id", "segment")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT * FROM enriched")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = StreamOps.enrichStream(
+        spark.createDataset(evs).toDF(), dim)
+      .select("event_id", "user_id", "segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming hourly agg (complete mode) equals batch grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
