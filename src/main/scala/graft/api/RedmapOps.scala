@@ -87,5 +87,18 @@ object RedmapOps {
       val r = other.toDF("k", "w")
       l.join(r, "k").select("k", "v", "w").as[(K, V, W)]
     }
+
+    /** redmap `CoGroup`: for every key present in EITHER side, hand the
+      * user function both sides' values (possibly empty) — the primitive
+      * MapReduce builds outer joins and set ops from. Compiles to
+      * `KeyValueGroupedDataset.cogroup`: one co-partitioning shuffle of
+      * each side, then a per-key streamed merge — values are iterated,
+      * never collected per key, so a hot key spills instead of OOMing. */
+    def cogroupOp[W, U: Encoder](other: Dataset[(K, W)])(
+        f: (K, Iterator[V], Iterator[W]) => IterableOnce[U])(implicit
+        ke: Encoder[K]): Dataset[U] =
+      ds.groupByKey(_._1).cogroup(other.groupByKey(_._1)) {
+        (k, vs, ws) => f(k, vs.map(_._2), ws.map(_._2))
+      }
   }
 }

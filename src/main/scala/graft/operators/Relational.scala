@@ -415,6 +415,26 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** redmap `CoGroup` as a declarative plan: per nation, customers and
+    * suppliers grouped side by side (keys from EITHER input survive).
+    * The DataFrame formulation is two partial-aggregates + a full-outer
+    * join on the key — what cogroup compiles to when the per-key merge
+    * is itself an aggregation (RedmapOpsSpec proves the typed
+    * `cogroupOp` produces the identical result). */
+  def mrCogroup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 3).as("sum_acctbal"))
+    val s = t.supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("sum_acctbal"), lit(0.0)).as("sum_acctbal"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -564,6 +584,18 @@ object Relational {
         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM f)
         |SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+    "mr_cogroup" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+        |                  round(sum(c_acctbal), 3) AS sum_acctbal
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+        |  coalesce(sum_acctbal, 0.0) AS sum_acctbal,
+        |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q18_big_spenders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
         |FROM orders
@@ -660,5 +692,6 @@ object Relational {
     "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
     "q22_idle_customers" -> (q22IdleCustomers(_, _)),
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
+    "mr_cogroup" -> (mrCogroup(_, _)),
   )
 }

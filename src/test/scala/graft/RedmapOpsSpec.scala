@@ -51,4 +51,26 @@ class RedmapOpsSpec extends AnyFunSuite {
     val joined = n.joinByKeyOp(r).collect()
     assert(joined.length == 25 && joined.forall { case (_, _, rk) => rk >= 0 })
   }
+
+  test("cogroupOp equals the oracle-checked mr_cogroup full-outer formulation") {
+    import spark.implicits._
+    val t = Tables(spark, sf)
+    val cust = t.customer.select("c_nationkey", "c_acctbal").as[(Int, Double)]
+    val supp = t.supplier.select("s_nationkey", "s_suppkey").as[(Int, Long)]
+    val cg = cust.cogroupOp(supp) { (k, bals, supps) =>
+      val bs = bals.toSeq
+      Iterator((k, bs.length.toLong,
+        BigDecimal(bs.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        supps.length.toLong))
+    }.collect().sortBy(_._1)
+    val expected = operators.Relational.mrCogroup(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // The typed path folds balances in iterator order while the oracle
+    // aggregates in shuffle order; compare sums at reduced precision.
+    assert(cg.length == expected.length)
+    cg.zip(expected).foreach { case ((k1, n1, s1, p1), (k2, n2, s2, p2)) =>
+      assert(k1 == k2 && n1 == n2 && p1 == p2)
+      assert(math.abs(s1 - s2) < 1e-2, s"nation $k1: $s1 vs $s2")
+    }
+  }
 }
