@@ -14,7 +14,11 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Default to every core: the brief's bench contract is local[32] on
+    // the 32-thread driver machine, and an unset SPARK_GRAFT_CPUS must
+    // not quietly quarter the executor threads.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // Shuffle-file removal is async by default (the ContextCleaner posts
     // a non-blocking delete when a shuffle dependency is GC'd), so a
     // 52-query run can accumulate dead shuffle state faster than the
