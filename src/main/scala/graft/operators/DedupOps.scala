@@ -126,6 +126,44 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** MinHash signature + banded-candidate CTEs shared by the minhash
+    * oracle and the end-to-end pipeline oracle (expects `hsh` from
+    * [[shingleSql]] in scope). */
+  private val minhashCandSql =
+    s"""sig AS (
+       |  SELECT doc_id, j,
+       |         list_min(list_transform(hs,
+       |           h -> (((2 * j + 1) * 2654435761) % $MhP) * h % $MhP)) AS mh
+       |  FROM hsh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** End-to-end curation pipeline with NEAR-dup removal — the flagship
+    * composition a training-data team runs before tokenization: quality
+    * gate → exact-dup removal (keep min doc_id) → MinHash-LSH near-dup
+    * removal (drop the higher doc_id of every verified pair — the
+    * "keep canonical" rule, no connected components needed) → per-lang
+    * survivor stats. One declarative plan: Catalyst fuses the gates and
+    * the loser set rides in as a broadcast anti-join. */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val quality = TextOps.txtQualityFilter(spark, dir).select("doc_id")
+    val keepExact = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDupLosers = dedupMinhashLsh(spark, dir)
+      .select(col("id2").as("doc_id")).distinct()
+    docs
+      .join(quality, "doc_id")
+      .join(keepExact, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Document-frequency window for index shingles: df >= 2 prunes
     * singleton shingles (they can never produce a pair — pure win), and
     * df <= 100 drops stop-shingles whose O(df²) pair fan-out would both
@@ -344,19 +382,32 @@ object DedupOps {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleSql,
-         |sig AS (
-         |  SELECT doc_id, j,
-         |         list_min(list_transform(hs,
-         |           h -> (((2 * j + 1) * 2654435761) % $MhP) * h % $MhP)) AS mh
-         |  FROM hsh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM sig a JOIN sig b ON a.j = b.j AND a.mh = b.mh AND a.doc_id < b.doc_id)
+         |$minhashCandSql
          |SELECT c.id1, c.id2,
          |  round(len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)), 4) AS jaccard
          |FROM cand c JOIN hsh x ON c.id1 = x.doc_id JOIN hsh y ON c.id2 = y.doc_id
          |WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_pipeline" ->
+      s"""WITH $shingleSql,
+         |$minhashCandSql,
+         |losers AS (
+         |  SELECT DISTINCT c.id2 AS doc_id
+         |  FROM cand c JOIN hsh x ON c.id1 = x.doc_id JOIN hsh y ON c.id2 = y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5),
+         |d AS (
+         |  SELECT doc_id, n_chars, CAST(len(${graft.operators.TextOps.tokensSql}) AS INTEGER) AS n_tokens,
+         |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id FROM d
+         |  WHERE n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+         |    AND alpha * 1.0 / n_chars >= 0.6),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents JOIN q USING (doc_id) JOIN k USING (doc_id)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
@@ -414,5 +465,6 @@ object DedupOps {
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
+    "dedup_pipeline" -> (dedupPipeline(_, _)),
   )
 }
