@@ -435,6 +435,45 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Dataset profiler (deequ-style data-quality pass): per-column
+    * null count, distinct count, and min/max over `orders` in ONE scan
+    * — the schema-validation step a pipeline runs before trusting a new
+    * drop of data. Numeric bounds land in (min_num, max_num), string
+    * bounds in (min_str, max_str); the other pair is NULL.
+    *
+    * Shape: a single multi-distinct aggregate (Catalyst plans the
+    * distincts via one Expand — still one scan, partial-aggregated
+    * map-side) folded to one row, then `stack` unpivots to a row per
+    * column. At 100 TB this is the profiler shape you want: no
+    * per-column scans, no collects, output = #columns rows. */
+  def qcProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+        count_distinct(col("o_custkey")).as("nd_ck"),
+        min("o_custkey").cast("double").as("mn_ck"),
+        max("o_custkey").cast("double").as("mx_ck"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_tp"),
+        count_distinct(col("o_totalprice")).as("nd_tp"),
+        min("o_totalprice").as("mn_tp"),
+        max("o_totalprice").as("mx_tp"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_os"),
+        count_distinct(col("o_orderstatus")).as("nd_os"),
+        min("o_orderstatus").as("mn_os"),
+        max("o_orderstatus").as("mx_os"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_op"),
+        count_distinct(col("o_orderpriority")).as("nd_op"),
+        min("o_orderpriority").as("mn_op"),
+        max("o_orderpriority").as("mx_op"))
+      .selectExpr(
+        """stack(4,
+          |  'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_orderstatus', nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os,
+          |  'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op
+          |) AS (column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+      .orderBy("column_name")
+
   /** Semi-structured extraction: JSON props → typed aggregate. */
   def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
@@ -596,6 +635,33 @@ object Relational {
         |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
         |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "qc_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(o_custkey) AS c_ck, count(DISTINCT o_custkey) AS nd_ck,
+        |    min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        |    count(o_totalprice) AS c_tp, count(DISTINCT o_totalprice) AS nd_tp,
+        |    min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+        |    count(o_orderstatus) AS c_os, count(DISTINCT o_orderstatus) AS nd_os,
+        |    min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+        |    count(o_orderpriority) AS c_op, count(DISTINCT o_orderpriority) AS nd_op,
+        |    min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS column_name, CAST(n - c_ck AS BIGINT) AS n_nulls,
+        |    CAST(nd_ck AS BIGINT) AS n_distinct, CAST(mn_ck AS DOUBLE) AS min_num,
+        |    CAST(mx_ck AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+        |    CAST(NULL AS VARCHAR) AS max_str FROM a
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(n - c_tp AS BIGINT), CAST(nd_tp AS BIGINT),
+        |    mn_tp, mx_tp, NULL, NULL FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(n - c_os AS BIGINT), CAST(nd_os AS BIGINT),
+        |    NULL, NULL, mn_os, mx_os FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(n - c_op AS BIGINT), CAST(nd_op AS BIGINT),
+        |    NULL, NULL, mn_op, mx_op FROM a)
+        |ORDER BY column_name""".stripMargin,
     "q18_big_spenders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
         |FROM orders
@@ -693,5 +759,6 @@ object Relational {
     "q22_idle_customers" -> (q22IdleCustomers(_, _)),
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
     "mr_cogroup" -> (mrCogroup(_, _)),
+    "qc_profile" -> (qcProfile(_, _)),
   )
 }

@@ -179,6 +179,102 @@ object TextOps {
         round(expr("CAST(max_c AS DOUBLE) / n_bigrams"), 4).as("top_ratio"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 terms per document — the canonical MapReduce text
+    * workload (term weighting for retrieval / keyword extraction).
+    * score = (c / n_tok) · ln(N / df).
+    *
+    * Shape: one token explode → (doc, term) count aggregate, then the
+    * two frequency denominators as window aggregates over that SAME
+    * (already-shuffled) table — df = count over term partition, n_tok =
+    * sum over doc partition — and the final top-3 rank reuses the doc
+    * partition. Three exchanges total over the counted (doc, term)
+    * table (≪ token count); no self-joins. N (docs with tokens) is a
+    * 1-row broadcast. Ranking is float-safe cross-engine: ties in
+    * score are exact rational ties (same c, df), broken by term; for
+    * unequal small-integer inputs the ln products differ at ≫ ulp.
+    */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.filter(expr(s"size($tokensExpr) > 0"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wTerm = Window.partitionBy("term")
+    val wDoc = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("n_tok", sum("c").over(wDoc))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        expr("(CAST(c AS DOUBLE) / n_tok) * ln(CAST(n_docs AS DOUBLE) / df)"))
+      .withColumn("rn",
+        row_number().over(wDoc.orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Inverted-index construction over 3-token shingles: term → sorted
+    * posting list (the search-index build step; shingle-level because
+    * the synthetic corpus has a 31-word vocabulary, so word-level
+    * postings would be ~the whole corpus per term).
+    *
+    * Scale posture: postings are only materialized inside the document
+    * frequency window [2, 100] — df=1 terms can never match more than
+    * their own doc, and hot terms (df > cap) would make O(df)-sized
+    * list rows with O(df²) downstream join cost; real index builds cap
+    * or tier exactly this way. The sorted-list aggregate is one
+    * explode → one hash shuffle on the term — no joins, no windows. */
+  def txtInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2))))")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')").as("postings"))
+      .filter(col("df").between(2, 100))
+      .orderBy("term")
+
+  /** Candidate probe set for the CMS query: high/low-frequency corpus
+    * words plus one absent key (collision-only estimate). */
+  private val cmsProbes = Seq("join", "merge", "data", "dup", "the", "zzzz")
+
+  /** Cell vector for the Count-Min sketch: D=4 rows, each cell decoded
+    * from one md5 hex pair of the term, mod W=64 (mirrored in DuckDB). */
+  private val cmsCellsExpr =
+    "transform(sequence(0, 3), i -> CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % 64)"
+
+  /** Count-Min sketch heavy-hitter estimates
+    * (graft.functions.CountMinSketch) next to exact counts: one global
+    * mergeable 4×64 sketch over every token occurrence, then point
+    * estimates for a fixed probe set. W=64 is deliberately narrow so
+    * the overcount-on-collision behavior is visible — and the DuckDB
+    * oracle (the same cell sums in SQL) proves both engines agree on
+    * exactly where it overcounts. The estimate never undercounts:
+    * est ≥ exact always, est = exact when no collision. */
+  def aggCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(graft.functions.CountMinSketch)
+    val toks = Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("term"))
+    // 1-row sketch: struct<counters: array<bigint>> of D*W counters.
+    val sketch = toks.select(expr(cmsCellsExpr).as("cells"))
+      .agg(cms(col("cells")).as("sk"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    spark.range(1)
+      .select(explode(array(cmsProbes.map(lit): _*)).as("term"))
+      .crossJoin(broadcast(sketch))
+      .select(col("term"), expr(
+        s"array_min(transform(sequence(0, 3), i -> element_at(sk.counters, i * 64 + (CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % 64) + 1)))").as("cms_est"))
+      .join(exact, Seq("term"), "left")
+      .select(col("term"), col("cms_est"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      .orderBy("term")
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -288,6 +384,52 @@ object TextOps {
          |  round(CAST(n_bigrams - n_uniq AS DOUBLE) / n_bigrams, 4) AS dup_ratio,
          |  round(CAST(max_c AS DOUBLE) / n_bigrams, 4) AS top_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n_docs FROM documents WHERE len($tokensSql) > 0),
+         |w AS (SELECT doc_id, term, c,
+         |        count(*) OVER (PARTITION BY term) AS df,
+         |        sum(c) OVER (PARTITION BY doc_id) AS n_tok
+         |      FROM tf),
+         |sc AS (SELECT doc_id, term,
+         |         (CAST(c AS DOUBLE) / n_tok) * ln(CAST(n_docs AS DOUBLE) / df) AS score
+         |       FROM w CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |      FROM sc)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, round(score, 4) AS tfidf
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "txt_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS term
+         |  FROM toks WHERE len(tk) >= 3)
+         |SELECT term, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM sh GROUP BY term
+         |HAVING count(*) BETWEEN 2 AND 100
+         |ORDER BY term""".stripMargin,
+    "agg_cms_heavy" -> {
+      def cell(v: String): String =
+        s"((strpos('0123456789abcdef', substr(md5($v), i * 2 + 1, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5($v), i * 2 + 2, 1)) - 1)) % 64"
+      val probes = cmsProbes.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS term FROM documents),
+         |idx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |cells AS (
+         |  SELECT i, ${cell("term")} AS cell, count(*) AS c
+         |  FROM toks CROSS JOIN idx GROUP BY 1, 2),
+         |cand AS (SELECT unnest([$probes]) AS term),
+         |cc AS (SELECT term, i, ${cell("term")} AS cell FROM cand CROSS JOIN idx),
+         |est AS (SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_est
+         |        FROM cc LEFT JOIN cells USING (i, cell) GROUP BY term),
+         |ex AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term)
+         |SELECT term, cms_est, CAST(coalesce(exact_cnt, 0) AS BIGINT) AS exact_cnt
+         |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin
+    },
     "txt_winnow" -> {
       val h = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(substr(norm, i0, 5)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -322,5 +464,8 @@ object TextOps {
     "mr_sample_hash" -> (mrSampleHash(_, _)),
     "txt_pipeline" -> (txtPipeline(_, _)),
     "txt_repetition" -> (txtRepetition(_, _)),
+    "txt_tfidf" -> (txtTfidf(_, _)),
+    "txt_inverted_index" -> (txtInvertedIndex(_, _)),
+    "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
   )
 }

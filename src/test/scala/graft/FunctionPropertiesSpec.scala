@@ -84,4 +84,33 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CountMinSketch: merge-tree invariance, row conservation, never-undercount, overcount on full-row collision") {
+    import graft.functions.{CountMinSketch => C}
+    def est(s: graft.functions.CmsState, cells: Seq[Int]): Long =
+      (0 until C.D).map(i => s.counters(i * C.W + cells(i))).min
+    val cellGen = Gen.listOfN(C.D, Gen.choose(0, C.W - 1)).map(_.toSeq)
+    forAllSeeded(Gen.nonEmptyListOf(cellGen), 100) { items =>
+      val seq = items.foldLeft(C.zero)(C.reduce)
+      // arbitrary split + merge = same matrix (partial-agg shape)
+      val (l, r) = items.splitAt(items.length / 2)
+      val merged = C.merge(l.foldLeft(C.zero)(C.reduce), r.foldLeft(C.zero)(C.reduce))
+      assert(seq.counters.toSeq == merged.counters.toSeq)
+      // each hash row conserves the total item count
+      (0 until C.D).foreach { i =>
+        assert(seq.counters.slice(i * C.W, (i + 1) * C.W).sum == items.length.toLong)
+      }
+      // CMS guarantee: estimate never undercounts
+      items.distinct.foreach { c =>
+        assert(est(seq, c) >= items.count(_ == c).toLong)
+      }
+    }
+    // identical cell vectors are indistinguishable: est = combined count
+    val a = Seq(1, 2, 3, 4)
+    val b = Seq(9, 2, 7, 4) // shares only SOME rows with a -> min still separates
+    val s = (Seq.fill(5)(a) ++ Seq.fill(3)(b)).foldLeft(C.zero)(C.reduce)
+    assert(est(s, a) == 5L && est(s, b) == 3L) // partial overlap: min rescues both
+    val s2 = (Seq.fill(5)(a) ++ Seq.fill(3)(a)).foldLeft(C.zero)(C.reduce)
+    assert(est(s2, a) == 8L) // full-row collision: counts merge, over-estimate bound
+  }
 }
