@@ -77,6 +77,17 @@ object Formats {
     readJsonl(spark, path, customer.schema).orderBy("c_custkey")
   }
 
+  /** supplier → ORC → back. ORC is the other columnar format Spark
+    * ships natively (predicate pushdown + column pruning like parquet);
+    * the oracle reads the original parquet, so any type or encoding
+    * loss in the ORC round-trip would hash-mismatch. */
+  def srcOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables(spark, dir).supplier
+    val path = tmp("supplier_orc")
+    supplier.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(supplier.schema).orc(path).orderBy("s_suppkey")
+  }
+
   /** documents → parquet partitioned by lang (sorted by doc_id within
     * partitions) → aggregate over the read-back; exercises partition
     * pruning-compatible layout end-to-end. */
@@ -100,11 +111,15 @@ object Formats {
     "src_partitioned_write" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
     "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
+    "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
   )
 }
