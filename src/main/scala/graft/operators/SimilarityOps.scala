@@ -235,6 +235,66 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Clusters for the k-means demo (at 100 TB this is ivfK(n) and the
+    * result seeds the IVF anchor slot — see the ivfCells scaladoc). */
+  val KmK = 8
+
+  /** Top-1 cluster assignment against a broadcast (cid, cv) array —
+    * argmax cosine, ties to the smallest cid, NaN guarded (zero-norm
+    * vectors or degenerate centroids rank last, as in ivfCells). */
+  private def assignExpr: String =
+    s"""element_at(transform(sort_array(transform(arr,
+       |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) AS negc, a.cid AS cid))),
+       |  s -> s.cid), 1)""".stripMargin
+
+  /** Two Lloyd iterations of k-means over the embedding corpus — the
+    * "k-means centroids at scale" path the IVF scaladoc reserves for
+    * anchor selection. Init = the md5-ranked deterministic sample (same
+    * seeding as the IVF anchors); each iteration is one MAP-SIDE
+    * assignment (broadcast centroid array, codegen'd cosine argmax — no
+    * shuffle) + one posexplode/(cid, dim) partial-aggregated mean.
+    * Output: final per-cluster member counts + centroids.
+    *
+    * Cross-engine determinism of an ITERATED float pipeline: each mean
+    * is rounded to 4 decimals (+0.0 signed-zero normalization) and cast
+    * to FLOAT before re-entering the cosine — so both engines feed
+    * bit-identical centroid arrays into each subsequent iteration, and
+    * rounding error cannot compound. Intermediate centroids are
+    * lineage-cut (localCheckpoint) so no plan contains more than one
+    * iteration and the assignment subtree never re-runs.
+    *
+    * Empty clusters shrink K identically in both engines (a cid nobody
+    * chose simply has no mean row). */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // init: md5-ranked sample as 1-row broadcast array (cid = vec_id)
+    val init = emb
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(KmK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+
+    def assign(centroidArr: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centroidArr))
+        .select(col("vec_id"), col("embedding"), expr(assignExpr).as("cid"))
+
+    def meanPerDim(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos").as("dim"), col("col").cast("double").as("v"))
+        .groupBy("cid", "dim")
+        .agg((round(avg("v"), 4) + lit(0.0)).as("c"), count(lit(1)).as("n_members"))
+
+    val c1 = meanPerDim(assign(init))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> CAST(s.c AS FLOAT))").as("cv"))
+      .localCheckpoint() // lineage cut: iteration 2 starts from materialized centroids
+    val c1Arr = c1.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+    meanPerDim(assign(c1Arr))
+      .select(col("cid"), col("n_members"), col("dim"), col("c"))
+      .orderBy("cid", "dim")
+  }
+
   /** Int8 scalar quantization round-trip: per vector, symmetric scale =
     * max|x|/127, quantize-reconstruct, and report the scale, the cosine
     * between original and reconstruction, and the max absolute error —
@@ -322,6 +382,40 @@ object SimilarityOps {
         |    + 0.0 AS cos_recon,
         |  round(list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - rec[i]))), 6) AS max_err
         |FROM r ORDER BY vec_id""".stripMargin,
+    "emb_kmeans" -> {
+      def bestCid(centTable: String): String = {
+        val c = cosExprSql("e.embedding", s"$centTable.cv")
+        s"""SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, $centTable.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY (CASE WHEN isnan($c) THEN -1.0 ELSE $c END) DESC, $centTable.cid) AS rn
+           |    FROM embeddings e CROSS JOIN $centTable)
+           |  WHERE rn = 1""".stripMargin
+      }
+      s"""WITH init AS (
+         |  SELECT vec_id AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding,
+         |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM embeddings)
+         |  WHERE rn <= $KmK),
+         |a1 AS (
+         |  ${bestCid("init")}),
+         |u1 AS (
+         |  SELECT cid, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS c
+         |  FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY cid, t.dim),
+         |c1 AS (SELECT cid, list(c::FLOAT ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+         |a2 AS (
+         |  ${bestCid("c1")}),
+         |u2 AS (
+         |  SELECT cid, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS c,
+         |         count(*) AS n_members
+         |  FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY cid, t.dim)
+         |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(dim AS INTEGER) AS dim, c
+         |FROM u2 ORDER BY cid, dim""".stripMargin
+    },
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
@@ -336,5 +430,6 @@ object SimilarityOps {
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
+    "emb_kmeans" -> (embKmeans(_, _)),
   )
 }

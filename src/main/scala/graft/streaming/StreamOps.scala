@@ -70,6 +70,26 @@ object StreamOps {
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * the batch ev_range_join: each click pairs with the same user's
+    * views in the preceding 24 h. Inputs: views (v_user, view_id, vts),
+    * clicks (c_user, click_id, cts), both watermarked here.
+    *
+    * The time bound in the join condition is what makes this run
+    * unbounded: from `vts >= cts - 24h AND vts < cts` Spark derives the
+    * state retention for each side (a buffered view is evictable once
+    * the watermark passes vts + 24 h; a click once it passes cts), so
+    * join state is O(watermark horizon + interval), not O(stream
+    * length). Matches emit as they form (inner join, append mode); a
+    * row behind the watermark is dropped, it cannot resurrect evicted
+    * partners. StreamingSpec pins pair-equality with the batch interval
+    * join across micro-batches plus the late-row drop. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    views.withWatermark("vts", delay)
+      .join(clicks.withWatermark("cts", delay),
+        expr("v_user = c_user AND vts >= cts - INTERVAL 24 HOURS AND vts < cts"))
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)

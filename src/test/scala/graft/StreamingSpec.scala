@@ -204,6 +204,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join pairs clicks with prior views, drops late rows, bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Min = 60L * 1000 * 1000
+    val Hr = 60 * Min
+    // Sit well above epoch 0 (initial-watermark edge, see dedup test).
+    val T0 = 100000L * Min
+
+    val vIn = MemoryStream[(Long, Long)] // (view_id, tus)
+    val cIn = MemoryStream[(Long, Long)] // (click_id, tus)
+    val views = vIn.toDS().toDF("view_id", "vtus")
+      .select(col("view_id"), lit(1L).as("v_user"), timestamp_micros(col("vtus")).as("vts"))
+    val clicks = cIn.toDS().toDF("click_id", "ctus")
+      .select(col("click_id"), lit(1L).as("c_user"), timestamp_micros(col("ctus")).as("cts"))
+    val q = StreamOps.viewClickJoin(views, clicks, "30 minutes")
+      .select("view_id", "click_id")
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: two views then a click 15 min later → click 100 pairs with both.
+      vIn.addData(Seq((1L, T0), (2L, T0 + 10 * Min)))
+      cIn.addData(Seq((100L, T0 + 15 * Min)))
+      q.processAllAvailable()
+      // b2: a later click still within 24 h of both views → two more pairs
+      // (view state carried across the batch boundary).
+      cIn.addData(Seq((101L, T0 + 20 * Min)))
+      q.processAllAvailable()
+      // b3: jump 50 h ahead on BOTH sides (advances the global watermark
+      // far past the old views' vts + 24 h → their state is evictable);
+      // the new view pairs with the new click.
+      vIn.addData(Seq((3L, T0 + 50 * Hr)))
+      cIn.addData(Seq((102L, T0 + 50 * Hr + 5 * Min)))
+      q.processAllAvailable()
+      // b4: a LATE view (behind the watermark by ~49 h) + an on-time
+      // click 10 min after the b3 view. The late view must be dropped:
+      // it may NOT pair with click 103 (it is 50 h older anyway) and may
+      // not resurrect. Click 103 pairs with view 3 only.
+      vIn.addData(Seq((4L, T0 + 30 * Min)))
+      cIn.addData(Seq((103L, T0 + 50 * Hr + 10 * Min)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = spark.sql("SELECT view_id, click_id FROM vc_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(
+      (1L, 100L), (2L, 100L), (1L, 101L), (2L, 101L),
+      (3L, 102L), (3L, 103L)), s"pairs=$pairs")
+  }
+
   test("streaming hourly agg (complete mode) equals batch grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
