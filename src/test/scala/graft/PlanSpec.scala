@@ -62,4 +62,37 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Relational.q11AntiJoin(spark, sf))
     assert(p.contains("LeftAnti"), p)
   }
+
+  // The runtime-filter posture for 100 TB fact-fact joins: when one side
+  // carries a selective non-join predicate and the other is a huge scan,
+  // Catalyst (InjectRuntimeFilter) builds a bloom filter from the
+  // selective side and pushes a bloom_filter_might_contain probe into
+  // the big side's scan — rows that cannot join are dropped BEFORE the
+  // shuffle. The production size thresholds (10 GB application-side
+  // scan) can't trigger at test scale, so this spec lowers them to
+  // demonstrate the mechanism; the session-default confs stay untouched.
+  test("runtime bloom filter injects into the big side of a selective fact-fact join") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle-join shape
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = Tables(spark, sf)
+      val selective = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      val j = t.lineitem
+        .join(selective, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized.take(3000))
+      assert(optimized.contains("bloom_filter_agg"), optimized.take(3000))
+      assert(j.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
