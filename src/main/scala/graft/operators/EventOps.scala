@@ -106,7 +106,40 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Per-user daily activity with a 7-day RANGE-frame moving count —
+    * the frame-based window shape (RANGE BETWEEN n PRECEDING) the other
+    * windowed operators don't exercise: the frame is defined by VALUE
+    * distance on the day number, not row offsets, so gap days shrink
+    * the window (a ROWS frame would silently span them). All counts are
+    * integers — exact cross-engine, no float-order risk.
+    *
+    * Shape: one (user, day) pre-aggregate (partial map-side), then one
+    * window over the ~|users|·|days| daily grid — the window input is
+    * the contracted table, never raw events. */
+  def evMovingStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("d"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_day"))
+    val w = Window.partitionBy("user_id").orderBy("d").rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum("n_day").over(w))
+      .orderBy("user_id", "d")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_moving_stats" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS d,
+        |         count(*) AS n_day
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, n_day,
+        |  CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY d
+        |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY user_id, d""".stripMargin,
     "ev_range_join" ->
       s"""SELECT c.user_id, c.event_id,
          |  (SELECT count(*) FROM events v
@@ -148,5 +181,6 @@ object EventOps {
     "ev_range_join" -> (evRangeJoin(_, _)),
     "ev_funnel" -> (evFunnel(_, _)),
     "ev_retention" -> (evRetention(_, _)),
+    "ev_moving_stats" -> (evMovingStats(_, _)),
   )
 }
