@@ -253,6 +253,36 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 102L), (3L, 103L)), s"pairs=$pairs")
   }
 
+  test("file sink + checkpoint: a restarted query resumes exactly-once (no dupes, no loss)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The fault-tolerance contract a production pipeline relies on: the
+    // checkpoint stores committed source offsets + the file-sink
+    // metadata log records committed files, so a crashed-and-restarted
+    // query neither re-emits finished batches nor loses buffered input.
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val (out, ckpt) = (s"$root/out", s"$root/ckpt")
+    val input = MemoryStream[Ev]
+    def start() = input.toDS()
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      input.addData(Seq(Ev(1, 1000, 1, "view", 1.0), Ev(2, 2000, 1, "click", 2.0)))
+      q1.processAllAvailable()
+    } finally q1.stop() // "crash" after batch 0 committed
+    input.addData(Seq(Ev(3, 3000, 2, "view", 3.0))) // arrives while down
+    val q2 = start() // same checkpoint: resumes from the committed offset
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L), s"ids=$ids") // each exactly once
+  }
+
   test("streaming hourly agg (complete mode) equals batch grouping") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
