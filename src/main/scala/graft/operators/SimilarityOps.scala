@@ -259,7 +259,11 @@ object SimilarityOps {
     * is rounded to 4 decimals (+0.0 signed-zero normalization) and cast
     * to FLOAT before re-entering the cosine — so both engines feed
     * bit-identical centroid arrays into each subsequent iteration, and
-    * rounding error cannot compound. Intermediate centroids are
+    * rounding error cannot compound. Residual risk (same as the
+    * accepted emb_centroids pattern): a mean landing within summation-
+    * order ulp noise (~1e-13) of a 0.00005 rounding boundary could
+    * round differently per engine — ~1e-8 per run across all cells,
+    * accepted rather than paying a sorted-fold deterministic sum. Intermediate centroids are
     * lineage-cut (localCheckpoint) so no plan contains more than one
     * iteration and the assignment subtree never re-runs.
     *

@@ -225,28 +225,38 @@ object TextOps {
     * frequency window [2, 100] — df=1 terms can never match more than
     * their own doc, and hot terms (df > cap) would make O(df)-sized
     * list rows with O(df²) downstream join cost; real index builds cap
-    * or tier exactly this way. The sorted-list aggregate is one
-    * explode → one hash shuffle on the term — no joins, no windows. */
-  def txtInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    * or tier exactly this way. The df gate is a count WINDOW over the
+    * term partition evaluated BEFORE the list aggregate — a hot term is
+    * dropped before any posting array exists (WindowExec buffers spill
+    * to disk; a collect_list aggregation buffer would not), and the
+    * following groupBy reuses the window's hash partitioning, so the
+    * whole build is still ONE exchange on the term. */
+  def txtInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     Tables(spark, dir).documents
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(tk) - 2), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2))))")).as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')").as("postings"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .filter(col("df").between(2, 100))
+      .groupBy("term")
+      .agg(max("df").as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')").as("postings"))
       .orderBy("term")
+  }
 
   /** Candidate probe set for the CMS query: high/low-frequency corpus
     * words plus one absent key (collision-only estimate). */
   private val cmsProbes = Seq("join", "merge", "data", "dup", "the", "zzzz")
 
-  /** Cell vector for the Count-Min sketch: D=4 rows, each cell decoded
-    * from one md5 hex pair of the term, mod W=64 (mirrored in DuckDB). */
+  /** Cell vector for the Count-Min sketch: D rows, each cell decoded
+    * from one md5 hex pair of the term, mod W (single source of truth:
+    * CountMinSketch.D/W; mirrored in DuckDB). */
+  private val CmsD = graft.functions.CountMinSketch.D
+  private val CmsW = graft.functions.CountMinSketch.W
   private val cmsCellsExpr =
-    "transform(sequence(0, 3), i -> CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % 64)"
+    s"transform(sequence(0, ${CmsD - 1}), i -> CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % $CmsW)"
 
   /** Count-Min sketch heavy-hitter estimates
     * (graft.functions.CountMinSketch) next to exact counts: one global
@@ -263,12 +273,16 @@ object TextOps {
     // 1-row sketch: struct<counters: array<bigint>> of D*W counters.
     val sketch = toks.select(expr(cmsCellsExpr).as("cells"))
       .agg(cms(col("cells")).as("sk"))
-    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    // Exact counts only for the probe set — the filter runs scan-side,
+    // so the shuffle carries probe rows, not the whole vocabulary (the
+    // left join + coalesce(0) below already covers absent probes).
+    val exact = toks.filter(col("term").isin(cmsProbes: _*))
+      .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
     spark.range(1)
       .select(explode(array(cmsProbes.map(lit): _*)).as("term"))
       .crossJoin(broadcast(sketch))
       .select(col("term"), expr(
-        s"array_min(transform(sequence(0, 3), i -> element_at(sk.counters, i * 64 + (CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % 64) + 1)))").as("cms_est"))
+        s"array_min(transform(sequence(0, ${CmsD - 1}), i -> element_at(sk.counters, i * $CmsW + (CAST(conv(substr(md5(term), i * 2 + 1, 2), 16, 10) AS INT) % $CmsW) + 1)))").as("cms_est"))
       .join(exact, Seq("term"), "left")
       .select(col("term"), col("cms_est"),
         coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
@@ -415,10 +429,10 @@ object TextOps {
     "agg_cms_heavy" -> {
       def cell(v: String): String =
         s"((strpos('0123456789abcdef', substr(md5($v), i * 2 + 1, 1)) - 1) * 16" +
-          s" + (strpos('0123456789abcdef', substr(md5($v), i * 2 + 2, 1)) - 1)) % 64"
+          s" + (strpos('0123456789abcdef', substr(md5($v), i * 2 + 2, 1)) - 1)) % $CmsW"
       val probes = cmsProbes.map(w => s"'$w'").mkString(", ")
       s"""WITH toks AS (SELECT unnest($tokensSql) AS term FROM documents),
-         |idx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |idx AS (SELECT unnest([${(0 until CmsD).mkString(", ")}]) AS i),
          |cells AS (
          |  SELECT i, ${cell("term")} AS cell, count(*) AS c
          |  FROM toks CROSS JOIN idx GROUP BY 1, 2),
