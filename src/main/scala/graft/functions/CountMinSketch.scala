@@ -21,8 +21,13 @@ final case class CmsState(counters: Array[Long])
   * Scale posture: state is D·W longs per group regardless of input
   * size; reduce is D array increments; merge is one elementwise add —
   * the exact partial-aggregate shape a 1000-executor groupBy needs. The
-  * input is the precomputed cell vector (a codegen'd md5 expression at
-  * the call site), so the Aggregator itself does no hashing.
+  * input is (precomputed cell vector, weight): cells come from a
+  * codegen'd md5 expression at the call site, and the weight lets the
+  * caller pre-aggregate duplicates with a cheap codegen'd count groupBy
+  * before the typed aggregate — the CMS of a multiset is the weighted
+  * CMS of its support (same reasoning as KmvDistinct's distinct-first
+  * input), so the object-hash aggregate sees |vocabulary| rows instead
+  * of |occurrences|.
   *
   * W is deliberately small (64) so the whole matrix (D·W longs) stays
   * cache-resident. A key only overcounts if it collides in ALL D rows —
@@ -32,7 +37,7 @@ final case class CmsState(counters: Array[Long])
   * FunctionPropertiesSpec with crafted colliding cell vectors, and the
   * DuckDB oracle reproduces the full cell-sum semantics either way.
   */
-object CountMinSketch extends Aggregator[Seq[Int], CmsState, CmsState] {
+object CountMinSketch extends Aggregator[(Seq[Int], Long), CmsState, CmsState] {
 
   /** Hash rows: 4 independent md5-hex-pair cell functions. */
   val D = 4
@@ -41,9 +46,10 @@ object CountMinSketch extends Aggregator[Seq[Int], CmsState, CmsState] {
 
   override def zero: CmsState = CmsState(Array.fill(D * W)(0L))
 
-  override def reduce(s: CmsState, cells: Seq[Int]): CmsState = {
+  override def reduce(s: CmsState, in: (Seq[Int], Long)): CmsState = {
+    val (cells, n) = in
     var i = 0
-    while (i < D) { s.counters(i * W + cells(i)) += 1L; i += 1 }
+    while (i < D) { s.counters(i * W + cells(i)) += n; i += 1 }
     s
   }
 

@@ -270,14 +270,25 @@ object TextOps {
     val cms = udaf(graft.functions.CountMinSketch)
     val toks = Tables(spark, dir).documents
       .select(explode(expr(tokensExpr)).as("term"))
+    // Pre-count per term with the codegen'd hash aggregate, then feed
+    // (cells, n) into the typed sketch: the CMS of a multiset is the
+    // weighted CMS of its support (KmvDistinct's distinct-first
+    // reasoning), so the object-hash aggregate sees |vocabulary| rows
+    // instead of |occurrences|.
+    // Checkpointed: it feeds both the sketch and the exact side, and
+    // without the cut the whole explode+count pipeline would run twice
+    // (the r2 minhash diamond lesson). The materialized result is just
+    // |vocabulary| rows.
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // 1-row sketch: struct<counters: array<bigint>> of D*W counters.
-    val sketch = toks.select(expr(cmsCellsExpr).as("cells"))
-      .agg(cms(col("cells")).as("sk"))
-    // Exact counts only for the probe set — the filter runs scan-side,
-    // so the shuffle carries probe rows, not the whole vocabulary (the
-    // left join + coalesce(0) below already covers absent probes).
-    val exact = toks.filter(col("term").isin(cmsProbes: _*))
-      .groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val sketch = termCounts.select(expr(cmsCellsExpr).as("cells"), col("n"))
+      .agg(cms(col("cells"), col("n")).as("sk"))
+    // Exact counts only for the probe set — filtered from the same
+    // pre-counted table (the left join + coalesce(0) below already
+    // covers absent probes).
+    val exact = termCounts.filter(col("term").isin(cmsProbes: _*))
+      .select(col("term"), col("n").as("exact_cnt"))
     spark.range(1)
       .select(explode(array(cmsProbes.map(lit): _*)).as("term"))
       .crossJoin(broadcast(sketch))

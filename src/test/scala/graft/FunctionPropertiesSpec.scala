@@ -89,28 +89,32 @@ class FunctionPropertiesSpec extends AnyFunSuite {
     import graft.functions.{CountMinSketch => C}
     def est(s: graft.functions.CmsState, cells: Seq[Int]): Long =
       (0 until C.D).map(i => s.counters(i * C.W + cells(i))).min
-    val cellGen = Gen.listOfN(C.D, Gen.choose(0, C.W - 1)).map(_.toSeq)
-    forAllSeeded(Gen.nonEmptyListOf(cellGen), 100) { items =>
+    val itemGen = for {
+      cells <- Gen.listOfN(C.D, Gen.choose(0, C.W - 1)).map(_.toSeq)
+      n <- Gen.choose(1L, 50L) // weighted update: n duplicates pre-counted
+    } yield (cells, n)
+    forAllSeeded(Gen.nonEmptyListOf(itemGen), 100) { items =>
       val seq = items.foldLeft(C.zero)(C.reduce)
       // arbitrary split + merge = same matrix (partial-agg shape)
       val (l, r) = items.splitAt(items.length / 2)
       val merged = C.merge(l.foldLeft(C.zero)(C.reduce), r.foldLeft(C.zero)(C.reduce))
       assert(seq.counters.toSeq == merged.counters.toSeq)
-      // each hash row conserves the total item count
+      // each hash row conserves the total weighted count
+      val total = items.map(_._2).sum
       (0 until C.D).foreach { i =>
-        assert(seq.counters.slice(i * C.W, (i + 1) * C.W).sum == items.length.toLong)
+        assert(seq.counters.slice(i * C.W, (i + 1) * C.W).sum == total)
       }
       // CMS guarantee: estimate never undercounts
-      items.distinct.foreach { c =>
-        assert(est(seq, c) >= items.count(_ == c).toLong)
+      items.map(_._1).distinct.foreach { c =>
+        assert(est(seq, c) >= items.collect { case (`c`, n) => n }.sum)
       }
     }
     // identical cell vectors are indistinguishable: est = combined count
     val a = Seq(1, 2, 3, 4)
     val b = Seq(9, 2, 7, 4) // shares only SOME rows with a -> min still separates
-    val s = (Seq.fill(5)(a) ++ Seq.fill(3)(b)).foldLeft(C.zero)(C.reduce)
+    val s = Seq((a, 5L), (b, 3L)).foldLeft(C.zero)(C.reduce)
     assert(est(s, a) == 5L && est(s, b) == 3L) // partial overlap: min rescues both
-    val s2 = (Seq.fill(5)(a) ++ Seq.fill(3)(a)).foldLeft(C.zero)(C.reduce)
+    val s2 = Seq((a, 5L), (a, 3L)).foldLeft(C.zero)(C.reduce)
     assert(est(s2, a) == 8L) // full-row collision: counts merge, over-estimate bound
   }
 }
