@@ -435,6 +435,25 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Set operations — the remaining relational-algebra surface:
+    * INTERSECT (customers ordering in both years) and EXCEPT (in 1998
+    * but not 1999), tagged and unioned into one result. Spark plans
+    * both as distinct + left-semi/anti joins on the shuffled key — the
+    * same scale shape as q12/q11; nothing new to tune, but the operator
+    * surface deserves its own oracle-checked entry. */
+  def q20SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    def active(year: Int): DataFrame = orders
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val both = active(1998).intersect(active(1999))
+      .select(lit("both").as("tag"), col("o_custkey"))
+    val only98 = active(1998).except(active(1999))
+      .select(lit("only_1998").as("tag"), col("o_custkey"))
+    both.unionByName(only98).orderBy("tag", "o_custkey")
+  }
+
   /** Dataset profiler (deequ-style data-quality pass): per-column
     * null count, distinct count, and min/max over `orders` in ONE scan
     * — the schema-validation step a pipeline runs before trusting a new
@@ -635,6 +654,17 @@ object Relational {
         |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
         |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q20_set_ops" ->
+      """WITH a98 AS (SELECT o_custkey FROM orders
+        |            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |              AND o_orderdate < TIMESTAMP '1999-01-01'),
+        |a99 AS (SELECT o_custkey FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |          AND o_orderdate < TIMESTAMP '2000-01-01')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a98 INTERSECT SELECT o_custkey FROM a99)
+        |UNION ALL
+        |SELECT 'only_1998' AS tag, o_custkey FROM (SELECT o_custkey FROM a98 EXCEPT SELECT o_custkey FROM a99)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "qc_profile" ->
       """WITH a AS (
         |  SELECT count(*) AS n,
@@ -760,5 +790,6 @@ object Relational {
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
     "mr_cogroup" -> (mrCogroup(_, _)),
     "qc_profile" -> (qcProfile(_, _)),
+    "q20_set_ops" -> (q20SetOps(_, _)),
   )
 }
