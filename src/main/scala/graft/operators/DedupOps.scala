@@ -355,6 +355,42 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Train/test decontamination — the named curation stage distinct
+    * from self-dedup: for every training document (source ≠ 'src0'),
+    * the fraction of its distinct 3-token shingles that appear ANYWHERE
+    * in the held-out benchmark corpus (source = 'src0'); docs over the
+    * 0.6 threshold are flagged for removal (the BigBench/GPT-style
+    * 13-gram canary check, at 3-gram granularity for this corpus).
+    *
+    * Scale posture: the benchmark side collapses to its DISTINCT
+    * shingle set (bounded by the benchmark corpus — small by
+    * definition), and the train side left-semi joins against it — one
+    * uniform shuffle on the shingle hash, never a train×bench pair
+    * blowup (a per-pair formulation would fan every hot shingle out to
+    * |bench df| rows). The shingle sets are computed once and
+    * checkpointed: both corpus splits read the materialized sets
+    * instead of re-running the tokenize+shingle+md5 pipeline (the r2
+    * minhash diamond lesson). */
+  def dedupContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("source"), expr("graft_shingle_hashes(tk)").as("hs"))
+      .localCheckpoint()
+    val bench = sets.filter(col("source") === "src0")
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = sets.filter(col("source") =!= "src0")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("h"))
+    train.join(bench, Seq("h"), "left_semi")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(expr("CAST(n_hit AS DOUBLE) / n_shingles"), 4).as("frac"))
+      .filter(col("frac") >= 0.6)
+      .orderBy("doc_id")
+  }
+
   private def simhashSql: String = {
     val hexVal = (1 to 4)
       .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
@@ -380,6 +416,18 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH $shingleSql,
+         |b AS (SELECT DISTINCT unnest(hs) AS h
+         |      FROM hsh JOIN documents USING (doc_id) WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+         |       FROM hsh JOIN documents USING (doc_id) WHERE source <> 'src0'),
+         |hits AS (SELECT doc_id, n_shingles, count(*) AS n_hit
+         |         FROM tr JOIN b USING (h) GROUP BY 1, 2)
+         |SELECT doc_id, n_shingles, CAST(n_hit AS BIGINT) AS n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_shingles, 4) AS frac
+         |FROM hits WHERE round(CAST(n_hit AS DOUBLE) / n_shingles, 4) >= 0.6
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleSql,
          |$minhashCandSql
@@ -466,5 +514,6 @@ object DedupOps {
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
+    "dedup_contamination" -> (dedupContamination(_, _)),
   )
 }
