@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] ran GC-pressured at 8g (VERDICT r2 finding #1 listed heap
   // pressure among the cross-query inflation suspects).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JDK17 reserves 240 MB of JIT code cache. 76 queries compile
+  // thousands of generated classes; once the cache fills, HotSpot stops
+  // compiling (flushing buys little under continuous churn) and late
+  // queries with the widest generated stages run partly interpreted —
+  // the prime suspect for sim_knn_graph timing 5.8x its isolated cost
+  // ONLY inside the full suite (VERDICT r3 finding #1).
+  "-XX:ReservedCodeCacheSize=1g",
 )

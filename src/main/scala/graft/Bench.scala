@@ -76,16 +76,25 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Millisecond precision: sub-ms digits are timer noise and the
+    // driver keeps only the TAIL of the build log — BENCH_r03's 3.5 KB
+    // line lost its leading '{"metric":"total",...' to the cut, leaving
+    // no machine-readable total (VERDICT r3 finding #5). Shorter line +
+    // a file copy make the artifact truncation-proof.
+    def fmt(sec: Double): String = (math.rint(sec * 1000) / 1000).toString
     val qs = results.map {
-      case (k, Right(sec)) => s"${jstr(k)}:$sec"
+      case (k, Right(sec)) => s"${jstr(k)}:${fmt(sec)}"
       case (k, Left(err))  => s"${jstr(k)}:-1"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val nFail = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(s)) => s }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

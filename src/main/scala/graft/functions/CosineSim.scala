@@ -45,7 +45,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
-  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+  // lazy val, not def: the interpreted path evaluates this per ROW
+  // (ADVICE r3) — one Seq allocation + two dataType matches per cosine.
+  private lazy val elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })

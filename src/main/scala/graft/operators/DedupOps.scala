@@ -234,7 +234,10 @@ object DedupOps {
     * within-cell pair join is bounded and the shuffle unskewed; K grows
     * ∝ √n at scale. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val cells = SimilarityOps.ivfCells(spark, dir)
+    // One checkpointed assignment pass for both join sides (VERDICT r3
+    // #3 — the unchecked plan ran scan+anchor+assignment, and the
+    // K-sizing count(), twice).
+    val cells = SimilarityOps.ivfCells(spark, dir).localCheckpoint()
     // Repartition the streamed side by aid before the per-cell pair
     // blowup — same rationale as simKnnGraph: assignment is map-side
     // over the input splits (locally a single tiny split), so the

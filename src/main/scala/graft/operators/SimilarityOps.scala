@@ -63,7 +63,8 @@ object SimilarityOps {
   val IvfKFloor = 4
 
   /** K for an n-vector corpus; mirrored literally in [[ivfCellsSql]]
-    * (both engines evaluate ceil(sqrt(n/3.0)) in IEEE double). */
+    * (both engines evaluate ceil(sqrt(n/IvfP)) = ceil(sqrt(n/4.0)) in
+    * IEEE double). */
   def ivfK(n: Long): Int =
     math.max(IvfKFloor.toLong, math.ceil(math.sqrt(n / IvfP.toDouble)).toLong).toInt
 
@@ -132,7 +133,9 @@ object SimilarityOps {
     * query's probed cells ride in as a broadcast semi-join. */
   def simAnnBucket(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val cells = ivfCells(spark, dir)
+    // cells feeds both the probed-cell lookup and the candidate scan;
+    // one checkpointed assignment pass instead of two plan subtrees.
+    val cells = ivfCells(spark, dir).localCheckpoint()
     val qCells = cells.filter(col("vec_id") === 0).select(col("aid"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val candIds = cells.filter(col("vec_id") =!= 0)
@@ -158,7 +161,12 @@ object SimilarityOps {
     * with a swapped copy of itself — the r2 shape computed the entire
     * join + cosine + distinct tree twice (VERDICT r2 finding #2). */
   def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val cells = ivfCells(spark, dir)
+    // ONE cell-assignment pass feeds both join sides (VERDICT r3 #3: the
+    // unchecked plan ran the whole scan+anchor+assignment subtree — and
+    // the K-sizing count() — once per side). The checkpoint materializes
+    // ~P·n small rows; Bench/dedupComponents-style teardown frees the
+    // blocks after the query.
+    val cells = ivfCells(spark, dir).localCheckpoint()
     // Spread the streamed side of the cell self-join across the cluster
     // BEFORE the per-cell pair blowup. Cell assignment is map-side over
     // however few input splits the corpus arrives in (locally: ONE tiny
@@ -175,16 +183,33 @@ object SimilarityOps {
     val l = cells.repartition(par, col("aid"))
       .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
-    val sym = l.join(r, "aid")
+    val perCell = l.join(r, "aid")
       .filter(col("id1") < col("id2"))
       .withColumn("c", round(expr(cosExprSpark("e1", "e2")), 4) + lit(0.0))
-      .select(explode(array(
+      .select(col("aid"), explode(array(
         struct(col("id1"), col("id2"), col("c").as("cos_sim")),
         struct(col("id2").as("id1"), col("id1").as("id2"), col("c").as("cos_sim")))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("p.cos_sim").as("cos_sim"))
+      .select(col("aid"), col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.cos_sim").as("cos_sim"))
+    // Per-cell pre-cut, EXACT (VERDICT r3 #2): a vector's global top-5
+    // neighbor has <5 distinct neighbors preceding it under
+    // (cos desc, id2), and within any shared cell its predecessors are a
+    // subset of those — so its in-cell rank is <=5 in every cell the
+    // pair shares. Cutting to 5 per (aid, id1) here shrinks the rows
+    // entering the global distinct+window from ALL candidate pairs
+    // (~45M at sf0.1, O(P²n^1.5) generally) to <= 5·P·n. The window
+    // needs no exchange — the join output is already hash-partitioned
+    // on aid, which satisfies clustering on (aid, id1) — and the
+    // row_number+filter plans as a WindowGroupLimit, so rows die in the
+    // per-partition group-limit before any shuffle sees them.
+    val wCell = Window.partitionBy("aid", "id1").orderBy(desc("cos_sim"), col("id2"))
+    val pruned = perCell
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= 5)
+      .select("id1", "id2", "cos_sim")
       .distinct()
     val w = Window.partitionBy("id1").orderBy(desc("cos_sim"), col("id2"))
-    sym
+    pruned
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("id1").as("vec_id"), col("id2").as("neighbor_id"),
@@ -208,6 +233,11 @@ object SimilarityOps {
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
 
+  /** (session identity, corpus dir) → index table name, so one session
+    * builds each corpus's IVF index at most once (ADVICE r3). */
+  private val ivfIndexCache =
+    scala.collection.mutable.Map.empty[(Int, String), String]
+
   /** ANN over a PERSISTED IVF index — the index-at-rest posture for
     * repeated probes at 100 TB. [[ivfCells]] is materialized once as a
     * catalog table bucketed by cell id; a probe then (1) looks up the
@@ -221,10 +251,29 @@ object SimilarityOps {
     * Result-identical to [[simAnnBucket]] (same oracle). */
   def simAnnIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val cells = ivfCells(spark, dir)
-    graft.sources.Formats.writeBucketed(cells, "graft_ivf_index", "aid", IvfIndexBuckets)
-    val idx = spark.table("graft_ivf_index")
-    val qCellIds = cells.filter(col("vec_id") === 0)
+    // Build-once semantics (ADVICE r3): the index table is keyed by the
+    // corpus dir (md5 suffix — concurrent queries over different dirs
+    // no longer race one table name) and memoized per session, so only
+    // the FIRST probe in a session pays the build+write; repeated
+    // probes skip straight to the bucket-pruned scan. The bench figure
+    // for sim_ann_indexed therefore includes one index build. A corpus
+    // rewritten in-place under the same dir within one session would
+    // need an explicit invalidation — not a shape this engine's
+    // immutable-snapshot dirs produce.
+    val table = "graft_ivf_index_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    ivfIndexCache.synchronized {
+      if (!ivfIndexCache.contains((System.identityHashCode(spark), dir))) {
+        graft.sources.Formats.writeBucketed(
+          ivfCells(spark, dir), table, "aid", IvfIndexBuckets)
+        ivfIndexCache((System.identityHashCode(spark), dir)) = table
+      }
+    }
+    val idx = spark.table(table)
+    // The probe's cells come from the INDEX (pushed-down vec_id = 0
+    // scan, P rows to the driver) — a fresh probe never recomputes the
+    // assignment pipeline.
+    val qCellIds = idx.filter(col("vec_id") === 0)
       .select("aid").collect().map(_.getLong(0)).toSeq
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
