@@ -68,22 +68,44 @@ object SimilarityOps {
   def ivfK(n: Long): Int =
     math.max(IvfKFloor.toLong, math.ceil(math.sqrt(n / IvfP.toDouble)).toLong).toInt
 
+  /** Where [[ivfCells]] gets its K anchor vectors. */
+  sealed trait AnchorSource
+  /** The K corpus vectors minimizing md5(vec_id) — a deterministic
+    * uniform sample, O(1) extra work (default). */
+  case object SampleAnchors extends AnchorSource
+  /** Centroids of a converged Lloyd loop (k = ivfK(n), [[kmeansLoop]])
+    * — the documented 100 TB anchor path: sampled anchors land where
+    * the data is dense, so dense regions get many near-duplicate cells
+    * while sparse regions share too few; k-means centroids spread
+    * anchors to equalize cell populations, which is exactly what bounds
+    * the per-cell pair join. Costs KmMaxIter extra corpus passes at
+    * index-build time — paid once per corpus version. */
+  case object KmeansAnchors extends AnchorSource
+
   /** Anchor set as ONE broadcastable row holding array<struct<aid,av>>
     * (sorted by aid so downstream expressions are deterministic). */
-  private def anchorsArr(emb: DataFrame, k: Int): DataFrame =
-    emb
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("aid"), col("embedding").as("av"))
-      .agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
+  private def anchorsArr(emb: DataFrame, k: Int, anchors: AnchorSource): DataFrame =
+    (anchors match {
+      case SampleAnchors =>
+        emb
+          .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+          .limit(k)
+          .select(col("vec_id").as("aid"), col("embedding").as("av"))
+      case KmeansAnchors =>
+        kmeansLoop(emb, k, KmMaxIter)._2
+          .select(col("cid").as("aid"), col("cv").as("av"))
+    }).agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
 
   /** (vec_id, embedding, aid) with one row per probed cell — top-P
     * anchors by (cosine desc, aid asc). Computed entirely map-side: the
     * anchor array rides in as a broadcast single-row cross join and the
     * top-P selection is an expression (sort_array over (-cos, aid)
     * structs), so cell assignment adds NO shuffle. The one driver-side
-    * action is the O(1)-result count() that sizes K. */
-  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    * action is the O(1)-result count() that sizes K (plus, for
+    * [[KmeansAnchors]], the Lloyd loop's per-iteration K-row centroid
+    * snapshots). */
+  def ivfCells(spark: SparkSession, dir: String,
+      anchors: AnchorSource = SampleAnchors): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
     val probeExpr =
@@ -91,7 +113,7 @@ object SimilarityOps {
          |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
          |  s -> s.aid), 1, $IvfP)""".stripMargin
     emb
-      .crossJoin(broadcast(anchorsArr(emb, k)))
+      .crossJoin(broadcast(anchorsArr(emb, k, anchors)))
       .select(col("vec_id"), col("embedding"), explode(expr(probeExpr)).as("aid"))
   }
 
@@ -116,6 +138,45 @@ object SimilarityOps {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
        |    FROM asn) WHERE rn <= $IvfP)""".stripMargin
 
+  /** DuckDB twin of `ivfCells(_, _, KmeansAnchors)`: same kk-derived k,
+    * the KmMaxIter-unrolled Lloyd loop seeded from the same md5-ranked
+    * sample, then the same top-P (cos desc, aid) cell assignment
+    * against the final centroids. Lands in a CTE named `cells` like
+    * [[ivfCellsSql]], so the two are drop-in interchangeable upstream
+    * of [[annProbeTailSql]]. */
+  def ivfCellsKmeansSql: String =
+    s"""kk AS (
+       |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
+       |  FROM embeddings),
+       |init AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding AS cv
+       |  FROM (SELECT vec_id, embedding,
+       |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |        FROM embeddings) rnk, kk WHERE rnk.rn <= kk.k),
+       |${kmeansUnrolledCtes(KmMaxIter)},
+       |kasn AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, a.cid AS aid,
+       |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.cv")}) THEN -1.0
+       |              ELSE ${cosExprSql("e.embedding", "a.cv")} END AS c
+       |  FROM embeddings e CROSS JOIN c$KmMaxIter a),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, embedding, aid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+       |    FROM kasn) WHERE rn <= $IvfP)""".stripMargin
+
+  /** The ANN probe in DuckDB, downstream of a CTE named `cells` —
+    * shared verbatim by the sample-, kmeans- and index-anchored
+    * variants (the index is a layout change, not a semantic one). */
+  private def annProbeTailSql: String =
+    s"""qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+       |  WHERE c.vec_id <> 0)
+       |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
+       |FROM cand JOIN embeddings e USING (vec_id), qv
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /** Brute-force cosine top-k against the vec_id=0 query vector. The
     * query vector rides in as a broadcast single-row join (no collect). */
   def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -131,11 +192,12 @@ object SimilarityOps {
   /** ANN: probe only the query vector's top-P IVF cells (a few
     * corpus/K-sized slices instead of the full scan), then rank. The
     * query's probed cells ride in as a broadcast semi-join. */
-  def simAnnBucket(spark: SparkSession, dir: String): DataFrame = {
+  private def annProbe(spark: SparkSession, dir: String,
+      anchors: AnchorSource): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     // cells feeds both the probed-cell lookup and the candidate scan;
     // one checkpointed assignment pass instead of two plan subtrees.
-    val cells = ivfCells(spark, dir).localCheckpoint()
+    val cells = ivfCells(spark, dir, anchors).localCheckpoint()
     val qCells = cells.filter(col("vec_id") === 0).select(col("aid"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val candIds = cells.filter(col("vec_id") =!= 0)
@@ -148,6 +210,15 @@ object SimilarityOps {
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
+
+  def simAnnBucket(spark: SparkSession, dir: String): DataFrame =
+    annProbe(spark, dir, SampleAnchors)
+
+  /** Same probe over kmeans-anchored cells — the anchor slot's 100 TB
+    * configuration exercised end to end (same oracle gate, its own
+    * unrolled-kmeans cells CTE). */
+  def simAnnKmeans(spark: SparkSession, dir: String): DataFrame =
+    annProbe(spark, dir, KmeansAnchors)
 
   /** All-vectors kNN graph (top-5 neighbors each) from IVF cell
     * candidates — the building block for semantic clustering / SemDeDup.
@@ -284,9 +355,58 @@ object SimilarityOps {
       .limit(10)
   }
 
-  /** Clusters for the k-means demo (at 100 TB this is ivfK(n) and the
-    * result seeds the IVF anchor slot — see the ivfCells scaladoc). */
+  /** Clusters for the k-means demo (the kmeans IVF anchor source uses
+    * ivfK(n) instead — see [[ivfCells]]). */
   val KmK = 8
+
+  /** Lloyd-iteration cap. The loop stops at the rounded-centroid
+    * FIXPOINT when that comes first; the cap is what makes the loop
+    * oracle-mirrorable: DuckDB can't loop, so the oracle unrolls
+    * exactly KmMaxIter iterations, and because one iteration is a
+    * deterministic function of the centroid set, iterating past a
+    * fixpoint is the identity — early-stopped Spark output ==
+    * fully-unrolled oracle output whether or not convergence happened
+    * by the cap. 18 = measured fixpoint on the test corpora (16
+    * iterations at k=8, 10 at k=12) plus headroom; past the fixpoint
+    * the Spark loop has already exited, so a generous cap costs Spark
+    * nothing and the oracle only idempotent re-iterations. */
+  val KmMaxIter = 18
+
+  /** DuckDB top-1 cluster assignment against the centroids in
+    * `centTable` — argmax cosine, ties to the smallest cid, NaN→-1
+    * (mirrors [[assignExpr]]). */
+  private def bestCidSql(centTable: String): String = {
+    val c = cosExprSql("e.embedding", s"$centTable.cv")
+    s"""SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, $centTable.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (CASE WHEN isnan($c) THEN -1.0 ELSE $c END) DESC, $centTable.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $centTable)
+       |  WHERE rn = 1""".stripMargin
+  }
+
+  /** m unrolled Lloyd iterations as chained CTEs (a_i = assignment,
+    * u_i = per-(cid, dim) rounded mean + member count, c_i = rebuilt
+    * FLOAT centroid lists). The caller's preceding CTE must be named
+    * `init` with (cid, cv); results land in u_m / c_m. Unrolling a
+    * FIXED m mirrors Spark's early-stopping loop exactly because
+    * iterating past a fixpoint is the identity (see [[KmMaxIter]]). */
+  private def kmeansUnrolledCtes(m: Int): String =
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at each
+    // reference and optimizer work compounds ~3.7x per unrolled level
+    // (measured: m=8 0.8s, m=10 5.7s, m=12 77s, m=18 would be days);
+    // materialized, m=18 runs in ~1.3s.
+    (1 to m).map { i =>
+      val src = if (i == 1) "init" else s"c${i - 1}"
+      s"""a$i AS MATERIALIZED (
+         |  ${bestCidSql(src)}),
+         |u$i AS MATERIALIZED (
+         |  SELECT cid, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS c,
+         |         count(*) AS n_members
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY cid, t.dim),
+         |c$i AS MATERIALIZED (SELECT cid, list(c::FLOAT ORDER BY dim) AS cv FROM u$i GROUP BY cid)"""
+    }.mkString(",\n")
 
   /** Top-1 cluster assignment against a broadcast (cid, cv) array —
     * argmax cosine, ties to the smallest cid, NaN guarded (zero-norm
@@ -296,13 +416,17 @@ object SimilarityOps {
        |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) AS negc, a.cid AS cid))),
        |  s -> s.cid), 1)""".stripMargin
 
-  /** Two Lloyd iterations of k-means over the embedding corpus — the
-    * "k-means centroids at scale" path the IVF scaladoc reserves for
-    * anchor selection. Init = the md5-ranked deterministic sample (same
-    * seeding as the IVF anchors); each iteration is one MAP-SIDE
-    * assignment (broadcast centroid array, codegen'd cosine argmax — no
-    * shuffle) + one posexplode/(cid, dim) partial-aggregated mean.
-    * Output: final per-cluster member counts + centroids.
+  /** Convergence-driven Lloyd loop shared by [[embKmeans]] and the
+    * kmeans IVF anchor source — the "k-means centroids at scale" path
+    * the ivfCells scaladoc reserves for anchor selection. Init = the
+    * md5-ranked deterministic sample (same seeding as the IVF sample
+    * anchors); each iteration is one MAP-SIDE assignment (broadcast
+    * centroid array, codegen'd cosine argmax — no shuffle) + one
+    * posexplode/(cid, dim) partial-aggregated mean. The loop stops at
+    * min(rounded-centroid fixpoint, maxIter) — the dedupComponents-
+    * style decreasing-measure pattern, except the measure here is exact
+    * set equality of the K·dims rounded floats (a driver-side compare
+    * of K rows per round, like components' 1-row label sum).
     *
     * Cross-engine determinism of an ITERATED float pipeline: each mean
     * is rounded to 4 decimals (+0.0 signed-zero normalization) and cast
@@ -312,20 +436,25 @@ object SimilarityOps {
     * accepted emb_centroids pattern): a mean landing within summation-
     * order ulp noise (~1e-13) of a 0.00005 rounding boundary could
     * round differently per engine — ~1e-8 per run across all cells,
-    * accepted rather than paying a sorted-fold deterministic sum. Intermediate centroids are
-    * lineage-cut (localCheckpoint) so no plan contains more than one
-    * iteration and the assignment subtree never re-runs.
+    * accepted rather than paying a sorted-fold deterministic sum.
+    * Early stop == the unrolled oracle (see [[KmMaxIter]]): past a
+    * fixpoint each further iteration reproduces the same assignment,
+    * means and counts, so u_fix == u_maxIter. Per-iteration centroids
+    * are lineage-cut (localCheckpoint) so no plan contains more than
+    * one iteration and the assignment subtree never re-runs.
     *
     * Empty clusters shrink K identically in both engines (a cid nobody
-    * chose simply has no mean row). */
-  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-    // init: md5-ranked sample as 1-row broadcast array (cid = vec_id)
+    * chose simply has no mean row).
+    *
+    * @return (per-(cid, dim) stats — mean + member count — of the last
+    *         executed iteration, (cid, cv) centroids it produced,
+    *         iterations executed) */
+  private[graft] def kmeansLoop(emb: DataFrame, k: Int, maxIter: Int)
+      : (DataFrame, DataFrame, Int) = {
     val init = emb
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(KmK)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
 
     def assign(centroidArr: DataFrame): DataFrame =
       emb.crossJoin(broadcast(centroidArr))
@@ -338,15 +467,39 @@ object SimilarityOps {
         .groupBy("cid", "dim")
         .agg((round(avg("v"), 4) + lit(0.0)).as("c"), count(lit(1)).as("n_members"))
 
-    val c1 = meanPerDim(assign(init))
-      .groupBy("cid")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> CAST(s.c AS FLOAT))").as("cv"))
-      .localCheckpoint() // lineage cut: iteration 2 starts from materialized centroids
-    val c1Arr = c1.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
-    meanPerDim(assign(c1Arr))
+    def centSnapshot(cent: DataFrame): Seq[(Long, Seq[Float])] =
+      cent.orderBy("cid").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+    var cent = init.localCheckpoint()
+    var snap = centSnapshot(cent)
+    var stats = meanPerDim(assign(
+      cent.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))))
+    var iters = 1
+    var converged = false
+    while (!converged) {
+      val next = stats
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> CAST(s.c AS FLOAT))").as("cv"))
+        .localCheckpoint()
+      val nextSnap = centSnapshot(next)
+      converged = nextSnap == snap || iters == maxIter
+      cent = next; snap = nextSnap
+      if (!converged) {
+        stats = meanPerDim(assign(
+          cent.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))))
+        iters += 1
+      }
+    }
+    (stats, cent, iters)
+  }
+
+  /** k-means demo query: per-(cluster, dim) centroid means + member
+    * counts from the converged (or KmMaxIter-capped) Lloyd loop. */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansLoop(Tables(spark, dir).embeddings, KmK, KmMaxIter)._1
       .select(col("cid"), col("n_members"), col("dim"), col("c"))
       .orderBy("cid", "dim")
-  }
 
   /** Int8 scalar quantization round-trip: per vector, symmetric scale =
     * max|x|/127, quantize-reconstruct, and report the scale, the cosine
@@ -387,26 +540,15 @@ object SimilarityOps {
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ann_bucket" ->
       s"""WITH $ivfCellsSql,
-         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
-         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
-         |  WHERE c.vec_id <> 0)
-         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
-         |FROM cand JOIN embeddings e USING (vec_id), qv
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+         |$annProbeTailSql""".stripMargin,
     // Same result contract as sim_ann_bucket: the index is a layout
     // change, not a semantic one.
     "sim_ann_indexed" ->
       s"""WITH $ivfCellsSql,
-         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
-         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
-         |  WHERE c.vec_id <> 0)
-         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
-         |FROM cand JOIN embeddings e USING (vec_id), qv
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+         |$annProbeTailSql""".stripMargin,
+    "sim_ann_kmeans" ->
+      s"""WITH $ivfCellsKmeansSql,
+         |$annProbeTailSql""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH $ivfCellsSql,
          |pairs AS (
@@ -435,40 +577,17 @@ object SimilarityOps {
         |    + 0.0 AS cos_recon,
         |  round(list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - rec[i]))), 6) AS max_err
         |FROM r ORDER BY vec_id""".stripMargin,
-    "emb_kmeans" -> {
-      def bestCid(centTable: String): String = {
-        val c = cosExprSql("e.embedding", s"$centTable.cv")
-        s"""SELECT vec_id, embedding, cid FROM (
-           |    SELECT e.vec_id, e.embedding, $centTable.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY (CASE WHEN isnan($c) THEN -1.0 ELSE $c END) DESC, $centTable.cid) AS rn
-           |    FROM embeddings e CROSS JOIN $centTable)
-           |  WHERE rn = 1""".stripMargin
-      }
-      s"""WITH init AS (
+    "emb_kmeans" ->
+      s"""WITH init AS MATERIALIZED (
          |  SELECT vec_id AS cid, embedding AS cv
          |  FROM (SELECT vec_id, embedding,
          |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |        FROM embeddings)
          |  WHERE rn <= $KmK),
-         |a1 AS (
-         |  ${bestCid("init")}),
-         |u1 AS (
-         |  SELECT cid, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS c
-         |  FROM a1 CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
-         |  GROUP BY cid, t.dim),
-         |c1 AS (SELECT cid, list(c::FLOAT ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-         |a2 AS (
-         |  ${bestCid("c1")}),
-         |u2 AS (
-         |  SELECT cid, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS c,
-         |         count(*) AS n_members
-         |  FROM a2 CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
-         |  GROUP BY cid, t.dim)
+         |${kmeansUnrolledCtes(KmMaxIter)}
          |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
          |  CAST(dim AS INTEGER) AS dim, c
-         |FROM u2 ORDER BY cid, dim""".stripMargin
-    },
+         |FROM u$KmMaxIter ORDER BY cid, dim""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
@@ -480,6 +599,7 @@ object SimilarityOps {
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
+    "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),

@@ -86,6 +86,44 @@ class IvfSpec extends AnyFunSuite {
     assert(a == b, "indexed ANN diverged from unindexed ANN")
   }
 
+  test("kmeans-anchored IVF: Lloyd loop converges before the cap; cells stay bounded; recall holds") {
+    val emb = Tables(spark, sf).embeddings
+    val n = emb.count()
+    val k = SimilarityOps.ivfK(n)
+    // Convergence: the fixpoint must arrive before the unroll cap (the
+    // cap is only the oracle-mirroring bound, not the expected exit).
+    val (_, _, iters) = SimilarityOps.kmeansLoop(emb, k, SimilarityOps.KmMaxIter)
+    info(s"Lloyd loop: $iters iterations for k=$k (cap ${SimilarityOps.KmMaxIter})")
+    assert(iters > 1, "loop exited without iterating")
+    assert(iters < SimilarityOps.KmMaxIter,
+      s"no rounded-centroid fixpoint within ${SimilarityOps.KmMaxIter} iterations")
+    // Cell-population histogram for the kmeans anchor mode (the sample
+    // mode's twin assertion lives in the K-scaling test above).
+    val cells = SimilarityOps
+      .ivfCells(spark, sf, SimilarityOps.KmeansAnchors).localCheckpoint()
+    val sizes = cells.groupBy("aid").count().collect().map(_.getLong(1))
+    val uniform = SimilarityOps.IvfP.toDouble * n / k
+    info(s"kmeans cells: ${sizes.length} non-empty of $k, max=${sizes.max}, " +
+      s"uniform would be $uniform")
+    assert(sizes.max <= 3 * uniform,
+      s"max kmeans cell ${sizes.max} exceeds 3x uniform $uniform")
+    // Same pair-recall gate the sample-anchored blocking passes.
+    val l = cells.select(col("vec_id").as("id1"), col("embedding").as("a1"), col("aid"))
+    val r = cells.select(col("vec_id").as("id2"), col("embedding").as("a2"), col("aid"))
+    val found = l.join(r, "aid").filter(col("id1") < col("id2"))
+      .filter(expr("graft_cosine(a1, a2) >= 0.4"))
+      .select("id1", "id2").distinct().count()
+    val e1 = Tables(spark, sf).embeddings.select(col("vec_id").as("id1"), col("embedding").as("a"))
+    val e2 = Tables(spark, sf).embeddings.select(col("vec_id").as("id2"), col("embedding").as("b"))
+    val nTrue = e1.crossJoin(e2)
+      .filter(col("id1") < col("id2"))
+      .filter(expr("graft_cosine(a, b) >= 0.4")).count()
+    info(s"kmeans-anchored recall: $found/$nTrue")
+    assert(nTrue > 0)
+    assert(found.toDouble / nTrue >= 0.85,
+      s"kmeans-anchored recall ${found.toDouble / nTrue} below 0.85")
+  }
+
   test("IVF near-dup blocking recalls >= 85% of true pairs at test SF") {
     val t = Tables(spark, sf)
     val e1 = t.embeddings.select(col("vec_id").as("id1"), col("embedding").as("a"))
