@@ -41,6 +41,15 @@ object GraftSession {
       // Our bucketed tables exist precisely for co-located joins and
       // pruned index probes, so the heuristic only ever costs us.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // Let single-file-per-bucket sorted tables report their ordering
+      // so SMJs over the bucketed fact layout skip the re-sort as well
+      // as the exchange. The non-legacy default drops the ordering
+      // claim entirely; the legacy path still verifies <=1 file per
+      // bucket before claiming it, so a multi-file bucket degrades to
+      // a sort, never to wrong results. Our bucketed writers
+      // repartition on the bucket key first precisely to hit the
+      // single-file case.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

@@ -73,9 +73,23 @@ object Relational {
   /** TPC-H Q5 shape: 6-way star join; all dims broadcast. */
   def q05LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    q05Body(t, t.orders, t.lineitem)
+  }
+
+  /** q05 on the bucketed-by-orderkey fact layout
+    * (Formats.bucketedFacts): identical result (same oracle as
+    * q05_local_supplier); the orders⋈lineitem exchange AND both sorts
+    * vanish because the layout already provides the join's required
+    * distribution and order. The plan assertion lives in FormatsSpec. */
+  def q05Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (o, l) = graft.sources.Formats.bucketedFacts(spark, dir)
+    q05Body(Tables(spark, dir), o, l)
+  }
+
+  private def q05Body(t: Tables, orders: DataFrame, lineitem: DataFrame): DataFrame = {
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"))
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(t.supplier),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
@@ -315,11 +329,26 @@ object Relational {
     * so Catalyst reuses one exchange for both. */
   def q18BigSpenders(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val big = t.lineitem
+    q18Body(t, t.orders, t.lineitem)
+  }
+
+  /** q18 on the bucketed-by-orderkey fact layout
+    * (Formats.bucketedFacts): identical result (same oracle as
+    * q18_big_spenders). Here BOTH orderkey repartitions die — the
+    * groupBy(l_orderkey) partial/final agg collapses onto the bucketed
+    * scan's distribution and the orders join-back reuses it — the
+    * single biggest shuffle eliminator the layout buys at 100 TB. */
+  def q18Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (o, l) = graft.sources.Formats.bucketedFacts(spark, dir)
+    q18Body(Tables(spark, dir), o, l)
+  }
+
+  private def q18Body(t: Tables, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val big = lineitem
       .groupBy("l_orderkey")
       .agg(round(sum("l_quantity"), 3).as("sum_qty"))
       .filter(col("sum_qty") > 180)
-    t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -501,7 +530,30 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
 
+  // Shared by the plain and bucketed twins: the layout changes the
+  // physical plan, not the answer, so one oracle gates both.
+  private val q05Sql =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, round(sum(l_quantity), 3) AS sum_qty FROM lineitem
+      |      GROUP BY l_orderkey HAVING round(sum(l_quantity), 3) > 180) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q05_bucketed" -> q05Sql,
+    "q18_bucketed" -> q18Sql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 3) AS sum_qty,
@@ -533,16 +585,7 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q05_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q05_local_supplier" -> q05Sql,
     "q06_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue
         |FROM lineitem
@@ -692,14 +735,7 @@ object Relational {
         |  SELECT 'o_orderpriority', CAST(n - c_op AS BIGINT), CAST(nd_op AS BIGINT),
         |    NULL, NULL, mn_op, mx_op FROM a)
         |ORDER BY column_name""".stripMargin,
-    "q18_big_spenders" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
-        |FROM orders
-        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 3) AS sum_qty FROM lineitem
-        |      GROUP BY l_orderkey HAVING round(sum(l_quantity), 3) > 180) b
-        |  ON o_orderkey = b.l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q18_big_spenders" -> q18Sql,
     "q19_disjunctive_pred" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue,
         | count(*) AS n_lines
@@ -784,6 +820,8 @@ object Relational {
     "q16_pivot" -> (q16Pivot(_, _)),
     "dedup_keep_best" -> (dedupKeepBest(_, _)),
     "q18_big_spenders" -> (q18BigSpenders(_, _)),
+    "q18_bucketed" -> (q18Bucketed(_, _)),
+    "q05_bucketed" -> (q05Bucketed(_, _)),
     "q19_disjunctive_pred" -> (q19DisjunctivePred(_, _)),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
     "q22_idle_customers" -> (q22IdleCustomers(_, _)),

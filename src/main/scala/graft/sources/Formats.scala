@@ -53,6 +53,52 @@ object Formats {
       .option("path", s"$tmpRoot/graft_bucketed/$table")
       .saveAsTable(table)
 
+  /** Bucket count for the fact-table layout. Small here so sf0.001
+    * still populates every bucket; at 100 TB you size this so one
+    * bucket's files fit an executor's scan budget (thousands), and the
+    * count — like the bucketing column — must MATCH across every table
+    * you co-locate, because Spark only elides the exchange when both
+    * sides hash into identical bucket lattices. */
+  val FactBuckets = 8
+
+  private val factCache =
+    scala.collection.mutable.Map.empty[(Int, String), (String, String)]
+
+  /** orders + lineitem written ONCE per (session, corpus dir) as
+    * catalog tables bucketed AND sorted by orderkey — the layout-at-
+    * rest that turns every orderkey join/aggregate in the suite into a
+    * local merge per bucket (zero exchanges, zero sorts). The write is
+    * the one-time layout cost a warehouse pays at ingest, not per
+    * query; the first bucketed query in a session pays it here (the
+    * bench figure for the *_bucketed twins therefore includes it). */
+  def bucketedFacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(spark, dir)
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (ot, lt) = (s"graft_orders_b_$suffix", s"graft_lineitem_b_$suffix")
+    factCache.synchronized {
+      if (!factCache.contains((System.identityHashCode(spark), dir))) {
+        // repartition on the bucket key first: it uses the same Murmur3
+        // hash as the bucket lattice, so each write task holds exactly
+        // one bucket → ONE sorted file per bucket. With several files
+        // per bucket Spark keeps the scan's distribution but discards
+        // its ordering (a multi-file bucket would need a merge), and
+        // downstream SMJs re-sort — the layout would only buy half its
+        // value.
+        t.orders.repartition(FactBuckets, col("o_orderkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(FactBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmpRoot/graft_bucketed/$ot").saveAsTable(ot)
+        t.lineitem.repartition(FactBuckets, col("l_orderkey"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmpRoot/graft_bucketed/$lt").saveAsTable(lt)
+        factCache((System.identityHashCode(spark), dir)) = (ot, lt)
+      }
+    }
+    (spark.table(ot), spark.table(lt))
+  }
+
   // Per-JVM unique scratch root: fixed /tmp paths collided when two
   // runs (driver verify + a local bench, say) raced the same directory.
   private lazy val tmpRoot: String =

@@ -69,6 +69,45 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bucketed fact layout eliminates orderkey exchanges in the real q18/q05") {
+    import graft.operators.Relational
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    def sorts(df: org.apache.spark.sql.DataFrame): Int =
+      "\\bSort \\[".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+    // q18 under the NORMAL session config: the lineitem groupBy and the
+    // orders join-back both collapse onto the bucketed distribution —
+    // zero hash exchanges in the whole plan (the plain twin pays one
+    // shared orderkey exchange).
+    val plain18 = Relational.q18BigSpenders(spark, sf)
+    val buck18 = Relational.q18Bucketed(spark, sf)
+    assert(shuffles(buck18) == 0,
+      s"bucketed q18 still shuffles:\n${buck18.queryExecution.executedPlan}")
+    assert(shuffles(plain18) > 0, "plain q18 unexpectedly shuffle-free — assertion vacuous")
+    assert(buck18.collect().toSeq == plain18.collect().toSeq,
+      "bucketed q18 diverged from the plain twin")
+
+    // q05: at test SF the orderkey join broadcasts, which sidesteps the
+    // layout (and at 100 TB neither fact side broadcasts) — pin the
+    // shuffle-join path to observe the exchange AND its sorts vanish.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plain05 = Relational.q05LocalSupplier(spark, sf)
+      val buck05 = Relational.q05Bucketed(spark, sf)
+      assert(shuffles(buck05) < shuffles(plain05),
+        s"bucketed=${shuffles(buck05)} plain=${shuffles(plain05)}:\n" +
+          buck05.queryExecution.executedPlan)
+      assert(sorts(buck05) < sorts(plain05),
+        s"bucketed sorts=${sorts(buck05)} plain=${sorts(plain05)}")
+      assert(buck05.collect().toSeq == plain05.collect().toSeq,
+        "bucketed q05 diverged from the plain twin")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("partition pruning reaches the partitioned layout") {
     val path = tmp("documents_part")
     val plan = {
