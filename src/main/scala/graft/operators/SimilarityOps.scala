@@ -467,31 +467,51 @@ object SimilarityOps {
         .groupBy("cid", "dim")
         .agg((round(avg("v"), 4) + lit(0.0)).as("c"), count(lit(1)).as("n_members"))
 
-    def centSnapshot(cent: DataFrame): Seq[(Long, Seq[Float])] =
-      cent.orderBy("cid").collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // The loop state (K·dims rounded floats — the payload the broadcast
+    // carries anyway) lives on the DRIVER between iterations: each
+    // iteration is ONE distributed job (collect the K×dims stats rows),
+    // and the next assignment starts from a LocalRelation of those
+    // values instead of a checkpointed plan — no lineage growth, no
+    // block-manager writes, and the fixpoint compare is a pure
+    // in-memory equality. (The earlier localCheckpoint formulation paid
+    // 3 jobs/iteration; at 16 iterations that dominated the query.)
+    val session = emb.sparkSession
+    def centDF(s: Seq[(Long, Seq[Float])]): DataFrame = {
+      import session.implicits._
+      s.toDF("cid", "cv")
+    }
+    def centArr(s: Seq[(Long, Seq[Float])]): DataFrame =
+      centDF(s).agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+    def statsOf(s: Seq[(Long, Seq[Float])]): DataFrame =
+      meanPerDim(assign(centArr(s)))
+    // (cid, dim, c, n_members) rows → the next centroid snapshot: group
+    // by cid, dims sorted, DOUBLE→FLOAT exactly as the SQL c_i CTE.
+    def fold(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Float])] =
+      rows.groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rs) =>
+          (cid, rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+        }
+        .sortBy(_._1)
 
-    var cent = init.localCheckpoint()
-    var snap = centSnapshot(cent)
-    var stats = meanPerDim(assign(
-      cent.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))))
-    var iters = 1
+    var snap = init.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    var last = snap
+    var iters = 0
     var converged = false
     while (!converged) {
-      val next = stats
-        .groupBy("cid")
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> CAST(s.c AS FLOAT))").as("cv"))
-        .localCheckpoint()
-      val nextSnap = centSnapshot(next)
+      val nextSnap = fold(statsOf(snap).collect())
+      iters += 1
       converged = nextSnap == snap || iters == maxIter
-      cent = next; snap = nextSnap
-      if (!converged) {
-        stats = meanPerDim(assign(
-          cent.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))))
-        iters += 1
-      }
+      last = nextSnap
+      if (!converged) snap = nextSnap
     }
-    (stats, cent, iters)
+    // Final stats re-derive lazily from the last input snapshot — the
+    // same plan that produced the converged collect, evaluated
+    // distributed when the caller consumes it. `last` is the centroid
+    // set those stats produce (== the oracle's c_M: past a fixpoint
+    // further iterations are the identity).
+    (statsOf(snap), centDF(last), iters)
   }
 
   /** k-means demo query: per-(cluster, dim) centroid means + member
