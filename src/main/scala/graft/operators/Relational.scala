@@ -96,7 +96,18 @@ object Relational {
       .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+      // Fixed-point BIGINT units (the graph_pagerank parity pattern):
+      // price and discount are 2-decimal values, so P·(100−D) is an
+      // exact integer per row and the sum is ORDER-INDEPENDENT — a
+      // double sum here rounded differently per partitioning (the
+      // bucketed twin hit 46379781.294 vs .293 at sf0.1). DECIMAL(38,0)
+      // accumulator: an int64 sum is safe to ~1e9 rows but this query's
+      // whole point is surviving 100x scale (DuckDB widens to INT128 on
+      // its own).
+      .agg(round(
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100) AS BIGINT))").cast("decimal(38,0)"))
+          .cast("double") / 10000, 3).as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
 
@@ -532,8 +543,13 @@ object Relational {
 
   // Shared by the plain and bucketed twins: the layout changes the
   // physical plan, not the answer, so one oracle gates both.
+  // Integer-unit revenue (order-independent; see q05Body). DuckDB's
+  // BIGINT sum widens to INT128 by itself.
   private val q05Sql =
-    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+      |        / 10000, 3) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -300,6 +301,59 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** Per-document character Shannon entropy (bits) — the gibberish /
+    * binary-noise / compressed-blob detector a curation pipeline runs
+    * next to the token-ratio gates (low-entropy = repeated filler,
+    * high-entropy = not natural language).
+    *
+    * entropy = log2(n) − Σ c·log2(c) / n over per-character counts —
+    * algebraically −Σ (c/n)·log2(c/n) but computable in ONE aggregate
+    * pass (no window for the total). Two partial-aggregated exchanges:
+    * (doc_id, ch) counts, then doc_id. The empty-string filter guards
+    * Spark's split(text, '') trailing-empty artifact (DuckDB's
+    * string_split has none). Float-sum ordering risk is the accepted
+    * emb_centroids class (~1e-14 vs the 5e-5 rounding boundary). */
+  def txtEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_chars"),
+        (round(log2(sum("c")) - sum(expr("c * log2(c)")) / sum("c"), 4) + lit(0.0))
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary head: top-100 tokens by frequency with rank and
+    * CUMULATIVE corpus coverage — the "how many tokens cover X% of the
+    * corpus" table a tokenizer/vocab build starts from.
+    *
+    * Scale shape: the global top-k is TakeOrderedAndProject over the
+    * partial-aggregated token counts (per-partition heaps — never a
+    * global sort of the vocabulary), the 1-row total rides in as a
+    * broadcast, and the running-sum window orders only the 100
+    * survivors (a single tiny partition by construction, AFTER the
+    * cut — not a window over the vocab). Coverage is an integer-sum /
+    * double-total division, so it is order-deterministic. */
+  def txtVocab(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum("freq").cast("double").as("tot"))
+    val ord = Window.orderBy(desc("freq"), col("token"))
+    freqs.orderBy(desc("freq"), col("token")).limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum_share",
+        round(sum("freq").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("tot"), 4) + lit(0.0))
+      .select(col("token"), col("freq"), col("rnk"), col("cum_share"))
+      .orderBy("rnk")
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -322,6 +376,26 @@ object TextOps {
   }.mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "txt_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY doc_id, ch)
+        |SELECT doc_id, count(*) AS n_distinct_chars,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS entropy_bits
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_vocab" ->
+      s"""WITH tk AS (
+         |  SELECT unnest($tokensSql) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+         |tot AS (SELECT sum(freq)::DOUBLE AS tot FROM f),
+         |top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100)
+         |SELECT token, CAST(freq AS BIGINT) AS freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+         |  round(sum(freq) OVER (ORDER BY freq DESC, token
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot, 4)
+         |    + 0.0 AS cum_share
+         |FROM top, tot ORDER BY rnk""".stripMargin,
     "txt_stats" ->
       s"""WITH d AS (
          |  SELECT lang, n_chars, $tokensSql AS tk,
@@ -479,6 +553,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats" -> (txtStats(_, _)),
+    "txt_entropy" -> (txtEntropy(_, _)),
+    "txt_vocab" -> (txtVocab(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
