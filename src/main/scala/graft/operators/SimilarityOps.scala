@@ -449,7 +449,8 @@ object SimilarityOps {
     * @return (per-(cid, dim) stats — mean + member count — of the last
     *         executed iteration, (cid, cv) centroids it produced,
     *         iterations executed) */
-  private[graft] def kmeansLoop(emb: DataFrame, k: Int, maxIter: Int)
+  private[graft] def kmeansLoop(emb: DataFrame, k: Int, maxIter: Int,
+      initSnap: Option[Seq[(Long, Seq[Float])]] = None)
       : (DataFrame, DataFrame, Int) = {
     val init = emb
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
@@ -493,9 +494,10 @@ object SimilarityOps {
         }
         .sortBy(_._1)
 
-    var snap = init.collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    var snap = initSnap.getOrElse(
+      init.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1))
     var last = snap
     var iters = 0
     var converged = false
@@ -520,6 +522,130 @@ object SimilarityOps {
     kmeansLoop(Tables(spark, dir).embeddings, KmK, KmMaxIter)._1
       .select(col("cid"), col("n_members"), col("dim"), col("c"))
       .orderBy("cid", "dim")
+
+  /** Deterministic k-means|| oversampling init (Bahmani et al., VLDB
+    * 2012) — the scalable seeding for [[kmeansLoop]] when the corpus
+    * outgrows what a uniform sample seeds well. Classic k-means++ needs
+    * k sequential full passes; k-means|| compresses that to `rounds`
+    * passes by oversampling ~l = 2k candidates per round with
+    * probability ∝ their squared distance to the current candidate
+    * set, then reclustering the O(l·rounds) candidates (weighted by
+    * how many corpus vectors they absorb) down to k.
+    *
+    * Determinism (the property everything in graft's gate hangs on):
+    * the paper's coin flip `rand() < l·d(x)/φ` becomes
+    * `frac32(md5(vec_id)) < l·d(x)/φ` — an md5-derived uniform that is
+    * identical across runs, engines and cluster sizes. Distance is
+    * cosine distance (1 − cos, NaN→2 for zero-norm vectors) to match
+    * the Lloyd loop's assignment geometry.
+    *
+    * Shape per round: ONE broadcast of the candidate array + a
+    * partial-agg cost total (job 1), then the thresholded filter
+    * collecting ≤ ~l new candidates (job 2) — the corpus is never
+    * shuffled, and the driver only ever holds candidate vectors
+    * (O(l·rounds·dims)). The finishing recluster (weighted greedy
+    * k-means++ + weighted Lloyd to a fixpoint) runs on the driver over
+    * those few candidates, as the paper prescribes.
+    *
+    * Spec-verified (IvfSpec): deterministic, exactly k seeds, and a
+    * lower initial Lloyd cost than the uniform sample on the test
+    * corpus. No oracle entry: the adaptive two-level loop has no
+    * reasonable SQL unrolling (each round's CTE would nest a
+    * data-dependent candidate set).
+    */
+  private[graft] def kmeansParallelInit(emb: DataFrame, k: Int,
+      rounds: Int = 4): Seq[(Long, Seq[Float])] = {
+    val l = 2 * k // oversampling factor per round (paper's ~2k)
+    def distExpr(arrCol: String): String =
+      s"""array_min(transform($arrCol,
+         |  a -> CAST(2 AS DOUBLE) - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) - 1D))""".stripMargin
+    val fracExpr =
+      "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
+    val session = emb.sparkSession
+    def candArr(s: Seq[(Long, Seq[Float])]): DataFrame = {
+      import session.implicits._
+      s.toDF("cid", "cv")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+    }
+
+    // Seed: the same deterministic first pick as the sample init.
+    var cand: Seq[(Long, Seq[Float])] = emb
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(1).select(col("vec_id"), col("embedding"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    for (_ <- 1 to rounds) {
+      val withDist = emb.crossJoin(broadcast(candArr(cand)))
+        .select(col("vec_id"), col("embedding"), expr(distExpr("arr")).as("d"))
+      val phi = withDist.agg(sum("d")).first().getDouble(0)
+      if (phi > 0) {
+        val picked = withDist
+          .filter(expr(fracExpr) < col("d") * l / phi)
+          .select(col("vec_id"), col("embedding"))
+          .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val known = cand.map(_._1).toSet
+        cand = (cand ++ picked.filterNot(p => known.contains(p._1))).sortBy(_._1)
+      }
+    }
+
+    // Weights: how many corpus vectors each candidate absorbs (argmin
+    // distance, ties to the smallest cid) — one more broadcast pass.
+    val argminExpr =
+      s"""element_at(transform(sort_array(transform(arr,
+         |  a -> struct(CAST(1 AS DOUBLE) - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) AS d, a.cid AS cid))),
+         |  s -> s.cid), 1)""".stripMargin
+    val weights = emb.crossJoin(broadcast(candArr(cand)))
+      .select(expr(argminExpr).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Driver-side finish over the few weighted candidates.
+    def cosDist(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (c.isNaN) 2.0 else 1.0 - c
+    }
+    val wc = cand.map { case (id, v) => (id, v, weights.getOrElse(id, 0L).toDouble) }
+    // Greedy weighted k-means++: start from the heaviest candidate,
+    // then repeatedly take the candidate maximizing w·d²(x, chosen) —
+    // the deterministic stand-in for the weighted random pick.
+    var chosen = Vector(wc.maxBy(c => (c._3, -c._1)))
+    while (chosen.size < math.min(k, wc.size)) {
+      val next = wc.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy { c =>
+          val d = chosen.map(ch => cosDist(c._2, ch._2)).min
+          (c._3 * d * d, -c._1)
+        }
+      chosen = chosen :+ next
+    }
+    // Weighted Lloyd on the candidates to a fixpoint (tiny: O(l·rounds·k)).
+    var seeds: Seq[(Long, Seq[Float])] =
+      chosen.map(c => (c._1, c._2)).sortBy(_._1)
+    var moved = true
+    var guard = 0
+    while (moved && guard < 50) {
+      val assigned = wc.groupBy { c =>
+        seeds.minBy { case (sid, sv) => (cosDist(c._2, sv), sid) }._1
+      }
+      val next = assigned.toSeq.map { case (sid, members) =>
+        val tw = members.map(_._3).sum
+        val dims = members.head._2.length
+        val mean =
+          if (tw == 0) members.minBy(_._1)._2
+          else (0 until dims).map { d =>
+            (members.map(m => m._2(d).toDouble * m._3).sum / tw).toFloat
+          }
+        (sid, mean: Seq[Float])
+      }.sortBy(_._1)
+      moved = next != seeds
+      seeds = next
+      guard += 1
+    }
+    seeds
+  }
 
   /** Int8 scalar quantization round-trip: per vector, symmetric scale =
     * max|x|/127, quantize-reconstruct, and report the scale, the cosine

@@ -124,6 +124,40 @@ class IvfSpec extends AnyFunSuite {
       s"kmeans-anchored recall ${found.toDouble / nTrue} below 0.85")
   }
 
+  test("k-means|| init is deterministic, k-sized, and seeds better than the uniform sample") {
+    val emb = Tables(spark, sf).embeddings
+    val k = SimilarityOps.ivfK(emb.count())
+    val a = SimilarityOps.kmeansParallelInit(emb, k)
+    val b = SimilarityOps.kmeansParallelInit(emb, k)
+    assert(a == b, "k-means|| init not deterministic across runs")
+    assert(a.size == k, s"expected $k seeds, got ${a.size}")
+    // Initial Lloyd cost (sum of cosine distance to the nearest seed):
+    // the oversampled+reclustered seeds must beat the uniform sample —
+    // the property that justifies the extra passes at scale.
+    def cost(seeds: Seq[(Long, Seq[Float])]): Double = {
+      import spark.implicits._
+      val arr = seeds.toDF("cid", "cv")
+        .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+      emb.crossJoin(broadcast(arr))
+        .select(expr(
+          s"""array_min(transform(arr,
+             |  a -> CAST(2 AS DOUBLE) - nanvl(${SimilarityOps.cosExprSpark("embedding", "a.cv")}, -1D) - 1D))""".stripMargin).as("d"))
+        .agg(sum("d")).first().getDouble(0)
+    }
+    val sample = emb
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k).select(col("vec_id"), col("embedding"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (cPar, cSmp) = (cost(a), cost(sample))
+    info(s"initial Lloyd cost: kmeans||=$cPar sample=$cSmp (k=$k)")
+    assert(cPar < cSmp, s"k-means|| init ($cPar) not better than sample ($cSmp)")
+    // And the Lloyd loop accepts the seeds and still converges.
+    val (_, _, iters) =
+      SimilarityOps.kmeansLoop(emb, k, SimilarityOps.KmMaxIter, Some(a))
+    info(s"Lloyd iterations from || seeds: $iters")
+    assert(iters < SimilarityOps.KmMaxIter)
+  }
+
   test("IVF near-dup blocking recalls >= 85% of true pairs at test SF") {
     val t = Tables(spark, sf)
     val e1 = t.embeddings.select(col("vec_id").as("id1"), col("embedding").as("a"))
