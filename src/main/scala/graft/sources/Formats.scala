@@ -134,6 +134,25 @@ object Formats {
     spark.read.schema(supplier.schema).orc(path).orderBy("s_suppkey")
   }
 
+  /** documents.text → raw text lines (the classic MapReduce input
+    * format) → read back with spark.read.text → corpus stats. Line
+    * framing destroys both row identity and order, so the op flattens
+    * embedded newlines BEFORE writing (one doc = one line) and gates on
+    * order-independent aggregates: line count, total chars, distinct
+    * line hashes. The oracle reproduces the same newline flattening
+    * from the parquet side. */
+  def srcTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = tmp("documents_txt")
+    docs.select(regexp_replace(col("text"), "[\\r\\n]+", " ").as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("sum_chars"),
+        countDistinct(md5(col("value").cast("binary"))).as("n_distinct"))
+  }
+
   /** documents → parquet partitioned by lang (sorted by doc_id within
     * partitions) → aggregate over the read-back; exercises partition
     * pruning-compatible layout end-to-end. */
@@ -160,6 +179,11 @@ object Formats {
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(t)) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(t)) AS n_distinct
+        |FROM (SELECT regexp_replace(text, '[\r\n]+', ' ', 'g') AS t FROM documents)""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,5 +191,6 @@ object Formats {
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
     "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
     "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
+    "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
   )
 }
