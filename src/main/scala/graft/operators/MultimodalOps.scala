@@ -80,7 +80,22 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
+  /** Audio-container classification via the native graft_audio_meta
+    * header parser (WAV RIFF walk + FLAC STREAMINFO). Same contract as
+    * [[mmImageMeta]]: corpus payloads are text bytes, so the oracle
+    * pins that NOTHING misparses as audio; the positive paths are
+    * pinned by handcrafted WAV/FLAC bytes in MultimodalSpec. */
+  def mmAudioMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(expr("coalesce(graft_audio_meta(payload).format, 'unknown')").as("format"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("format")
+
   val oracles: Map[String, String] = Map(
+    "mm_audio_meta" ->
+      "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | substr(text, 1, 4) AS prefix,
@@ -93,6 +108,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta(_, _)),
     "mm_image_meta" -> (mmImageMeta(_, _)),
+    "mm_audio_meta" -> (mmAudioMeta(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.

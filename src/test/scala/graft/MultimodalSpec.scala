@@ -59,4 +59,50 @@ class MultimodalSpec extends AnyFunSuite {
       ("jpeg", Some("jpeg"), 1024, 768),
       ("junk", None, -1, -1)), rows.toString)
   }
+
+  test("graft_audio_meta parses WAV and FLAC headers exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def wav(ch: Int, sr: Int, bps: Int, frames: Int): Array[Byte] = {
+      val blockAlign = ch * bps / 8
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(1).putShort(ch.toShort).putInt(sr).putInt(sr * blockAlign)
+      b.putShort(blockAlign.toShort).putShort(bps.toShort)
+      b.put("data".getBytes).putInt(frames * blockAlign)
+      b.array()
+    }
+    def flac(ch: Int, sr: Int, bps: Int, n: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+      b.put("fLaC".getBytes)
+      b.put(0x00.toByte).put(0x00.toByte).put(0x00.toByte).put(34.toByte)
+      b.position(b.position() + 10) // min/max blocksize + framesize
+      b.put((sr >> 12).toByte).put(((sr >> 4) & 0xff).toByte)
+      b.put((((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte)
+      b.put(((((bps - 1) & 0xf) << 4) | ((n >> 32) & 0xf).toInt).toByte)
+      b.putInt((n & 0xffffffffL).toInt)
+      b.array()
+    }
+    val rows = Seq(
+      ("wav", wav(2, 44100, 16, 100)),
+      ("flac", flac(1, 48000, 24, 123456L)),
+      ("junk", "not audio at all".getBytes),
+      ("truncated", "RIFF".getBytes))
+      .toDF("name", "payload")
+      .select(col("name"), expr("graft_audio_meta(payload)").as("m"))
+      .select(col("name"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"), col("m.n_frames"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    assert(rows == Set(
+      ("wav", Some("wav"), 2, 44100, 16, 100L),
+      ("flac", Some("flac"), 1, 48000, 24, 123456L),
+      ("junk", None, -1, -1, -1, -1L),
+      ("truncated", None, -1, -1, -1, -1L)), rows.toString)
+  }
 }
