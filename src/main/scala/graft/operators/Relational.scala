@@ -334,6 +334,48 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** HyperLogLog distinct-count estimate next to the exact count —
+    * DETERMINISTIC and oracle-gated, upgrading the roadmap's "HLL
+    * behind a rows-only check" (an engine-specific HLL register layout
+    * can't face an oracle; this one can because every step is pinned):
+    * 32-bit md5 hash, p=6 → m=64 dense registers, bucket = top 6
+    * bits, rank = leading-zero count of the remaining 26 bits computed
+    * as 27 − length(bin(w)) — INTEGER string length, no libm log2 —
+    * and the register build is a plain partial-aggregated max per
+    * (group, bucket): max IS the HLL merge, so the sketch distributes
+    * and re-merges for free at any scale. The estimator sum
+    * Σ 2^(−M_j) is a sum of 64 exact powers of two spanning 33 bits of
+    * mantissa — EXACT in IEEE double in any order — so the only
+    * cross-engine float risk is one ln() in the small-range branch.
+    * Same distinct-first input as agg_kmv_distinct (the HLL of a
+    * multiset is the HLL of its support). */
+  def aggHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est =
+      """CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
+        |       AND present < 64
+        |     THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))
+        |     ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) END""".stripMargin
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("l_returnflag"),
+        expr("h div 67108864").as("bucket"), // top 6 of 32 bits
+        expr("h % 67108864").as("w"))        // remaining 26 bits
+      .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(max("rho").as("r"), count(lit(1)).as("nk"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum("nk").as("n_exact"),
+        count(lit(1)).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -r)")).as("sp"))
+      .select(col("l_returnflag"),
+        round(expr(est), 3).as("est_distinct"),
+        col("n_exact"))
+      .orderBy("l_returnflag")
+  }
+
   /** TPC-H Q18 shape: large-volume orders — aggregate the fact table,
     * filter on the aggregate, join back to orders + customer. The
     * groupBy and the orders join share the orderkey hash partitioning,
@@ -799,6 +841,31 @@ object Relational {
          |JOIN ex ON ex.l_returnflag = nd.l_returnflag
          |ORDER BY 1""".stripMargin
     },
+    "agg_hll_distinct" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+         |h AS (SELECT l_returnflag, $h8 AS h FROM d),
+         |b AS (SELECT l_returnflag, h // 67108864 AS bucket, h % 67108864 AS w FROM h),
+         |rk AS (SELECT l_returnflag, bucket,
+         |         CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END AS rho
+         |       FROM b),
+         |reg AS (SELECT l_returnflag, bucket, max(rho) AS r, count(*) AS nk
+         |        FROM rk GROUP BY 1, 2),
+         |g AS (SELECT l_returnflag, CAST(sum(nk) AS BIGINT) AS n_exact,
+         |        count(*) AS present,
+         |        sum(pow(CAST(2 AS DOUBLE), -r)) AS sp
+         |      FROM reg GROUP BY 1)
+         |SELECT l_returnflag,
+         |  round(CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
+         |              AND present < 64
+         |        THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))
+         |        ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) END, 3)
+         |    AS est_distinct,
+         |  n_exact
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
     "ev_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value AS click_value,
         |       r.value AS prev_view_value
@@ -842,6 +909,7 @@ object Relational {
     "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
     "q22_idle_customers" -> (q22IdleCustomers(_, _)),
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
+    "agg_hll_distinct" -> (aggHllDistinct(_, _)),
     "mr_cogroup" -> (mrCogroup(_, _)),
     "qc_profile" -> (qcProfile(_, _)),
     "q20_set_ops" -> (q20SetOps(_, _)),
