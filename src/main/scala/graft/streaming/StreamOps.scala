@@ -90,6 +90,61 @@ object StreamOps {
       .join(clicks.withWatermark("cts", delay),
         expr("v_user = c_user AND vts >= cts - INTERVAL 24 HOURS AND vts < cts"))
 
+  /** Keyed 32-bit hash row for the streaming sketch twins. */
+  final case class KeyedHash(group: String, h: Long)
+
+  /** Per-group HLL register state (64 dense bytes-worth of ints). */
+  final case class HllState(registers: Array[Int])
+
+  /** Running distinct-count estimate per group. */
+  final case class GroupDistinct(group: String, est_distinct: Double,
+      n_registers_set: Int)
+
+  /** Streaming HyperLogLog — the streaming twin of the batch
+    * agg_hll_distinct: per-group 64-register state in
+    * mapGroupsWithState, each micro-batch folds its hashes in with
+    * register-wise max (max IS the HLL merge, so replays/out-of-order
+    * delivery can only re-assert, never corrupt) and re-emits the
+    * running estimate. State is O(groups × 64 ints) FOREVER — this is
+    * the sketch's whole point on an unbounded stream: exact streaming
+    * distinct-count state grows with |keys seen|, the sketch does not.
+    *
+    * The estimator arithmetic is line-for-line the batch expression
+    * (same bucket/rank split of the md5-derived hash, same
+    * CAST-to-DOUBLE alpha, same small-range ln branch, same HALF_UP
+    * 3-decimal round), so StreamingSpec can assert exact equality with
+    * the batch oracle-gated answer after any batch split. */
+  def hllDistinctStream(rows: Dataset[KeyedHash]): Dataset[GroupDistinct] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[HllState, GroupDistinct] {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.registers).getOrElse(new Array[Int](64))
+          it.foreach { r =>
+            val bucket = (r.h >> 26).toInt           // top 6 of 32 bits
+            val w = r.h & ((1L << 26) - 1)           // remaining 26 bits
+            // batch rho = 27 - length(bin(w)); length(bin(w)) = 64 - nlz(w)
+            val rho =
+              if (w == 0L) 27
+              else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          state.update(HllState(regs))
+          val present = regs.count(_ > 0)
+          var sp = 0.0
+          regs.foreach(r => if (r > 0) sp += math.pow(2.0, -r))
+          val alpha = 0.7213 / (1 + 1.079 / 64)
+          val raw = alpha * 4096 / (sp + (64 - present))
+          val est =
+            if (raw <= 160 && present < 64) 64 * math.log(64.0 / (64 - present))
+            else raw
+          GroupDistinct(g,
+            BigDecimal(est).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            present)
+      }
+  }
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)
