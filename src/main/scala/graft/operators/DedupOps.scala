@@ -42,7 +42,7 @@ object DedupOps {
     * (3-gram build + md5 + hex→long + distinct in one codegen'd loop —
     * see graft.functions.ShingleHashes for the exact SQL pipeline it is
     * byte-identical to). */
-  private def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Empirical scale evidence (SURVEY §5): the sub-quadratic claims the
+  * 100 TB posture rests on, measured across the two corpus sizes the
+  * container ships (embeddings 500 → 2000, documents 500 → 5000).
+  * Growth EXPONENTS are asserted where the algorithm controls them
+  * (IVF: K ∝ √n bounds the pair join at ~n^1.5 regardless of data);
+  * pair-space FRACTIONS are asserted where the data controls them
+  * (LSH: candidate count tracks the corpus's true near-dup pairs —
+  * the right behavior — so the invariant is how much of the quadratic
+  * pair space the blocking prunes, not a growth rate).
+  */
+class ScalingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val small = "/root/testdata/sf0.001"
+  private val large = "/root/testdata/sf0.1"
+
+  test("IVF candidate-pair volume grows ~n^1.5 across corpus sizes, not n^2") {
+    def measure(dir: String): (Long, Long) = {
+      val n = Tables(spark, dir).embeddings.count()
+      val cells = SimilarityOps.ivfCells(spark, dir).localCheckpoint()
+      val l = cells.select(col("vec_id").as("id1"), col("aid"))
+      val r = cells.select(col("vec_id").as("id2"), col("aid"))
+      // RAW join output (pre-distinct): the actual shuffle/compute
+      // volume the cell join produces.
+      (n, l.join(r, "aid").filter(col("id1") < col("id2")).count())
+    }
+    val (n1, p1) = measure(small)
+    val (n2, p2) = measure(large)
+    val nRatio = n2.toDouble / n1
+    val exponent = math.log(p2.toDouble / p1) / math.log(nRatio)
+    info(f"n x$nRatio%.1f -> candidates x${p2.toDouble / p1}%.2f " +
+      f"= n^$exponent%.2f (measured claim: ~n^1.5; n^2 would be x${nRatio * nRatio}%.1f)")
+    assert(n2 > n1, "corpus sizes equal — spec vacuous")
+    assert(exponent <= 1.75,
+      f"candidate growth n^$exponent%.2f exceeds the sub-quadratic bound n^1.75")
+  }
+
+  test("MinHash LSH blocking prunes >= 99% of the quadratic pair space at every corpus size") {
+    def fraction(dir: String): (Long, Double) = {
+      val n = Tables(spark, dir).documents.count()
+      val sh = DedupOps.hashedShingleSets(spark, dir).localCheckpoint()
+      val sig = sh.select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
+        .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      (n, cand.toDouble / (n.toDouble * (n - 1) / 2))
+    }
+    val (n1, f1) = fraction(small)
+    val (n2, f2) = fraction(large)
+    info(f"candidate fraction of all-pairs: n=$n1 -> ${f1 * 100}%.2f%%, n=$n2 -> ${f2 * 100}%.2f%%")
+    assert(f1 <= 0.01 && f2 <= 0.01,
+      f"LSH candidates exceed 1%% of the pair space (${f1 * 100}%.2f%% / ${f2 * 100}%.2f%%)")
+    assert(f2 <= f1 * 1.5,
+      "candidate fraction grew materially with corpus size — blocking not holding")
+  }
+}
