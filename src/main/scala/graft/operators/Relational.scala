@@ -22,6 +22,33 @@ import graft.Tables
   */
 object Relational {
 
+  /** Order-independent money aggregation (the pattern the q05 bucketed
+    * twin forced at sf0.1 — see q05Body): the money columns are
+    * fixed-2-decimal values, so summing exact BIGINT cent units (with
+    * a DECIMAL(38,0) accumulator for 100 TB headroom; DuckDB widens to
+    * INT128 on its own) makes every sum independent of shuffle order —
+    * a plan or partitioning change can never move a rounded digit
+    * again. Quantity sums stay plain: quantities are integral doubles,
+    * and integer-valued double sums below 2^53 are already exact in
+    * any order. */
+  private def centsSum(c: String) =
+    sum(expr(s"CAST(round(($c) * 100) AS BIGINT)").cast("decimal(38,0)"))
+      .cast("double")
+
+  /** Σ price·(1−discount) rounded to 3 decimals WHOLLY in integers.
+    * The exact sum has 4 decimal digits (1e-4 units), so "round to 3"
+    * is (S + 5) div 10 — integer half-up. Rounding the double quotient
+    * instead hit an exact-half boundary at sf0.1 where Spark
+    * (BigDecimal HALF_UP on the double) and DuckDB (libm round of the
+    * double) disagree by 0.001; in integer space both engines compute
+    * the identical value, then the /1000 division maps it to the
+    * identical double. */
+  private def discRev3 =
+    expr("CAST((sum(CAST(" +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))" +
+      " AS DECIMAL(38,0))) + 5) div 10 AS DOUBLE) / 1000")
+
   /** TPC-H Q1 shape: multi-aggregate scan over the biggest fact table. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
@@ -29,10 +56,10 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 3).as("sum_qty"),
-        round(sum("l_extendedprice"), 3).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("sum_disc_price"),
+        round(centsSum("l_extendedprice") / 100, 3).as("sum_base_price"),
+        discRev3.as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(centsSum("l_discount") / 100 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -52,7 +79,7 @@ object Relational {
       .join(t.lineitem.filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp")),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"))
+      .agg(discRev3.as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -104,10 +131,7 @@ object Relational {
       // accumulator: an int64 sum is safe to ~1e9 rows but this query's
       // whole point is surviving 100x scale (DuckDB widens to INT128 on
       // its own).
-      .agg(round(
-        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
-          "(100 - CAST(round(l_discount * 100) AS BIGINT))").cast("decimal(38,0)"))
-          .cast("double") / 10000, 3).as("revenue"))
+      .agg(discRev3.as("revenue"))
       .orderBy(desc("revenue"), col("n_name"))
   }
 
@@ -117,7 +141,8 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 3).as("revenue"))
+      .agg(expr("CAST((sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0))) + 5) div 10 AS DOUBLE) / 1000")
+        .as("revenue"))
 
   /** distinct = shuffle dedup. */
   def q07Distinct(spark: SparkSession, dir: String): DataFrame =
@@ -180,13 +205,16 @@ object Relational {
   /** TPC-H Q14 shape: CASE-WHEN conditional aggregation over a join. */
   def q14ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val units = "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(round(l_discount * 100) AS BIGINT))"
     t.lineitem
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
       .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .agg(round(
-        lit(100.0) * sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))) / sum(disc),
+        lit(100.0) * sum(expr(s"CASE WHEN p_type = 'PROMO' THEN $units ELSE 0 END")
+            .cast("decimal(38,0)")).cast("double")
+          / sum(expr(units).cast("decimal(38,0)")).cast("double"),
         4).as("promo_pct"))
   }
 
@@ -195,7 +223,7 @@ object Relational {
     Tables(spark, dir).lineitem.agg(
       count(lit(1)).as("n"),
       round(sum("l_quantity"), 3).as("sum_qty"),
-      round(avg("l_extendedprice"), 4).as("avg_price"),
+      round(centsSum("l_extendedprice") / 100 / count(lit(1)), 4).as("avg_price"),
       min("l_extendedprice").as("min_price"),
       max("l_extendedprice").as("max_price"),
       countDistinct("l_orderkey").as("n_orders"))
@@ -279,7 +307,7 @@ object Relational {
   def q15Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .rollup("o_orderpriority", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("total"))
+      .agg(count(lit(1)).as("n"), round(centsSum("o_totalprice") / 100, 3).as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
   /** Pivot: order counts per status × priority (fixed value list, so the
@@ -423,7 +451,7 @@ object Relational {
         (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
           col("l_quantity").between(20, 40)))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("revenue"),
+        discRev3.as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -462,7 +490,8 @@ object Relational {
     t.customer.createOrReplaceTempView("graft_customer")
     t.orders.createOrReplaceTempView("graft_orders")
     spark.sql(
-      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 3) AS total_bal
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | round(CAST(sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100, 3) AS total_bal
         |FROM graft_customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM graft_orders o
@@ -589,9 +618,7 @@ object Relational {
   // BIGINT sum widens to INT128 by itself.
   private val q05Sql =
     """SELECT n_name,
-      |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
-      |        / 10000, 3) AS revenue
+      |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
@@ -615,10 +642,10 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 3) AS sum_qty,
-        | round(sum(l_extendedprice), 3) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS sum_base_price,
+        | CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -628,7 +655,7 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q03_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+        | CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -645,7 +672,7 @@ object Relational {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q05_local_supplier" -> q05Sql,
     "q06_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 3) AS revenue
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) + 5) // 10 AS DOUBLE) / 1000 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -677,14 +704,14 @@ object Relational {
       """SELECT c_nationkey, count(*) AS cnt FROM customer
         |GROUP BY c_nationkey HAVING count(*) >= 5 ORDER BY c_nationkey""".stripMargin,
     "q14_conditional_agg" ->
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-        |   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-09-01'""".stripMargin,
     "agg_reduce_stats" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 3) AS sum_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
         | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem""".stripMargin,
@@ -723,7 +750,7 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q15_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        | round(sum(o_totalprice), 3) AS total
+        | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q16_pivot" ->
@@ -795,7 +822,7 @@ object Relational {
         |ORDER BY column_name""".stripMargin,
     "q18_big_spenders" -> q18Sql,
     "q19_disjunctive_pred" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue,
+      """SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue,
         | count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -814,7 +841,8 @@ object Relational {
         |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_quantity > 30)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "q22_idle_customers" ->
-      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 3) AS total_bal
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total_bal
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o
