@@ -408,6 +408,10 @@ object SimilarityOps {
          |c$i AS MATERIALIZED (SELECT cid, list(c::FLOAT ORDER BY dim) AS cv FROM u$i GROUP BY cid)"""
     }.mkString(",\n")
 
+  /** Centroid element for typedlit literals (field names must be
+    * cid/cv — [[assignExpr]] addresses them). */
+  private case class Centroid(cid: Long, cv: Seq[Float])
+
   /** Top-1 cluster assignment against a broadcast (cid, cv) array —
     * argmax cosine, ties to the smallest cid, NaN guarded (zero-norm
     * vectors or degenerate centroids rank last, as in ivfCells). */
@@ -457,10 +461,6 @@ object SimilarityOps {
       .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
 
-    def assign(centroidArr: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(centroidArr))
-        .select(col("vec_id"), col("embedding"), expr(assignExpr).as("cid"))
-
     def meanPerDim(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cid"), posexplode(col("embedding")))
@@ -481,10 +481,16 @@ object SimilarityOps {
       import session.implicits._
       s.toDF("cid", "cv")
     }
-    def centArr(s: Seq[(Long, Seq[Float])]): DataFrame =
-      centDF(s).agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("arr"))
+    // The centroid array enters each iteration's plan as a LITERAL
+    // (typedlit of the driver-side snapshot) — not even a broadcast:
+    // no LocalRelation aggregation stage, no BroadcastExchange, just
+    // the value referenced from generated code. Bit-exact: the floats
+    // are the same JVM values the previous collect produced.
     def statsOf(s: Seq[(Long, Seq[Float])]): DataFrame =
-      meanPerDim(assign(centArr(s)))
+      meanPerDim(
+        emb.withColumn("arr",
+            typedlit(s.sortBy(_._1).map { case (cid, cv) => Centroid(cid, cv) }))
+          .select(col("vec_id"), col("embedding"), expr(assignExpr).as("cid")))
     // (cid, dim, c, n_members) rows → the next centroid snapshot: group
     // by cid, dims sorted, DOUBLE→FLOAT exactly as the SQL c_i CTE.
     def fold(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Float])] =
