@@ -238,10 +238,22 @@ object Relational {
   /** Gap-based sessionization (30-min inactivity) via window lag +
     * cumulative session counting; micro-second integer arithmetic so the
     * oracle comparison is exact. */
-  def evSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def evSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBody(Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id")))
+
+  /** ev_sessionize on the bucketed-by-user events layout
+    * (Formats.bucketedEvents): identical result (same oracle); the
+    * user_id exchange under the window AND its sort both vanish — the
+    * layout's (user_id, tus, event_id) sort prefix is exactly the
+    * window order. FormatsSpec asserts the plan shape. */
+  def evSessionizeBucketed(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBody(graft.sources.Formats.bucketedEvents(spark, dir)
+      .select("user_id", "tus", "event_id"))
+
+  private def sessionizeBody(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    Tables(spark, dir).events
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+    ev
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("is_new",
         when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
@@ -636,6 +648,14 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
 
+  private val evSessionizeSql =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+      |s AS (SELECT user_id,
+      |  CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+      |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q05_bucketed" -> q05Sql,
     "q18_bucketed" -> q18Sql,
@@ -719,13 +739,8 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         | round(sum(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "ev_sessionize" ->
-      """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
-        |s AS (SELECT user_id,
-        |  CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
-        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_sessionize" -> evSessionizeSql,
+    "ev_sessionize_bucketed" -> evSessionizeSql,
     "ev_json_extract" ->
       """SELECT event_type,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -921,6 +936,7 @@ object Relational {
     "agg_reduce_stats" -> (aggReduceStats(_, _)),
     "ev_hourly_agg" -> (evHourlyAgg(_, _)),
     "ev_sessionize" -> (evSessionize(_, _)),
+    "ev_sessionize_bucketed" -> (evSessionizeBucketed(_, _)),
     "ev_json_extract" -> (evJsonExtract(_, _)),
     "mr_sort_global" -> (mrSortGlobal(_, _)),
     "ev_asof_join" -> (evAsofJoin(_, _)),

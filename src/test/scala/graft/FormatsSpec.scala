@@ -108,6 +108,24 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bucketed events layout eliminates the sessionize window's exchange and sort") {
+    import graft.operators.Relational
+    def count(df: org.apache.spark.sql.DataFrame, pat: String): Int =
+      pat.r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val plain = Relational.evSessionize(spark, sf)
+    val buck = Relational.evSessionizeBucketed(spark, sf)
+    assert(count(buck, "Exchange hashpartitioning") == 0,
+      s"bucketed sessionize still shuffles:\n${buck.queryExecution.executedPlan}")
+    assert(count(plain, "Exchange hashpartitioning") > 0,
+      "plain sessionize unexpectedly shuffle-free — assertion vacuous")
+    // The layout's (user_id, tus, event_id) sort prefix IS the window
+    // order, so the per-partition sort disappears too.
+    assert(count(buck, "\\bSort \\[") < count(plain, "\\bSort \\["),
+      s"bucketed sorts=${count(buck, "\\bSort \\[")} plain=${count(plain, "\\bSort \\[")}")
+    assert(buck.collect().toSeq == plain.collect().toSeq,
+      "bucketed sessionize diverged from the plain twin")
+  }
+
   test("partition pruning reaches the partitioned layout") {
     val path = tmp("documents_part")
     val plan = {
