@@ -129,7 +129,41 @@ object EventOps {
       .orderBy("user_id", "d")
   }
 
+  /** Dense-grid gap filling: per event_type, the FULL hourly grid from
+    * the type's first to last active hour with zero-filled counts — the
+    * resampling step every time-series report/model needs (a missing
+    * hour must be an explicit 0, not an absent row). The grid generates
+    * from a per-type 2-row aggregate via sequence+explode — never a
+    * driver loop — and the left join back to the observed counts is a
+    * broadcast at any scale where hours-per-type fits an executor
+    * (sequence length = time span, independent of event volume). Hour
+    * arithmetic in integer epoch-hours end to end. */
+  def evGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables(spark, dir).events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hours.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    grid.join(hours, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("epoch_hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("event_type", "epoch_hour")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_gap_fill" ->
+      """WITH hrs AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(range(min(h), max(h) + 1)) AS h
+        |  FROM hrs GROUP BY event_type)
+        |SELECT g.event_type, g.h AS epoch_hour,
+        |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        |FROM grid g LEFT JOIN hrs USING (event_type, h)
+        |ORDER BY event_type, epoch_hour""".stripMargin,
     "ev_moving_stats" ->
       """WITH daily AS (
         |  SELECT user_id,
@@ -179,6 +213,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_range_join" -> (evRangeJoin(_, _)),
+    "ev_gap_fill" -> (evGapFill(_, _)),
     "ev_funnel" -> (evFunnel(_, _)),
     "ev_retention" -> (evRetention(_, _)),
     "ev_moving_stats" -> (evMovingStats(_, _)),

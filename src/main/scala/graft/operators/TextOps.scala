@@ -354,6 +354,26 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Hashing-trick featurization dimensionality. */
+  val HtfDim = 64
+
+  /** Hashing-trick bag-of-words featurization (HashingTF): each token
+    * hashes to one of [[HtfDim]] feature slots (md5-derived — the only
+    * cross-engine hash), per-doc counts become the feature value. The
+    * fixed-dimensional output a linear quality classifier or fasttext-
+    * style model consumes — no vocabulary pass, no OOV handling, which
+    * is the trick's whole point at 100 TB. Output exploded as (doc_id,
+    * feature_idx, cnt) — the sparse representation; one shuffle on the
+    * (doc, slot) pair, partial-aggregated. */
+  def txtHashingTf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .withColumn("feature_idx",
+        expr(s"CAST(conv(substr(md5(token), 1, 8), 16, 10) AS BIGINT) % $HtfDim"))
+      .groupBy("doc_id", "feature_idx")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "feature_idx")
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -376,6 +396,16 @@ object TextOps {
   }.mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "txt_hashing_tf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${(1 to 8).map(i => s"(strpos('0123456789abcdef', substr(md5(token), $i, 1)) - 1) * ${1L << (4 * (8 - i))}").mkString("(", " + ", ")")} % $HtfDim AS feature_idx
+         |  FROM tk)
+         |SELECT doc_id, feature_idx, count(*) AS cnt
+         |FROM h GROUP BY doc_id, feature_idx
+         |ORDER BY doc_id, feature_idx""".stripMargin,
     "txt_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
@@ -555,6 +585,7 @@ object TextOps {
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),
     "txt_vocab" -> (txtVocab(_, _)),
+    "txt_hashing_tf" -> (txtHashingTf(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
