@@ -577,6 +577,173 @@ object Relational {
     both.unionByName(only98).orderBy("tag", "o_custkey")
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue between two specific
+    * nations, by direction and ship year. The two 1-row nation filters
+    * broadcast and prune lineitem/customer EARLY (Catalyst pushes the
+    * pair predicate through the broadcast joins), so the only shuffle
+    * left is the orders⋈lineitem fact join — the same layout every
+    * other fact query reuses. */
+  def q23VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n1 = broadcast(t.nation
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t.nation
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("snk"))
+      .join(n2, col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(discRev3.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape (national market share): one supplier nation's
+    * share of ECONOMY-part revenue sold into AMERICA, per order year.
+    * Both sums run in exact integer cent-product units (order-
+    * independent — see centsSum); only the final share is a double,
+    * and a quotient of two exact integers is bit-identical across
+    * engines before the round. */
+  def q24MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vol = expr(
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))")
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("vol", vol)
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2", col("vol"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") /
+          sum(col("vol")).cast("double"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one year. Selective filters land on
+    * both fact scans (PushedFilters), nation broadcasts, and the final
+    * top-20 is TakeOrderedAndProject over the aggregated (per-customer)
+    * rows — never a global sort of the join output. */
+  def q25ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(discRev3.as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Market-basket co-occurrence: the top part pairs ordered together.
+    *
+    * Scale posture: DISTINCT (orderkey, partkey) first — the pair join
+    * is a self-join on l_orderkey, so Catalyst reuses ONE shuffled
+    * distinct subtree for both sides (ReusedExchange). Pair volume is
+    * Σ C(items_per_order, 2) — items-per-order is bounded by the order
+    * shape (single digits in TPC-H-like data), so the blow-up is a
+    * small constant × lineitem, never n². The p1 < p2 guard halves it
+    * and canonicalizes pair identity; top-20 is TakeOrderedAndProject
+    * over the aggregated pairs. */
+  def q26BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  /** Classic MapReduce secondary sort: per key (user), values ordered
+    * by a secondary key (ts) — here the first 3 event ids per user.
+    *
+    * The Hadoop idiom is partition-by-key + sort-within-partition on a
+    * composite key; Spark's window with a rank predicate is the
+    * declarative twin, and the rn<=3 filter becomes a WindowGroupLimit
+    * (per-partition top-3 heap BEFORE the exchange), so state per user
+    * is O(3), not O(events) — the collect_list only ever sees the 3
+    * survivors. */
+  def mrSecondarySort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(tus, event_id))), " +
+          "x -> CAST(x.event_id AS STRING)), ',')").as("first3"),
+        count(lit(1)).as("n_first"))
+      .orderBy("user_id")
+  }
+
+  /** 10-bucket equi-width histogram over o_totalprice (the profiling
+    * twin of qc_profile's bounds). Equi-width (value-range) buckets,
+    * not equi-depth: the bucket function is pure IEEE arithmetic on
+    * (v, min, max) — bit-identical across engines with NO rounding
+    * contract needed, where interpolated decile boundaries would pit
+    * Spark's and DuckDB's quantile interpolation ulp-for-ulp on every
+    * tie. Two scans total: a 1-row (min, max) aggregate broadcast to
+    * the bucket-assignment scan, then one partial-agg groupBy on 10
+    * keys. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(lit(10), (floor((col("o_totalprice") - col("lo")) * 10 /
+          (col("hi") - col("lo"))) + 1).cast("int")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        round(centsSum("o_totalprice") / 100, 3).as("sum_price"))
+      .orderBy("bucket")
+  }
+
+  /** ntile over an aggregate: nations quartiled by exact total customer
+    * account balance. The window input is the 25-row groupBy output —
+    * ntile needs a total order, which is only sane over aggregated
+    * (group-sized) data; the per-row ranks stay deterministic because
+    * the cents sum is exact-integer and the tiebreak is the key. */
+  def aggNtileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byNation = t.customer
+      .groupBy(col("c_nationkey"))
+      .agg(sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+    byNation
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(desc("bal_cents"), col("c_nationkey"))))
+      .select(col("c_nationkey"), (col("bal_cents").cast("double") / 100).as("total_bal"),
+        col("quartile"))
+      .orderBy("c_nationkey")
+  }
+
   /** Dataset profiler (deequ-style data-quality pass): per-column
     * null count, distinct count, and min/max over `orders` in ONE scan
     * — the schema-validation step a pipeline runs before trusting a new
@@ -659,6 +826,71 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q05_bucketed" -> q05Sql,
     "q18_bucketed" -> q18Sql,
+    "q23_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q24_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | round(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |   THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q26_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+    "mr_secondary_sort" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        | array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY tus, event_id), ',') AS first3,
+        | count(*) AS n_first
+        |FROM x WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT least(10, CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS INT) + 1) AS bucket,
+        | count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS sum_price
+        |FROM orders, mm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_ntile_quartiles" ->
+      """WITH b AS (SELECT c_nationkey, sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |           FROM customer GROUP BY 1)
+        |SELECT c_nationkey, CAST(bal_cents AS DOUBLE) / 100 AS total_bal,
+        | CAST(ntile(4) OVER (ORDER BY bal_cents DESC, c_nationkey) AS INT) AS quartile
+        |FROM b ORDER BY c_nationkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 3) AS sum_qty,
@@ -957,5 +1189,12 @@ object Relational {
     "mr_cogroup" -> (mrCogroup(_, _)),
     "qc_profile" -> (qcProfile(_, _)),
     "q20_set_ops" -> (q20SetOps(_, _)),
+    "q23_volume_shipping" -> (q23VolumeShipping(_, _)),
+    "q24_market_share" -> (q24MarketShare(_, _)),
+    "q25_returned_items" -> (q25ReturnedItems(_, _)),
+    "q26_basket_pairs" -> (q26BasketPairs(_, _)),
+    "mr_secondary_sort" -> (mrSecondarySort(_, _)),
+    "agg_histogram" -> (aggHistogram(_, _)),
+    "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
   )
 }
