@@ -152,7 +152,56 @@ object EventOps {
       .orderBy("event_type", "epoch_hour")
   }
 
+  /** Hourly anomaly detection: per event_type, the hours whose count
+    * is ≥2 sample standard deviations from that type's hourly mean —
+    * the volume-spike / outage detector every telemetry pipeline runs.
+    *
+    * Cross-engine determinism WITHOUT a rounding contract: the z²≥4
+    * test is evaluated wholly in exact integers — with n hours, S=Σcnt,
+    * SS=Σcnt², a=n·cnt−S, D=n·SS−S²: z² = a²(n−1)/(n·D), so the flag
+    * is a²·(n−1) ≥ 4·n·D (exact integer comparison, no FP anywhere),
+    * and the reported z² is one division of two exact integers — the
+    * SAME two integers in both engines, hence the same IEEE double.
+    * DECIMAL(38,0) accumulators give 100 TB headroom (DuckDB widens to
+    * INT128 on its own). Two partial-aggregated shuffles: hourly
+    * counts, then per-type stats broadcast back onto the hourly rows. */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt").cast("decimal(38,0)")).as("s"),
+      sum((col("cnt") * col("cnt")).cast("decimal(38,0)")).as("ss"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("a", col("n").cast("decimal(38,0)") * col("cnt") - col("s"))
+      .withColumn("d", col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s"))
+      .filter(col("n") >= 2 && col("d") > 0 &&
+        col("a") * col("a") * (col("n") - lit(1)).cast("decimal(38,0)") >=
+          col("d") * col("n").cast("decimal(38,0)") * lit(4))
+      .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+        when(col("a") > 0, "high").otherwise("low").as("dirn"),
+        ((col("a") * col("a") * (col("n") - lit(1)).cast("decimal(38,0)")).cast("double") /
+          (col("d") * col("n").cast("decimal(38,0)")).cast("double")).as("z_sq"))
+      .orderBy("event_type", "epoch_hour")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(cnt) AS s, sum(cnt*cnt) AS ss
+        |       FROM hourly GROUP BY 1)
+        |SELECT event_type, h AS epoch_hour, cnt,
+        |  CASE WHEN n*cnt - s > 0 THEN 'high' ELSE 'low' END AS dirn,
+        |  CAST((n*cnt - s)*(n*cnt - s)*(n - 1) AS DOUBLE)
+        |    / CAST((n*ss - s*s)*n AS DOUBLE) AS z_sq
+        |FROM hourly JOIN st USING (event_type)
+        |WHERE n >= 2 AND n*ss - s*s > 0
+        |  AND (n*cnt - s)*(n*cnt - s)*(n - 1) >= 4*n*(n*ss - s*s)
+        |ORDER BY event_type, epoch_hour""".stripMargin,
     "ev_gap_fill" ->
       """WITH hrs AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -217,5 +266,6 @@ object EventOps {
     "ev_funnel" -> (evFunnel(_, _)),
     "ev_retention" -> (evRetention(_, _)),
     "ev_moving_stats" -> (evMovingStats(_, _)),
+    "ev_anomaly" -> (evAnomaly(_, _)),
   )
 }

@@ -374,6 +374,31 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "feature_idx")
 
+  /** Passage-level exact dedup: split each doc into non-overlapping
+    * 10-token chunks, find chunks appearing in ≥2 DISTINCT docs — the
+    * line/paragraph-granularity dedup step (RefinedWeb-style) that
+    * catches boilerplate recycled across otherwise-different documents,
+    * where doc-level fingerprints see nothing.
+    *
+    * Scale posture: chunking is a per-row transform (≈n_tokens/10 rows
+    * out per doc — LINEAR, unlike shingling's ×k blow-up), the groupBy
+    * key is an md5 chunk hash (uniform by construction), and the
+    * count_distinct partial-aggregates. Chunks under 30 chars are
+    * dropped BEFORE the shuffle — short chunks are stopword noise and
+    * would be the skew keys. */
+  def txtPassageDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(tokensExpr).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(ts) - 1) div 10), " +
+          "i -> array_join(slice(ts, i * 10 + 1, 10), ' '))")).as("chunk"))
+      .filter(length(col("chunk")) >= 30)
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_hash")
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -470,6 +495,18 @@ object TextOps {
       s"""SELECT tok AS word, count(*) AS cnt
          |FROM (SELECT unnest($tokensSql) AS tok FROM documents)
          |GROUP BY tok ORDER BY tok""".stripMargin,
+    "txt_passage_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |ch AS (
+         |  SELECT doc_id, array_to_string(ts[i*10+1 : i*10+10], ' ') AS chunk
+         |  FROM toks, (SELECT unnest(range(0, 1000)) AS i)
+         |  WHERE i * 10 < len(ts)),
+         |f AS (SELECT doc_id, chunk FROM ch WHERE length(chunk) >= 30)
+         |SELECT md5(chunk) AS chunk_hash,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY 1""".stripMargin,
     "mr_grep_count" ->
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE regexp_matches(text, 'merge')
@@ -599,5 +636,6 @@ object TextOps {
     "txt_tfidf" -> (txtTfidf(_, _)),
     "txt_inverted_index" -> (txtInvertedIndex(_, _)),
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
+    "txt_passage_dedup" -> (txtPassageDedup(_, _)),
   )
 }
