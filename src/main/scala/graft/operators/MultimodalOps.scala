@@ -93,7 +93,23 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
+  /** Video-container classification via the native graft_video_meta
+    * header parser (MP4/ISO-BMFF box walk + AVI RIFF hdrl/avih). Same
+    * contract as [[mmImageMeta]]/[[mmAudioMeta]]: corpus payloads are
+    * text bytes, so the oracle pins that NOTHING misparses as video;
+    * the positive paths (brand, dims, duration) are pinned by
+    * handcrafted MP4/AVI bytes in MultimodalSpec. */
+  def mmVideoMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(expr("coalesce(graft_video_meta(payload).format, 'unknown')").as("format"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("format")
+
   val oracles: Map[String, String] = Map(
+    "mm_video_meta" ->
+      "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_audio_meta" ->
       "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_binary_meta" ->
@@ -109,6 +125,7 @@ object MultimodalOps {
     "mm_binary_meta" -> (mmBinaryMeta(_, _)),
     "mm_image_meta" -> (mmImageMeta(_, _)),
     "mm_audio_meta" -> (mmAudioMeta(_, _)),
+    "mm_video_meta" -> (mmVideoMeta(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.

@@ -105,4 +105,56 @@ class MultimodalSpec extends AnyFunSuite {
       ("junk", None, -1, -1, -1, -1L),
       ("truncated", None, -1, -1, -1, -1L)), rows.toString)
   }
+
+  test("graft_video_meta parses MP4 and AVI headers exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0)).
+    def mp4(brand: String, w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100) // BE by default
+      b.putInt(16).put("ftyp".getBytes).put(brand.getBytes).putInt(0)
+      b.putInt(8 + 108 + 100).put("moov".getBytes)
+      val mvhd = b.position()
+      b.putInt(108).put("mvhd".getBytes).putInt(0) // version 0 + flags
+        .putInt(0).putInt(0)                       // ctime, mtime
+        .putInt(timescale).putInt(duration)
+      b.position(mvhd + 108)
+      b.putInt(100).put("trak".getBytes)
+      val tkhd = b.position()
+      b.putInt(92).put("tkhd".getBytes).putInt(0)  // version 0 + flags
+      b.position(tkhd + 8 + 76)                    // skip to width (16.16)
+      b.putInt(w << 16).putInt(h << 16)
+      b.array()
+    }
+    def avi(w: Int, h: Int, usPerFrame: Int, frames: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+      b.put("LIST".getBytes).putInt(4 + 8 + 56).put("hdrl".getBytes)
+      b.put("avih".getBytes).putInt(56)
+      b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames).putInt(0).putInt(0).putInt(0)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    val rows = Seq(
+      ("mp4", mp4("isom", 1920, 1080, 600, 60000)),
+      ("avi", avi(640, 480, 40000, 250)),
+      ("junk", "definitely not a movie".getBytes),
+      ("truncated", "RIFF".getBytes))
+      .toDF("name", "payload")
+      .select(col("name"), expr("graft_video_meta(payload)").as("m"))
+      .select(col("name"), col("m.format"), col("m.brand"),
+        col("m.width"), col("m.height"), col("m.duration_ms"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) "" else r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    assert(rows == Set(
+      ("mp4", Some("mp4"), "isom", 1920, 1080, 100000L),
+      ("avi", Some("avi"), "avi", 640, 480, 10000L),
+      ("junk", None, "", -1, -1, -1L),
+      ("truncated", None, "", -1, -1, -1L)), rows.toString)
+  }
 }
