@@ -145,6 +145,38 @@ object StreamOps {
       }
   }
 
+  /** Per-group KMV sketch state: the K smallest distinct hashes. */
+  final case class KmvStreamState(hs: Seq[Long])
+
+  /** Streaming KMV — the streaming twin of the batch agg_kmv_distinct
+    * (completing the sketch pair next to [[hllDistinctStream]]): the
+    * k-minimum-values set of a fixed hash is, like HLL's register max,
+    * a semilattice (set-union then take-K-smallest), so replayed or
+    * out-of-order rows can only re-assert the state, never corrupt it,
+    * and the result is independent of how the stream was micro-batched.
+    * State is K longs per group FOREVER on an unbounded stream.
+    *
+    * Reduce and estimate are THE SAME CODE as the batch Aggregator
+    * (graft.functions.KmvDistinct.reduce/finish), so StreamingSpec can
+    * assert exact equality with the batch oracle-gated estimate —
+    * parity by construction, not by re-implementation. */
+  def kmvDistinctStream(rows: Dataset[KeyedHash]): Dataset[GroupDistinct] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.{KmvDistinct, KmvState}
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[KmvStreamState, GroupDistinct] {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[KmvStreamState]) =>
+          var s = KmvState(state.getOption.map(_.hs).getOrElse(Vector.empty))
+          it.foreach(r => s = KmvDistinct.reduce(s, r.h))
+          state.update(KmvStreamState(s.hs))
+          GroupDistinct(g,
+            BigDecimal(KmvDistinct.finish(s))
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            s.hs.length)
+      }
+  }
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)

@@ -89,6 +89,40 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming HLL diverged from batch: $streamed vs $batch")
   }
 
+  test("streaming KMV equals the batch agg_kmv_distinct after any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same input rows the batch query hashes: distinct (flag, orderkey)
+    // through the identical md5-prefix hash.
+    val hashes = Tables(spark, sf).lineitem
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .select(col("l_returnflag"),
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => StreamOps.KeyedHash(r.getString(0), r.getLong(1))).toSeq
+    // Three micro-batches with a replayed overlap — the k-min set must
+    // absorb duplicates without moving the estimate.
+    val (a, rest) = hashes.splitAt(hashes.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[StreamOps.KeyedHash]
+    val q = StreamOps.kmvDistinctStream(input.toDS())
+      .writeStream.format("memory").queryName("kmv").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b ++ a.take(50)); q.processAllAvailable() // replay overlap
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      """SELECT group, est_distinct FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY group ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM kmv))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val batch = Relational.aggKmvDistinct(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(streamed == batch,
+      s"streaming KMV diverged from batch: $streamed vs $batch")
+  }
+
   test("flatMapGroupsWithState emits exactly the batch-derivable closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
