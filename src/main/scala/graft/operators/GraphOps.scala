@@ -88,7 +88,60 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Triangle counting over the co-purchase graph: parts are vertices,
+    * an edge joins two parts co-ordered in ≥2 distinct orders (the
+    * support threshold sparsifies boilerplate co-occurrence), and the
+    * output is the top-20 parts by triangle participation — the local
+    * clustering signal a recommender / community detector starts from.
+    *
+    * Scale posture: the edge list derives from ONE distinct+self-join
+    * on l_orderkey (bounded per-order fan-out, see q26BasketPairs) and
+    * is localCheckpoint'ed because the triangle enumeration joins it
+    * THREE times — without the cut the pair-derivation shuffle would
+    * run three times (the minhash r2 lesson). Edges are oriented
+    * a<b<c, so each triangle is enumerated exactly once and the wedge
+    * join (e1.b = e2.b2) never pairs a hub's full degree against
+    * itself in both directions. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val tri = edges.select(col("p1").as("a"), col("p2").as("b"))
+      .join(edges.select(col("p1").as("b"), col("p2").as("c")), "b")
+      .join(edges.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("p_partkey"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.p2 = e2.p1
+        |  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |vx AS (SELECT unnest([a, b, c]) AS p_partkey FROM tri)
+        |SELECT p_partkey, count(*) AS n_triangles
+        |FROM vx GROUP BY 1
+        |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
     "graph_pagerank" -> {
       def iter(prev: String, cN: String, rN: String): String =
         s"""$cN AS (SELECT e.dst, sum($prev.r // od.outdeg) AS m
@@ -122,5 +175,6 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank(_, _)),
+    "graph_triangles" -> (graphTriangles(_, _)),
   )
 }

@@ -744,6 +744,51 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Fixed-SIZE deterministic sample (the reservoir-sampling shape):
+    * the k=100 rows with the smallest md5(key) — a uniform-ish sample
+    * whose membership is a pure function of the key, so it is stable
+    * across runs, engines, partitionings, and cluster sizes (a true
+    * random reservoir can never be oracle-checked). Complements
+    * mr_sample_hash (fixed-RATE): rate sampling scales the sample with
+    * the data; k-min sampling pins the budget. Physically this is
+    * TakeOrderedAndProject — a k-row heap per partition, k rows to the
+    * driver, never a global sort. */
+  def mrReservoir(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .withColumn("skey", md5(col("o_orderkey").cast("string")))
+      .orderBy("skey")
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "skey")
+
+  /** Data-quality assertion pass (the deequ-style CHECK step that
+    * gates a pipeline run, next to qc_profile's metrics): five checks
+    * over `orders` evaluated in ONE scan — completeness, key
+    * uniqueness, value bounds, and an allowed-value-set test — each
+    * emitted as (check, metric, passed). Every metric is a ratio of
+    * exact integer aggregates (count/sum/min comparisons), so the
+    * booleans carry no FP-boundary risk and the doubles are identical
+    * across engines. */
+  def qcChecks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+        count_distinct(col("o_orderkey")).as("n_keys"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("n_nonpos"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)).as("n_bad_status"),
+        sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2030-01-01").cast("timestamp"), 1L).otherwise(0L))
+          .as("n_bad_date"))
+      .selectExpr(
+        """stack(5,
+          |  'completeness_custkey', CAST(n_rows - n_null_cust AS DOUBLE) / n_rows, n_null_cust = 0,
+          |  'uniqueness_orderkey',  CAST(n_keys AS DOUBLE) / n_rows,               n_keys = n_rows,
+          |  'positive_totalprice',  CAST(n_rows - n_nonpos AS DOUBLE) / n_rows,    n_nonpos = 0,
+          |  'status_in_set',        CAST(n_rows - n_bad_status AS DOUBLE) / n_rows, n_bad_status = 0,
+          |  'orderdate_in_range',   CAST(n_rows - n_bad_date AS DOUBLE) / n_rows,  n_bad_date = 0
+          |) AS (check_name, metric, passed)""".stripMargin)
+      .orderBy("check_name")
+
   /** Dataset profiler (deequ-style data-quality pass): per-column
     * null count, distinct count, and min/max over `orders` in ONE scan
     * — the schema-validation step a pipeline runs before trusting a new
@@ -891,6 +936,27 @@ object Relational {
         |SELECT c_nationkey, CAST(bal_cents AS DOUBLE) / 100 AS total_bal,
         | CAST(ntile(4) OVER (ORDER BY bal_cents DESC, c_nationkey) AS INT) AS quartile
         |FROM b ORDER BY c_nationkey""".stripMargin,
+    "mr_reservoir" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        | md5(CAST(o_orderkey AS VARCHAR)) AS skey
+        |FROM orders ORDER BY skey LIMIT 100""".stripMargin,
+    "qc_checks" ->
+      """WITH a AS (SELECT
+        |  count(*) AS n_rows,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust,
+        |  count(DISTINCT o_orderkey) AS n_keys,
+        |  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpos,
+        |  sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS n_bad_status,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |            OR o_orderdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS n_bad_date
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'completeness_custkey' AS check_name, CAST(n_rows - n_null_cust AS DOUBLE) / n_rows AS metric, n_null_cust = 0 AS passed FROM a
+        |  UNION ALL SELECT 'uniqueness_orderkey', CAST(n_keys AS DOUBLE) / n_rows, n_keys = n_rows FROM a
+        |  UNION ALL SELECT 'positive_totalprice', CAST(n_rows - n_nonpos AS DOUBLE) / n_rows, n_nonpos = 0 FROM a
+        |  UNION ALL SELECT 'status_in_set', CAST(n_rows - n_bad_status AS DOUBLE) / n_rows, n_bad_status = 0 FROM a
+        |  UNION ALL SELECT 'orderdate_in_range', CAST(n_rows - n_bad_date AS DOUBLE) / n_rows, n_bad_date = 0 FROM a)
+        |SELECT * FROM u ORDER BY check_name""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 3) AS sum_qty,
@@ -1196,5 +1262,7 @@ object Relational {
     "mr_secondary_sort" -> (mrSecondarySort(_, _)),
     "agg_histogram" -> (aggHistogram(_, _)),
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
+    "mr_reservoir" -> (mrReservoir(_, _)),
+    "qc_checks" -> (qcChecks(_, _)),
   )
 }
