@@ -152,6 +152,21 @@ object EventOps {
       .orderBy("event_type", "epoch_hour")
   }
 
+  /** Hopping-window (sliding) counts: 1-hour windows every 30 minutes
+    * via Spark's built-in `window()` — each event lands in exactly
+    * window/slide = 2 windows, so the blow-up is the fixed overlap
+    * factor, and the groupBy partial-aggregates on (window, type)
+    * before the shuffle. The DuckDB oracle mirrors the same semantics
+    * with an explicit 2-slot explode (epoch-aligned starts — Spark's
+    * alignment contract). */
+  def evSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("event_type"), col("cnt"))
+      .orderBy("wstart", "event_type")
+
   /** Hourly anomaly detection: per event_type, the hours whose count
     * is ≥2 sample standard deviations from that type's hourly mean —
     * the volume-spike / outage detector every telemetry pipeline runs.
@@ -188,6 +203,15 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ev_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+        |x AS (SELECT event_type,
+        |        unnest([tus // 1800000000, tus // 1800000000 - 1]) AS slot
+        |      FROM e)
+        |SELECT make_timestamp(slot * 1800000000) AS wstart,
+        |  make_timestamp((slot + 2) * 1800000000) AS wend,
+        |  event_type, count(*) AS cnt
+        |FROM x GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
     "ev_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -267,5 +291,6 @@ object EventOps {
     "ev_retention" -> (evRetention(_, _)),
     "ev_moving_stats" -> (evMovingStats(_, _)),
     "ev_anomaly" -> (evAnomaly(_, _)),
+    "ev_sliding_window" -> (evSlidingWindow(_, _)),
   )
 }

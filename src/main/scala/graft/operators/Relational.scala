@@ -744,6 +744,22 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q13 shape (customer distribution): orders-per-customer
+    * histogram INCLUDING zero-order customers — the left outer join +
+    * two-level aggregation (per-customer count, then count of counts).
+    * The second groupBy keys on the count value (tiny domain), so the
+    * heavy shuffle is only the first one, on c_custkey. */
+  def q27OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(desc("n_custs"), desc("c_count"))
+  }
+
   /** Fixed-SIZE deterministic sample (the reservoir-sampling shape):
     * the k=100 rows with the smallest md5(key) — a uniform-ish sample
     * whose membership is a pure function of the key, so it is stable
@@ -940,6 +956,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | md5(CAST(o_orderkey AS VARCHAR)) AS skey
         |FROM orders ORDER BY skey LIMIT 100""".stripMargin,
+    "q27_order_count_dist" ->
+      """WITH oc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS n_custs
+        |FROM oc GROUP BY c_count
+        |ORDER BY n_custs DESC, c_count DESC""".stripMargin,
     "qc_checks" ->
       """WITH a AS (SELECT
         |  count(*) AS n_rows,
@@ -1264,5 +1288,6 @@ object Relational {
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
     "mr_reservoir" -> (mrReservoir(_, _)),
     "qc_checks" -> (qcChecks(_, _)),
+    "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
   )
 }

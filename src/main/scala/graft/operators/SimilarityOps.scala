@@ -300,6 +300,37 @@ object SimilarityOps {
       .agg((round(avg("v"), 4) + lit(0.0)).as("avg_v"))
       .orderBy("label", "dim")
 
+  /** Embedding-space outlier detection: per label, the 3 vectors
+    * FARTHEST (lowest cosine) from their label's centroid — the
+    * mislabeled-example / embedding-drift screen a training-data
+    * pipeline runs per class before trusting the labels.
+    *
+    * Parity contract: the centroid is the per-dimension avg ROUNDED to
+    * 4 then cast to FLOAT (both engines produce the identical float,
+    * the emb_centroids contract), so the cosine inputs are identical
+    * bit patterns and the codegen'd graft_cosine mirrors DuckDB's
+    * list_dot_product double math exactly. Scale: centroids are
+    * #labels rows (broadcast), assignment is map-side, and the per-
+    * label bottom-3 is a WindowGroupLimit — state O(3) per label. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 4).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+        "x -> CAST(x.cv AS FLOAT))").as("cent"))
+    val w = Window.partitionBy("label").orderBy("cos_c", "vec_id")
+    emb.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (round(expr(cosExprSpark("embedding", "cent")), 4) + lit(0.0)).as("cos_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("label", "vec_id", "cos_c")
+      .orderBy("label", "cos_c", "vec_id")
+  }
+
   /** How many buckets the persisted IVF index uses (small here; at scale
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
@@ -745,6 +776,21 @@ object SimilarityOps {
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
+    "emb_outliers" ->
+      s"""WITH c AS (
+         |  SELECT label, t.dim AS dim,
+         |    CAST(round(avg(embedding[t.dim + 1]::DOUBLE), 4) AS FLOAT) AS cv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY label, t.dim),
+         |cent AS (SELECT label, list(cv::DOUBLE ORDER BY dim) AS cent FROM c GROUP BY label),
+         |s AS (
+         |  SELECT e.label, e.vec_id,
+         |    round(${cosExprSql("e.embedding", "cent.cent")}, 4) + 0.0 AS cos_c
+         |  FROM embeddings e JOIN cent USING (label)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn
+         |      FROM s)
+         |SELECT label, vec_id, cos_c FROM r WHERE rn <= 3
+         |ORDER BY label, cos_c, vec_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -754,6 +800,7 @@ object SimilarityOps {
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
+    "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_kmeans" -> (embKmeans(_, _)),
   )

@@ -71,6 +71,40 @@ class PlanSpec extends AnyFunSuite {
   // shuffle. The production size thresholds (10 GB application-side
   // scan) can't trigger at test scale, so this spec lowers them to
   // demonstrate the mechanism; the session-default confs stay untouched.
+  test("q25 top-20 plans TakeOrderedAndProject over the aggregate") {
+    val p = plan(Relational.q25ReturnedItems(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q26 basket pairs reuses ONE shuffled distinct subtree for both self-join sides") {
+    // Broadcast off = the 100 TB shuffle-join path (at test scale the
+    // distinct side broadcasts, which hides the reuse; at cluster scale
+    // the self-join shuffles and must not scan/distinct lineitem twice).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      // AQE performs exchange reuse when query stages materialize, so
+      // the evidence lives in the executed adaptive plan, not the
+      // static explain.
+      val df = Relational.q26BasketPairs(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("mr_secondary_sort pushes the rank predicate into a WindowGroupLimit") {
+    val p = plan(Relational.mrSecondarySort(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("emb_outliers bottom-3 is a WindowGroupLimit, centroids broadcast") {
+    val p = plan(graft.operators.SimilarityOps.embOutliers(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("runtime bloom filter injects into the big side of a selective fact-fact join") {
     import org.apache.spark.sql.functions._
     val keys = Seq(
