@@ -152,6 +152,26 @@ object EventOps {
       .orderBy("event_type", "epoch_hour")
   }
 
+  /** Cumulative distinct users by day (the growth curve every product
+    * dashboard wants): running distinct is O(seen keys) state done
+    * naively, but distinct-by-first-appearance makes it linear — each
+    * user collapses to their first active day (one partial-aggregated
+    * groupBy), days aggregate to new-user counts, and the running sum
+    * is a window over #days rows (aggregated data — same justification
+    * as the vocab/ntile windows). */
+  def evCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("user_id").agg(min("d").as("d0"))
+    firstDay.groupBy(col("d0").as("epoch_day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(
+        Window.orderBy("epoch_day").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("epoch_day")
+  }
+
   /** Hopping-window (sliding) counts: 1-hour windows every 30 minutes
     * via Spark's built-in `window()` — each event lands in exactly
     * window/slide = 2 windows, so the blow-up is the fixed overlap
@@ -203,6 +223,15 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ev_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT d0 AS epoch_day, count(*) AS n_new FROM f GROUP BY d0)
+        |SELECT epoch_day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY epoch_day
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d ORDER BY epoch_day""".stripMargin,
     "ev_sliding_window" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
         |x AS (SELECT event_type,
@@ -292,5 +321,6 @@ object EventOps {
     "ev_moving_stats" -> (evMovingStats(_, _)),
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
+    "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
   )
 }

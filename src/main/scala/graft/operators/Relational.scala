@@ -744,6 +744,25 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** argmax/argmin operator surface: per nation, WHICH customer holds
+    * the top account balance (max_by / arg_max — the aggregate that
+    * returns a different column than it orders by). Ties are resolved
+    * deterministically by packing (balance_cents, custkey) into one
+    * BIGINT order key — exact-integer, so both engines pick the same
+    * winner; the pack width (1e6 keys per cent value) is a test-schema
+    * bound, at larger key domains the same operator takes a wider
+    * decimal or a struct order key. */
+  def aggArgmax(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .withColumn("bal_key",
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(
+        max_by(col("c_custkey"), col("bal_key")).as("top_custkey"),
+        max(col("c_acctbal")).as("top_acctbal"),
+        min_by(col("c_custkey"), col("bal_key")).as("bottom_custkey"))
+      .orderBy("c_nationkey")
+
   /** TPC-H Q13 shape (customer distribution): orders-per-customer
     * histogram INCLUDING zero-order customers — the left outer join +
     * two-level aggregation (per-customer count, then count of counts).
@@ -956,6 +975,15 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | md5(CAST(o_orderkey AS VARCHAR)) AS skey
         |FROM orders ORDER BY skey LIMIT 100""".stripMargin,
+    "agg_argmax" ->
+      """WITH k AS (SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS bal_key
+        |  FROM customer)
+        |SELECT c_nationkey,
+        | arg_max(c_custkey, bal_key) AS top_custkey,
+        | max(c_acctbal) AS top_acctbal,
+        | arg_min(c_custkey, bal_key) AS bottom_custkey
+        |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q27_order_count_dist" ->
       """WITH oc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -1289,5 +1317,6 @@ object Relational {
     "mr_reservoir" -> (mrReservoir(_, _)),
     "qc_checks" -> (qcChecks(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
+    "agg_argmax" -> (aggArgmax(_, _)),
   )
 }
