@@ -64,6 +64,17 @@ object RedmapOps {
         .map(_._2)(ds.encoder)
         .collect().toSeq
     }
+
+    /** Fixed-size deterministic sample — the reservoir-sampling slot in
+      * a MapReduce surface, made reproducible: the k rows minimizing
+      * md5 of the extracted key (same contract as the oracle-gated
+      * mr_reservoir query). Same physical shape as topOp. */
+    def reservoirOp(k: Int)(key: T => String): Seq[T] = {
+      import java.security.MessageDigest
+      def h(s: String): String = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      topOp(k)(t => h(key(t)))(Encoders.STRING)
+    }
   }
 
   implicit class RichPairDataset[K, V](private val ds: Dataset[(K, V)]) extends AnyVal {
@@ -87,6 +98,20 @@ object RedmapOps {
       val r = other.toDF("k", "w")
       l.join(r, "k").select("k", "v", "w").as[(K, V, W)]
     }
+
+    /** Hadoop-style secondary sort: per key, the first n values by a
+      * secondary ordering (the composite-key partition+sort idiom).
+      * Declarative twin of the oracle-gated mr_secondary_sort query:
+      * per-key state is O(n) (the groupByKey sees each key's values
+      * streamed; the take(n) cut happens after an in-memory sort of
+      * that key's values — callers with huge single keys should prefer
+      * the Window/rank formulation, which plans a WindowGroupLimit). */
+    def secondarySortOp[S: Ordering](n: Int)(orderKey: V => S)(implicit
+        ke: Encoder[K], kvse: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+      ds.groupByKey(_._1)
+        .mapGroups { (k, it) =>
+          (k, it.map(_._2).toSeq.sortBy(orderKey).take(n))
+        }
 
     /** redmap `CoGroup`: for every key present in EITHER side, hand the
       * user function both sides' values (possibly empty) — the primitive

@@ -35,6 +35,28 @@ class RedmapOpsSpec extends AnyFunSuite {
     assert(top == expected)
   }
 
+  test("reservoirOp equals the oracle-checked mr_reservoir sample") {
+    import spark.implicits._
+    val orders = Tables(spark, sf).orders.select("o_orderkey").as[Long]
+    val sampled = orders.reservoirOp(100)(_.toString).toSet
+    val expected = operators.Relational.mrReservoir(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled == expected)
+  }
+
+  test("secondarySortOp equals the oracle-checked mr_secondary_sort first-3") {
+    import spark.implicits._
+    val evs = Tables(spark, sf).events
+      .selectExpr("user_id", "unix_micros(ts) AS tus", "event_id")
+      .as[(Long, Long, Long)]
+      .map(e => (e._1, (e._2, e._3)))
+    val firsts = evs.secondarySortOp(3)(identity)
+      .collect().map { case (u, vs) => u -> vs.map(_._2).mkString(",") }.toMap
+    val expected = operators.Relational.mrSecondarySort(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(firsts == expected)
+  }
+
   test("sortOp plans a range exchange (no single-partition sort)") {
     import spark.implicits._
     val ds = Tables(spark, sf).customer.select("c_custkey").as[Long].sortOp(identity)
