@@ -226,6 +226,72 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance (fuzzy) near-dup pairs — the dedup family between
+    * exact-hash and token-set similarity: SimHash buckets propose
+    * candidates, exact Levenshtein over a bounded 400-char prefix
+    * verifies (edit distance ≤ 20% of the longer prefix).
+    *
+    * Cost control, in order: (1) candidates must share a 16-bit
+    * simhash bucket (similar docs collide — that is simhash's point);
+    * (2) the LENGTH filter |n1−n2| ≤ τ·max — a necessary condition of
+    * the edit bound (|Δlen| ≤ edit distance), pure pruning before any
+    * DP; (3) the O(len²) Levenshtein runs on a fixed 400-char prefix,
+    * so per-pair cost is bounded by construction no matter how long
+    * documents get. The simhash+prefix table is localCheckpoint'ed once
+    * for both pair-join sides. Hot buckets are inherent to simhash on
+    * templated corpora — at 100 TB the cells stay bounded because the
+    * candidate count tracks TRUE near-dup density (the LSH property
+    * ScalingSpec measures), not corpus size². */
+  def dedupEditNear(spark: SparkSession, dir: String): DataFrame = {
+    val hexVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
+    val votes = (0 until 16).map(b =>
+      sum(expr(s"(shiftright(v, $b) & 1) * 2 - 1")).as(s"s$b"))
+    val simhash = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    val docs = Tables(spark, dir).documents
+    val sh = docs
+      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("t"))
+      .withColumn("v", expr(hexVal))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
+    val d = sh
+      .join(docs.select(col("doc_id"), expr("substr(text, 1, 400)").as("p")), "doc_id")
+      .select(col("doc_id"), col("simhash"), col("p"), length(col("p")).as("n"))
+      .localCheckpoint()
+    val a = d.select(col("doc_id").as("id1"), col("simhash"),
+      col("p").as("p1"), col("n").as("n1"))
+    val b = d.select(col("doc_id").as("id2"), col("simhash"),
+      col("p").as("p2"), col("n").as("n2"))
+    val par = spark.sparkContext.defaultParallelism
+    a.join(b, Seq("simhash"))
+      .filter(col("id1") < col("id2"))
+      // thr = 20% of the longer prefix in INTEGER division (Spark CAST
+      // double→int truncates but DuckDB CAST rounds — floor-div on
+      // ints is the only cast-free cross-engine threshold)
+      .withColumn("thr", expr("greatest(n1, n2) div 5"))
+      .filter(expr("abs(n1 - n2) <= thr"))
+      // The pair JOIN is keyed on simhash, so every pair of a hot
+      // bucket (templated corpora make hot buckets — 478 members in
+      // one bucket at sf0.1) lands in ONE task; the O(len²) DP below
+      // must not inherit that skew. Spread pairs uniformly by pair id
+      // BEFORE computing distances — candidate generation is cheap,
+      // the DP is the cost.
+      .repartition(par * 4, col("id1"), col("id2"))
+      .localCheckpoint()
+      // Banded DP: the 3-arg levenshtein aborts a row once distance
+      // exceeds thr and returns -1 — O(len·thr) instead of O(len²),
+      // and the surviving distances are exact (identical to DuckDB's
+      // full DP in the oracle). The -1 sentinel must be filtered
+      // explicitly (it would pass a plain <= thr test).
+      .select(col("id1"), col("id2"),
+        expr("levenshtein(p1, p2, thr)").as("edit_dist"), col("thr"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= col("thr"))
+      .select("id1", "id2", "edit_dist")
+      .orderBy("id1", "id2")
+  }
+
   /** Embedding-cosine near-dup pairs with IVF multi-probe blocking (see
     * SimilarityOps.ivfCells): candidates must share one of their top-P
     * anchor cells (~94% pair recall at τ=0.4 on the test corpus — vs
@@ -415,7 +481,34 @@ object DedupOps {
        |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  private def editNearSql: String = {
+    val hexVal = (1 to 4)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+    val votes = (0 until 16)
+      .map(b => s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val simhash = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents),
+       |hv AS (SELECT doc_id, $hexVal AS v FROM tok),
+       |bits AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits),
+       |dd AS (SELECT sh.doc_id, simhash, substr(text, 1, 400) AS p,
+       |       length(substr(text, 1, 400)) AS n
+       |       FROM sh JOIN documents USING (doc_id))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+       |FROM dd a JOIN dd b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+       |WHERE abs(a.n - b.n) <= greatest(a.n, b.n) // 5
+       |  AND levenshtein(a.p, b.p) <= greatest(a.n, b.n) // 5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_edit_near" -> editNearSql,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
@@ -513,6 +606,7 @@ object DedupOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_edit_near" -> (dedupEditNear(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),

@@ -763,6 +763,22 @@ object Relational {
         min_by(col("c_custkey"), col("bal_key")).as("bottom_custkey"))
       .orderBy("c_nationkey")
 
+  /** Mode (most frequent value) per group — the remaining classic
+    * aggregate surface next to argmax: per nation, the modal market
+    * segment among its customers. Count-then-rank: the rank window
+    * runs over group×domain counts (bounded), with the value itself as
+    * the deterministic tiebreak. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).customer
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("n"), col("c_mktsegment"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"), col("n"))
+      .orderBy("c_nationkey")
+  }
+
   /** TPC-H Q13 shape (customer distribution): orders-per-customer
     * histogram INCLUDING zero-order customers — the left outer join +
     * two-level aggregation (per-customer count, then count of counts).
@@ -975,6 +991,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         | md5(CAST(o_orderkey AS VARCHAR)) AS skey
         |FROM orders ORDER BY skey LIMIT 100""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |           FROM customer GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment) AS rn
+        |      FROM c)
+        |SELECT c_nationkey, c_mktsegment AS mode_segment, n
+        |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     "agg_argmax" ->
       """WITH k AS (SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey AS bal_key
@@ -1318,5 +1342,6 @@ object Relational {
     "qc_checks" -> (qcChecks(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
+    "agg_mode" -> (aggMode(_, _)),
   )
 }
