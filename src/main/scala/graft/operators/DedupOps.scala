@@ -226,6 +226,30 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental (delta) dedup — the PRODUCTION dedup shape: you never
+    * re-dedup the 100 TB corpus, you dedup the day's increment against
+    * it. "Existing" corpus = source src0 (standing in for the persisted
+    * fingerprint index); "new batch" = everything else. A new doc
+    * survives if its fingerprint appears nowhere in the existing index
+    * (left-anti against the DISTINCT existing hashes — never a
+    * new×existing row join) and it is the canonical (min-id) copy
+    * within its batch fingerprint group.
+    *
+    * At scale the existing side is a bucketed-by-hash catalog table
+    * (sources.Formats.writeBucketed posture), so the anti-join
+    * co-locates with zero exchange on the index side and the daily
+    * cost is O(increment), independent of corpus size. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val existing = docs.filter(col("source") === "src0").select("h").distinct()
+    docs.filter(col("source") =!= "src0")
+      .join(existing, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+      .orderBy("h")
+  }
+
   /** Edit-distance (fuzzy) near-dup pairs — the dedup family between
     * exact-hash and token-set similarity: SimHash buckets propose
     * candidates, exact Levenshtein over a bounded 400-char prefix
@@ -508,6 +532,13 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |ex AS (SELECT DISTINCT h FROM d WHERE source = 'src0')
+        |SELECT h, min(doc_id) AS keep_id, count(*) AS n_batch_copies
+        |FROM d WHERE source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = d.h)
+        |GROUP BY h ORDER BY h""".stripMargin,
     "dedup_edit_near" -> editNearSql,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -607,6 +638,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_edit_near" -> (dedupEditNear(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),

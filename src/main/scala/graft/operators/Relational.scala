@@ -322,6 +322,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(centsSum("o_totalprice") / 100, 3).as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** CUBE grouping sets (all 4 subsets of the two keys, vs rollup's
+    * prefix chain): customer counts and exact-cents balance by
+    * nation × segment with both margins and the grand total. Same
+    * null-ordering pin as q15_rollup. Spark plans one Expand (×4) +
+    * one partial-aggregated shuffle — the subtotal rows cost one extra
+    * pass over the expanded rows, never extra scans. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .cube("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(centsSum("c_acctbal") / 100, 3).as("total_bal"))
+      .orderBy(col("c_nationkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+
   /** Pivot: order counts per status × priority (fixed value list, so the
     * output schema is static and oracle-mirrorable as conditional
     * aggregation). */
@@ -1137,6 +1150,11 @@ object Relational {
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_cube" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_cust,
+        | round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total_bal
+        |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "q15_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total
@@ -1318,6 +1336,7 @@ object Relational {
     "q17_corr_subquery" -> (q17CorrSubquery(_, _)),
     "agg_percentiles" -> (aggPercentiles(_, _)),
     "q15_rollup" -> (q15Rollup(_, _)),
+    "q28_cube" -> (q28Cube(_, _)),
     "q16_pivot" -> (q16Pivot(_, _)),
     "dedup_keep_best" -> (dedupKeepBest(_, _)),
     "q18_big_spenders" -> (q18BigSpenders(_, _)),
