@@ -6,7 +6,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{ImageMeta, MinhashBands, ShingleHashes, WinnowFps}
+import graft.functions.{AudioMeta, ImageMeta, MinhashBands, ShingleHashes, VideoMeta, WinnowFps}
 
 /** Property-based checks of the native expressions' JVM helpers —
   * pure-function properties that don't need a SparkSession, so they
@@ -34,6 +34,37 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       "GIF89a".getBytes.take(6),
       Array.emptyByteArray)
     evil.foreach(b => ImageMeta.parse(b))
+  }
+
+  test("AudioMeta/VideoMeta.parse never throw on arbitrary bytes (fuzz)") {
+    val arbitrary = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    forAllSeeded(arbitrary) { bytes =>
+      AudioMeta.parse(bytes); VideoMeta.parse(bytes)
+    }
+    // Magic-prefixed garbage enters the chunk/box walkers with random
+    // sizes — the adversarial path for the offset arithmetic.
+    val magics = Seq(
+      "RIFF".getBytes, "RIFFxxxxWAVE".getBytes, "RIFFxxxxAVI ".getBytes,
+      "fLaC".getBytes, Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes)
+    forAllSeeded(arbitrary, 100) { tail =>
+      magics.foreach { m =>
+        AudioMeta.parse(m ++ tail); VideoMeta.parse(m ++ tail)
+      }
+    }
+    // walker edges: size=0 (to-end), size=1 (largesize), truncated
+    // largesize, LIST loop with zero-size chunks
+    val evil = Seq(
+      Array[Byte](0, 0, 0, 0) ++ "ftypisom".getBytes,
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+        Array[Byte](0, 0, 0, 1) ++ "moov".getBytes, // largesize missing
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+        Array[Byte](0, 0, 0, 1) ++ "moov".getBytes ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0),        // largesize 0 (< 8)
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes ++
+        "LIST".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "xxxx".getBytes,
+      "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ "WAVE".getBytes,
+      Array.emptyByteArray)
+    evil.foreach { b => AudioMeta.parse(b); VideoMeta.parse(b) }
   }
 
   test("ShingleHashes equals a straightforward reference implementation") {
