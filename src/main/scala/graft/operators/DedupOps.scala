@@ -266,7 +266,10 @@ object DedupOps {
     * templated corpora — at 100 TB the cells stay bounded because the
     * candidate count tracks TRUE near-dup density (the LSH property
     * ScalingSpec measures), not corpus size². */
-  def dedupEditNear(spark: SparkSession, dir: String): DataFrame = {
+  /** Candidate stage of [[dedupEditNear]] (exposed for ScalingSpec's
+    * prune-fraction evidence): simhash-bucket pairs surviving the
+    * length prefilter, spread by pair id, with `thr` attached. */
+  private[graft] def editNearCandidates(spark: SparkSession, dir: String): DataFrame = {
     val hexVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
     val votes = (0 until 16).map(b =>
       sum(expr(s"(shiftright(v, $b) & 1) * 2 - 1")).as(s"s$b"))
@@ -304,6 +307,10 @@ object DedupOps {
       // the DP is the cost.
       .repartition(par * 4, col("id1"), col("id2"))
       .localCheckpoint()
+  }
+
+  def dedupEditNear(spark: SparkSession, dir: String): DataFrame = {
+    editNearCandidates(spark, dir)
       // Banded DP: the 3-arg levenshtein aborts a row once distance
       // exceeds thr and returns -1 — O(len·thr) instead of O(len²),
       // and the surviving distances are exact (identical to DuckDB's

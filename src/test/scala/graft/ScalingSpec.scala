@@ -62,4 +62,19 @@ class ScalingSpec extends AnyFunSuite {
     assert(f2 <= f1 * 1.5,
       "candidate fraction grew materially with corpus size — blocking not holding")
   }
+
+  test("SimHash bucket blocking (edit-near): candidate fraction of the pair space does not grow") {
+    def fraction(dir: String): (Long, Double) = {
+      val n = Tables(spark, dir).documents.count()
+      val cand = DedupOps.editNearCandidates(spark, dir).count()
+      (n, cand.toDouble / (n.toDouble * (n - 1) / 2))
+    }
+    val (n1, f1) = fraction(small)
+    val (n2, f2) = fraction(large)
+    info(f"edit-near candidates: n=$n1 -> ${f1 * 100}%.2f%%, n=$n2 -> ${f2 * 100}%.2f%% of all pairs")
+    assert(f1 <= 0.05 && f2 <= 0.05,
+      f"simhash candidates exceed 5%% of the pair space (${f1 * 100}%.2f%% / ${f2 * 100}%.2f%%)")
+    assert(f2 <= f1 * 1.5,
+      "candidate fraction grew materially with corpus size — bucket blocking not holding")
+  }
 }
