@@ -68,12 +68,28 @@ object RedmapOps {
     /** Fixed-size deterministic sample — the reservoir-sampling slot in
       * a MapReduce surface, made reproducible: the k rows minimizing
       * md5 of the extracted key (same contract as the oracle-gated
-      * mr_reservoir query). Same physical shape as topOp. */
+      * mr_reservoir query). Hashing runs per partition with ONE reused
+      * digest instance (MessageDigest.digest resets after each call) —
+      * a per-row getInstance + per-byte format would dominate the
+      * sampling cost; the k-row cut is topOp's TakeOrderedAndProject. */
     def reservoirOp(k: Int)(key: T => String): Seq[T] = {
-      import java.security.MessageDigest
-      def h(s: String): String = MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      topOp(k)(t => h(key(t)))(Encoders.STRING)
+      import ds.sparkSession.implicits._
+      val hexDigits = "0123456789abcdef".toCharArray
+      ds.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { t =>
+          val d = md.digest(key(t).getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          d.foreach { x =>
+            sb.append(hexDigits((x >> 4) & 0xf)); sb.append(hexDigits(x & 0xf))
+          }
+          (sb.toString, t)
+        }
+      }(Encoders.tuple(Encoders.STRING, ds.encoder))
+        .orderBy($"_1")
+        .limit(k)
+        .map(_._2)(ds.encoder)
+        .collect().toSeq
     }
   }
 
@@ -101,16 +117,28 @@ object RedmapOps {
 
     /** Hadoop-style secondary sort: per key, the first n values by a
       * secondary ordering (the composite-key partition+sort idiom).
-      * Declarative twin of the oracle-gated mr_secondary_sort query:
-      * per-key state is O(n) (the groupByKey sees each key's values
-      * streamed; the take(n) cut happens after an in-memory sort of
-      * that key's values — callers with huge single keys should prefer
-      * the Window/rank formulation, which plans a WindowGroupLimit). */
-    def secondarySortOp[S: Ordering](n: Int)(orderKey: V => S)(implicit
-        ke: Encoder[K], kvse: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+      * Declarative twin of the oracle-gated mr_secondary_sort query.
+      * Per-key state is genuinely O(n): the key's values STREAM through
+      * a bounded insertion buffer (ties keep encounter order, matching
+      * a stable sort), so a key with millions of values never
+      * materializes more than n of them. */
+    def secondarySortOp[S](n: Int)(orderKey: V => S)(implicit
+        ord: Ordering[S], ke: Encoder[K],
+        kvse: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
       ds.groupByKey(_._1)
         .mapGroups { (k, it) =>
-          (k, it.map(_._2).toSeq.sortBy(orderKey).take(n))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(S, V)]
+          it.foreach { kv =>
+            val s = orderKey(kv._2)
+            if (buf.length < n || ord.lt(s, buf.last._1)) {
+              // first STRICTLY greater position → stable for ties
+              var pos = buf.indexWhere(x => ord.gt(x._1, s))
+              if (pos < 0) pos = buf.length
+              buf.insert(pos, (s, kv._2))
+              if (buf.length > n) buf.remove(n)
+            }
+          }
+          (k, buf.map(_._2).toSeq)
         }
 
     /** redmap `CoGroup`: for every key present in EITHER side, hand the

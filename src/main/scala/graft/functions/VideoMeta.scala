@@ -92,12 +92,20 @@ object VideoMeta {
     -1
   }
 
-  /** Payload bounds (lo, hi) of the box at `at` (after its header). */
+  /** Payload bounds (lo, hi) of the box at `at` (after its header).
+    * Every arm clamps to [at, hi] so a truncated or lying size can
+    * never yield bounds outside the buffer or an inverted range —
+    * callers get an empty payload instead of a crash. */
   private def boxPayload(b: Array[Byte], at: Int, hi: Int): (Int, Int) = {
     val size = be32(b, at)
-    if (size == 1L) (at + 16, math.min(hi, at + be64(b, at + 8).toInt))
-    else if (size == 0L) (at + 8, hi)
-    else (at + 8, math.min(hi, at + size.toInt))
+    val (lo, end) =
+      if (size == 1L) {
+        if (at + 16 > hi) (hi, hi.toLong) // largesize itself truncated
+        else (at + 16, at + math.min(be64(b, at + 8), (hi - at).toLong))
+      }
+      else if (size == 0L) (at + 8, hi.toLong)
+      else (at + 8, at + math.min(size, (hi - at).toLong))
+    (math.min(lo, hi), math.max(math.min(end.toInt, hi), math.min(lo, hi)))
   }
 
   /** Returns null for payloads that are not recognized video. */
@@ -111,8 +119,12 @@ object VideoMeta {
       if (moovAt < 0) return null
       val (mlo, mhi) = boxPayload(b, moovAt, b.length)
       val mvhdAt = findBox(b, mlo, mhi, "mvhd")
-      if (mvhdAt < 0) return null
+      // findBox matches on the type tag BEFORE validating the box's
+      // own size, so every field read below re-checks the buffer bound
+      // (a truncated mvhd/tkhd must yield null, not an AIOOBE).
+      if (mvhdAt < 0 || mvhdAt + 9 > mhi) return null
       val v = b(mvhdAt + 8) & 0xff
+      if ((if (v == 1) mvhdAt + 40 else mvhdAt + 28) > mhi) return null
       val (timescale, duration) =
         if (v == 1) (be32(b, mvhdAt + 28), be64(b, mvhdAt + 32))
         else (be32(b, mvhdAt + 20), be32(b, mvhdAt + 24))
@@ -123,7 +135,7 @@ object VideoMeta {
       while (trakAt >= 0 && w == 0) {
         val (tlo, thi) = boxPayload(b, trakAt, mhi)
         val tkhdAt = findBox(b, tlo, thi, "tkhd")
-        if (tkhdAt >= 0) {
+        if (tkhdAt >= 0 && tkhdAt + 9 <= thi) {
           // width/height sit after version/flags(4) + times(8|16) +
           // track_id(4) + reserved(4) + duration(4|8) + reserved(8) +
           // layer/alt/volume/reserved(8) + matrix(36) = 76 (v0) / 88 (v1)
@@ -134,7 +146,9 @@ object VideoMeta {
             h = (be32(b, base + 4) >> 16).toInt
           }
         }
-        trakAt = findBox(b, thi, mhi, "trak")
+        // strict progress: a lying largesize can make thi <= trakAt,
+        // which would re-find the same trak forever
+        trakAt = findBox(b, math.max(thi, trakAt + 8), mhi, "trak")
       }
       return row("mp4", brand, w, h, duration * 1000L / timescale)
     }

@@ -209,7 +209,12 @@ object DedupOps {
     * hex chars — identical integers, so parity holds); bit votes are
     * branch-free arithmetic instead of CASE chains.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) for every document — the ONE Spark-side
+    * definition of the 16-bit simhash scheme (md5-nibble token values,
+    * ±1 bit votes, sign reassembly), shared by [[dedupSimhash]] and
+    * [[editNearCandidates]] so the scheme can never drift between its
+    * consumers. Mirrored 1:1 by [[simhashCte]] on the oracle side. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
     val hexVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
     val votes = (0 until 16).map(b =>
       sum(expr(s"(shiftright(v, $b) & 1) * 2 - 1")).as(s"s$b"))
@@ -223,8 +228,10 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashDf(spark, dir).orderBy("doc_id")
 
   /** Incremental (delta) dedup — the PRODUCTION dedup shape: you never
     * re-dedup the 100 TB corpus, you dedup the day's increment against
@@ -270,20 +277,8 @@ object DedupOps {
     * prune-fraction evidence): simhash-bucket pairs surviving the
     * length prefilter, spread by pair id, with `thr` attached. */
   private[graft] def editNearCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val hexVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT)"
-    val votes = (0 until 16).map(b =>
-      sum(expr(s"(shiftright(v, $b) & 1) * 2 - 1")).as(s"s$b"))
-    val simhash = (0 until 16)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
-      .mkString(" + ")
     val docs = Tables(spark, dir).documents
-    val sh = docs
-      .select(col("doc_id"), explode(expr(s"array_distinct($tokensExpr)")).as("t"))
-      .withColumn("v", expr(hexVal))
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-    val d = sh
+    val d = simhashDf(spark, dir)
       .join(docs.select(col("doc_id"), expr("substr(text, 1, 400)").as("p")), "doc_id")
       .select(col("doc_id"), col("simhash"), col("p"), length(col("p")).as("n"))
       .localCheckpoint()
@@ -491,7 +486,11 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private def simhashSql: String = {
+  /** The ONE oracle-side definition of the 16-bit simhash scheme — a
+    * CTE chain ending in `sh(doc_id, simhash)`, mirrored 1:1 by the
+    * Spark-side [[simhashDf]]. Shared by the dedup_simhash and
+    * dedup_edit_near oracles so the scheme can never drift. */
+  private def simhashCte: String = {
     val hexVal = (1 to 4)
       .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
       .mkString(" + ")
@@ -501,32 +500,23 @@ object DedupOps {
     val simhash = (0 until 16)
       .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents),
        |hv AS (
        |  SELECT doc_id, $hexVal AS v FROM tok),
        |bits AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM hv GROUP BY doc_id)
-       |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+       |  FROM hv GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
-  private def editNearSql: String = {
-    val hexVal = (1 to 4)
-      .map(i => s"(strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString(" + ")
-    val votes = (0 until 16)
-      .map(b => s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-      .mkString(",\n    ")
-    val simhash = (0 until 16)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct($tokensSql)) AS t FROM documents),
-       |hv AS (SELECT doc_id, $hexVal AS v FROM tok),
-       |bits AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id),
-       |sh AS (SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM bits),
+  private def simhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  private def editNearSql: String =
+    s"""WITH $simhashCte,
        |dd AS (SELECT sh.doc_id, simhash, substr(text, 1, 400) AS p,
        |       length(substr(text, 1, 400)) AS n
        |       FROM sh JOIN documents USING (doc_id))
@@ -536,7 +526,6 @@ object DedupOps {
        |WHERE abs(a.n - b.n) <= greatest(a.n, b.n) // 5
        |  AND levenshtein(a.p, b.p) <= greatest(a.n, b.n) // 5
        |ORDER BY id1, id2""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" ->

@@ -103,15 +103,8 @@ object GraphOps {
     * join (e1.b = e2.b2) never pairs a hub's full degree against
     * itself in both directions. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val edges = a.join(b, Seq("l_orderkey"))
-      .filter(col("p1") < col("p2"))
-      .groupBy("p1", "p2")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
       .select("p1", "p2")
       .localCheckpoint()
     val tri = edges.select(col("p1").as("a"), col("p2").as("b"))

@@ -679,7 +679,11 @@ object Relational {
     * small constant × lineitem, never n². The p1 < p2 guard halves it
     * and canonicalizes pair identity; top-20 is TakeOrderedAndProject
     * over the aggregated pairs. */
-  def q26BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Co-purchase pair counts (p1 < p2, n_orders) — the shared
+    * derivation behind [[q26BasketPairs]] and GraphOps.graphTriangles'
+    * edge list: ONE definition so a change (null guard, threshold)
+    * can never diverge the two consumers. */
+  private[operators] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables(spark, dir).lineitem
       .select("l_orderkey", "l_partkey").distinct()
     val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
@@ -688,9 +692,12 @@ object Relational {
       .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def q26BasketPairs(spark: SparkSession, dir: String): DataFrame =
+    coPurchasePairCounts(spark, dir)
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
-  }
 
   /** Classic MapReduce secondary sort: per key (user), values ordered
     * by a secondary key (ts) — here the first 3 event ids per user.

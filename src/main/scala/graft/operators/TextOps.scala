@@ -499,7 +499,8 @@ object TextOps {
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          |ch AS (
          |  SELECT doc_id, array_to_string(ts[i*10+1 : i*10+10], ' ') AS chunk
-         |  FROM toks, (SELECT unnest(range(0, 1000)) AS i)
+         |  FROM toks, (SELECT unnest(range(0,
+         |         (SELECT (max(len(ts)) + 9) // 10 FROM toks))) AS i)
          |  WHERE i * 10 < len(ts)),
          |f AS (SELECT doc_id, chunk FROM ch WHERE length(chunk) >= 30)
          |SELECT md5(chunk) AS chunk_hash,

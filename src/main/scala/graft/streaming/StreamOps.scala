@@ -145,9 +145,6 @@ object StreamOps {
       }
   }
 
-  /** Per-group KMV sketch state: the K smallest distinct hashes. */
-  final case class KmvStreamState(hs: Seq[Long])
-
   /** Streaming KMV — the streaming twin of the batch agg_kmv_distinct
     * (completing the sketch pair next to [[hllDistinctStream]]): the
     * k-minimum-values set of a fixed hash is, like HLL's register max,
@@ -156,20 +153,21 @@ object StreamOps {
     * and the result is independent of how the stream was micro-batched.
     * State is K longs per group FOREVER on an unbounded stream.
     *
-    * Reduce and estimate are THE SAME CODE as the batch Aggregator
-    * (graft.functions.KmvDistinct.reduce/finish), so StreamingSpec can
-    * assert exact equality with the batch oracle-gated estimate —
-    * parity by construction, not by re-implementation. */
+    * Reduce, estimate, AND the state type are the batch Aggregator's
+    * own (graft.functions.KmvDistinct / KmvState — one definition of
+    * "KMV sketch state" in the codebase), so StreamingSpec can assert
+    * exact equality with the batch oracle-gated estimate — parity by
+    * construction, not by re-implementation. */
   def kmvDistinctStream(rows: Dataset[KeyedHash]): Dataset[GroupDistinct] = {
     import rows.sparkSession.implicits._
     import graft.functions.{KmvDistinct, KmvState}
     rows
       .groupByKey(_.group)
-      .mapGroupsWithState[KmvStreamState, GroupDistinct] {
-        (g: String, it: Iterator[KeyedHash], state: GroupState[KmvStreamState]) =>
-          var s = KmvState(state.getOption.map(_.hs).getOrElse(Vector.empty))
+      .mapGroupsWithState[KmvState, GroupDistinct] {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[KmvState]) =>
+          var s = state.getOption.getOrElse(KmvDistinct.zero)
           it.foreach(r => s = KmvDistinct.reduce(s, r.h))
-          state.update(KmvStreamState(s.hs))
+          state.update(s)
           GroupDistinct(g,
             BigDecimal(KmvDistinct.finish(s))
               .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,

@@ -65,6 +65,29 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ "WAVE".getBytes,
       Array.emptyByteArray)
     evil.foreach { b => AudioMeta.parse(b); VideoMeta.parse(b) }
+    // review repro 1: truncated mvhd — tag matches, fields out of bounds
+    val truncMvhd = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+      Array[Byte](0, 0, 0, 4) ++ Array[Byte](0, 0, 0, 16) ++ "moov".getBytes ++
+      Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes
+    assert(VideoMeta.parse(truncMvhd) == null)
+    // review repro 2: trak with largesize 2^32 (thi <= trakAt) must
+    // terminate, not loop forever re-finding the same trak
+    val mvhdOk = {
+      val bb = java.nio.ByteBuffer.allocate(108)
+      bb.putInt(108).put("mvhd".getBytes).putInt(0).putInt(0).putInt(0)
+        .putInt(600).putInt(60000)
+      bb.array()
+    }
+    val loopTrak = {
+      val moovPayload = mvhdOk ++
+        Array[Byte](0, 0, 0, 1) ++ "trak".getBytes ++
+        Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) // largesize 2^32: .toInt == 0
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + moovPayload.length)
+      bb.putInt(16).put("ftypisom".getBytes).putInt(0)
+      bb.putInt(8 + moovPayload.length).put("moov".getBytes).put(moovPayload)
+      bb.array()
+    }
+    VideoMeta.parse(loopTrak) // terminates; w/h stay 0, duration parses
   }
 
   test("ShingleHashes equals a straightforward reference implementation") {
