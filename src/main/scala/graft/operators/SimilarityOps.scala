@@ -331,6 +331,64 @@ object SimilarityOps {
       .orderBy("label", "cos_c", "vec_id")
   }
 
+  /** ANN recall evaluation AS A QUERY (the eval harness next to
+    * IvfSpec's in-test recall measurement): for a 20-vector query
+    * sample, recall@5 of the IVF probe against brute-force cosine
+    * top-5. This is the operator a pipeline runs after (re)building an
+    * index — recall dropping below target is the signal to raise K/P
+    * or re-train anchors.
+    *
+    * Determinism: ranks order by (round(cos, 4) DESC, vec_id) in both
+    * engines — the rounded cosine is bit-identical cross-engine, the
+    * id tiebreak kills the rest. Scale: the exact side is 20·n cosines
+    * (a bounded SAMPLE of queries, map-side over a 20-row broadcast),
+    * the ANN side rides the checkpointed cells; both top-5 cuts are
+    * WindowGroupLimits. */
+  def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def top5(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
+      cand
+        .withColumn("c", round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "vec_id")
+    }
+    val exact = top5(emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid")))
+    val cells = ivfCells(spark, dir).localCheckpoint()
+    val qcells = cells.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("aid"))
+    val cand = cells.join(qcells, Seq("aid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "qid")
+    val ann = top5(cand)
+    val hits = exact.join(ann, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / 5.0)
+      .orderBy("qid")
+  }
+
+  /** Per-dimension embedding statistics (mean + sample variance): the
+    * collapse/anisotropy health check run before trusting an embedding
+    * drop — a dimension with ~0 variance is dead, one with an outsized
+    * mean dominates cosines. Same posexplode partial-agg shape as
+    * [[embCentroids]]: one shuffle on 64 keys, output 64 rows. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        (round(avg("v"), 4) + lit(0.0)).as("mean_v"),
+        (round(var_samp("v"), 4) + lit(0.0)).as("var_v"))
+      .orderBy("dim")
+
   /** How many buckets the persisted IVF index uses (small here; at scale
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
@@ -776,6 +834,38 @@ object SimilarityOps {
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
+    "sim_recall_eval" ->
+      s"""WITH $ivfCellsSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |exall AS (
+         |  SELECT q.qid, e.vec_id, round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM exall) WHERE rn <= 5),
+         |cq AS (SELECT vec_id AS qid, aid FROM cells WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT cq.qid, c2.vec_id FROM cq JOIN cells c2 USING (aid)
+         |  WHERE c2.vec_id <> cq.qid),
+         |annall AS (
+         |  SELECT cand.qid, cand.vec_id, round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+         |  JOIN q ON cand.qid = q.qid),
+         |ann AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM annall) WHERE rn <= 5),
+         |h AS (SELECT ex.qid, count(*) AS n_hits
+         |      FROM ex JOIN ann ON ex.qid = ann.qid AND ex.vec_id = ann.vec_id
+         |      GROUP BY 1)
+         |SELECT q.qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
+    "emb_dim_stats" ->
+      """SELECT CAST(t.dim AS INTEGER) AS dim,
+        | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS mean_v,
+        | round(var_samp(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS var_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+        |GROUP BY t.dim ORDER BY dim""".stripMargin,
     "emb_outliers" ->
       s"""WITH c AS (
          |  SELECT label, t.dim AS dim,
@@ -799,7 +889,9 @@ object SimilarityOps {
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
+    "sim_recall_eval" -> (simRecallEval(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
+    "emb_dim_stats" -> (embDimStats(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_kmeans" -> (embKmeans(_, _)),
