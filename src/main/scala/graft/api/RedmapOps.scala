@@ -73,7 +73,6 @@ object RedmapOps {
       * a per-row getInstance + per-byte format would dominate the
       * sampling cost; the k-row cut is topOp's TakeOrderedAndProject. */
     def reservoirOp(k: Int)(key: T => String): Seq[T] = {
-      import ds.sparkSession.implicits._
       val hexDigits = "0123456789abcdef".toCharArray
       ds.mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -86,10 +85,8 @@ object RedmapOps {
           (sb.toString, t)
         }
       }(Encoders.tuple(Encoders.STRING, ds.encoder))
-        .orderBy($"_1")
-        .limit(k)
-        .map(_._2)(ds.encoder)
-        .collect().toSeq
+        .topOp(k)(_._1)(Encoders.STRING) // ONE definition of the k-min cut
+        .map(_._2)
     }
   }
 
@@ -130,7 +127,9 @@ object RedmapOps {
           val buf = scala.collection.mutable.ArrayBuffer.empty[(S, V)]
           it.foreach { kv =>
             val s = orderKey(kv._2)
-            if (buf.length < n || ord.lt(s, buf.last._1)) {
+            // n > 0 first: with n <= 0 the length test is always false
+            // and buf.last would throw on the empty buffer
+            if (n > 0 && (buf.length < n || ord.lt(s, buf.last._1))) {
               // first STRICTLY greater position → stable for ties
               var pos = buf.indexWhere(x => ord.gt(x._1, s))
               if (pos < 0) pos = buf.length

@@ -86,7 +86,10 @@ object VideoMeta {
         if (size == 1L) { if (i + 16 > hi) return -1; be64(b, i + 8) }
         else if (size == 0L) (hi - i).toLong
         else size
-      if (step < 8 || i + step > hi) return -1
+      // compare as `step > hi - i` (never `i + step > hi`): a crafted
+      // largesize near Long.MaxValue wraps i + step negative, which
+      // would pass the guard and cycle the walk forever
+      if (step < 8 || step > (hi - i).toLong) return -1
       i += step.toInt
     }
     -1
@@ -128,7 +131,10 @@ object VideoMeta {
       val (timescale, duration) =
         if (v == 1) (be32(b, mvhdAt + 28), be64(b, mvhdAt + 32))
         else (be32(b, mvhdAt + 20), be32(b, mvhdAt + 24))
-      if (timescale <= 0) return null
+      // duration*1000 below must not overflow: a crafted 64-bit
+      // duration would wrap duration_ms negative instead of nulling
+      if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L)
+        return null
       // walk traks for the first visual one (16.16 fixed-point dims)
       var w = 0; var h = 0
       var trakAt = findBox(b, mlo, mhi, "trak")
@@ -158,7 +164,6 @@ object VideoMeta {
       var i = 12
       while (i + 12 <= b.length) {
         val size = le32(b, i + 4)
-        if (size < 0 || size > Int.MaxValue - 8) return null
         if (tag(b, i, "LIST") && tag(b, i + 8, "hdrl")) {
           val a = i + 12
           if (!tag(b, a, "avih") || a + 8 + 40 > b.length) return null
@@ -166,9 +171,18 @@ object VideoMeta {
           val nFrames = le32(b, a + 8 + 16)
           val w = le32(b, a + 8 + 32).toInt
           val h = le32(b, a + 8 + 36).toInt
+          // both fields are attacker-controlled 32-bit values; their
+          // product can exceed Long.MaxValue and wrap duration_ms
+          // negative — null, don't emit garbage
+          if (usPerFrame > 0 && nFrames > Long.MaxValue / usPerFrame) return null
           return row("avi", "avi", w, h, nFrames * usPerFrame / 1000L)
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        // advance in Long: 12 + 8 + (Int.MaxValue-8) + pad wraps an Int
+        // index negative, which still satisfies the loop bound and then
+        // indexes the array below zero
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > b.length) return null
+        i = next.toInt
       }
     }
     null

@@ -88,6 +88,52 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       bb.array()
     }
     VideoMeta.parse(loopTrak) // terminates; w/h stay 0, duration parses
+    // overflow repros (second review pass):
+    // (a) largesize near Long.MaxValue: i + step wraps negative and the
+    //     old guard passed it — the walk cycled 0 <-> 16 forever
+    val hugeLargesize = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(16).put("ftypisom".getBytes).putInt(0)
+      bb.putInt(1).put("xxxx".getBytes).putLong(0x7FFFFFFFFFFFFFF0L)
+      bb.array()
+    }
+    assert(VideoMeta.parse(hugeLargesize) == null)
+    // (b) AVI chunk size near Int.MaxValue: the Int advance wrapped the
+    //     index negative and read the array below zero
+    val hugeAviChunk = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+      bb.put("JUNK".getBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 8)
+      bb.array()
+    }
+    assert(VideoMeta.parse(hugeAviChunk) == null)
+    // (c) v1 mvhd with a duration whose *1000 wraps negative -> null,
+    //     not a garbage duration_ms row
+    val hugeDuration = {
+      val mvhdV1 = java.nio.ByteBuffer.allocate(120)
+      mvhdV1.putInt(120).put("mvhd".getBytes).putInt(0x01000000)
+        .putLong(0).putLong(0).putInt(600).putLong(0x2000000000000000L)
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 120)
+      bb.putInt(16).put("ftypisom".getBytes).putInt(0)
+      bb.putInt(8 + 120).put("moov".getBytes).put(mvhdV1.array())
+      bb.array()
+    }
+    assert(VideoMeta.parse(hugeDuration) == null)
+    // (d) avih with both 32-bit duration factors maxed: product exceeds
+    //     Long.MaxValue -> null
+    val hugeAvih = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 12 + 8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+      bb.put("LIST".getBytes).putInt(4 + 8 + 56).put("hdrl".getBytes)
+      bb.put("avih".getBytes).putInt(56)
+      bb.putInt(-1).putInt(0).putInt(0).putInt(0) // usPerFrame = 2^32-1
+      bb.putInt(-1).putInt(0).putInt(0).putInt(0) // nFrames   = 2^32-1
+      bb.putInt(640).putInt(480)
+      bb.array()
+    }
+    assert(VideoMeta.parse(hugeAvih) == null)
   }
 
   test("ShingleHashes equals a straightforward reference implementation") {

@@ -57,6 +57,15 @@ class RedmapOpsSpec extends AnyFunSuite {
     assert(firsts == expected)
   }
 
+  test("secondarySortOp(0) yields empty value lists, not a crash") {
+    import spark.implicits._
+    val evs = Tables(spark, sf).events
+      .selectExpr("user_id", "unix_micros(ts) AS tus").as[(Long, Long)]
+      .map(e => (e._1, e._2))
+    val out = evs.secondarySortOp(0)(identity).collect()
+    assert(out.nonEmpty && out.forall(_._2.isEmpty))
+  }
+
   test("sortOp plans a range exchange (no single-partition sort)") {
     import spark.implicits._
     val ds = Tables(spark, sf).customer.select("c_custkey").as[Long].sortOp(identity)
