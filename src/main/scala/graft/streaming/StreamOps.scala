@@ -145,6 +145,53 @@ object StreamOps {
       }
   }
 
+  /** A keyed (id, value) row for the streaming top-k twin. */
+  final case class KeyedValue(group: String, id: Long, value: Double)
+
+  /** Bounded per-group top-k state: entries sorted by (value desc,
+    * id asc) — the same total order the batch rank window uses. */
+  final case class TopKState(ids: Seq[Long], values: Seq[Double])
+
+  /** Running per-group top-k membership (ids comma-joined in rank
+    * order — the same encoding the batch comparison derives). */
+  final case class GroupTopK(group: String, top_ids: String)
+
+  /** Streaming top-k per group — the last missing member of the
+    * streaming operator family (agg, dedup, joins, sessionize,
+    * sketches, and now rank): a bounded k-entry insertion buffer per
+    * group in mapGroupsWithState, exactly the batch
+    * TakeOrderedAndProject/WindowGroupLimit heap re-expressed as
+    * streaming state. State is O(k) per group FOREVER; replayed rows
+    * re-assert (the (value desc, id) order dedups re-insertions of an
+    * id already ranked — see the spec's replay batch). Ordering is the
+    * batch rank's total order, so StreamingSpec asserts exact equality
+    * with the batch window-rank result after any batch split. */
+  def topkStream(rows: Dataset[KeyedValue], k: Int): Dataset[GroupTopK] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[TopKState, GroupTopK] {
+        (g: String, it: Iterator[KeyedValue], state: GroupState[TopKState]) =>
+          val st = state.getOption.getOrElse(TopKState(Vector.empty, Vector.empty))
+          var es = st.ids.zip(st.values).map { case (i, v) => (v, i) }.toVector
+          it.foreach { r =>
+            if (!es.contains((r.value, r.id))) {
+              // first position where the existing entry ranks AFTER the
+              // new row under (value desc, id asc)
+              var pos = es.indexWhere(e => e._1 < r.value ||
+                (e._1 == r.value && e._2 > r.id))
+              if (pos < 0) pos = es.length
+              if (pos < k) {
+                es = (es.take(pos) :+ ((r.value, r.id))) ++ es.drop(pos)
+                if (es.length > k) es = es.take(k)
+              }
+            }
+          }
+          state.update(TopKState(es.map(_._2), es.map(_._1)))
+          GroupTopK(g, es.map(_._2).mkString(","))
+      }
+  }
+
   /** Streaming KMV — the streaming twin of the batch agg_kmv_distinct
     * (completing the sketch pair next to [[hllDistinctStream]]): the
     * k-minimum-values set of a fixed hash is, like HLL's register max,

@@ -89,6 +89,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming HLL diverged from batch: $streamed vs $batch")
   }
 
+  test("streaming top-k equals the batch rank after any batch split, with replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables(spark, sf).orders
+      .selectExpr("o_orderpriority", "o_orderkey", "o_totalprice")
+      .collect().map(r => StreamOps.KeyedValue(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val (a, rest) = rows.splitAt(rows.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[StreamOps.KeyedValue]
+    val q = StreamOps.topkStream(input.toDS(), 3)
+      .writeStream.format("memory").queryName("topk").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b ++ a.take(40)); q.processAllAvailable() // replay overlap
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      """SELECT group, top_ids FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY group ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM topk))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // batch: the same top-3 per priority via the rank window
+    val batch = Tables(spark, sf).orders.createOrReplaceTempView("orders_v")
+    val expected = spark.sql(
+      """SELECT o_orderpriority,
+        |  array_join(transform(array_sort(collect_list(struct(rn, o_orderkey))),
+        |             x -> CAST(x.o_orderkey AS STRING)), ',') AS top_ids
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders_v) WHERE rn <= 3
+        |GROUP BY o_orderpriority""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == expected,
+      s"streaming top-k diverged from batch: $streamed vs $expected")
+  }
+
   test("streaming KMV equals the batch agg_kmv_distinct after any batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
