@@ -153,6 +153,37 @@ object Formats {
     readJsonl(spark, path, customer.schema).orderBy("c_custkey")
   }
 
+  /** NESTED-schema JSON round-trip: events re-shaped into a nested
+    * document ({event_id, user:{id}, metrics:[{k,v}]}), written as
+    * JSON lines, read back with an EXPLICIT nested schema (structs +
+    * array of structs — never schema inference, which is a full extra
+    * pass at 100 TB and type-unstable), then flattened back to rows
+    * via dot-paths + explode. The oracle reads the ORIGINAL parquet,
+    * so the whole nest → serialize → parse → flatten cycle must be
+    * value-exact to hash-match — the semi-structured ingestion
+    * capability (API payloads, event logs) beyond the flat jsonl
+    * round-trip. */
+  def srcJsonNested(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = tmp("events_nested_json")
+    ev.select(to_json(struct(
+        col("event_id"),
+        struct(col("user_id").as("id"), col("event_type").as("kind")).as("user"),
+        array(struct(lit("value").as("k"), col("value").as("v"))).as("metrics")))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val schema = "event_id BIGINT, user STRUCT<id: BIGINT, kind: STRING>, " +
+      "metrics ARRAY<STRUCT<k: STRING, v: DOUBLE>>"
+    spark.read.schema(schema).json(path)
+      .select(col("event_id"), col("user.id").as("user_id"),
+        col("user.kind").as("event_type"), explode(col("metrics")).as("m"))
+      .filter(col("m.k") === "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("m.v"), 3).as("value"))
+      .orderBy("event_id")
+  }
+
   /** supplier → ORC → back. ORC is the other columnar format Spark
     * ships natively (predicate pushdown + column pruning like parquet);
     * the oracle reads the original parquet, so any type or encoding
@@ -214,6 +245,9 @@ object Formats {
         |  CAST(sum(length(t)) AS BIGINT) AS sum_chars,
         |  count(DISTINCT md5(t)) AS n_distinct
         |FROM (SELECT regexp_replace(text, '[\r\n]+', ' ', 'g') AS t FROM documents)""".stripMargin,
+    "src_json_nested" ->
+      """SELECT event_id, user_id, event_type, round(value, 3) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,5 +256,6 @@ object Formats {
     "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
     "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
     "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
+    "src_json_nested" -> (srcJsonNested(_, _)),
   )
 }
