@@ -86,10 +86,13 @@ object AudioMeta {
         } else if (tag(b, i, "data")) {
           dataBytes = size
         }
-        // chunk payloads are 2-byte aligned; a corrupt size overflows
-        // the scan and the while condition ends the walk
-        i += 8 + size.toInt + (size.toInt & 1)
-        if (size < 0 || size > Int.MaxValue) return null
+        // chunk payloads are 2-byte aligned; advance in LONG — a size
+        // just under Int.MaxValue would wrap an Int index negative,
+        // which still satisfies the loop bound and reads below the
+        // array (the VideoMeta AVI-walk overflow class)
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > b.length) i = b.length // truncated chunk: end walk
+        else i = next.toInt
       }
       if (ch <= 0 || sr <= 0 || bps <= 0 || blockAlign <= 0 || dataBytes < 0)
         return null

@@ -97,6 +97,9 @@ object ImageMeta {
         else {
           if (j + 3 > b.length) return null
           i = j + 1 + be16(b, j + 1)
+          // near-Int.MaxValue payloads: the advance can wrap negative,
+          // which still passes `i < b.length` and indexes below zero
+          if (i <= j) return null
         }
       }
       return null

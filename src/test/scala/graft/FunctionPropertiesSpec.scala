@@ -134,6 +134,16 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       bb.array()
     }
     assert(VideoMeta.parse(hugeAvih) == null)
+    // (e) WAV chunk size just below Int.MaxValue: the old Int advance
+    //     wrapped negative and read below the array (same class as b)
+    val hugeWavChunk = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      bb.put("JUNK".getBytes).putInt(Int.MaxValue - 16)
+      bb.array()
+    }
+    assert(AudioMeta.parse(hugeWavChunk) == null)
   }
 
   test("ShingleHashes equals a straightforward reference implementation") {
