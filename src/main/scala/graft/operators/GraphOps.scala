@@ -136,12 +136,14 @@ object GraphOps {
         |FROM vx GROUP BY 1
         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
     "graph_pagerank" -> {
+      // Scale is interpolated, never hard-coded: a precision bump to
+      // the Scala constant must not silently diverge the oracle.
       def iter(prev: String, cN: String, rN: String): String =
         s"""$cN AS (SELECT e.dst, sum($prev.r // od.outdeg) AS m
            |  FROM e JOIN od USING (src) JOIN $prev ON $prev.v = e.src
            |  GROUP BY e.dst),
            |$rN AS (SELECT v.v, v.n,
-           |    (1000000000000 * 15) // (100 * v.n)
+           |    ($Scale * 15) // (100 * v.n)
            |      + (coalesce($cN.m, 0) * 85) // 100 AS r
            |  FROM v LEFT JOIN $cN ON $cN.dst = v.v)""".stripMargin
       s"""WITH p AS (
@@ -154,7 +156,7 @@ object GraphOps {
          |       UNION ALL SELECT s_suppkey * 2 + 1 AS v FROM supplier),
          |nn AS (SELECT count(*) AS n FROM vi),
          |v AS (SELECT vi.v, nn.n FROM vi CROSS JOIN nn),
-         |r0 AS (SELECT v, n, 1000000000000 // n AS r FROM v),
+         |r0 AS (SELECT v, n, $Scale // n AS r FROM v),
          |${iter("r0", "c1", "r1")},
          |${iter("r1", "c2", "r2")},
          |${iter("r2", "c3", "r3")}

@@ -82,13 +82,20 @@ object SimilarityOps {
     * index-build time — paid once per corpus version. */
   case object KmeansAnchors extends AnchorSource
 
+  /** THE md5-ranked deterministic ordering (md5 of the id bytes, id
+    * tiebreak) behind every sampled anchor/seed in this file — one
+    * definition, because the oracle CTEs (ivfCellsSql, the emb_kmeans
+    * init) mirror this exact ordering and an edit to one copy would
+    * silently diverge the others. */
+  private def md5Ranked(emb: DataFrame): DataFrame =
+    emb.orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+
   /** Anchor set as ONE broadcastable row holding array<struct<aid,av>>
     * (sorted by aid so downstream expressions are deterministic). */
   private def anchorsArr(emb: DataFrame, k: Int, anchors: AnchorSource): DataFrame =
     (anchors match {
       case SampleAnchors =>
-        emb
-          .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        md5Ranked(emb)
           .limit(k)
           .select(col("vec_id").as("aid"), col("embedding").as("av"))
       case KmeansAnchors =>
@@ -393,10 +400,12 @@ object SimilarityOps {
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
 
-  /** (session identity, corpus dir) → index table name, so one session
-    * builds each corpus's IVF index at most once (ADVICE r3). */
-  private val ivfIndexCache =
-    scala.collection.mutable.Map.empty[(Int, String), String]
+  /** (session identity, corpus dir) pairs whose IVF index this JVM has
+    * already built, so one session builds each corpus's index at most
+    * once (ADVICE r3). A Set — the table name is recomputed
+    * deterministically from the same key, never looked up. */
+  private val ivfIndexBuilt =
+    scala.collection.mutable.Set.empty[(Int, String)]
 
   /** ANN over a PERSISTED IVF index — the index-at-rest posture for
     * repeated probes at 100 TB. [[ivfCells]] is materialized once as a
@@ -411,22 +420,31 @@ object SimilarityOps {
     * Result-identical to [[simAnnBucket]] (same oracle). */
   def simAnnIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    // Build-once semantics (ADVICE r3): the index table is keyed by the
-    // corpus dir (md5 suffix — concurrent queries over different dirs
-    // no longer race one table name) and memoized per session, so only
-    // the FIRST probe in a session pays the build+write; repeated
-    // probes skip straight to the bucket-pruned scan. The bench figure
-    // for sim_ann_indexed therefore includes one index build. A corpus
-    // rewritten in-place under the same dir within one session would
-    // need an explicit invalidation — not a shape this engine's
+    // Build-once semantics (ADVICE r3): the index table name carries
+    // the FULL corpus-dir md5 (an 8-char prefix risked two dirs
+    // silently sharing one table) AND the session identity (two
+    // sessions over the same dir each own a table — one session's
+    // Overwrite can no longer delete files under another's in-flight
+    // scan). Memoized per (session, dir) with a catalog existence
+    // check: identityHashCode reuse after a session is GC'd would
+    // otherwise false-hit on a table the new session never registered.
+    // Only the FIRST probe in a session pays the build+write; repeated
+    // probes skip straight to the bucket-pruned scan (the bench figure
+    // for sim_ann_indexed includes one build). A corpus rewritten
+    // in-place under the same dir within one session would need an
+    // explicit invalidation — not a shape this engine's
     // immutable-snapshot dirs produce.
-    val table = "graft_ivf_index_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    ivfIndexCache.synchronized {
-      if (!ivfIndexCache.contains((System.identityHashCode(spark), dir))) {
+    val sessionId = System.identityHashCode(spark)
+    val table = "graft_ivf_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_$sessionId"
+    ivfIndexBuilt.synchronized {
+      if (!ivfIndexBuilt.contains((sessionId, dir)) ||
+          !spark.catalog.tableExists(table)) {
         graft.sources.Formats.writeBucketed(
           ivfCells(spark, dir), table, "aid", IvfIndexBuckets)
-        ivfIndexCache((System.identityHashCode(spark), dir)) = table
+        ivfIndexBuilt += ((sessionId, dir))
       }
     }
     val idx = spark.table(table)
@@ -545,8 +563,7 @@ object SimilarityOps {
   private[graft] def kmeansLoop(emb: DataFrame, k: Int, maxIter: Int,
       initSnap: Option[Seq[(Long, Seq[Float])]] = None)
       : (DataFrame, DataFrame, Int) = {
-    val init = emb
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val init = md5Ranked(emb)
       .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
 
@@ -599,7 +616,9 @@ object SimilarityOps {
     while (!converged) {
       val nextSnap = fold(statsOf(snap).collect())
       iters += 1
-      converged = nextSnap == snap || iters == maxIter
+      // >= not ==: a non-positive maxIter must still terminate (a
+      // 2-cycling centroid set would otherwise loop the driver forever)
+      converged = nextSnap == snap || iters >= maxIter
       last = nextSnap
       if (!converged) snap = nextSnap
     }
@@ -654,8 +673,6 @@ object SimilarityOps {
     def distExpr(arrCol: String): String =
       s"""array_min(transform($arrCol,
          |  a -> CAST(2 AS DOUBLE) - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) - 1D))""".stripMargin
-    val fracExpr =
-      "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0"
     val session = emb.sparkSession
     def candArr(s: Seq[(Long, Seq[Float])]): DataFrame = {
       import session.implicits._
@@ -664,17 +681,29 @@ object SimilarityOps {
     }
 
     // Seed: the same deterministic first pick as the sample init.
-    var cand: Seq[(Long, Seq[Float])] = emb
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    var cand: Seq[(Long, Seq[Float])] = md5Ranked(emb)
       .limit(1).select(col("vec_id"), col("embedding"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
     for (_ <- 1 to rounds) {
+      // Distances quantize to exact 1e-6 integer units BEFORE the cost
+      // total: a double sum's value depends on partial-sum merge order,
+      // so a raw sum(d) threshold would flip picks whose md5-fraction
+      // sits within ulp noise of the cut — breaking the determinism
+      // contract across partitionings/cluster sizes. Integer sums are
+      // order-independent; the pick test then compares in DECIMAL
+      // (fracBits/2^32 < dInt·l/phiInt cross-multiplied) with no FP
+      // anywhere.
       val withDist = emb.crossJoin(broadcast(candArr(cand)))
-        .select(col("vec_id"), col("embedding"), expr(distExpr("arr")).as("d"))
-      val phi = withDist.agg(sum("d")).first().getDouble(0)
-      if (phi > 0) {
+        .select(col("vec_id"), col("embedding"),
+          expr(s"CAST(round((${distExpr("arr")}) * 1000000) AS BIGINT)").as("d_int"))
+      val phiInt = withDist.agg(coalesce(sum("d_int"), lit(0L)))
+        .first().getLong(0) // coalesce: an empty corpus sums to NULL
+      if (phiInt > 0) {
+        val fracBits =
+          "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
         val picked = withDist
-          .filter(expr(fracExpr) < col("d") * l / phi)
+          .filter(expr(s"CAST($fracBits AS DECIMAL(38,0)) * $phiInt < " +
+            s"CAST(d_int AS DECIMAL(38,0)) * $l * 4294967296"))
           .select(col("vec_id"), col("embedding"))
           .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
         val known = cand.map(_._1).toSet
