@@ -95,6 +95,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     println(line)
+    // Session-close cleanup: drop the session-keyed IVF index tables
+    // (catalog entries + files) this run registered — the accumulation
+    // guard ADVICE r4 asked for.
+    graft.operators.SimilarityOps.dropIvfIndexes(spark)
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }

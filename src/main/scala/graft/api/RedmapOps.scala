@@ -116,9 +116,17 @@ object RedmapOps {
       * secondary ordering (the composite-key partition+sort idiom).
       * Declarative twin of the oracle-gated mr_secondary_sort query.
       * Per-key state is genuinely O(n): the key's values STREAM through
-      * a bounded insertion buffer (ties keep encounter order, matching
-      * a stable sort), so a key with millions of values never
-      * materializes more than n of them. */
+      * a bounded insertion buffer, so a key with millions of values
+      * never materializes more than n of them.
+      *
+      * Determinism contract (ADVICE r4): `orderKey` must be a TOTAL
+      * (unique) order within each key — compose a tiebreak into it the
+      * way the oracle query orders by (ts, event_id). Ties keep
+      * encounter order (the buffer insert is stable), but "encounter
+      * order" is the post-shuffle iterator order, which Spark does NOT
+      * guarantee across runs/partitionings — so equal orderKeys make
+      * the surviving subset nondeterministic, exactly like a
+      * non-unique ORDER BY prefix with LIMIT in SQL. */
     def secondarySortOp[S](n: Int)(orderKey: V => S)(implicit
         ord: Ordering[S], ke: Encoder[K],
         kvse: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =

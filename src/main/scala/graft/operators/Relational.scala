@@ -734,10 +734,15 @@ object Relational {
   def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
     val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    // hi == lo guard (ADVICE r4): on a constant column the bucket
+    // expression divides by zero — Spark yields NULL (least(10, NULL)
+    // = 10) while DuckDB computes 0*10/0.0 = NaN and errors on the
+    // int cast. One bucket-1 branch in BOTH engines instead.
     o.crossJoin(broadcast(mm))
       .withColumn("bucket",
-        least(lit(10), (floor((col("o_totalprice") - col("lo")) * 10 /
-          (col("hi") - col("lo"))) + 1).cast("int")))
+        when(col("hi") === col("lo"), lit(1)).otherwise(
+          least(lit(10), (floor((col("o_totalprice") - col("lo")) * 10 /
+            (col("hi") - col("lo"))) + 1).cast("int"))))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min("o_totalprice").as("min_price"),
@@ -996,7 +1001,8 @@ object Relational {
         |FROM x WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        |SELECT least(10, CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS INT) + 1) AS bucket,
+        |SELECT CASE WHEN hi = lo THEN 1
+        |  ELSE least(10, CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS INT) + 1) END AS bucket,
         | count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS sum_price
         |FROM orders, mm

@@ -407,6 +407,32 @@ object SimilarityOps {
   private val ivfIndexBuilt =
     scala.collection.mutable.Set.empty[(Int, String)]
 
+  /** Deterministic index-table name for a (session, corpus dir) pair —
+    * the ONE definition [[simAnnIndexed]] and [[dropIvfIndexes]] share. */
+  private def ivfIndexTable(sessionId: Int, dir: String): String =
+    "graft_ivf_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_$sessionId"
+
+  /** Drop every IVF index table THIS session registered (catalog entry
+    * AND backing files) and clear its memo entries — the cleanup a
+    * long-lived application calls when it is done probing (ADVICE r4:
+    * index tables are keyed by session identity so concurrent sessions
+    * can't Overwrite under each other's scans, which means a fleet of
+    * short-lived sessions would otherwise accumulate one bucketed
+    * table per session in the warehouse). Bench calls this in its
+    * teardown; idempotent. */
+  def dropIvfIndexes(spark: SparkSession): Unit = {
+    val sessionId = System.identityHashCode(spark)
+    ivfIndexBuilt.synchronized {
+      ivfIndexBuilt.filter(_._1 == sessionId).toSeq.foreach { case (_, d) =>
+        graft.sources.Formats.dropBucketedTable(spark, ivfIndexTable(sessionId, d))
+        ivfIndexBuilt -= ((sessionId, d))
+      }
+    }
+  }
+
   /** ANN over a PERSISTED IVF index — the index-at-rest posture for
     * repeated probes at 100 TB. [[ivfCells]] is materialized once as a
     * catalog table bucketed by cell id; a probe then (1) looks up the
@@ -433,12 +459,12 @@ object SimilarityOps {
     // for sim_ann_indexed includes one build). A corpus rewritten
     // in-place under the same dir within one session would need an
     // explicit invalidation — not a shape this engine's
-    // immutable-snapshot dirs produce.
+    // immutable-snapshot dirs produce. Cleanup responsibility: the
+    // session-keyed name means every session over a corpus owns one
+    // table — call [[dropIvfIndexes]] on session close (Bench does) or
+    // the warehouse accumulates a table per session (ADVICE r4).
     val sessionId = System.identityHashCode(spark)
-    val table = "graft_ivf_index_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
-      s"_$sessionId"
+    val table = ivfIndexTable(sessionId, dir)
     ivfIndexBuilt.synchronized {
       if (!ivfIndexBuilt.contains((sessionId, dir)) ||
           !spark.catalog.tableExists(table)) {
@@ -612,7 +638,11 @@ object SimilarityOps {
         .sortBy(_._1))
     var last = snap
     var iters = 0
-    var converged = false
+    // Short-circuit BEFORE the loop for maxIter <= 0 (ADVICE r4): the
+    // in-loop cap guard only fires after an iteration completes, so a
+    // zero/negative cap would still pay one full assign/fold pass
+    // instead of returning the init snapshot untouched.
+    var converged = maxIter <= 0
     while (!converged) {
       val nextSnap = fold(statsOf(snap).collect())
       iters += 1

@@ -53,6 +53,22 @@ object Formats {
       .option("path", s"$tmpRoot/graft_bucketed/$table")
       .saveAsTable(table)
 
+  /** Drop a bucketed catalog table AND its backing files. Tables
+    * written by [[writeBucketed]] are EXTERNAL (they carry a `path`
+    * option), so a plain DROP TABLE unregisters the name but leaves the
+    * parquet behind — the file-accumulation half of the ADVICE r4
+    * session-index concern. Safe to call for a name that was never
+    * created. */
+  def dropBucketedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = java.nio.file.Paths.get(s"$tmpRoot/graft_bucketed/$table")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** Bucket count for the fact-table layout. Small here so sf0.001
     * still populates every bucket; at 100 TB you size this so one
     * bucket's files fit an executor's scan budget (thousands), and the

@@ -161,11 +161,21 @@ object StreamOps {
     * sketches, and now rank): a bounded k-entry insertion buffer per
     * group in mapGroupsWithState, exactly the batch
     * TakeOrderedAndProject/WindowGroupLimit heap re-expressed as
-    * streaming state. State is O(k) per group FOREVER; replayed rows
-    * re-assert (the (value desc, id) order dedups re-insertions of an
-    * id already ranked — see the spec's replay batch). Ordering is the
-    * batch rank's total order, so StreamingSpec asserts exact equality
-    * with the batch window-rank result after any batch split. */
+    * streaming state. State is O(k) per group FOREVER.
+    *
+    * Contract (ADVICE r4): each id holds at most ONE ranked slot, at
+    * its MAX observed value — id → max(value) is a join-semilattice
+    * like the sketch states, so replays re-assert (same value: no-op),
+    * out-of-order updates converge to the same buffer regardless of
+    * delivery order, and an id re-arriving with a HIGHER value moves
+    * rather than duplicating its entry (a lower value is absorbed).
+    * Inherent streaming-top-k caveat, unchanged: an id evicted from
+    * the buffer is forgotten, so a later lower-but-qualifying value
+    * for it cannot resurface — exact only when the true top-k is never
+    * displaced, which the batch-equality spec exercises. Ordering is
+    * the batch rank's total order ((value desc, id asc)), so
+    * StreamingSpec asserts exact equality with the batch window-rank
+    * result after any batch split. */
   def topkStream(rows: Dataset[KeyedValue], k: Int): Dataset[GroupTopK] = {
     import rows.sparkSession.implicits._
     rows
@@ -175,7 +185,12 @@ object StreamOps {
           val st = state.getOption.getOrElse(TopKState(Vector.empty, Vector.empty))
           var es = st.ids.zip(st.values).map { case (i, v) => (v, i) }.toVector
           it.foreach { r =>
-            if (!es.contains((r.value, r.id))) {
+            val existing = es.indexWhere(_._2 == r.id)
+            // per-id max-value semantics: skip unless the id is new or
+            // strictly improved; an improved id vacates its old slot
+            // before re-insertion so it can never occupy two.
+            if (existing < 0 || es(existing)._1 < r.value) {
+              if (existing >= 0) es = es.patch(existing, Nil, 1)
               // first position where the existing entry ranks AFTER the
               // new row under (value desc, id asc)
               var pos = es.indexWhere(e => e._1 < r.value ||

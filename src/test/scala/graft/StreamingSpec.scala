@@ -128,6 +128,40 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming top-k diverged from batch: $streamed vs $expected")
   }
 
+  test("streaming top-k: a same-id update moves its slot instead of occupying two") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r4: an id re-arriving with a DIFFERENT value is an update,
+    // not a replay — the old per-(value,id) dedup let it hold two of
+    // the k slots. Per-id max-value semantics: the improved id moves,
+    // a lower re-arrival is absorbed, and delivery order doesn't
+    // matter (join-semilattice on id → max value).
+    val input = MemoryStream[StreamOps.KeyedValue]
+    val q = StreamOps.topkStream(input.toDS(), 3)
+      .writeStream.format("memory").queryName("topk_upd")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Seq(
+        StreamOps.KeyedValue("g", 1L, 10.0),
+        StreamOps.KeyedValue("g", 2L, 20.0),
+        StreamOps.KeyedValue("g", 3L, 30.0)))
+      q.processAllAvailable()
+      // id=1 improves past everyone; id=2 "updates" DOWN (absorbed).
+      input.addData(Seq(
+        StreamOps.KeyedValue("g", 1L, 99.0),
+        StreamOps.KeyedValue("g", 2L, 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.sql(
+      """SELECT top_ids FROM (
+        |  SELECT *, row_number() OVER (ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM topk_upd))
+        |WHERE rn = 1""".stripMargin).collect().head.getString(0)
+    // max-value state: 1→99, 3→30, 2→20 (the 5.0 downgrade ignored,
+    // and id 1 appears ONCE).
+    assert(last == "1,3,2", s"expected 1,3,2 got $last")
+  }
+
   test("streaming KMV equals the batch agg_kmv_distinct after any batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
