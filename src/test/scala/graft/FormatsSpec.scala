@@ -126,6 +126,39 @@ class FormatsSpec extends AnyFunSuite {
       "bucketed sessionize diverged from the plain twin")
   }
 
+  test("fingerprint catalog: the incremental-dedup anti-join is exchange-free on the catalog side") {
+    import graft.operators.DedupOps
+    // At 100 TB neither side broadcasts — pin the shuffle-join path so
+    // the bucketed layout (not a broadcast) is what kills the exchange.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = DedupOps.dedupIncremental(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"), plan)
+      // Exactly ONE hash exchange in the whole plan: the batch side
+      // shuffling into the catalog's bucket lattice. The catalog scan
+      // arrives pre-partitioned (Bucketed: true) and pre-sorted, and
+      // the per-fingerprint groupBy reuses the join's partitioning.
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash == 1, s"expected 1 hash exchange (batch side only), got $nHash:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"catalog side not bucketed:\n$plan")
+      // And the catalog formulation computes exactly what the
+      // recompute-from-scratch formulation does.
+      val t = Tables(spark, sf).documents
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val expected = t.filter(col("source") =!= "src0")
+        .join(t.filter(col("source") === "src0").select("h").distinct(),
+          Seq("h"), "left_anti")
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
+        .orderBy("h")
+      assert(df.collect().toSeq == expected.collect().toSeq,
+        "catalog-backed incremental dedup diverged from the recompute formulation")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("partition pruning reaches the partitioned layout") {
     val path = tmp("documents_part")
     val plan = {
