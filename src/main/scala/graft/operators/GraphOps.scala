@@ -185,17 +185,42 @@ object GraphOps {
     * a<b<c, so each triangle is enumerated exactly once and the wedge
     * join (e1.b = e2.b2) never pairs a hub's full degree against
     * itself in both directions. */
+  /** Wedge enumeration for [[triangleCounts]], exposed for the
+    * GraphSpec balance evidence: (a, b, c) with a<b<c and edges
+    * (a,b), (b,c) present — SPREAD by the closure key before the
+    * closure join. The wedge join keys on the shared vertex b, so a
+    * hub's O(deg²) wedge set materializes in the ONE task owning
+    * hash(b) — and without an explicit exchange it would STAY there
+    * through the closure join (broadcast at test scale keeps the
+    * b-partitioning; even the shuffle path inherits the skew if AQE
+    * coalesces the tiny-looking shuffle). Repartitioning on (a, c) is
+    * the DedupOps edit-near pair-id pattern: it is exactly the
+    * distribution the closure SMJ needs at scale (no extra exchange on
+    * that path) and the fixed count is immune to AQE's bytes-based
+    * coalescing, so one hub can no longer pin a task at 100×. */
+  private[graft] def wedges(edges: DataFrame): DataFrame = {
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    edges.select(col("p1").as("a"), col("p2").as("b"))
+      .join(edges.select(col("p1").as("b"), col("p2").as("c")), "b")
+      .repartition(par, col("a"), col("c"))
+  }
+
+  /** Triangle participation counts over an oriented (p1 < p2) edge
+    * list — the core [[graphTriangles]] wraps, parameterized so
+    * GraphSpec can drive it with a synthetic hub fixture. */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame =
+    wedges(edges)
+      .join(edges.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .filter(col("n_orders") >= 2)
       .select("p1", "p2")
       .localCheckpoint()
-    val tri = edges.select(col("p1").as("a"), col("p2").as("b"))
-      .join(edges.select(col("p1").as("b"), col("p2").as("c")), "b")
-      .join(edges.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
-      .groupBy("p_partkey")
-      .agg(count(lit(1)).as("n_triangles"))
+    triangleCounts(edges)
       .orderBy(desc("n_triangles"), col("p_partkey"))
       .limit(20)
   }

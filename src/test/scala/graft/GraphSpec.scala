@@ -24,4 +24,32 @@ class GraphSpec extends AnyFunSuite {
     val moved = ranks.filter(org.apache.spark.sql.functions.expr("r <> rp")).count()
     assert(moved == 0, s"$moved vertices still moving at exit")
   }
+
+  test("triangle wedge join spreads a hub's wedges instead of pinning one task") {
+    import spark.implicits._
+    // Hub fixture: vertex 100 with 60 in-edges and 60 out-edges under
+    // the a<b<c orientation → all 3600 wedges share b=100, i.e. the
+    // wedge join materializes them in the ONE task owning hash(100).
+    val edges = ((1 to 60).map(i => (i.toLong, 100L)) ++
+      (101 to 160).map(i => (100L, i.toLong)) ++
+      (1 to 60).map(a => (a.toLong, 101L))).toDF("p1", "p2")
+    val w = GraphOps.wedges(edges)
+    val plan = w.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(a#\\d+L?, c#\\d+L?".r.findFirstIn(plan).isDefined,
+      s"no (a, c) spread exchange in the wedge plan:\n$plan")
+    val sizes = w.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    val (total, mx) = (sizes.sum, sizes.max)
+    info(s"wedge partitions: total=$total max=$mx over ${sizes.length} partitions")
+    assert(total == 3600, s"fixture produced $total wedges, expected 3600")
+    // Un-spread, one partition holds ALL wedges; spread by (a, c) the
+    // hub's set distributes ~uniformly (60×60 distinct keys).
+    assert(mx.toDouble <= 2.0 * total / sizes.length,
+      s"hot partition $mx exceeds 2x the uniform share of $total/${sizes.length}")
+    // And the closure still counts the right triangles: (a, 100, 101)
+    // for every leaf a — 60 triangles, all through the hub.
+    val counts = GraphOps.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(100L) == 60 && counts(101L) == 60,
+      s"hub participation wrong: $counts")
+  }
 }
