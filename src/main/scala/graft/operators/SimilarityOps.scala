@@ -456,6 +456,12 @@ object SimilarityOps {
         ivfIndexBuilt -= ((sessionId, d))
       }
     }
+    ivf8IndexBuilt.synchronized {
+      ivf8IndexBuilt.filter(_._1 == sessionId).toSeq.foreach { case (_, d) =>
+        graft.sources.Formats.dropBucketedTable(spark, ivf8IndexTable(sessionId, d))
+        ivf8IndexBuilt -= ((sessionId, d))
+      }
+    }
   }
 
   /** ANN over a PERSISTED IVF index — the index-at-rest posture for
@@ -509,6 +515,70 @@ object SimilarityOps {
       .dropDuplicates("vec_id") // multi-probe: a candidate may sit in 2+ probed cells
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** (session identity, corpus dir) pairs whose INT8 IVF index this JVM
+    * has already built — the [[ivfIndexBuilt]] memo's twin for
+    * [[simAnnInt8]] (separate set: the two indexes share the key space
+    * but not the table). */
+  private val ivf8IndexBuilt =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Table name for the int8 index ([[ivfIndexTable]]'s twin). */
+  private def ivf8IndexTable(sessionId: Int, dir: String): String =
+    "graft_ivf8_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_$sessionId"
+
+  /** ANN over an INT8-QUANTIZED persisted IVF index — the 4× index-IO
+    * lever a 100 TB ANN deployment takes first: the index stores each
+    * vector as 64 int8 codes + one double scale (~68 bytes vs 256 for
+    * float32), so a probe reads a quarter of the bytes per candidate,
+    * and the bucket-pruned scan ([[simAnnIndexed]]'s layout) prunes
+    * the same way. Codec = [[embQuantize]]'s symmetric per-vector
+    * scheme (scale = max|x|/127, codes = round(x/scale)) — the
+    * round-trip whose cosine/max-err tradeoff emb_quantize measures,
+    * and whose cross-engine parity is already oracle-proven. The probe
+    * ranks on the DEQUANTIZED vectors: code·scale in double, cast to
+    * FLOAT in both engines (the emb_outliers bit-identical-float
+    * contract), then the codegen'd cosine — so the oracle mirrors the
+    * whole quantize→store→dequantize→rank cycle value-exactly.
+    * Zero-norm vectors are excluded from the index in both engines
+    * (scale undefined — emb_quantize's rule). IvfSpec gates recall@10
+    * against the float-vector probe; cleanup rides [[dropIvfIndexes]]. */
+  def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val sessionId = System.identityHashCode(spark)
+    val table = ivf8IndexTable(sessionId, dir)
+    ivf8IndexBuilt.synchronized {
+      if (!ivf8IndexBuilt.contains((sessionId, dir)) ||
+          !spark.catalog.tableExists(table)) {
+        val coded = ivfCells(spark, dir)
+          .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .withColumn("mx",
+            expr("aggregate(e, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+          .filter(col("mx") > 0)
+          .withColumn("scale", col("mx") / 127)
+          .withColumn("codes", expr("transform(e, x -> CAST(round(x / scale) AS TINYINT))"))
+          .select("aid", "vec_id", "codes", "scale")
+        graft.sources.Formats.writeBucketed(coded, table, "aid", IvfIndexBuckets)
+        ivf8IndexBuilt += ((sessionId, dir))
+      }
+    }
+    val idx = spark.table(table)
+    val qCellIds = idx.filter(col("vec_id") === 0)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
+      .dropDuplicates("vec_id") // multi-probe: a candidate may sit in 2+ probed cells
+      .withColumn("rec",
+        expr("transform(codes, c -> CAST(CAST(c AS DOUBLE) * scale AS FLOAT))"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (round(expr(cosExprSpark("rec", "qv")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
@@ -874,6 +944,26 @@ object SimilarityOps {
     "sim_ann_kmeans" ->
       s"""WITH $ivfCellsKmeansSql,
          |$annProbeTailSql""".stripMargin,
+    // The index is a layout change; the SEMANTIC change vs
+    // sim_ann_bucket is ranking on the int8-dequantized vectors —
+    // the oracle replays quantize→dequantize (emb_quantize's codec,
+    // FLOAT-cast like emb_outliers' centroids) and ranks on those.
+    "sim_ann_int8" ->
+      s"""WITH $ivfCellsSql,
+         |ed AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |mq AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM ed),
+         |sq AS (SELECT vec_id, e, mx / 127 AS scale FROM mq WHERE mx > 0),
+         |rq AS (SELECT vec_id,
+         |         list_transform(e, x -> (round(x / scale) * scale)::FLOAT) AS rec
+         |       FROM sq),
+         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  WHERE c.vec_id <> 0)
+         |SELECT rq.vec_id, round(${cosExprSql("rq.rec", "q")}, 4) + 0.0 AS cos_sim
+         |FROM cand JOIN rq USING (vec_id), qv
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH $ivfCellsSql,
          |pairs AS (
@@ -971,6 +1061,7 @@ object SimilarityOps {
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
+    "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),

@@ -86,6 +86,30 @@ class IvfSpec extends AnyFunSuite {
     assert(a == b, "indexed ANN diverged from unindexed ANN")
   }
 
+  test("int8-quantized index probe prunes buckets and holds recall@10 vs the float probe") {
+    val int8 = SimilarityOps.simAnnInt8(spark, sf)
+    val plan = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { int8.explain("formatted") }
+      bos.toString
+    }
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in int8 probe plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"int8 probe read all ${m.get.group(2)} buckets — pruning ineffective")
+    // Recall gate: the quantized ranking must agree with the float
+    // probe on (nearly) the same top-10 — the compression/recall check
+    // emb_quantize measures per vector, applied to the end-to-end
+    // index. cos_recon ~0.999 on this corpus, so at most one
+    // borderline swap is tolerable.
+    val a = int8.collect().map(_.getLong(0)).toSet
+    val b = SimilarityOps.simAnnBucket(spark, sf).collect().map(_.getLong(0)).toSet
+    info(s"int8 top-10 overlap with float probe: ${(a & b).size}/10")
+    assert((a & b).size >= 9,
+      s"int8 probe recall@10 ${(a & b).size}/10 below 9/10 (int8=$a float=$b)")
+  }
+
   test("kmeans-anchored IVF: Lloyd loop converges before the cap; cells stay bounded; recall holds") {
     val emb = Tables(spark, sf).embeddings
     val n = emb.count()
