@@ -172,6 +172,38 @@ object EventOps {
       .orderBy("epoch_day")
   }
 
+  /** Per-day DAU / trailing-7-day WAU stickiness — the engagement
+    * ratio every product dashboard tracks next to the growth curve
+    * ([[evCumulativeUsers]]).
+    *
+    * The sliding-window DISTINCT is the hard part at scale: a naive
+    * "count distinct users where day in [d−6, d]" per day is a range
+    * join against the raw event stream. Instead the stream collapses
+    * ONCE to distinct (day, user) pairs (one partial-aggregated
+    * shuffle, linear), and each pair fans out to the ≤7 window ends it
+    * serves (a fixed 7× blow-up of the already-collapsed pairs — the
+    * ev_range_join banding idea with a fully bounded fan-out). Both
+    * counts are two-level distinct aggregates on day keys; days are
+    * few but each day's distinct-user set is partial-aggregated before
+    * the final shuffle. Day arithmetic is integer microseconds
+    * end-to-end; stickiness is one division of two exact integers
+    * (bit-identical cross-engine). Output rows: days with ≥1 active
+    * user (the WAU side always covers them). */
+  def evDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir).events
+      .select(expr(s"unix_micros(ts) div $W24h").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds both counts — one collapse pass
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Hopping-window (sliding) counts: 1-hour windows every 30 minutes
     * via Spark's built-in `window()` — each event lands in exactly
     * window/slide = 2 windows, so the blow-up is the fixed overlap
@@ -223,6 +255,16 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ev_dau_wau" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT epoch_us(ts) // $W24h AS day, user_id FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+         |f AS (SELECT du.day + g.i AS day, du.user_id
+         |      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g),
+         |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM f GROUP BY day)
+         |SELECT dau.day, dau.dau, wau.wau,
+         |  round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "ev_cumulative_users" ->
       """WITH f AS (
         |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0
@@ -322,5 +364,6 @@ object EventOps {
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
+    "ev_dau_wau" -> (evDauWau(_, _)),
   )
 }

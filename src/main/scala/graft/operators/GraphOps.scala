@@ -225,7 +225,64 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Neighborhood Jaccard similarity over the co-purchase graph — the
+    * structural link-prediction / "parts bought in the same company"
+    * signal: for part pairs sharing ≥1 co-purchase neighbor,
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, top-20 by similarity.
+    *
+    * Shape: symmetrized adjacency self-joined on the SHARED NEIGHBOR —
+    * the same hot-vertex hazard as the triangle wedge join (a hub's
+    * O(deg²) co-neighbor pairs land in one task), so the same (a, c)
+    * spread runs BEFORE the pair aggregation (the count's map-side
+    * partial agg would otherwise do the hub's deg² hash updates in a
+    * single thread). Degrees are vertex-sized joins (broadcast);
+    * the Jaccard is one division of two exact integers (bit-identical
+    * cross-engine), ranked with the (p1, p2) tiebreak. */
+  def graphJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+    val par = spark.sparkContext.defaultParallelism
+    val common = adj.select(col("src"), col("dst").as("a"))
+      .join(adj.select(col("src"), col("dst").as("c")), "src")
+      .filter(col("a") < col("c"))
+      .repartition(par, col("a"), col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("src").as("a"), col("d").as("deg1")), "a")
+      .join(deg.select(col("src").as("c"), col("d").as("deg2")), "c")
+      .select(col("a").as("p1"), col("c").as("p2"), col("common"),
+        col("deg1"), col("deg2"),
+        round(col("common").cast("double") /
+          (col("deg1") + col("deg2") - col("common")), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS (SELECT p1 AS src, p2 AS dst FROM edges
+        |        UNION ALL SELECT p2, p1 FROM edges),
+        |deg AS (SELECT src, count(*) AS d FROM adj GROUP BY src),
+        |com AS (
+        |  SELECT e1.dst AS a, e2.dst AS c, count(*) AS common
+        |  FROM adj e1 JOIN adj e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY 1, 2)
+        |SELECT com.a AS p1, com.c AS p2, common, da.d AS deg1, dc.d AS deg2,
+        |  round(common * 1.0 / (da.d + dc.d - common), 4) AS jaccard
+        |FROM com JOIN deg da ON com.a = da.src JOIN deg dc ON com.c = dc.src
+        |ORDER BY jaccard DESC, p1, p2 LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -293,5 +350,6 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
+    "graph_jaccard" -> (graphJaccard(_, _)),
   )
 }

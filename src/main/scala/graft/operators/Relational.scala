@@ -699,6 +699,32 @@ object Relational {
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
 
+  /** TPC-H Q15 shape (top supplier): the supplier(s) whose discounted
+    * revenue over one shipdate quarter equals the MAXIMUM per-supplier
+    * revenue — the aggregate → scalar-max → join-back-on-equality
+    * pattern (Q15's CREATE VIEW unrolled inline). The equality test
+    * runs on the integer-exact 3-decimal revenue (see [[discRev3]]):
+    * a double revenue could tie-or-not depending on summation order,
+    * but the cents-product sum is order-independent, so "equals max"
+    * is deterministic cross-engine even with genuine ties (all tied
+    * suppliers are returned, ordered by key). The quarter filter lands
+    * on the lineitem scan (PushedFilters); the max is a 1-row
+    * broadcast cross join, the supplier dim broadcasts. */
+  def q29TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(discRev3.as("total_revenue"))
+    rev
+      .crossJoin(broadcast(rev.agg(max("total_revenue").as("mr"))))
+      .filter(col("total_revenue") === col("mr"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** Classic MapReduce secondary sort: per key (user), values ordered
     * by a secondary key (ts) — here the first 3 event ids per user.
     *
@@ -975,6 +1001,18 @@ object Relational {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_revenue) AS mr FROM r)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey, m
+        |WHERE total_revenue = mr
+        |ORDER BY s_suppkey""".stripMargin,
     "q25_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 5) // 10 AS DOUBLE) / 1000 AS revenue
@@ -1373,6 +1411,7 @@ object Relational {
     "mr_reservoir" -> (mrReservoir(_, _)),
     "qc_checks" -> (qcChecks(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
+    "q29_top_supplier" -> (q29TopSupplier(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
   )

@@ -354,6 +354,43 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Per-language distinctive vocabulary — the lift/log-odds-style
+    * domain-signature table a corpus analyst reads to see WHAT a
+    * language/domain slice is about: for each lang, the top-5 tokens
+    * by LIFT = (share of the token within the lang) / (share across
+    * the corpus). Lift > 1 = over-represented in that slice.
+    *
+    * Determinism: lift is a quotient of two exact integer products
+    * (n_lt·N over n_t·N_l, DECIMAL(38,0) / HUGEINT so the products
+    * never truncate at scale) — both engines derive the identical
+    * double, rank on it with the token tiebreak, and round only for
+    * display. Scale: one token-explode shuffle builds the (lang,
+    * token) counts; both marginals fold from THAT table (never a
+    * second corpus pass), the grand total broadcasts, and the rank
+    * window runs over lang×vocab counts (bounded), cut by a
+    * WindowGroupLimit. Support floor n_lt >= 5 keeps one-off tokens
+    * from posting infinite-ish lifts. */
+  def txtDistinctive(spark: SparkSession, dir: String): DataFrame = {
+    val lt = Tables(spark, dir).documents
+      .select(col("lang"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("n_lt"))
+    val lTot = lt.groupBy("lang").agg(sum("n_lt").as("n_l"))
+    val tTot = lt.groupBy("token").agg(sum("n_lt").as("n_t"))
+    val tot = lt.agg(sum("n_lt").as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("lift"), col("token"))
+    lt.join(lTot, "lang").join(tTot, "token").crossJoin(broadcast(tot))
+      .filter(col("n_lt") >= 5)
+      .withColumn("lift",
+        (col("n_lt").cast("decimal(38,0)") * col("n")).cast("double") /
+          (col("n_t").cast("decimal(38,0)") * col("n_l")).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("rnk").cast("long").as("rnk"), col("token"),
+        col("n_lt"), round(col("lift"), 4).as("lift"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Hashing-trick featurization dimensionality. */
   val HtfDim = 64
 
@@ -439,6 +476,23 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_distinct_chars,
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) + 0.0 AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_distinctive" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest($tokensSql) AS token FROM documents),
+         |lt AS (SELECT lang, token, count(*) AS n_lt FROM tok GROUP BY 1, 2),
+         |l AS (SELECT lang, sum(n_lt) AS n_l FROM lt GROUP BY 1),
+         |t AS (SELECT token, sum(n_lt) AS n_t FROM lt GROUP BY 1),
+         |g AS (SELECT sum(n_lt) AS n FROM lt),
+         |x AS (
+         |  SELECT lt.lang, lt.token, CAST(lt.n_lt AS BIGINT) AS n_lt,
+         |    (lt.n_lt::HUGEINT * g.n)::DOUBLE / (t.n_t::HUGEINT * l.n_l)::DOUBLE AS lift
+         |  FROM lt JOIN l USING (lang) JOIN t USING (token) CROSS JOIN g
+         |  WHERE lt.n_lt >= 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY lift DESC, token) AS rnk
+         |      FROM x)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n_lt,
+         |  round(lift, 4) AS lift
+         |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "txt_vocab" ->
       s"""WITH tk AS (
          |  SELECT unnest($tokensSql) AS token FROM documents),
@@ -623,6 +677,7 @@ object TextOps {
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),
     "txt_vocab" -> (txtVocab(_, _)),
+    "txt_distinctive" -> (txtDistinctive(_, _)),
     "txt_hashing_tf" -> (txtHashingTf(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
