@@ -699,6 +699,56 @@ object Relational {
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
 
+  /** Bloom-filter membership sketch — the fourth mergeable sketch next
+    * to KMV (distinct count), HLL (distinct count), and CMS
+    * (frequency): per returnflag group, a 256-bit Bloom filter over
+    * the group's DISTINCT orderkeys (k=4 hash positions = 2 md5 hex
+    * chars each — deterministic, cross-engine, and the bit-OR merge is
+    * a semilattice so the filter re-merges for free at scale exactly
+    * like HLL's register max). Reported per (group, probe key): the
+    * filter's maybe-present verdict vs ground truth (the false-
+    * positive behavior made visible) plus the group's set-bit count —
+    * all exact integers/booleans, no estimate formula (ln() would be
+    * a libm-parity trap).
+    *
+    * Scale: one distinct pass + a 4× position explode (bounded),
+    * everything partial-aggregated; the probe side is a literal
+    * handful of keys. This is the operator a pipeline persists next
+    * to a partition to skip non-member lookups (the same idea
+    * Spark's runtime bloom pruning applies plan-side, §2.9). */
+  def aggBloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def posArr(c: String): String =
+      "transform(sequence(0, 3), j -> " +
+        s"CAST(conv(substr(md5(CAST($c AS STRING)), j * 8 + 7, 2), 16, 10) AS INT))"
+    val keys = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
+    // bits feeds both the membership join and the popcount — one pass.
+    val bits = keys
+      .select(col("flag"), explode(expr(posArr("l_orderkey"))).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nbits = bits.groupBy("flag").agg(count(lit(1)).as("n_bits_set"))
+    val probes = Seq(1L, 2L, 3L, 999999998L, 999999999L).toDF("probe_key")
+    val flags = keys.select("flag").distinct()
+    val hits = flags.crossJoin(broadcast(probes))
+      .select(col("flag"), col("probe_key"),
+        explode(expr(posArr("probe_key"))).as("b"))
+      .join(bits, Seq("flag", "b"), "left_semi")
+      .groupBy("flag", "probe_key").agg(count(lit(1)).as("nh"))
+    val truly = keys.select(col("flag"), col("l_orderkey").as("probe_key"))
+      .withColumn("t", lit(true))
+    flags.crossJoin(broadcast(probes))
+      .join(hits, Seq("flag", "probe_key"), "left")
+      .join(nbits, "flag")
+      .join(truly, Seq("flag", "probe_key"), "left")
+      .select(col("flag"), col("probe_key"),
+        (coalesce(col("nh"), lit(0L)) === 4).as("maybe_present"),
+        coalesce(col("t"), lit(false)).as("truly_present"),
+        col("n_bits_set"))
+      .orderBy("flag", "probe_key")
+  }
+
   /** TPC-H Q15 shape (top supplier): the supplier(s) whose discounted
     * revenue over one shipdate quarter equals the MAXIMUM per-supplier
     * revenue — the aggregate → scalar-max → join-back-on-equality
@@ -1001,6 +1051,36 @@ object Relational {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_bloom_filter" -> {
+      def posSql(c: String): String =
+        s"((strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), j * 8 + 7, 1)) - 1) * 16" +
+          s" + (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), j * 8 + 8, 1)) - 1))"
+      s"""WITH ks AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey FROM lineitem),
+         |jj AS (SELECT unnest(range(0, 4)) AS j),
+         |bits AS (
+         |  SELECT DISTINCT flag, ${posSql("l_orderkey")} AS b
+         |  FROM ks CROSS JOIN jj),
+         |nb AS (SELECT flag, count(*) AS n_bits_set FROM bits GROUP BY 1),
+         |pr AS (SELECT CAST(unnest([1, 2, 3, 999999998, 999999999]) AS BIGINT) AS probe_key),
+         |fl AS (SELECT DISTINCT flag FROM ks),
+         |pp AS (
+         |  SELECT fl.flag, pr.probe_key, ${posSql("pr.probe_key")} AS b
+         |  FROM fl CROSS JOIN pr CROSS JOIN jj),
+         |hits AS (
+         |  SELECT pp.flag, pp.probe_key, count(*) AS nh
+         |  FROM pp JOIN bits ON pp.flag = bits.flag AND pp.b = bits.b
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT DISTINCT flag, l_orderkey AS probe_key FROM ks)
+         |SELECT fl.flag, pr.probe_key,
+         |  coalesce(h.nh, 0) = 4 AS maybe_present,
+         |  tr.probe_key IS NOT NULL AS truly_present,
+         |  nb.n_bits_set
+         |FROM fl CROSS JOIN pr
+         |LEFT JOIN hits h ON h.flag = fl.flag AND h.probe_key = pr.probe_key
+         |JOIN nb ON nb.flag = fl.flag
+         |LEFT JOIN tr ON tr.flag = fl.flag AND tr.probe_key = pr.probe_key
+         |ORDER BY fl.flag, pr.probe_key""".stripMargin
+    },
     "q29_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,
@@ -1412,6 +1492,7 @@ object Relational {
     "qc_checks" -> (qcChecks(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
     "q29_top_supplier" -> (q29TopSupplier(_, _)),
+    "agg_bloom_filter" -> (aggBloomFilter(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
   )

@@ -244,6 +244,24 @@ object Formats {
       .orderBy("event_id")
   }
 
+  /** customer → GZIP-compressed jsonl → back — the compressed-text
+    * ingestion path (log shippers and API dumps arrive as .json.gz):
+    * the writer sets the gzip codec, the reader detects it from the
+    * file extension, and the explicit schema skips inference exactly
+    * like the plain jsonl path. Gzip is NOT splittable — one file maps
+    * to one task — so the write keeps the upstream partitioning
+    * (many .gz files = restored parallelism at read; the at-scale
+    * contract worth encoding, vs one giant .gz that serializes the
+    * scan). Oracle reads the original parquet, so codec+serde loss
+    * would hash-mismatch. */
+  def srcJsonlGzip(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir).customer
+    val path = tmp("customer_jsonl_gz")
+    customer.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+    spark.read.schema(customer.schema).json(path).orderBy("c_custkey")
+  }
+
   /** supplier → ORC → back. ORC is the other columnar format Spark
     * ships natively (predicate pushdown + column pruning like parquet);
     * the oracle reads the original parquet, so any type or encoding
@@ -294,6 +312,9 @@ object Formats {
     "src_jsonl_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "src_jsonl_gzip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "src_partitioned_write" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -313,6 +334,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
+    "src_jsonl_gzip" -> (srcJsonlGzip(_, _)),
     "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
     "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
     "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
