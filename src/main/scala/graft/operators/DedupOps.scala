@@ -180,7 +180,12 @@ object DedupOps {
     * transform (≤ C(cap,2) pairs per cell — bounded memory and skew by
     * construction). No self-join, no join back to the shingle sets.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-pair shared-shingle counts (id1, id2, n1, n2, common) from
+    * the df-window-capped inverted index — ONE definition shared by
+    * [[dedupNgramJaccard]] (symmetric overlap) and [[dedupSubsumed]]
+    * (asymmetric containment), so the cell/pair machinery can never
+    * drift between the two set-similarity consumers. */
+  private def ngramPairCounts(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingleSets(spark, dir)
     val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
     val cells = ex.groupBy("g")
@@ -195,11 +200,40 @@ object DedupOps {
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("common"))
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairCounts(spark, dir)
       .withColumn("jac", expr("CAST(common AS DOUBLE) / (n1 + n2 - common)"))
       .filter(col("jac") >= 0.4)
       .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")
-  }
+
+  /** Asymmetric shingle CONTAINMENT — the subsumption detector Jaccard
+    * is structurally blind to: a short document pasted wholly inside a
+    * much longer one shares ~all of ITS shingles (containment ≈ 1)
+    * while the pair's Jaccard ≈ |short|/|long| stays under any
+    * symmetric threshold. Curation pipelines run this as its own pass
+    * (quote farms, boilerplate wrappers, doc-in-doc aggregators).
+    *
+    * containment = common / min(n1, n2) — the smaller side is the
+    * candidate subsumee; the contained/container roles are assigned by
+    * the size comparison with the id as the deterministic tie-break.
+    * Same bounded cell machinery (and therefore the same scale
+    * posture) as [[dedupNgramJaccard]]; the math is one exact integer
+    * division at the end. */
+  def dedupSubsumed(spark: SparkSession, dir: String): DataFrame =
+    ngramPairCounts(spark, dir)
+      .withColumn("cont", expr("CAST(common AS DOUBLE) / least(n1, n2)"))
+      .filter(col("cont") >= 0.8)
+      .select(
+        when(col("n1") < col("n2") || (col("n1") === col("n2") && col("id1") < col("id2")),
+          col("id1")).otherwise(col("id2")).as("contained_id"),
+        when(col("n1") < col("n2") || (col("n1") === col("n2") && col("id1") < col("id2")),
+          col("id2")).otherwise(col("id1")).as("container_id"),
+        col("common"), least(col("n1"), col("n2")).cast("long").as("n_small"),
+        round(col("cont"), 4).as("containment"))
+      .orderBy("contained_id", "container_id")
 
   /** 16-bit SimHash from md5-derived per-token bit votes (exact integer
     * arithmetic end-to-end so the oracle match is bit-perfect).
@@ -601,6 +635,24 @@ object DedupOps {
          |SELECT id1, id2, round(jac, 4) AS jaccard FROM j
          |WHERE jac >= 0.4 ORDER BY id1, id2""".stripMargin,
     "dedup_simhash" -> simhashSql,
+    "dedup_subsumed" ->
+      s"""WITH $shingleSql,
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |exf AS (SELECT ex.doc_id, ex.n, ex.g FROM ex JOIN keep USING (g)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS common
+         |  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT *, CAST(common AS DOUBLE) / least(n1, n2) AS cont FROM pairs)
+         |SELECT
+         |  CASE WHEN n1 < n2 OR (n1 = n2 AND id1 < id2) THEN id1 ELSE id2 END AS contained_id,
+         |  CASE WHEN n1 < n2 OR (n1 = n2 AND id1 < id2) THEN id2 ELSE id1 END AS container_id,
+         |  common, CAST(least(n1, n2) AS BIGINT) AS n_small,
+         |  round(cont, 4) AS containment
+         |FROM c WHERE cont >= 0.8
+         |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE ${SimilarityOps.ivfCellsSql},
          |p AS (
@@ -639,6 +691,7 @@ object DedupOps {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
+    "dedup_subsumed" -> (dedupSubsumed(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_edit_near" -> (dedupEditNear(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
