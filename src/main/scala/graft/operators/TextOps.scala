@@ -371,10 +371,17 @@ object TextOps {
     * WindowGroupLimit. Support floor n_lt >= 5 keeps one-off tokens
     * from posting infinite-ish lifts. */
   def txtDistinctive(spark: SparkSession, dir: String): DataFrame = {
+    // The (lang, token) count table feeds FOUR consumers (itself + two
+    // marginals + the grand total); without a materialization barrier
+    // each consumer re-runs the corpus explode+count subtree (the r2
+    // minhash diamond — and 4 redundant exchanges tripped the
+    // PlanAuditSpec shuffle ceiling). One checkpointed pass; the
+    // marginals are then vocab/lang-sized aggregates that broadcast.
     val lt = Tables(spark, dir).documents
       .select(col("lang"), explode(expr(tokensExpr)).as("token"))
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("n_lt"))
+      .localCheckpoint()
     val lTot = lt.groupBy("lang").agg(sum("n_lt").as("n_l"))
     val tTot = lt.groupBy("token").agg(sum("n_lt").as("n_t"))
     val tot = lt.agg(sum("n_lt").as("n"))
