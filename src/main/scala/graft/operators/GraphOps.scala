@@ -109,7 +109,17 @@ object GraphOps {
     val edgesRaw = pairs.select(col("cv").as("src"), col("sv").as("dst"))
       .unionByName(pairs.select(col("sv").as("src"), col("cv").as("dst")))
     val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val (edges, edgeIds) = checkpointed(edgesRaw.join(deg, "src"))
+    // Checkpoint the edge table PRE-PARTITIONED ON dst (localCheckpoint
+    // captures the partitioning in LogicalRDD): every iteration's
+    // contribution groupBy(dst) then collapses onto the materialized
+    // distribution — with the vertex-sized rank side broadcast, an
+    // iteration runs with ZERO exchanges here. At a scale where ranks
+    // stop broadcasting, the per-iteration join shuffles on src — the
+    // classic PageRank per-round shuffle, unavoidable — and this
+    // layout still saves the groupBy exchange on the contrib side.
+    val par = sc.defaultParallelism
+    val (edges, edgeIds) = checkpointed(
+      edgesRaw.join(deg, "src").repartition(par, col("dst")))
     // Vertices carry N (vertex count) so teleport needs no driver-side
     // constant — a 1-row count broadcast-crossed onto the vertex set.
     val vertIds = t.customer.select((col("c_custkey") * 2).as("v"))
