@@ -273,7 +273,37 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Degree distribution of the co-purchase graph — the first
+    * diagnostic a graph pipeline prints (is this power-law? where do
+    * the hubs start? what support threshold keeps the wedge joins
+    * bounded?): vertices per degree value. Two partial-aggregated
+    * shuffles — per-vertex degree (vertex keys), then the histogram on
+    * the tiny degree domain. */
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    adj.groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("degree")
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS (SELECT p1 AS src, p2 AS dst FROM edges
+        |        UNION ALL SELECT p2, p1 FROM edges),
+        |deg AS (SELECT src, count(*) AS degree FROM adj GROUP BY src)
+        |SELECT degree, count(*) AS n_vertices
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
     "graph_jaccard" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -361,5 +391,6 @@ object GraphOps {
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
+    "graph_degree_dist" -> (graphDegreeDist(_, _)),
   )
 }

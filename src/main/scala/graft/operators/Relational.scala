@@ -699,6 +699,44 @@ object Relational {
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
 
+  /** TPC-H Q2 shape (min-cost supplier) on the DERIVED supply catalog
+    * — the schema has no partsupp, so the supply table is derived from
+    * observed trade: per (part, supplier), the minimum unit price ever
+    * charged, in EXACT integer cents via `price_cents div quantity`
+    * (quantities are integral; floor division is the cast-free
+    * cross-engine idiom — see the edit-near threshold note). Then the
+    * Q2 question: for each part, WHICH AMERICA-region supplier offers
+    * it cheapest (argmin via a rank-1 window → WindowGroupLimit, ties
+    * to the smaller suppkey), cheapest 20 offers overall.
+    *
+    * Scale: one partial-aggregated (part, supplier) groupBy on the
+    * fact table; the region gate broadcasts and prunes BEFORE the
+    * argmin; the global top-20 is TakeOrderedAndProject. */
+  def q30CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ps = t.lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit_cents").as("min_unit_cents"))
+    val sups = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val w = Window.partitionBy("l_partkey").orderBy("min_unit_cents", "l_suppkey")
+    ps.join(broadcast(sups), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"),
+        (col("min_unit_cents").cast("double") / 100).as("unit_price"))
+      .orderBy("unit_price", "p_partkey")
+      .limit(20)
+  }
+
   /** Bloom-filter membership sketch — the fourth mergeable sketch next
     * to KMV (distinct count), HLL (distinct count), and CMS
     * (frequency): per returnflag group, a 256-bit Bloom filter over
@@ -1061,6 +1099,24 @@ object Relational {
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_cheapest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT)) AS min_unit_cents
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |sups AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |j AS (SELECT ps.l_partkey, ps.l_suppkey, ps.min_unit_cents, s.s_suppkey, s.s_name, s.n_name
+        |      FROM ps JOIN sups s ON ps.l_suppkey = s.s_suppkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY min_unit_cents, l_suppkey) AS rn FROM j)
+        |SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |  CAST(min_unit_cents AS DOUBLE) / 100 AS unit_price
+        |FROM r WHERE rn = 1
+        |ORDER BY unit_price, p_partkey LIMIT 20""".stripMargin,
     "agg_bloom_filter" -> {
       def posSql(c: String): String =
         s"((strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), j * 8 + 7, 1)) - 1) * 16" +
@@ -1503,6 +1559,7 @@ object Relational {
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
     "q29_top_supplier" -> (q29TopSupplier(_, _)),
     "agg_bloom_filter" -> (aggBloomFilter(_, _)),
+    "q30_cheapest_supplier" -> (q30CheapestSupplier(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
   )
