@@ -164,6 +164,37 @@ object DedupOps {
       .orderBy("lang")
   }
 
+  /** Second flagship curation composition, built from the r5 stages:
+    * quality gate → SUBSUMPTION removal (drop the contained side of
+    * every ≥0.8-containment pair — the doc-inside-doc pass
+    * [[dedupSubsumed]] adds beyond near-dup pairs) → train/test
+    * DECONTAMINATION (drop docs ≥0.6 shingle-contaminated by the
+    * held-out corpus, [[dedupContamination]]) → per-source survivor
+    * stats with a token budget column (what a data-mixing plan
+    * consumes). One declarative plan: the three gates fuse as two
+    * anti-joins + one semi-join over the same documents scan family,
+    * each gate's candidate set is tiny relative to the corpus (losers
+    * and flagged docs), so at scale the anti-joins broadcast. Next to
+    * [[dedupPipeline]] (exact + MinHash near-dup) the two pipelines
+    * cover both curation regimes a training-data team runs. */
+  def dedupPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val quality = TextOps.txtQualityFilter(spark, dir).select("doc_id")
+    val subsumed = dedupSubsumed(spark, dir)
+      .select(col("contained_id").as("doc_id")).distinct()
+    val contaminated = dedupContamination(spark, dir).select("doc_id")
+    docs
+      .join(quality, "doc_id")
+      .join(subsumed, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("source"), col("n_chars"),
+        size(expr(tokensExpr)).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("source")
+  }
+
   /** Document-frequency window for index shingles: df >= 2 prunes
     * singleton shingles (they can never produce a pair — pure win), and
     * df <= 100 drops stop-shingles whose O(df²) pair fan-out would both
@@ -620,6 +651,42 @@ object DedupOps {
          |FROM documents JOIN q USING (doc_id) JOIN k USING (doc_id)
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_pipeline_v2" ->
+      s"""WITH $shingleSql,
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |exf AS (SELECT ex.doc_id, ex.n, ex.g FROM ex JOIN keep USING (g)),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS common
+         |  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |sub AS (
+         |  SELECT DISTINCT CASE WHEN n1 < n2 OR (n1 = n2 AND id1 < id2)
+         |    THEN id1 ELSE id2 END AS doc_id
+         |  FROM prs WHERE CAST(common AS DOUBLE) / least(n1, n2) >= 0.8),
+         |bch AS (SELECT DISTINCT unnest(hs) AS h
+         |        FROM hsh JOIN documents USING (doc_id) WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+         |       FROM hsh JOIN documents USING (doc_id) WHERE source <> 'src0'),
+         |hits AS (SELECT doc_id, n_shingles, count(*) AS n_hit
+         |         FROM tr JOIN bch USING (h) GROUP BY 1, 2),
+         |cont AS (SELECT doc_id FROM hits
+         |         WHERE round(CAST(n_hit AS DOUBLE) / n_shingles, 4) >= 0.6),
+         |d AS (
+         |  SELECT doc_id, n_chars, CAST(len(${graft.operators.TextOps.tokensSql}) AS INTEGER) AS n_tokens,
+         |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id FROM d
+         |  WHERE n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+         |    AND alpha * 1.0 / n_chars >= 0.6)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CAST(len(${graft.operators.TextOps.tokensSql}) AS BIGINT)) AS BIGINT) AS sum_tokens
+         |FROM documents JOIN q USING (doc_id)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM sub)
+         |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
@@ -699,6 +766,7 @@ object DedupOps {
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
+    "dedup_pipeline_v2" -> (dedupPipelineV2(_, _)),
     "dedup_contamination" -> (dedupContamination(_, _)),
   )
 }
