@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++
-      EventOps.queries ++ GraphOps.queries ++ graft.sources.Formats.queries
+      EventOps.queries ++ GraphOps.queries ++ SkewOps.queries ++
+      graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      EventOps.oracles ++ GraphOps.oracles ++ graft.sources.Formats.oracles
+      EventOps.oracles ++ GraphOps.oracles ++ SkewOps.oracles ++
+      graft.sources.Formats.oracles
 }

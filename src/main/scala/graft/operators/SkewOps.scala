@@ -63,6 +63,40 @@ object SkewOps {
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
   }
 
+  /** [[saltedJoin]] exercised in a REGISTERED ORACLE-GATED query path
+    * (the sim_ann_kmeans_par move applied to the skew tooling): the
+    * fact side of orders⋈lineitem joins through an 8-way salt, then
+    * aggregates per order priority in exact cents. The oracle is the
+    * PLAIN join — result-identity with the unsalted join IS the
+    * operator's contract, so the DuckDB gate proves exactly the
+    * property SkewSpec asserts, on real tables, every round. The
+    * salt costs one 8× replication of the (orderkey, priority)
+    * projection — the documented smaller-side price. */
+  def mrSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val l = t.lineitem.select(col("l_orderkey").as("k"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val o = t.orders.select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    saltedJoin(l, o, Seq("k"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100, 3)
+          .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "mr_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_salted_join" -> (mrSaltedJoin(_, _)),
+  )
+
   /** Synthetic hot-key fixture shared by SkewSpec and the plan-audit
     * dump: `facts` is 200k rows where 75% share key 0 (the hot key)
     * and the rest are unique; `dim` is 1k keys, too large to broadcast
