@@ -437,6 +437,9 @@ object DedupOps {
     // checkpoint added so superseded iterations are freed as the loop
     // advances — without this a long-diameter graph (or a long-lived
     // session running many dedups) accumulates one block set per round.
+    // Ownership is a getPersistentRDDs diff, which assumes queries run
+    // SERIALLY per session (Verify/Bench/driver do) — see the
+    // GraphOps.pagerankRanks note before using sessions concurrently.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()

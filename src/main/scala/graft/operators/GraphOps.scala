@@ -88,6 +88,13 @@ object GraphOps {
   private[graft] def pagerankRanks(spark: SparkSession, dir: String): (DataFrame, Int) = {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
+    // NOTE (shared with dedupComponents): ownership of checkpoint
+    // blocks is identified by diffing getPersistentRDDs around the
+    // materialization, which assumes queries run SERIALLY per session
+    // (true for Verify/Bench/the driver). A multi-threaded driver
+    // interleaving localCheckpoint-ing queries on one session could
+    // land a foreign RDD in the diff and have free() unpersist it —
+    // scope per-query tracking before going concurrent.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()

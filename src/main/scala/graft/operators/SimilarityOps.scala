@@ -425,44 +425,14 @@ object SimilarityOps {
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
 
-  /** (session identity, corpus dir) pairs whose IVF index this JVM has
-    * already built, so one session builds each corpus's index at most
-    * once (ADVICE r3). A Set — the table name is recomputed
-    * deterministically from the same key, never looked up. */
-  private val ivfIndexBuilt =
-    scala.collection.mutable.Set.empty[(Int, String)]
-
-  /** Deterministic index-table name for a (session, corpus dir) pair —
-    * the ONE definition [[simAnnIndexed]] and [[dropIvfIndexes]] share. */
-  private def ivfIndexTable(sessionId: Int, dir: String): String =
-    "graft_ivf_index_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
-      s"_$sessionId"
-
-  /** Drop every IVF index table THIS session registered (catalog entry
-    * AND backing files) and clear its memo entries — the cleanup a
-    * long-lived application calls when it is done probing (ADVICE r4:
-    * index tables are keyed by session identity so concurrent sessions
-    * can't Overwrite under each other's scans, which means a fleet of
-    * short-lived sessions would otherwise accumulate one bucketed
-    * table per session in the warehouse). Bench calls this in its
-    * teardown; idempotent. */
-  def dropIvfIndexes(spark: SparkSession): Unit = {
-    val sessionId = System.identityHashCode(spark)
-    ivfIndexBuilt.synchronized {
-      ivfIndexBuilt.filter(_._1 == sessionId).toSeq.foreach { case (_, d) =>
-        graft.sources.Formats.dropBucketedTable(spark, ivfIndexTable(sessionId, d))
-        ivfIndexBuilt -= ((sessionId, d))
-      }
-    }
-    ivf8IndexBuilt.synchronized {
-      ivf8IndexBuilt.filter(_._1 == sessionId).toSeq.foreach { case (_, d) =>
-        graft.sources.Formats.dropBucketedTable(spark, ivf8IndexTable(sessionId, d))
-        ivf8IndexBuilt -= ((sessionId, d))
-      }
-    }
-  }
+  /** Drop every session-keyed persisted table THIS session registered
+    * — IVF indexes (float + int8) AND the fingerprint catalog — via
+    * the one shared registry ([[graft.sources.Formats.sessionTable]]/
+    * `dropSessionTables`; ADVICE r4, generalized after the r5 review
+    * found the hand-rolled copies of this pattern escaping cleanup).
+    * Bench calls this in teardown; idempotent. */
+  def dropIvfIndexes(spark: SparkSession): Unit =
+    graft.sources.Formats.dropSessionTables(spark)
 
   /** ANN over a PERSISTED IVF index — the index-at-rest posture for
     * repeated probes at 100 TB. [[ivfCells]] is materialized once as a
@@ -494,17 +464,10 @@ object SimilarityOps {
     // session-keyed name means every session over a corpus owns one
     // table — call [[dropIvfIndexes]] on session close (Bench does) or
     // the warehouse accumulates a table per session (ADVICE r4).
-    val sessionId = System.identityHashCode(spark)
-    val table = ivfIndexTable(sessionId, dir)
-    ivfIndexBuilt.synchronized {
-      if (!ivfIndexBuilt.contains((sessionId, dir)) ||
-          !spark.catalog.tableExists(table)) {
-        graft.sources.Formats.writeBucketed(
-          ivfCells(spark, dir), table, "aid", IvfIndexBuckets)
-        ivfIndexBuilt += ((sessionId, dir))
-      }
+    val idx = graft.sources.Formats.sessionTable(spark, dir, "graft_ivf_index_") {
+      tbl => graft.sources.Formats.writeBucketed(
+        ivfCells(spark, dir), tbl, "aid", IvfIndexBuckets)
     }
-    val idx = spark.table(table)
     // The probe's cells come from the INDEX (pushed-down vec_id = 0
     // scan, P rows to the driver) — a fresh probe never recomputes the
     // assignment pipeline.
@@ -518,20 +481,6 @@ object SimilarityOps {
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
   }
-
-  /** (session identity, corpus dir) pairs whose INT8 IVF index this JVM
-    * has already built — the [[ivfIndexBuilt]] memo's twin for
-    * [[simAnnInt8]] (separate set: the two indexes share the key space
-    * but not the table). */
-  private val ivf8IndexBuilt =
-    scala.collection.mutable.Set.empty[(Int, String)]
-
-  /** Table name for the int8 index ([[ivfIndexTable]]'s twin). */
-  private def ivf8IndexTable(sessionId: Int, dir: String): String =
-    "graft_ivf8_index_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
-      s"_$sessionId"
 
   /** ANN over an INT8-QUANTIZED persisted IVF index — the 4× index-IO
     * lever a 100 TB ANN deployment takes first: the index stores each
@@ -551,24 +500,17 @@ object SimilarityOps {
     * against the float-vector probe; cleanup rides [[dropIvfIndexes]]. */
   def simAnnInt8(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val sessionId = System.identityHashCode(spark)
-    val table = ivf8IndexTable(sessionId, dir)
-    ivf8IndexBuilt.synchronized {
-      if (!ivf8IndexBuilt.contains((sessionId, dir)) ||
-          !spark.catalog.tableExists(table)) {
-        val coded = ivfCells(spark, dir)
-          .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .withColumn("mx",
-            expr("aggregate(e, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
-          .filter(col("mx") > 0)
-          .withColumn("scale", col("mx") / 127)
-          .withColumn("codes", expr("transform(e, x -> CAST(round(x / scale) AS TINYINT))"))
-          .select("aid", "vec_id", "codes", "scale")
-        graft.sources.Formats.writeBucketed(coded, table, "aid", IvfIndexBuckets)
-        ivf8IndexBuilt += ((sessionId, dir))
-      }
+    val idx = graft.sources.Formats.sessionTable(spark, dir, "graft_ivf8_index_") { tbl =>
+      val coded = ivfCells(spark, dir)
+        .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx",
+          expr("aggregate(e, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("scale", col("mx") / 127)
+        .withColumn("codes", expr("transform(e, x -> CAST(round(x / scale) AS TINYINT))"))
+        .select("aid", "vec_id", "codes", "scale")
+      graft.sources.Formats.writeBucketed(coded, tbl, "aid", IvfIndexBuckets)
     }
-    val idx = spark.table(table)
     val qCellIds = idx.filter(col("vec_id") === 0)
       .select("aid").collect().map(_.getLong(0)).toSeq
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -956,10 +898,11 @@ object SimilarityOps {
          |rq AS (SELECT vec_id,
          |         list_transform(e, x -> (round(x / scale) * scale)::FLOAT) AS rec
          |       FROM sq),
-         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qcells AS (SELECT aid FROM cells JOIN rq USING (vec_id) WHERE vec_id = 0),
          |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
          |cand AS (
-         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  SELECT DISTINCT c.vec_id
+         |  FROM cells c JOIN rq USING (vec_id) JOIN qcells USING (aid)
          |  WHERE c.vec_id <> 0)
          |SELECT rq.vec_id, round(${cosExprSql("rq.rec", "q")}, 4) + 0.0 AS cos_sim
          |FROM cand JOIN rq USING (vec_id), qv

@@ -64,8 +64,65 @@ object Formats {
     val dir = java.nio.file.Paths.get(s"$tmpRoot/graft_bucketed/$table")
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // Files.walk holds directory handles until closed (the API's
+      // try-with-resources contract), and a file vanishing mid-walk
+      // throws from the iterator — close deterministically and let a
+      // concurrent deletion count as success.
+      val walk = java.nio.file.Files.walk(dir)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        catch { case _: java.io.UncheckedIOException => Seq.empty }
+        finally walk.close()
+      paths.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Registry of every session-keyed catalog table built through
+    * [[sessionTable]]: (session identity, table name). ONE pattern and
+    * ONE cleanup path — the r5 review found three hand-rolled copies
+    * of the memo+name+existence-check dance, one of which
+    * (fingerprintCatalog) had already escaped the cleanup routine. */
+  private val sessionTables =
+    scala.collection.mutable.Set.empty[(Int, String)]
+
+  /** Build-once-per-(session, dir) EXTERNAL bucketed catalog table.
+    * The name carries the FULL dir md5 + session identity (truncated-
+    * hash names collide silently; cross-session Overwrite deletes
+    * files under in-flight scans; identityHashCode reuse after GC
+    * false-hits a memo), existence is re-checked on memo hits, and
+    * every table built here is REGISTERED so [[dropSessionTables]]
+    * covers it by construction. `build` receives the table name and
+    * must `saveAsTable` it (via [[writeBucketed]] or equivalent). */
+  def sessionTable(spark: SparkSession, dir: String, prefix: String)
+      (build: String => Unit): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    val tbl = prefix +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+      s"_$sid"
+    sessionTables.synchronized {
+      if (!sessionTables.contains((sid, tbl)) ||
+          !spark.catalog.tableExists(tbl)) {
+        build(tbl)
+        sessionTables += ((sid, tbl))
+      }
+    }
+    spark.table(tbl)
+  }
+
+  /** Drop every session-keyed table THIS session registered (catalog
+    * entries AND backing files) and clear the memos — the session-
+    * close cleanup (ADVICE r4); Bench calls it in teardown. Idempotent. */
+  def dropSessionTables(spark: SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    sessionTables.synchronized {
+      sessionTables.filter(_._1 == sid).toSeq.foreach { case (_, tbl) =>
+        dropBucketedTable(spark, tbl)
+        sessionTables -= ((sid, tbl))
+      }
     }
   }
 
@@ -115,9 +172,6 @@ object Formats {
     (spark.table(ot), spark.table(lt))
   }
 
-  private val fpCache =
-    scala.collection.mutable.Map.empty[(Int, String), String]
-
   /** The existing corpus's DISTINCT content fingerprints (md5(text) of
     * the persisted source='src0' documents) written ONCE per (session,
     * dir) as a catalog table bucketed AND sorted by the hash — the
@@ -127,37 +181,22 @@ object Formats {
     * bucket lattice), so the recurring cost is O(increment). The one
     * corpus scan + distinct happens HERE, at catalog-build (ingest)
     * time — the cost a warehouse pays once per corpus version, exactly
-    * like [[bucketedFacts]] — never per batch.
-    *
-    * Name carries the FULL dir md5 + session identity with a
-    * tableExists recheck (truncated-hash names collide silently,
-    * cross-session Overwrite deletes files under in-flight scans,
-    * identityHashCode reuse false-hits the memo). */
-  def fingerprintCatalog(spark: SparkSession, dir: String): DataFrame = {
-    val sessionId = System.identityHashCode(spark)
-    val tbl = "graft_fp_b_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString +
-      s"_$sessionId"
-    fpCache.synchronized {
-      if (!fpCache.contains((sessionId, dir)) ||
-          !spark.catalog.tableExists(tbl)) {
-        Tables(spark, dir).documents
-          .filter(col("source") === "src0")
-          .select(md5(col("text")).as("h"))
-          .distinct()
-          // one sorted file per bucket (same rationale as bucketedFacts:
-          // repartition on the bucket key shares the bucket lattice's
-          // Murmur3 hash, so the scan keeps its ordering claim)
-          .repartition(FactBuckets, col("h"))
-          .write.mode(SaveMode.Overwrite)
-          .bucketBy(FactBuckets, "h").sortBy("h")
-          .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
-        fpCache((sessionId, dir)) = tbl
-      }
+    * like [[bucketedFacts]] — never per batch. Built through
+    * [[sessionTable]], so [[dropSessionTables]] reclaims it. */
+  def fingerprintCatalog(spark: SparkSession, dir: String): DataFrame =
+    sessionTable(spark, dir, "graft_fp_b_") { tbl =>
+      Tables(spark, dir).documents
+        .filter(col("source") === "src0")
+        .select(md5(col("text")).as("h"))
+        .distinct()
+        // one sorted file per bucket (same rationale as bucketedFacts:
+        // repartition on the bucket key shares the bucket lattice's
+        // Murmur3 hash, so the scan keeps its ordering claim)
+        .repartition(FactBuckets, col("h"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(FactBuckets, "h").sortBy("h")
+        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
     }
-    spark.table(tbl)
-  }
 
   private val eventsCache =
     scala.collection.mutable.Map.empty[(Int, String), String]
