@@ -287,9 +287,14 @@ object GraphOps {
     * shuffles — per-vertex degree (vertex keys), then the histogram on
     * the tiny degree domain. */
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpoint before symmetrizing: the union references the pair
+    // pipeline twice (the dedupComponents edge lesson — un-cut, the
+    // whole distinct+self-join subtree ran once per branch and the
+    // plan tripped the PlanAuditSpec shuffle ceiling).
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .filter(col("n_orders") >= 2)
       .select("p1", "p2")
+      .localCheckpoint()
     val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
     adj.groupBy("src").agg(count(lit(1)).as("degree"))
