@@ -219,6 +219,34 @@ object EventOps {
         col("event_type"), col("cnt"))
       .orderBy("wstart", "event_type")
 
+  /** Top event-type transitions (session path analysis): for each
+    * user's time-ordered stream, the (event_type → next event_type)
+    * pairs where the gap is ≤ 30 min (the ev_sessionize boundary, so
+    * a transition never spans sessions), counted corpus-wide — the
+    * Markov-chain edge weights behind funnel design and next-action
+    * prediction. Deterministic order: (tus, event_id) is a total
+    * order per user, so `lead` is well-defined under ties; output
+    * top-20 by count with a (from, to) tiebreak.
+    *
+    * Scale: ONE shuffle on user_id for the lead window (per-user
+    * sequences are bounded — the sessionize partitioning argument),
+    * then a partial-aggregated groupBy on the tiny type-pair domain
+    * and a TakeOrderedAndProject. */
+  def evTopTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("gap", lead("tus", 1).over(w) - col("tus"))
+      .filter(col("to_type").isNotNull && col("gap") <= 1800000000L)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(20)
+  }
+
   /** Hourly anomaly detection: per event_type, the hours whose count
     * is ≥2 sample standard deviations from that type's hourly mean —
     * the volume-spike / outage detector every telemetry pipeline runs.
@@ -283,6 +311,17 @@ object EventOps {
         |  make_timestamp((slot + 2) * 1800000000) AS wend,
         |  event_type, count(*) AS cnt
         |FROM x GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+    "ev_top_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
     "ev_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -363,6 +402,7 @@ object EventOps {
     "ev_moving_stats" -> (evMovingStats(_, _)),
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
+    "ev_top_transitions" -> (evTopTransitions(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
   )

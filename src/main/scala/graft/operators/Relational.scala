@@ -313,6 +313,38 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 4).as("p90"))
       .orderBy("event_type")
 
+  /** EXACT per-group median — distributed rank selection WITHOUT a
+    * global sort, and without the engine-specific quantile
+    * interpolation agg_percentiles leans on: rows collapse to a
+    * (group, value) HISTOGRAM first (partial-aggregated, and bounded
+    * by the VALUE DOMAIN — money has ≤1e7 distinct cents whatever the
+    * row count, so the histogram stops growing at 100 TB even though
+    * the corpus doesn't), then a domain-sized cumulative count locates
+    * the rank-⌈n/2⌉ value (the LOWER median — a row that exists, no
+    * interpolation, no FP). The median is an exact cents integer; /100
+    * is the only double.
+    *
+    * This is the counting-selection idiom every exact-quantile-at-
+    * scale system uses; the same histogram serves any rank (p90 = rank
+    * ⌈9n/10⌉) for free. */
+  def aggExactMedian(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).orders
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("o_orderpriority", "c")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = h.groupBy("o_orderpriority").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), "o_orderpriority")
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("c").cast("double") / 100).as("median"))
+      .orderBy("o_orderpriority")
+  }
+
   /** ROLLUP grouping sets: per (priority, status) + subtotals + total.
     * NULLS FIRST pinned explicitly — Spark and DuckDB default opposite
     * null orderings. */
@@ -737,6 +769,93 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q9 shape (product-type profit) on the DERIVED supply
+    * catalog — the schema has no partsupp, so supply cost per
+    * (part, supplier) is the q30 derivation: the minimum unit price
+    * ever charged, in exact integer cents (`price_cents div quantity`).
+    * Profit per line = price·(1−discount) − unit_cost·quantity, kept
+    * in 1e-4-dollar BIGINT units ("centi-cents": price_cents ×
+    * (100−disc_pct) is already that unit, and cost_cents × 100 joins
+    * it) so the per-nation-per-year sum is order-independent; the ONE
+    * double is the final S/10000 — the same exact-integer-quotient
+    * both engines compute bit-identically.
+    *
+    * Scale: the part filter broadcasts and prunes the fact scan FIRST;
+    * the cost catalog is a partial-aggregated (part, supplier) groupBy
+    * over the already-pruned lines (the min for a pair is the same
+    * whether derived before or after a part-side filter — every line
+    * of the pair shares the part); the catalog join shuffles on the
+    * same (part, supplier) key its groupBy just produced. */
+  def q31ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val gearLines = t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").like("%gear%"))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+    val ps = gearLines
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"))
+      .groupBy("ps_partkey", "ps_suppkey")
+      .agg(min("unit_cents").as("min_unit_cents"))
+    gearLines
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - CAST(round(l_discount * 100) AS BIGINT)) - " +
+          "min_unit_cents * CAST(l_quantity AS BIGINT) * 100 " +
+          "AS DECIMAL(38,0))").as("profit_cc"))
+      .groupBy("nation", "o_year")
+      .agg(expr("CAST(sum(profit_cc) AS DOUBLE) / 10000").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock) on the DERIVED supply catalog:
+    * per (part, supplier), holding value = min unit cents × total
+    * traded quantity; per part, the summed value; keep parts whose
+    * value exceeds 1.5× the AVERAGE part's value (a scale-free gate —
+    * a constant fraction-of-total threshold empties as the part count
+    * grows, which is exactly why TPC-H SF-scales its own fraction; 0
+    * rows at sf0.1 proved it here). The gate is the classic
+    * scalar-subquery-vs-groups pattern — the 1-row global (total,
+    * count) broadcasts onto the per-part aggregate and the comparison
+    * cross-multiplies in DECIMAL(38,0): 2·value·n_parts > 3·total — no
+    * double division anywhere; the output `value` double is the only
+    * cast, an exact-integer /100 both engines agree on.
+    *
+    * Scale: two partial-aggregated shuffles on shrinking keys —
+    * (part, supplier) then part — and a broadcast of ONE row; the
+    * threshold compare is a codegen'd filter, and top-50-by-value is
+    * TakeOrderedAndProject with a partkey tiebreak. */
+  def q32ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ps = t.lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit_cents").as("min_unit_cents"), sum("qty").as("tot_qty"))
+      .select(col("l_partkey"),
+        expr("CAST(min_unit_cents * tot_qty AS DECIMAL(38,0))").as("value_cents"))
+    val byPart = ps.groupBy("l_partkey")
+      .agg(sum("value_cents").cast("decimal(38,0)").as("part_value_cents"))
+    byPart
+      .crossJoin(broadcast(
+        byPart.agg(sum("part_value_cents").cast("decimal(38,0)").as("total_cents"),
+          count(lit(1)).as("n_parts"))))
+      .filter(expr("part_value_cents * n_parts * 2 > total_cents * 3"))
+      .select(col("l_partkey").as("p_partkey"),
+        expr("CAST(part_value_cents AS DOUBLE) / 100").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+      .limit(50)
+  }
+
   /** Bloom-filter membership sketch — the fourth mergeable sketch next
     * to KMV (distinct count), HLL (distinct count), and CMS
     * (frequency): per returnflag group, a 256-bit Bloom filter over
@@ -1117,6 +1236,54 @@ object Relational {
         |  CAST(min_unit_cents AS DOUBLE) / 100 AS unit_price
         |FROM r WHERE rn = 1
         |ORDER BY unit_price, p_partkey LIMIT 20""".stripMargin,
+    "agg_exact_median" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cu AS (
+        |  SELECT o_orderpriority, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h)
+        |SELECT cu.o_orderpriority, t.n, CAST(cu.c AS DOUBLE) / 100 AS median
+        |FROM cu JOIN t USING (o_orderpriority)
+        |WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q31_product_profit" ->
+      """WITH gear AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'),
+        |ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT)) AS min_unit_cents
+        |  FROM gear WHERE l_quantity > 0 GROUP BY 1, 2)
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    - min_unit_cents * CAST(l_quantity AS BIGINT) * 100) AS DOUBLE) / 10000 AS profit
+        |FROM gear
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q32_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT))
+        |      * sum(CAST(l_quantity AS BIGINT)) AS value_cents
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey),
+        |bp AS (SELECT l_partkey, sum(value_cents) AS part_value_cents FROM ps GROUP BY 1),
+        |tot AS (SELECT sum(part_value_cents) AS total_cents, count(*) AS n_parts FROM bp)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(part_value_cents AS DOUBLE) / 100 AS value
+        |FROM bp CROSS JOIN tot
+        |WHERE part_value_cents * n_parts * 2 > total_cents * 3
+        |ORDER BY value DESC, p_partkey LIMIT 50""".stripMargin,
     "agg_bloom_filter" -> {
       def posSql(c: String): String =
         s"((strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), j * 8 + 7, 1)) - 1) * 16" +
@@ -1560,6 +1727,9 @@ object Relational {
     "q29_top_supplier" -> (q29TopSupplier(_, _)),
     "agg_bloom_filter" -> (aggBloomFilter(_, _)),
     "q30_cheapest_supplier" -> (q30CheapestSupplier(_, _)),
+    "q31_product_profit" -> (q31ProductProfit(_, _)),
+    "q32_important_stock" -> (q32ImportantStock(_, _)),
+    "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
   )

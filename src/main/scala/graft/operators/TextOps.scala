@@ -443,6 +443,88 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .orderBy("chunk_hash")
 
+  /** mix_token_budget's per-source token budget. */
+  private[graft] val MixBudgetTokens = 700L
+
+  /** Data-mixing sampler: downsample each source stratum to a fixed
+    * TOKEN budget — the mixture-weighting step every training-data
+    * pipeline runs between curation and training. Two linear passes:
+    * (1) per-source token totals → a keep-rate in exact ppm
+    * (`budget·1e6 div total`, clamped at 1e6); (2) a per-row
+    * md5-threshold keep decision (first 6 hex digits of md5(doc_id) as
+    * a uniform draw in [0, 16^6), compared CROSS-MULTIPLIED in BIGINT
+    * — no double anywhere, so the selection is reproducible across
+    * runs, engines, partitionings, and cluster sizes). Output per
+    * source: kept/total docs and tokens, the rate, and a sum(doc_id)
+    * checksum pinning the exact kept SET (not just its size).
+    *
+    * Scale: this is the rate-threshold formulation — O(1) per row,
+    * broadcast-joined rates — NOT the per-source ordered cumulative
+    * sum, which would serialize each source's whole stratum through
+    * one task at 100 TB (a window PARTITION BY source with source
+    * cardinality ~20 is the textbook skew trap). The price is
+    * tokens_kept ≈ budget rather than ≤ budget exactly; a pipeline
+    * that needs the hard cap runs this rate pass first and trims the
+    * overshoot (≤ one doc in expectation per source). */
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+          .as("draw"))
+    val rates = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("tok").as("toks_total"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr(s"$MixBudgetTokens * 1000000 div toks_total")))
+    val kept = toks
+      .join(broadcast(rates.select("source", "rate_ppm")), "source")
+      .filter(expr("draw * 1000000 < rate_ppm * 16777216"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("toks_kept"),
+        sum("doc_id").as("kept_id_sum"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("toks_total"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT word
+    * bigrams that appear in NO other document (corpus df = 1) — high
+    * novelty flags unique content worth upweighting (or hallucinated
+    * noise worth inspecting); low novelty flags template text the
+    * repetition gates might miss when the repeats are spread across
+    * documents. The novelty score is exact integer ppm
+    * (`novel·1e6 div distinct`) so ordering is cross-engine stable;
+    * top-20 most-novel docs with a doc_id tiebreak.
+    *
+    * Scale: one explode of DISTINCT per-doc bigrams (≤ tokens−1 per
+    * doc, linear), one partial-aggregated df count keyed on the bigram
+    * (uniform text keys), one join back — the txt_tfidf shape with df=1
+    * as the interesting tail. */
+  def txtNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables(spark, dir).documents
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(zip_with(slice(tk, 1, size(tk) - 1), " +
+          "slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b)))")).as("bg"))
+      .localCheckpoint()
+    // df per bigram partial-aggregates map-side (a hot boilerplate
+    // bigram arrives at its reducer as per-partition counts, never as
+    // rows — the reason this is a groupBy+join, not a window over bg).
+    val df = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+    bg.join(df, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_bigrams").as("novelty_ppm"))
+      .orderBy(col("novelty_ppm").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -678,6 +760,47 @@ object TextOps {
          |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
          |FROM f ORDER BY doc_id""".stripMargin
     },
+    "mix_token_budget" -> {
+      val draw = (1 to 6)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+         |    CAST($draw AS BIGINT) AS draw
+         |  FROM documents),
+         |rates AS (
+         |  SELECT source, count(*) AS n_total, sum(tok) AS toks_total,
+         |    least(1000000, $MixBudgetTokens * 1000000 // sum(tok)) AS rate_ppm
+         |  FROM t GROUP BY source),
+         |kept AS (
+         |  SELECT t.source, count(*) AS n_kept, sum(tok) AS toks_kept,
+         |    sum(doc_id) AS kept_id_sum
+         |  FROM t JOIN rates ON t.source = rates.source
+         |  WHERE draw * 1000000 < rate_ppm * 16777216
+         |  GROUP BY t.source)
+         |SELECT rates.source, n_total, CAST(toks_total AS BIGINT) AS toks_total,
+         |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  CAST(coalesce(toks_kept, 0) AS BIGINT) AS toks_kept,
+         |  CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+         |FROM rates LEFT JOIN kept ON rates.source = kept.source
+         |ORDER BY rates.source""".stripMargin
+    },
+    "txt_ngram_novelty" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $tokensSql AS tk FROM documents),
+         |b AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))) AS bg
+         |  FROM d WHERE len(tk) >= 2),
+         |df AS (SELECT bg, count(*) AS df FROM b GROUP BY bg)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM b JOIN df USING (bg)
+         |GROUP BY doc_id
+         |ORDER BY novelty_ppm DESC, doc_id LIMIT 20""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,5 +823,7 @@ object TextOps {
     "txt_inverted_index" -> (txtInvertedIndex(_, _)),
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
+    "mix_token_budget" -> (mixTokenBudget(_, _)),
+    "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
   )
 }
