@@ -232,7 +232,10 @@ object EventOps {
     * sequences are bounded — the sessionize partitioning argument),
     * then a partial-aggregated groupBy on the tiny type-pair domain
     * and a TakeOrderedAndProject. */
-  def evTopTransitions(spark: SparkSession, dir: String): DataFrame = {
+  /** Full transition-count table behind [[evTopTransitions]] — exposed
+    * pre-limit so StreamingSpec can equate it with the streaming twin's
+    * aggregated edge emissions. */
+  private[graft] def evTransitionCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     Tables(spark, dir).events
@@ -243,9 +246,12 @@ object EventOps {
       .filter(col("to_type").isNotNull && col("gap") <= 1800000000L)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def evTopTransitions(spark: SparkSession, dir: String): DataFrame =
+    evTransitionCounts(spark, dir)
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(20)
-  }
 
   /** Hourly anomaly detection: per event_type, the hours whose count
     * is ≥2 sample standard deviations from that type's hourly mean —

@@ -785,12 +785,19 @@ object Relational {
     * over the already-pruned lines (the min for a pair is the same
     * whether derived before or after a part-side filter — every line
     * of the pair shares the part); the catalog join shuffles on the
-    * same (part, supplier) key its groupBy just produced. */
+    * same (part, supplier) key its groupBy just produced. The pruned
+    * line set feeds BOTH the catalog and the fact side, so it is
+    * localCheckpoint'ed — one fact scan, not two (the minhash
+    * one-pass lesson; the checkpoint holds the ~3%-selectivity slim
+    * projection, far cheaper than a second full scan at 100 TB). */
   def q31ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val gearLines = t.lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
       .join(broadcast(t.part.filter(col("p_name").like("%gear%"))
         .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .localCheckpoint()
     val ps = gearLines
       .filter(col("l_quantity") > 0)
       .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"),

@@ -467,11 +467,16 @@ object TextOps {
     * that needs the hard cap runs this rate pass first and trims the
     * overshoot (≤ one doc in expectation per source). */
   def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // One corpus scan: the tokenizer regexp over `text` is the
+    // expensive part and three consumers read its output (rates twice
+    // via the final join-back, kept once) — checkpoint the slim
+    // (id, source, tok, draw) projection so the text is read ONCE.
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"),
         size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"),
         expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
           .as("draw"))
+      .localCheckpoint()
     val rates = toks.groupBy("source")
       .agg(count(lit(1)).as("n_total"), sum("tok").as("toks_total"))
       .withColumn("rate_ppm",

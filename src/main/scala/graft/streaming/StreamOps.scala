@@ -282,6 +282,55 @@ object StreamOps {
     * spans a batch boundary still splits sessions identically. Within a
     * micro-batch the group's new events are sorted by (tus, event_id) —
     * same total order as the batch window spec. */
+  /** Last-seen event per user — [[transitionsStream]] state (O(users),
+    * three fields — never the event history). */
+  final case class LastEv(tus: Long, eventId: Long, eventType: String)
+
+  /** One observed transition edge. */
+  final case class Transition(from_type: String, to_type: String)
+
+  /** Streaming twin of ev_top_transitions: emits each (event_type →
+    * next event_type) pair of a user's stream as it completes, gap-
+    * gated at the [[SessionGapUs]] session boundary. State is ONE
+    * [[LastEv]] row per user — O(users) forever, like [[sessionize]].
+    *
+    * Ordering contract: within a micro-batch events sort by
+    * (tus, event_id) — the batch window's total order — so intra-batch
+    * reordering is free; ACROSS batches delivery must be per-user
+    * in-order (the kafka-partition-per-user contract). An event at or
+    * behind the per-user high-water mark is DROPPED (no emit, no state
+    * advance): an exact replay of the last event is suppressed for
+    * free, and a genuinely late event loses its two transitions rather
+    * than corrupting neighbors — the same drop-beats-corrupt tradeoff
+    * the watermarked ops make. Downstream the edge counts are a plain
+    * streaming groupBy count — mergeable, any micro-batching. */
+  def transitionsStream(events: Dataset[Ev]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[LastEv]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val after = last.forall(l =>
+              e.tus > l.tus || (e.tus == l.tus && e.event_id > l.eventId))
+            if (after) {
+              last.foreach { l =>
+                if (e.tus - l.tus <= SessionGapUs)
+                  out += Transition(l.eventType, e.event_type)
+              }
+              last = Some(LastEv(e.tus, e.event_id, e.event_type))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -447,4 +447,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming transitions equal batch ev_top_transitions counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Global (tus, event_id) order is per-user in-order — the delivery
+    // contract; three uneven splits put transitions across boundaries.
+    val evs = loadEvents().sortBy(e => (e.tus, e.event_id))
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // replay batch b verbatim: every event is at-or-behind the
+      // per-user high-water mark → zero extra emissions.
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT from_type, to_type, count(*) FROM trans GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.evTransitionCounts(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
