@@ -162,6 +162,14 @@ object GraphOps {
         .select(col("v"), col("n"), lit(0L).as("rp"),
           expr(s"($Scale * 15) div (100 * n) + " +
             s"(85 * $Scale * coalesce(outdeg, CAST(0 AS BIGINT))) div (100 * tot)").as("r")))
+    // One step per materialized round — measured against the obvious
+    // "two steps per job" batching at sf0.1: the composed plan reads
+    // the un-checkpointed inner state TWICE (mass-push join + the
+    // hysteresis compare — every step consumes prior ranks in two
+    // places), so the inner step recomputes and the loop got SLOWER
+    // (18.8 s vs 16.6 s). The per-round checkpoint is what keeps each
+    // step's plan single-iteration; the loop's cost is the genuine
+    // per-iteration edge scan, not removable scheduling overhead.
     var iters = 0
     var converged = false
     while (!converged && iters < PrMaxIter) {

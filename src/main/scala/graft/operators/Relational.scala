@@ -893,8 +893,15 @@ object Relational {
       .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
       .localCheckpoint()
     // bits feeds both the membership join and the popcount — one pass.
+    // The md5 is hoisted into its own column before the position
+    // transform: Spark does not lift loop-invariant expressions out of
+    // higher-order-function lambdas, so the inline form hashed every
+    // key FOUR times (k× the corpus's md5 cost for the one digest).
     val bits = keys
-      .select(col("flag"), explode(expr(posArr("l_orderkey"))).as("b"))
+      .withColumn("h", md5(col("l_orderkey").cast("string")))
+      .select(col("flag"), explode(expr(
+        "transform(sequence(0, 3), j -> " +
+          "CAST(conv(substr(h, j * 8 + 7, 2), 16, 10) AS INT))")).as("b"))
       .distinct()
       .localCheckpoint()
     val nbits = bits.groupBy("flag").agg(count(lit(1)).as("n_bits_set"))
