@@ -310,7 +310,99 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** BFS iteration cap — the oracle-mirroring bound (kmeansLoop /
+    * PrMaxIter pattern): measured hub eccentricity is 3-4 at all three
+    * test scales (the support-1 co-purchase graph is a dense blob);
+    * past the frontier freeze every merge round is the identity, so
+    * early-stopped Spark == the oracle's fixed 8-level unroll. Were a
+    * corpus's eccentricity ever to exceed the cap, BOTH engines
+    * truncate at the same level and still agree. */
+  private[graft] val BfsMaxIter = 8
+
+  /** Single-source BFS layers (shortest hop distance) over the FULL
+    * co-purchase graph, seeded at the max-degree hub (min-vertex
+    * tiebreak — deterministic cross-engine): per distance d, how many
+    * parts sit d hops from the hub and the smallest such part — the
+    * catalog-connectivity profile ("how far is everything from the
+    * center of co-purchase space"), and the remaining classic
+    * iterative graph kernel next to pagerank / components / triangles.
+    *
+    * Iteration is monotone frontier labeling (dedupComponents'
+    * min-label shape with +1 per hop): dist ∪ (neighbors of dist)+1,
+    * min per vertex. A vertex's FIRST label is its BFS distance and
+    * never improves, so |dist| grows to a freeze that the integer
+    * (count, Σd) measure detects exactly; past it, iterations are the
+    * identity. Per round: one edge⋈dist join (dist is vertex-sized —
+    * AQE broadcasts while it fits, shuffles beyond) + two partial-
+    * aggregated groupBys, lineage-cut per round with superseded
+    * checkpoint blocks freed (the pagerank bookkeeping). */
+  def graphBfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val (sym, symIds) = checkpointed(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    val seed = sym.groupBy("src").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("src")).limit(1)
+    var (dist, distIds) = checkpointed(
+      seed.select(col("src").as("v"), lit(0L).as("d")))
+    var iters = 0
+    var frozen = false
+    var prev = (-1L, -1L)
+    while (!frozen && iters < BfsMaxIter) {
+      val cand = sym.join(dist, col("src") === col("v"))
+        .groupBy(col("dst")).agg(min(col("d") + 1).as("d"))
+        .select(col("dst").as("v"), col("d"))
+      val (next, nextIds) = checkpointed(
+        dist.unionByName(cand).groupBy("v").agg(min("d").as("d")))
+      iters += 1
+      val m = next.agg(count(lit(1)), sum("d")).first()
+      val measure = (m.getLong(0), m.getLong(1))
+      free(distIds)
+      dist = next; distIds = nextIds
+      frozen = measure == prev
+      prev = measure
+    }
+    free(symIds)
+    dist.groupBy("d").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
+      .orderBy("d")
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_bfs_layers" -> {
+      val levels = (1 to BfsMaxIter).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT v, min(d) AS d FROM (
+           |    SELECT v, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS v, p.d + 1 AS d
+           |    FROM d${i - 1} p JOIN sym s ON p.v = s.src) GROUP BY v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |       UNION ALL SELECT p2, p1 FROM pairs),
+         |seed AS (
+         |  SELECT src FROM (SELECT src, count(*) AS c FROM sym GROUP BY src)
+         |  ORDER BY c DESC, src LIMIT 1),
+         |d0 AS (SELECT CAST(src AS BIGINT) AS v, CAST(0 AS BIGINT) AS d FROM seed),
+         |$levels
+         |SELECT d, count(*) AS n_vertices, min(v) AS min_vertex
+         |FROM d$BfsMaxIter GROUP BY d ORDER BY d""".stripMargin
+    },
     "graph_degree_dist" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -412,5 +504,6 @@ object GraphOps {
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
+    "graph_bfs_layers" -> (graphBfsLayers(_, _)),
   )
 }

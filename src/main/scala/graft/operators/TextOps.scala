@@ -530,6 +530,91 @@ object TextOps {
       .limit(20)
   }
 
+  /** PMI-ranked bigram collocations — the phrase-mining op (new-term
+    * discovery, tokenizer-merge candidates): bigrams whose observed
+    * frequency beats the independence expectation, score =
+    * n_ab·N / (n_a·n_b) (the PMI ratio without the log — log is a
+    * libm-parity trap and monotone, so ranking is unchanged). A
+    * min-support gate (n_ab ≥ 5) kills the 1-occurrence noise that
+    * dominates raw PMI. The score is one product/quotient chain over
+    * exact integers, mirrored association for IEEE-identical doubles.
+    *
+    * Scale: one bigram explode (linear ×1, not shingling's ×k), one
+    * unigram explode, three partial-aggregated counts, then joins on
+    * the COLLAPSED bigram/unigram tables (post-aggregation, so a hot
+    * stopword pair arrives as one row, not its occurrence stream). */
+  def txtCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), expr(tokensExpr).as("tk"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), " +
+          "slice(tk, 2, size(tk) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .select(expr("substring_index(bg, ' ', 1)").as("w1"),
+        expr("substring_index(bg, ' ', -1)").as("w2"), col("n_ab"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+      .localCheckpoint() // joined twice (w1 side + w2 side) — one pass
+    val nTok = uni.agg(sum("n_w").as("nn"))
+    bg.join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        expr("CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE) / " +
+          "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))").as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Distribution-drift detector (χ²-style) between sources — the
+    * data-quality gate a pipeline runs when a new crawl/source lands:
+    * does source s's length distribution deviate from the corpus?
+    * Lengths bucket into a 10-bin EQUI-WIDTH histogram (equi-depth
+    * quantile edges are an engine-parity trap — see agg_histogram);
+    * for each (source, bucket) the homogeneity deviation is the χ²
+    * contribution ((O·N − N_s·n_b)² / (N·N_s·n_b)), whose numerator
+    * root d = O·N − N_s·n_b is computed EXACTLY in DECIMAL(38,0) —
+    * the one fraction is a quotient of identical exact integers in
+    * both engines, hence the identical IEEE double. Top-15 deviations.
+    *
+    * Scale: two partial-aggregated shuffles over tiny key domains
+    * (source×bucket, then bucket), 1-row global broadcast, no text
+    * scan at all (n_chars is a stored column); the histogram bound
+    * makes state O(sources × 10) whatever the corpus size. */
+  def qcDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val lohi = docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+    val bucketed = docs
+      .crossJoin(broadcast(lohi))
+      .select(col("source"),
+        when(col("hi") === col("lo"), lit(1L))
+          .otherwise(expr("(n_chars - lo) * 10 div (hi - lo + 1)")).as("bucket"))
+    // sb is sources×10 rows and feeds FOUR consumers (itself + three
+    // marginals) — without the cut each re-derived from a fresh
+    // documents scan (8 corpus passes in the audited plan; 2 is the
+    // floor: one min/max pass, one bucketing pass).
+    val sb = bucketed.groupBy("source", "bucket").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
+    val bTot = sb.groupBy("bucket").agg(sum("n_obs").as("n_b"))
+    val sTot = sb.groupBy("source").agg(sum("n_obs").as("n_s"))
+    val tot = sb.agg(sum("n_obs").as("n"))
+    sb.join(broadcast(bTot), "bucket")
+      .join(broadcast(sTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("d",
+        expr("CAST(n_obs AS DECIMAL(38,0)) * n - CAST(n_s AS DECIMAL(38,0)) * n_b"))
+      .select(col("source"), col("bucket"), col("n_obs"),
+        expr("CAST(CAST(n_s AS DECIMAL(38,0)) * n_b * 1000000 div n AS BIGINT)")
+          .as("exp_ppm"),
+        expr("CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE))")
+          .as("chi2_contrib"))
+      .orderBy(col("chi2_contrib").desc, col("source"), col("bucket"))
+      .limit(15)
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -792,6 +877,49 @@ object TextOps {
          |FROM rates LEFT JOIN kept ON rates.source = kept.source
          |ORDER BY rates.source""".stripMargin
     },
+    "txt_collocations" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+         |  FROM d WHERE len(tk) >= 2),
+         |bc AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |         count(*) AS n_ab
+         |  FROM b GROUP BY bg HAVING count(*) >= 5),
+         |u AS (
+         |  SELECT w, count(*) AS n_w
+         |  FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+         |t AS (SELECT sum(n_w) AS nn FROM u)
+         |SELECT bc.w1, bc.w2, bc.n_ab,
+         |  CAST(bc.n_ab AS DOUBLE) * CAST(t.nn AS DOUBLE) /
+         |    (CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)) AS pmi_ratio
+         |FROM bc
+         |JOIN u u1 ON bc.w1 = u1.w
+         |JOIN u u2 ON bc.w2 = u2.w
+         |CROSS JOIN t
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+    "qc_drift" ->
+      """WITH lh AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+        |bk AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN hi = lo THEN 1
+        |         ELSE (n_chars - lo) * 10 // (hi - lo + 1) END AS BIGINT) AS bucket
+        |  FROM documents CROSS JOIN lh),
+        |sb AS (SELECT source, bucket, count(*) AS n_obs FROM bk GROUP BY 1, 2),
+        |bt AS (SELECT bucket, sum(n_obs) AS n_b FROM sb GROUP BY 1),
+        |st AS (SELECT source, sum(n_obs) AS n_s FROM sb GROUP BY 1),
+        |tt AS (SELECT sum(n_obs) AS n FROM sb),
+        |x AS (
+        |  SELECT sb.source, sb.bucket, sb.n_obs, bt.n_b, st.n_s, tt.n,
+        |    sb.n_obs * tt.n - st.n_s * bt.n_b AS d
+        |  FROM sb JOIN bt USING (bucket) JOIN st USING (source) CROSS JOIN tt)
+        |SELECT source, bucket, n_obs,
+        |  CAST(n_s * n_b * 1000000 // n AS BIGINT) AS exp_ppm,
+        |  CAST(d AS DOUBLE) * CAST(d AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)) AS chi2_contrib
+        |FROM x
+        |ORDER BY chi2_contrib DESC, source, bucket LIMIT 15""".stripMargin,
     "txt_ngram_novelty" ->
       s"""WITH d AS (
          |  SELECT doc_id, $tokensSql AS tk FROM documents),
@@ -830,5 +958,7 @@ object TextOps {
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
+    "qc_drift" -> (qcDrift(_, _)),
+    "txt_collocations" -> (txtCollocations(_, _)),
   )
 }

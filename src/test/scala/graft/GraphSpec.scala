@@ -52,4 +52,19 @@ class GraphSpec extends AnyFunSuite {
     assert(counts(100L) == 60 && counts(101L) == 60,
       s"hub participation wrong: $counts")
   }
+
+  test("bfs frontier freezes before the unroll cap and layers are a partition") {
+    val layers = GraphOps.graphBfsLayers(spark, sf).collect()
+    // Convergence room: the deepest layer index must sit strictly
+    // inside the cap minus the one confirming round, or the
+    // early-stop == fixed-unroll equivalence is running on luck.
+    val maxD = layers.map(_.getLong(0)).max
+    info(s"bfs layers: ${layers.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")}")
+    assert(maxD + 1 < GraphOps.BfsMaxIter,
+      s"deepest layer $maxD leaves no freeze headroom under cap ${GraphOps.BfsMaxIter}")
+    // Layer 0 is exactly the seed.
+    assert(layers.find(_.getLong(0) == 0L).exists(_.getLong(1) == 1L))
+    // Layers partition the reached set: distances are consecutive.
+    assert(layers.map(_.getLong(0)).sorted.sameElements(0L to maxD))
+  }
 }
