@@ -615,6 +615,33 @@ object TextOps {
       .limit(15)
   }
 
+  /** The RedmapOps facade exercised under the ORACLE gate (the
+    * mr_salted_join move, applied to §2.1's typed API): a six-stage
+    * redmap job — FlatMap(tokenize) → Filter(len≥4) → KeyBy →
+    * MapValues(1) → ReduceByKey(+) → Filter(cnt≥10) → Sort — written
+    * ENTIRELY in the typed combinators, checked against a plain SQL
+    * oracle every round. The closure tokenizer mirrors the SQL
+    * tokenizer exactly ([a-z0-9]+ over lowercased text — both java
+    * regex and DuckDB RE2 agree on this class-only pattern).
+    *
+    * Scale: the combinators delegate to Dataset ops, so the chain is
+    * ONE whole-stage-codegen'd scan → partial-aggregating
+    * groupByKey+reduce (redmap's combiner for free) → range-exchange
+    * sort; RedmapOpsSpec separately proves the plan shapes. */
+  def mrRedmapPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.api.RedmapOps._
+    Tables(spark, dir).documents.select("text").as[String]
+      .flatMapOp(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+      .filterOp(_.length >= 4)
+      .keyByOp(identity)
+      .mapValuesOp(_ => 1L)
+      .reduceByKeyOp(_ + _)
+      .filterOp(_._2 >= 10L)
+      .sortOp { case (w, _) => w }
+      .toDF("word", "cnt")
+  }
+
   /** Classic redmap job: word count (flatMap → reduceByKey). */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -877,6 +904,13 @@ object TextOps {
          |FROM rates LEFT JOIN kept ON rates.source = kept.source
          |ORDER BY rates.source""".stripMargin
     },
+    "mr_redmap_pipeline" ->
+      s"""WITH w AS (
+         |  SELECT unnest($tokensSql) AS word FROM documents)
+         |SELECT word, count(*) AS cnt FROM w
+         |WHERE length(word) >= 4
+         |GROUP BY word HAVING count(*) >= 10
+         |ORDER BY word""".stripMargin,
     "txt_collocations" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          |b AS (
@@ -960,5 +994,6 @@ object TextOps {
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),
+    "mr_redmap_pipeline" -> (mrRedmapPipeline(_, _)),
   )
 }

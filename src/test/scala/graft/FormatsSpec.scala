@@ -159,6 +159,33 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("schema evolution: mergeSchema unions column sets, old files null-fill") {
+    // The production lifecycle: a pipeline adds a column (v2 writes
+    // carry `score`), history stays as-is, and readers see the union
+    // with null-filled history — no rewrite of the old 100 TB.
+    import spark.implicits._
+    val path = tmp("docs_evolving")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    Seq((3L, "gamma", 0.5), (4L, "delta", 0.9)).toDF("doc_id", "text", "score")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.sameElements(Array("doc_id", "score", "text")))
+    val rows = merged.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.9)))
+    // And column pruning still reaches the merged-schema scan.
+    val plan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        merged.select("doc_id").explain("formatted")
+      }
+      out.toString
+    }
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
+
   test("partition pruning reaches the partitioned layout") {
     val path = tmp("documents_part")
     val plan = {
