@@ -126,6 +126,45 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** LSH banding recall, measured as a query (the sim_recall_eval move
+    * applied to dedup): ground truth = the df-windowed EXACT Jaccard
+    * pairs at ≥ 0.5 (the same set algebra the minhash verifier uses),
+    * candidates = the raw band-collision pairs, reported per exact
+    * Jaccard DECILE so the banding S-curve is visible — high-similarity
+    * pairs must be caught near-always (P(miss) = (1−j)^8), the 0.5
+    * boundary is allowed to leak. All gating is integer-exact:
+    * jac ≥ 0.5 is 2·common ≥ union, the decile is 10·common div union,
+    * recall is exact ppm.
+    *
+    * Scale: ONE checkpointed shingle pass feeds both sides (truth
+    * cells + band signatures); truth pair volume is the bounded
+    * ≤C(cap,2)-per-cell machinery, the band join is the uniform
+    * (j, mh) key — both inherited postures, nothing new to tune. */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingleSets(spark, dir).localCheckpoint()
+    val truth = ngramPairCountsFrom(sh)
+      .filter(expr("2 * common >= n1 + n2 - common"))
+      .select(col("id1"), col("id2"),
+        expr("10 * common div (n1 + n2 - common)").as("jac_decile"))
+    val sig = sh
+      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
+    val cand = sig.as("a")
+      .join(sig.as("b"),
+        col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .withColumn("caught", lit(1L))
+    truth.join(cand, Seq("id1", "id2"), "left")
+      .groupBy("jac_decile")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .select(col("jac_decile"), col("n_true"), col("n_caught"),
+        expr("n_caught * 1000000 div n_true").as("recall_ppm"))
+      .orderBy("jac_decile")
+  }
+
   /** MinHash signature + banded-candidate CTEs shared by the minhash
     * oracle and the end-to-end pipeline oracle (expects `hsh` from
     * [[shingleSql]] in scope). */
@@ -216,8 +255,13 @@ object DedupOps {
     * [[dedupNgramJaccard]] (symmetric overlap) and [[dedupSubsumed]]
     * (asymmetric containment), so the cell/pair machinery can never
     * drift between the two set-similarity consumers. */
-  private def ngramPairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingleSets(spark, dir)
+  private def ngramPairCounts(spark: SparkSession, dir: String): DataFrame =
+    ngramPairCountsFrom(hashedShingleSets(spark, dir))
+
+  /** Same pair-count machinery over a CALLER-SUPPLIED shingle-set
+    * table — lets [[dedupLshRecall]] drive both the truth side and the
+    * LSH candidate side from ONE checkpointed shingle pass. */
+  private def ngramPairCountsFrom(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
     val cells = ex.groupBy("g")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
@@ -704,6 +748,27 @@ object DedupOps {
          |  SELECT id1, id2, common * 1.0 / (n1 + n2 - common) AS jac FROM pairs)
          |SELECT id1, id2, round(jac, 4) AS jaccard FROM j
          |WHERE jac >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH $shingleSql,
+         |$minhashCandSql,
+         |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |exf AS (SELECT ex.doc_id, ex.n, ex.g FROM ex JOIN keep USING (g)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS common
+         |  FROM exf a JOIN exf b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT id1, id2,
+         |    CAST(10 * common // (n1 + n2 - common) AS BIGINT) AS jac_decile
+         |  FROM pairs WHERE 2 * common >= n1 + n2 - common),
+         |hit AS (SELECT id1, id2, 1 AS caught FROM cand)
+         |SELECT jac_decile, count(*) AS n_true,
+         |  CAST(sum(coalesce(caught, 0)) AS BIGINT) AS n_caught,
+         |  CAST(sum(coalesce(caught, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM truth LEFT JOIN hit USING (id1, id2)
+         |GROUP BY jac_decile ORDER BY jac_decile""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_subsumed" ->
       s"""WITH $shingleSql,
@@ -761,6 +826,7 @@ object DedupOps {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
+    "dedup_lsh_recall" -> (dedupLshRecall(_, _)),
     "dedup_subsumed" -> (dedupSubsumed(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_edit_near" -> (dedupEditNear(_, _)),

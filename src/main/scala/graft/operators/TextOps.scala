@@ -75,6 +75,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation twin of
+    * [[txtLangid]] (the sim_recall_eval move applied to the text
+    * classifiers): predicted language vs the table's labeled `lang`,
+    * counts per (lang, pred_lang) cell — where the marker heuristic
+    * is trustworthy and where it bleeds. One extra broadcast-joined
+    * column over the langid plan; the matrix domain is |langs|². */
+  def txtLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    txtLangid(spark, dir)
+      .join(Tables(spark, dir).documents.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
@@ -737,6 +750,20 @@ object TextOps {
          |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
          |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    "txt_lang_confusion" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |  $markerSqlCounts
+         |  FROM d),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
+         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |  FROM c)
+         |SELECT documents.lang, p.pred_lang, count(*) AS n
+         |FROM p JOIN documents USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
@@ -977,6 +1004,7 @@ object TextOps {
     "txt_distinctive" -> (txtDistinctive(_, _)),
     "txt_hashing_tf" -> (txtHashingTf(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
+    "txt_lang_confusion" -> (txtLangConfusion(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),
