@@ -325,8 +325,10 @@ object Relational {
     * is the only double.
     *
     * This is the counting-selection idiom every exact-quantile-at-
-    * scale system uses; the same histogram serves any rank (p90 = rank
-    * ⌈9n/10⌉) for free. */
+    * scale system uses — and the same histogram serves any rank for
+    * free: the query reports BOTH the median (rank ⌈n/2⌉) and p90
+    * (rank ⌈9n/10⌉) from one cumulative pass, proving the claim in
+    * the gated output rather than a comment. */
   def aggExactMedian(spark: SparkSession, dir: String): DataFrame = {
     val h = Tables(spark, dir).orders
       .select(col("o_orderpriority"),
@@ -336,12 +338,25 @@ object Relational {
     val tot = h.groupBy("o_orderpriority").agg(sum("cnt").as("n"))
     val w = Window.partitionBy("o_orderpriority").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both ranks selected in ONE pass over the cumulative rows (a rank
+    // matches exactly one histogram row, so min(when(...)) picks it;
+    // one row may serve both ranks): a rankPick-join formulation would
+    // consume the histogram+window subtree twice — no CSE across the
+    // self-join, 9 shuffles instead of 5 (PlanAuditSpec caught it).
     h.withColumn("cum", sum("cnt").over(w))
       .join(broadcast(tot), "o_orderpriority")
-      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
-        expr("(n + 1) div 2") <= col("cum"))
-      .select(col("o_orderpriority"), col("n"),
-        (col("c").cast("double") / 100).as("median"))
+      .filter((col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum")) ||
+        (col("cum") - col("cnt") < expr("(9 * n + 9) div 10") &&
+          expr("(9 * n + 9) div 10") <= col("cum")))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"),
+        (min(when(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"), col("c")))
+          .cast("double") / 100).as("median"),
+        (min(when(col("cum") - col("cnt") < expr("(9 * n + 9) div 10") &&
+          expr("(9 * n + 9) div 10") <= col("cum"), col("c")))
+          .cast("double") / 100).as("p90"))
       .orderBy("o_orderpriority")
   }
 
@@ -1257,13 +1272,20 @@ object Relational {
         |  FROM orders GROUP BY 1, 2),
         |t AS (SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
         |cu AS (
-        |  SELECT o_orderpriority, c, cnt,
-        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY c
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM h)
-        |SELECT cu.o_orderpriority, t.n, CAST(cu.c AS DOUBLE) / 100 AS median
-        |FROM cu JOIN t USING (o_orderpriority)
-        |WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |  SELECT cu0.o_orderpriority, cu0.c, cu0.cnt, cu0.cum, t.n FROM (
+        |    SELECT o_orderpriority, c, cnt,
+        |      sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY c
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h) cu0 JOIN t USING (o_orderpriority))
+        |SELECT o_orderpriority, max(n) AS n,
+        |  CAST(min(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |    THEN c END) AS DOUBLE) / 100 AS median,
+        |  CAST(min(CASE WHEN cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+        |    THEN c END) AS DOUBLE) / 100 AS p90
+        |FROM cu
+        |WHERE (cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+        |   OR (cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum)
+        |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q31_product_profit" ->
       """WITH gear AS (
