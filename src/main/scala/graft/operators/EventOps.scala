@@ -253,6 +253,47 @@ object EventOps {
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(20)
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent NON-purchase event within 30 min (the ev_sessionize
+    * boundary — credit never crosses a session gap); purchases with no
+    * in-window touch credit 'direct'. Output per channel: conversions
+    * and exact-cents attributed revenue — the conversion-accounting
+    * query behind every funnel/marketing dashboard.
+    *
+    * The two ignore-nulls `last` windows (type and time) evaluate the
+    * SAME when-condition, so they always read the same touch row; the
+    * frame ends at -1 so a purchase never attributes to itself, and
+    * (tus, event_id) is a total order per user so ties are
+    * deterministic. Revenue sums are BIGINT cents (the centsSum
+    * contract) — no FP anywhere.
+    *
+    * Scale: ONE shuffle on user_id for the window (bounded per-user
+    * sequences — the sessionize argument), then a partial-aggregated
+    * groupBy on the 5-value channel domain. */
+  def evAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_tus",
+        last(when(col("event_type") =!= "purchase", col("tus")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("source_type",
+        when(col("touch_tus").isNotNull &&
+          col("tus") - col("touch_tus") <= 1800000000L, col("touch_type"))
+          .otherwise(lit("direct")))
+      .groupBy("source_type")
+      .agg(count(lit(1)).as("conversions"), sum("vc").as("revenue_cents"))
+      .orderBy("source_type")
+  }
+
   /** Hourly anomaly detection: per event_type, the hours whose count
     * is ≥2 sample standard deviations from that type's hourly mean —
     * the volume-spike / outage detector every telemetry pipeline runs.
@@ -328,6 +369,26 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |x AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN tus END
+        |      IGNORE NULLS) OVER w AS touch_tus
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_tus IS NOT NULL AND tus - touch_tus <= 1800000000
+        |            THEN touch_type ELSE 'direct' END AS source_type,
+        |  count(*) AS conversions,
+        |  CAST(sum(vc) AS BIGINT) AS revenue_cents
+        |FROM x WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -409,6 +470,7 @@ object EventOps {
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),
+    "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
   )

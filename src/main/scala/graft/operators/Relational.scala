@@ -360,6 +360,53 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact Gini coefficient of order value per customer market segment
+    * — the revenue-concentration / inequality measure a curation
+    * pipeline tracks per stratum (the same statistic data-mixing work
+    * reports per source). Rides the [[aggExactMedian]] value-domain
+    * histogram idiom: order totals collapse to a (segment, cents)
+    * histogram (bounded by the PRICE DOMAIN, not the corpus — the
+    * histogram stops growing at 100 TB), a domain-sized cumulative
+    * pass gives each distinct value its sorted-rank block
+    * [p+1, p+cnt], and the doubled rank-weighted sum
+    * 2·Σ i·x_i = Σ_v v·(2·cnt·p + cnt·(cnt+1)) reduces per segment
+    * (doubling keeps the triangular term integral — no division until
+    * the end). Gini = (2·Σi·x_i − (n+1)·Σx) / (n·Σx); every
+    * accumulator is exact DECIMAL(38,0) (DuckDB: HUGEINT), and the
+    * reported gini is ONE division of the same two exact integers in
+    * both engines — the ev_anomaly no-FP-until-the-last-op contract,
+    * no rounding agreement needed.
+    *
+    * Scale: the segment lookup shuffles on the uniform o_custkey; the
+    * histogram partial-aggregates map-side; the per-segment window
+    * reads the domain-bounded histogram, never corpus-sized input. */
+  def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val h = t.orders
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("cnt").over(w))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum("cnt").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * cnt")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * CAST(cnt AS DECIMAL(38,0))" +
+          " * (cum - cnt) + CAST(cnt AS DECIMAL(38,0)) * (cnt + 1))")).as("t2"))
+      .select(col("c_mktsegment"), col("n"),
+        (col("s").cast("double") / 100).as("total"),
+        (col("t2") - (col("n").cast("decimal(38,0)") + 1) * col("s"))
+          .cast("double")
+          ./((col("n").cast("decimal(38,0)") * col("s")).cast("double"))
+          .as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   /** ROLLUP grouping sets: per (priority, status) + subtotals + total.
     * NULLS FIRST pinned explicitly — Spark and DuckDB default opposite
     * null orderings. */
@@ -1287,6 +1334,25 @@ object Relational {
         |   OR (cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_gini" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |         count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT c_mktsegment, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY c
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h)
+        |SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(c::HUGEINT * cnt) AS DOUBLE) / 100 AS total,
+        |  CAST(sum(c::HUGEINT * (2 * cnt::HUGEINT * (cum - cnt) + cnt::HUGEINT * (cnt + 1)))
+        |       - (CAST(sum(cnt) AS HUGEINT) + 1) * sum(c::HUGEINT * cnt) AS DOUBLE)
+        |    / CAST(CAST(sum(cnt) AS HUGEINT) * sum(c::HUGEINT * cnt) AS DOUBLE) AS gini
+        |FROM cu
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q31_product_profit" ->
       """WITH gear AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
@@ -1766,6 +1832,7 @@ object Relational {
     "q31_product_profit" -> (q31ProductProfit(_, _)),
     "q32_important_stock" -> (q32ImportantStock(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
+    "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
   )

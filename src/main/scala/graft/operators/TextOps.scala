@@ -508,6 +508,71 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** mix_temperature's total token budget across all sources. */
+  private[graft] val MixTempTokens = 14000L
+
+  /** Temperature-scaled source mixing (α = 0.5): sampling weight per
+    * source ∝ √tokens — the standard multilingual/multi-source
+    * rebalancing that upweights small strata relative to proportional
+    * sampling (T5/mT5-style temperature mixing) — normalized to a
+    * fixed TOTAL token budget. Source s keeps
+    * rate_s = B·√w_s / (Σ_t √w_t · w_s), so sampled token mass is
+    * ∝ √w_s and Σ sampled ≈ B.
+    *
+    * Cross-engine determinism with an IRRATIONAL weight function:
+    * IEEE-754 sqrt is correctly rounded in both engines (Math.sqrt and
+    * libm), so √(exact BIGINT as double) is bit-identical; it is
+    * immediately quantized to fixed-point micro-units
+    * (⌊√tokens·1e6⌋ — floor of a bit-identical double is the same
+    * integer everywhere), and EVERYTHING after is exact integer math:
+    * the normalizer Σq is a BIGINT sum (order-independent, unlike a
+    * double sum — the kmeansParallelInit lesson), the per-source rate
+    * is one DECIMAL(38,0) integral division to ppm, and the per-row
+    * keep decision is the mix_token_budget cross-multiplied
+    * md5-threshold compare. Reproducible across runs, engines,
+    * partitionings, and cluster sizes.
+    *
+    * Scale: same rate-threshold posture as [[mixTokenBudget]] — O(1)
+    * per row, broadcast rates, no per-source ordered scan; the
+    * normalizer is a 1-row broadcast crossJoin over the ~#sources-row
+    * per-source aggregate. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+          .as("draw"))
+      .localCheckpoint()
+    // The ~#sources-row per-source table has THREE consumers (the
+    // normalizer agg, the rate join, the final report join) — without
+    // the checkpoint each consumer re-runs the corpus-sized groupBy
+    // (the qc_drift lesson: 8 shuffles → 5).
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("tok").as("toks_total"))
+      .withColumn("q_micro",
+        expr("CAST(floor(sqrt(CAST(toks_total AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .localCheckpoint()
+    val rates = per
+      .crossJoin(broadcast(per.agg(sum("q_micro").as("q_sum"))))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"CAST($MixTempTokens AS DECIMAL(38,0)) * 1000000 * q_micro" +
+            " div (CAST(q_sum AS DECIMAL(38,0)) * toks_total)")))
+    val kept = toks
+      .join(broadcast(rates.select("source", "rate_ppm")), "source")
+      .filter(expr("draw * 1000000 < rate_ppm * 16777216"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("toks_kept"),
+        sum("doc_id").as("kept_id_sum"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("toks_total"),
+        col("q_micro"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   /** Per-document n-gram novelty: the share of a doc's DISTINCT word
     * bigrams that appear in NO other document (corpus df = 1) — high
     * novelty flags unique content worth upweighting (or hallucinated
@@ -931,6 +996,38 @@ object TextOps {
          |FROM rates LEFT JOIN kept ON rates.source = kept.source
          |ORDER BY rates.source""".stripMargin
     },
+    "mix_temperature" -> {
+      val draw = (1 to 6)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (6 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+         |    CAST($draw AS BIGINT) AS draw
+         |  FROM documents),
+         |per AS (
+         |  SELECT source, count(*) AS n_total, CAST(sum(tok) AS BIGINT) AS toks_total,
+         |    CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE)) * 1000000) AS BIGINT) AS q_micro
+         |  FROM t GROUP BY source),
+         |qs AS (SELECT CAST(sum(q_micro) AS BIGINT) AS q_sum FROM per),
+         |rates AS (
+         |  SELECT per.*, least(1000000, CAST(
+         |    ($MixTempTokens::HUGEINT * 1000000 * q_micro)
+         |      // (q_sum::HUGEINT * toks_total) AS BIGINT)) AS rate_ppm
+         |  FROM per CROSS JOIN qs),
+         |kept AS (
+         |  SELECT t.source, count(*) AS n_kept, sum(tok) AS toks_kept,
+         |    sum(doc_id) AS kept_id_sum
+         |  FROM t JOIN rates ON t.source = rates.source
+         |  WHERE draw * 1000000 < rate_ppm * 16777216
+         |  GROUP BY t.source)
+         |SELECT rates.source, n_total, toks_total, q_micro, rate_ppm,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  CAST(coalesce(toks_kept, 0) AS BIGINT) AS toks_kept,
+         |  CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+         |FROM rates LEFT JOIN kept ON rates.source = kept.source
+         |ORDER BY rates.source""".stripMargin
+    },
     "mr_redmap_pipeline" ->
       s"""WITH w AS (
          |  SELECT unnest($tokensSql) AS word FROM documents)
@@ -1019,6 +1116,7 @@ object TextOps {
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
+    "mix_temperature" -> (mixTemperature(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),
