@@ -331,6 +331,60 @@ object StreamOps {
       }
   }
 
+  /** Per-user attribution state: the overall high-water mark (drop
+    * rule) plus the last NON-purchase touch. touchTus == Long.MinValue
+    * means no touch seen yet. O(users) forever — four fields, never
+    * the event history. */
+  final case class AttrState(hwTus: Long, hwId: Long,
+      touchTus: Long, touchType: String)
+
+  /** One attributed conversion (the purchase's raw value rides along;
+    * cents conversion and the conversions/revenue rollup are the
+    * downstream mergeable groupBy, like [[transitionsStream]]'s edge
+    * counts). */
+  final case class Attribution(source_type: String, value: Double)
+
+  /** Streaming twin of ev_attribution: emits each purchase's
+    * last-touch credit as it happens. Same ordering and drop contract
+    * as [[transitionsStream]] — intra-batch sort by (tus, event_id),
+    * per-user in-order delivery across batches, at-or-behind events
+    * dropped (exact replays suppressed for free; a late purchase loses
+    * its credit rather than crediting a future touch). A purchase
+    * advances the high-water mark but never becomes the touch, exactly
+    * like the batch window's when-guard. */
+  def attributionStream(events: Dataset[Ev]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[AttrState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          val out = Seq.newBuilder[Attribution]
+          var s = state.getOption
+            .getOrElse(AttrState(Long.MinValue, Long.MinValue, Long.MinValue, ""))
+          sorted.foreach { e =>
+            val after = e.tus > s.hwTus ||
+              (e.tus == s.hwTus && e.event_id > s.hwId)
+            if (after) {
+              if (e.event_type == "purchase") {
+                val src =
+                  if (s.touchTus != Long.MinValue &&
+                    e.tus - s.touchTus <= SessionGapUs) s.touchType
+                  else "direct"
+                out += Attribution(src, e.value)
+                s = s.copy(hwTus = e.tus, hwId = e.event_id)
+              } else {
+                s = AttrState(e.tus, e.event_id, e.tus, e.event_type)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

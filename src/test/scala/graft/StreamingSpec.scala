@@ -478,4 +478,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming attribution equals batch ev_attribution across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Per-user in-order delivery (the kafka-partition-per-user
+    // contract); three uneven splits put touch→purchase chains across
+    // micro-batch boundaries so AttrState must carry over.
+    val evs = loadEvents().sortBy(e => (e.tus, e.event_id))
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // replay batch b verbatim: every event is at-or-behind the
+      // per-user high-water mark → zero double-credited conversions.
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    // The downstream mergeable rollup (cents contract, like the batch).
+    val streamed = spark.sql(
+      """SELECT source_type, count(*) AS conversions,
+         sum(CAST(round(value * 100) AS BIGINT)) AS revenue_cents
+         FROM attr GROUP BY 1""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.EventOps.evAttribution(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
