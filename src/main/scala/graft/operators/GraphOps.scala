@@ -377,6 +377,85 @@ object GraphOps {
       .orderBy("d")
   }
 
+  /** Coreness iteration cap — the oracle-mirroring bound (BfsMaxIter /
+    * PrMaxIter pattern): measured h-index freeze is 21 iterations at
+    * sf0.001 (the dense 200-vertex blob peels slowly), 10 at sf0.01,
+    * 5 at sf0.1 — + headroom. Past the freeze every h-index round is
+    * the identity, so early-stopped Spark == the oracle's fixed
+    * 24-level unroll. */
+  private[graft] val CoreMaxIter = 24
+
+  /** k-core decomposition — CORENESS per vertex (the largest k such
+    * that v survives k-core peeling) over the support-≥2 co-purchase
+    * graph, reported as a distribution: (coreness, n_vertices,
+    * min_vertex). The density diagnostic next to degree_dist: degree
+    * says how connected a hub is, coreness says how deep the densely
+    * interlinked nucleus goes (a fixed-k peel is brittle — the 3-core
+    * is empty at sf0.1 — so the full decomposition is the right query).
+    *
+    * Algorithm: iterated neighborhood H-INDEX (Lü et al., "The H-index
+    * of a network node and its relation to degree and coreness",
+    * Nature Comm. 2016): start at degree, replace each value with the
+    * h-index of the neighbors' values (largest h with ≥h neighbors
+    * ≥h); the sequence is monotone non-increasing per vertex and its
+    * fixpoint IS the core number. Monotonicity gives an exact integer
+    * freeze measure (count, Σc) — identical to the BFS loop — and
+    * makes the window tiebreak irrelevant (h is invariant to the order
+    * of equal values, so row_number over a non-unique sort is still
+    * deterministic in the result). Per round: one edge⋈values join
+    * (values vertex-sized — AQE broadcasts while small), one window
+    * partitioned by vertex, one partial-aggregated groupBy;
+    * lineage-cut per round, superseded checkpoint blocks freed. A
+    * degree-peeling loop would need a round per distinct core level
+    * REMOVED sequentially; h-index rounds run all levels concurrently
+    * and freeze in O(diameter·levels) — fewer, fatter rounds, the
+    * shape a 1000-executor cluster wants. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val (adj, adjIds) = checkpointed(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    var (cur, curIds) = checkpointed(
+      adj.groupBy("src").agg(count(lit(1)).as("c"))
+        .select(col("src").as("v"), col("c")))
+    var iters = 0
+    var frozen = false
+    var prev = (-1L, -1L)
+    val w = Window.partitionBy("src").orderBy(col("c").desc)
+    while (!frozen && iters < CoreMaxIter) {
+      val nb = adj.join(cur, col("dst") === col("v"))
+        .select(col("src"), col("c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val (next, nextIds) = checkpointed(
+        nb.groupBy("src")
+          .agg(max(when(col("c") >= col("rn"), col("rn")).otherwise(0L)).as("c"))
+          .select(col("src").as("v"), col("c")))
+      iters += 1
+      val m = next.agg(count(lit(1)), sum("c")).first()
+      val measure = (m.getLong(0), m.getLong(1))
+      free(curIds)
+      cur = next; curIds = nextIds
+      frozen = measure == prev
+      prev = measure
+    }
+    free(adjIds)
+    cur.groupBy("c").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
+      .select(col("c").as("coreness"), col("n_vertices"), col("min_vertex"))
+      .orderBy("coreness")
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> {
       val levels = (1 to BfsMaxIter).map { i =>
@@ -452,6 +531,33 @@ object GraphOps {
         |SELECT p_partkey, count(*) AS n_triangles
         |FROM vx GROUP BY 1
         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "graph_kcore" -> {
+      // Fixed CoreMaxIter-level unroll of the h-index iteration; the
+      // Spark side stops at the (count, Σc) freeze, past which each
+      // round is the identity — same contract as graph_bfs_layers /
+      // graph_pagerank. MATERIALIZED is load-bearing at depth 24.
+      val levels = (1 to CoreMaxIter).map { i =>
+        s"""v$i AS MATERIALIZED (
+           |  SELECT src AS v, max(CASE WHEN c >= rn THEN rn ELSE 0 END) AS c
+           |  FROM (SELECT a.src, b.c,
+           |          row_number() OVER (PARTITION BY a.src ORDER BY b.c DESC) AS rn
+           |        FROM adj a JOIN v${i - 1} b ON a.dst = b.v)
+           |  GROUP BY src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+         |adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM edges
+         |       UNION ALL SELECT p2, p1 FROM edges),
+         |v0 AS MATERIALIZED (SELECT src AS v, count(*) AS c FROM adj GROUP BY src),
+         |$levels
+         |SELECT c AS coreness, count(*) AS n_vertices, min(v) AS min_vertex
+         |FROM v$CoreMaxIter GROUP BY c ORDER BY c""".stripMargin
+    },
     "graph_pagerank" -> {
       // Scale / the cap / the freeze denominator are interpolated,
       // never hard-coded: a bump to a Scala constant must not silently
@@ -505,5 +611,6 @@ object GraphOps {
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
+    "graph_kcore" -> (graphKcore(_, _)),
   )
 }

@@ -925,6 +925,48 @@ object Relational {
       .limit(50)
   }
 
+  /** RFM customer segmentation — the classic marketing/churn feature
+    * cube: per customer, Recency (days from the corpus's last order
+    * date to the customer's last order), Frequency (order count), and
+    * Monetary (lifetime spend in exact cents), each scored 1-3 by
+    * FIXED business thresholds (R: ≤365 / ≤730 days; F: ≥12 / ≥7
+    * orders; M: ≥$3.0M / ≥$1.5M), rolled up to the 27-cell segment
+    * grid with exact-dollar totals.
+    *
+    * Fixed thresholds are the deliberate scale choice over quartile
+    * scoring: ntile over RAW customers is a global single-task window
+    * (fine over the 25-row aggregate in agg_ntile_quartiles, wrong
+    * over a 1e8-row customer dimension at 100 TB), while threshold
+    * scoring is a pure per-row map — the only non-linear pieces are
+    * the one-row global-max-date broadcast and the 27-key partial-
+    * aggregated rollup. All gates integer-exact (datediff days, order
+    * counts, BIGINT cents), so the segment assignment is bit-stable
+    * across engines and partition orders. */
+  def q33RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"))
+    val gmax = t.orders.agg(max(col("o_orderdate")).as("gmax"))
+    perCust.crossJoin(broadcast(gmax))
+      .withColumn("rec_days", datediff(col("gmax"), col("last_order")))
+      .withColumn("r_score",
+        when(col("rec_days") <= 365, 3).when(col("rec_days") <= 730, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("freq") >= 12, 3).when(col("freq") >= 7, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("spend_cents") >= 300000000L, 3)
+          .when(col("spend_cents") >= 150000000L, 2).otherwise(1))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("spend_cents").cast("decimal(38,0)")).cast("double") / 100)
+          .as("total_spend"),
+        min("o_custkey").as("sample_custkey"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Bloom-filter membership sketch — the fourth mergeable sketch next
     * to KMV (distinct count), HLL (distinct count), and CMS
     * (frequency): per returnflag group, a 256-bit Bloom filter over
@@ -1373,6 +1415,25 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q33_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+        |s AS (
+        |  SELECT o_custkey, spend_cents,
+        |    CASE WHEN date_diff('day', last_order, gmax) <= 365 THEN 3
+        |         WHEN date_diff('day', last_order, gmax) <= 730 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN freq >= 12 THEN 3 WHEN freq >= 7 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN spend_cents >= 300000000 THEN 3
+        |         WHEN spend_cents >= 150000000 THEN 2 ELSE 1 END AS m_score
+        |  FROM pc CROSS JOIN g)
+        |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score, count(*) AS n_customers,
+        |  CAST(sum(spend_cents) AS DOUBLE) / 100 AS total_spend,
+        |  min(o_custkey) AS sample_custkey
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q32_important_stock" ->
       """WITH ps AS (
         |  SELECT l_partkey,
@@ -1831,6 +1892,7 @@ object Relational {
     "q30_cheapest_supplier" -> (q30CheapestSupplier(_, _)),
     "q31_product_profit" -> (q31ProductProfit(_, _)),
     "q32_important_stock" -> (q32ImportantStock(_, _)),
+    "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),

@@ -320,6 +320,47 @@ object SimilarityOps {
       .orderBy("vec_id", "rnk")
   }
 
+  /** kNN label-majority evaluation — the label-quality screen a
+    * training-data pipeline runs over an embedded, labeled corpus: each
+    * vector's label is predicted by majority vote of its 5 nearest
+    * neighbors (the [[simKnnGraph]] ANN graph), and per true label the
+    * report is (n, n_correct, accuracy ppm). A label whose accuracy
+    * craters is mislabeled, duplicated into other classes, or not
+    * separable in embedding space — the per-class triage signal next to
+    * emb_outliers' per-example one.
+    *
+    * Vote tiebreaks are fully deterministic cross-engine: most votes,
+    * then the candidate label holding the NEAREST neighbor (min rank),
+    * then smallest label id. Accuracy is exact integer ppm
+    * (cross-multiplied div — no double division).
+    *
+    * Scale rides entirely on the knn graph's IVF posture (O(n^1.5)
+    * candidate work, per-cell pre-cut, WindowGroupLimit); the vote adds
+    * one slim broadcast-ready (id, label) join + two partial-aggregated
+    * groupBys on 5n rows, and the per-vector majority window runs on
+    * ≤5 rows per key. */
+  def simKnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val votes = simKnnGraph(spark, dir)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label")), "neighbor_id")
+      .groupBy("vec_id", "nb_label")
+      .agg(count(lit(1)).as("votes"), min("rnk").as("best_rnk"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("votes"), col("best_rnk"), col("nb_label"))
+    val pred = votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nb_label").as("pred_label"))
+    pred.join(labels, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
+      .orderBy("label")
+  }
+
   /** Distributed per-label centroid (vector mean via posexplode).
     * `+ 0.0` after rounding normalizes IEEE negative zero — a mean of
     * ~±1e-12 rounds to -0.0 in one engine and +0.0 in the other, and
@@ -922,6 +963,41 @@ object SimilarityOps {
          |  FROM sym)
          |SELECT id1 AS vec_id, id2 AS neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    // The knn CTE chain is sim_knn_graph's oracle verbatim; the vote
+    // tail mirrors the Spark tiebreak (votes DESC, nearest-neighbor
+    // rank, smallest label).
+    "sim_knn_label_eval" ->
+      s"""WITH $ivfCellsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${cosExprSql("a.embedding", "b.embedding")}, 4) + 0.0 AS cos_sim
+         |  FROM cells a JOIN cells b ON a.aid = b.aid AND a.vec_id < b.vec_id),
+         |sym AS (
+         |  SELECT id1, id2, cos_sim FROM pairs
+         |  UNION ALL
+         |  SELECT id2 AS id1, id1 AS id2, cos_sim FROM pairs),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rnk
+         |  FROM sym),
+         |knn AS (SELECT id1 AS vec_id, id2 AS neighbor_id, CAST(rnk AS BIGINT) AS rnk
+         |        FROM r WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT k.vec_id, l.label AS nb_label, count(*) AS votes,
+         |    min(k.rnk) AS best_rnk
+         |  FROM knn k JOIN embeddings l ON k.neighbor_id = l.vec_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT vec_id, nb_label FROM (
+         |    SELECT vec_id, nb_label, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY votes DESC, best_rnk, nb_label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT e.label, count(*) AS n,
+         |  CAST(sum(CASE WHEN p.nb_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN p.nb_label = e.label THEN 1 ELSE 0 END) * 1000000
+         |    AS BIGINT) // count(*) AS acc_ppm
+         |FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |m AS (SELECT vec_id, e,
@@ -1008,6 +1084,7 @@ object SimilarityOps {
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
+    "sim_knn_label_eval" -> (simKnnLabelEval(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),

@@ -736,6 +736,54 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("source")
 
+  /** txt_chunk_pack's context-window token budget. Docs average ~54
+    * whitespace tokens, so 512 packs ~9 docs per window — a real
+    * packing ratio at every test scale (each of the 20 sources fills
+    * ≥2 windows even on the 500-doc corpus). */
+  private[graft] val PackBudget = 512L
+
+  /** Context-window sequence packing — the step that turns a curated
+    * corpus into fixed-size training windows: docs are packed
+    * CONTIGUOUSLY in doc_id order into windows of [[PackBudget]]
+    * tokens (a doc belongs wholly to the window its FIRST token's
+    * offset falls in, so windows can overflow past the budget; the
+    * overflow count is part of the report). Packing is PER SOURCE — the window function
+    * partitions by source, which is both the semantics a mixed-corpus
+    * pipeline wants (no cross-source contamination inside one context
+    * window) and the scale posture: a global ordered cumsum is a
+    * single-task window, per-source cumsum distributes across the
+    * source partitions exactly like a per-shard packer on a cluster.
+    * Report per source: docs, tokens, windows, overflowing windows,
+    * the fattest window, and mean fill as exact ppm of budget.
+    *
+    * All integer arithmetic (token counts, floor-div window ids,
+    * cross-multiplied ppm) — bit-stable across engines and partition
+    * orders; the ONE ordered operation is the per-source prefix sum,
+    * whose order key (doc_id) is unique, so the cumsum is
+    * deterministic (the secondary-sort total-order contract). */
+  def txtChunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = toks
+      .withColumn("cum_before", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("win_id", expr(s"cum_before div $PackBudget"))
+    binned
+      .groupBy("source", "win_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("win_tok"))
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("win_tok").as("n_tokens"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("win_tok") > PackBudget, 1L).otherwise(0L)).as("n_overflow"),
+        max("win_tok").as("max_win_tok"))
+      .withColumn("fill_ppm",
+        expr(s"n_tokens * 1000000 div (n_windows * $PackBudget)"))
+      .orderBy("source")
+  }
+
   private val markerSqlCounts = markers.map { case (l, ws) =>
     val arr = ws.map(w => s"'$w'").mkString(", ")
     s"len(list_intersect(tk, [$arr])) AS c_$l"
@@ -752,6 +800,30 @@ object TextOps {
          |SELECT doc_id, feature_idx, count(*) AS cnt
          |FROM h GROUP BY doc_id, feature_idx
          |ORDER BY doc_id, feature_idx""".stripMargin,
+    "txt_chunk_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, tok,
+         |    coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS win_id
+         |  FROM toks),
+         |w AS (
+         |  SELECT source, win_id, count(*) AS n_docs,
+         |    CAST(sum(tok) AS BIGINT) AS win_tok
+         |  FROM b GROUP BY 1, 2)
+         |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(win_tok) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN win_tok > $PackBudget THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overflow,
+         |  max(win_tok) AS max_win_tok,
+         |  CAST(sum(win_tok) * 1000000 AS BIGINT) // (count(*) * $PackBudget)
+         |    AS fill_ppm
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
     "txt_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
@@ -1105,6 +1177,7 @@ object TextOps {
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),
+    "txt_chunk_pack" -> (txtChunkPack(_, _)),
     "mr_grep_count" -> (mrGrepCount(_, _)),
     "txt_token_count" -> (txtTokenCount(_, _)),
     "txt_winnow" -> (txtWinnow(_, _)),
