@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -329,7 +330,77 @@ object EventOps {
       .orderBy("event_type", "epoch_hour")
   }
 
+  /** Per-user behavioral feature assembly — the feature-engineering
+    * step a churn/LTV model trains on, one row per user: activity
+    * volume (events, active days, span), diversity (distinct types +
+    * modal type with exact tiebreak), monetary mass (exact cents), and
+    * idle recency vs the corpus's last day. This is the operator that
+    * turns the event log into a model matrix; every downstream query
+    * (segmentation, scoring, joins against labels) rides on it.
+    *
+    * Two user-keyed partial-aggregated shuffles — the scalar aggregate
+    * and the (user, type) modal count (whose majority window runs on
+    * ≤#types rows per user) — joined user-to-user (co-partitioned:
+    * both sides arrive hash-distributed on user_id, no third
+    * exchange), plus a 1-row global-max-day broadcast. All features
+    * integer-exact (day bins, counts, BIGINT cents, modal tiebreak
+    * (count DESC, type ASC)) — bit-stable across engines and
+    * partition orders. */
+  def evUserFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $W24h").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+    val scalar = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct("day").as("n_active_days"),
+      countDistinct("event_type").as("n_types"),
+      sum("v_cents").as("value_cents"),
+      min("day").as("first_day"),
+      max("day").as("last_day"))
+    val modal = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("cnt"), col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"),
+        col("cnt").as("top_type_n"))
+    val gmax = ev.agg(max("day").as("gmax_day"))
+    scalar.join(modal, "user_id")
+      .crossJoin(broadcast(gmax))
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("n_types"), col("top_type"), col("top_type_n"),
+        col("value_cents"),
+        (col("last_day") - col("first_day")).as("span_days"),
+        (col("gmax_day") - col("last_day")).as("idle_days"))
+      .orderBy("user_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_user_features" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) // $W24h AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS v_cents
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    count(DISTINCT day) AS n_active_days,
+         |    count(DISTINCT event_type) AS n_types,
+         |    CAST(sum(v_cents) AS BIGINT) AS value_cents,
+         |    min(day) AS first_day, max(day) AS last_day
+         |  FROM ev GROUP BY 1),
+         |m AS (
+         |  SELECT user_id, event_type AS top_type, cnt AS top_type_n FROM (
+         |    SELECT user_id, event_type, count(*) AS cnt, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+         |    FROM ev GROUP BY 1, 2) WHERE rn = 1),
+         |g AS (SELECT max(day) AS gmax_day FROM ev)
+         |SELECT s.user_id, n_events, n_active_days, n_types, top_type,
+         |  top_type_n, value_cents,
+         |  last_day - first_day AS span_days,
+         |  gmax_day - last_day AS idle_days
+         |FROM s JOIN m ON s.user_id = m.user_id CROSS JOIN g
+         |ORDER BY s.user_id""".stripMargin,
     "ev_dau_wau" ->
       s"""WITH du AS (
          |  SELECT DISTINCT epoch_us(ts) // $W24h AS day, user_id FROM events),
@@ -473,5 +544,6 @@ object EventOps {
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
+    "ev_user_features" -> (evUserFeatures(_, _)),
   )
 }

@@ -967,6 +967,43 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Year-over-year revenue growth per nation — the lag-window trend
+    * report (the remaining window-function surface next to rank/ntile/
+    * moving stats: `lag` across an ordered partition): revenue by
+    * (nation, order year), each year's growth vs the prior year as
+    * exact SIGNED ppm. Negative growth exercises the signed integral-
+    * division parity: Spark `div` and DuckDB BIGINT `//` both truncate
+    * toward zero, but DuckDB's `//` on DECIMAL operands FLOORS (found
+    * live: -699219 vs -699220) — so the ORACLE stays in BIGINT (ample
+    * at oracle scales) while the Spark side runs the difference in
+    * DECIMAL(38,0) for 100 TB headroom; `div` on decimals still
+    * truncates toward zero, so values agree. First year's growth is
+    * NULL identically in both engines.
+    *
+    * Scale: one fact-dim join chain (customer/nation broadcast-able),
+    * one partial-aggregated groupBy on the tiny (nation, year) domain,
+    * and the lag window runs per nation over ≤#years rows — nothing
+    * single-task, nothing fact-sized past the first aggregate. */
+  def q34YoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    val w = Window.partitionBy("nation").orderBy("o_year")
+    rev
+      .withColumn("prev_cents", lag("rev_cents", 1).over(w))
+      .select(col("nation"), col("o_year"),
+        (col("rev_cents").cast("double") / 100).as("revenue"),
+        // DECIMAL(38,0) difference×1e6 — a BIGINT intermediate would
+        // overflow once per-cell revenue crosses ~9e12 cents; div
+        // returns LONG (the ppm itself is small).
+        expr("(CAST(rev_cents AS DECIMAL(38,0)) - prev_cents) * 1000000" +
+          " div prev_cents").as("yoy_ppm"))
+      .orderBy("nation", "o_year")
+  }
+
   /** Bloom-filter membership sketch — the fourth mergeable sketch next
     * to KMV (distinct count), HLL (distinct count), and CMS
     * (frequency): per returnflag group, a 256-bit Bloom filter over
@@ -1415,6 +1452,21 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q34_yoy_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT nation, o_year, rev_cents,
+        |    lag(rev_cents) OVER (PARTITION BY nation ORDER BY o_year) AS prev_cents
+        |  FROM rev)
+        |SELECT nation, CAST(o_year AS INT) AS o_year,
+        |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+        |  (rev_cents - prev_cents) * 1000000 // prev_cents AS yoy_ppm
+        |FROM l ORDER BY nation, o_year""".stripMargin,
     "q33_rfm_segments" ->
       """WITH pc AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
@@ -1893,6 +1945,7 @@ object Relational {
     "q31_product_profit" -> (q31ProductProfit(_, _)),
     "q32_important_stock" -> (q32ImportantStock(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
+    "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
