@@ -456,6 +456,74 @@ object GraphOps {
       .orderBy("coreness")
   }
 
+  /** Label-propagation round count — FIXED, not convergence-driven:
+    * synchronous LPA has no monotone measure (bipartite regions can
+    * 2-cycle forever), so unlike BFS/pagerank/kcore there is no
+    * "identity past the freeze" contract to early-stop on. Both
+    * engines run EXACTLY this many rounds — parity by identical
+    * unroll. 8 rounds ≈ 2× the measured BFS eccentricity (3-4) of the
+    * denser support-1 graph: labels cannot travel farther than the
+    * diameter, so more rounds only re-vote settled regions. */
+  private[graft] val LpaRounds = 8
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the support-≥2 co-purchase graph: every vertex
+    * starts as its own label; each round it adopts the modal label of
+    * its neighborhood INCLUDING ITSELF (the self-vote damps the
+    * oscillation sync LPA is prone to), ties to the smallest label —
+    * fully deterministic, no randomized tie coin. Report: top-20
+    * communities by (size DESC, label), with member count and smallest
+    * member.
+    *
+    * The remaining community-structure kernel next to components
+    * (connectivity), kcore (density depth), and pagerank (centrality):
+    * LPA splits a connected component into densely-voting regions.
+    *
+    * Scale: per round one edge⋈labels join (labels vertex-sized — AQE
+    * broadcasts while small), one partial-aggregated (v, label) count
+    * — a hot vertex's repeated votes collapse map-side — and one
+    * per-vertex modal window over ≤deg distinct labels; lineage-cut
+    * per round with superseded checkpoint blocks freed (the pagerank
+    * bookkeeping). */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val (adj, adjIds) = checkpointed(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    var (lab, labIds) = checkpointed(
+      adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
+    val w = Window.partitionBy("src").orderBy(desc("n"), col("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = adj.join(lab, col("dst") === col("v"))
+        .select(col("src"), col("lbl"))
+        .unionByName(lab.select(col("v").as("src"), col("lbl")))
+        .groupBy("src", "lbl").agg(count(lit(1)).as("n"))
+      val (next, nextIds) = checkpointed(
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("v"), col("lbl")))
+      free(labIds)
+      lab = next; labIds = nextIds
+    }
+    free(adjIds)
+    lab.groupBy("lbl").agg(count(lit(1)).as("n_members"), min("v").as("min_vertex"))
+      .select(col("lbl").as("community"), col("n_members"), col("min_vertex"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(20)
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_bfs_layers" -> {
       val levels = (1 to BfsMaxIter).map { i =>
@@ -531,6 +599,34 @@ object GraphOps {
         |SELECT p_partkey, count(*) AS n_triangles
         |FROM vx GROUP BY 1
         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "graph_label_prop" -> {
+      // Identical fixed unroll — no early stop on either side (sync
+      // LPA has no monotone freeze measure; see LpaRounds).
+      val levels = (1 to LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT src AS v, lbl FROM (
+           |    SELECT src, lbl, row_number() OVER
+           |      (PARTITION BY src ORDER BY n DESC, lbl) AS rn
+           |    FROM (SELECT src, lbl, count(*) AS n FROM (
+           |            SELECT a.src, b.lbl FROM adj a JOIN l${i - 1} b ON a.dst = b.v
+           |            UNION ALL SELECT v AS src, lbl FROM l${i - 1})
+           |          GROUP BY src, lbl)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+         |adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM edges
+         |       UNION ALL SELECT p2, p1 FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM adj),
+         |$levels
+         |SELECT lbl AS community, count(*) AS n_members, min(v) AS min_vertex
+         |FROM l$LpaRounds GROUP BY lbl
+         |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
     "graph_kcore" -> {
       // Fixed CoreMaxIter-level unroll of the h-index iteration; the
       // Spark side stops at the (count, Σc) freeze, past which each
@@ -612,5 +708,6 @@ object GraphOps {
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
+    "graph_label_prop" -> (graphLabelProp(_, _)),
   )
 }

@@ -462,6 +462,66 @@ object SimilarityOps {
         (round(var_samp("v"), 4) + lit(0.0)).as("var_v"))
       .orderBy("dim")
 
+  /** Cross-dimension correlation screen — the embedding REDUNDANCY
+    * diagnostic next to [[embDimStats]]' per-dim one: the 15 dimension
+    * pairs with the highest |Pearson correlation|. Highly correlated
+    * dims mean the embedding wastes capacity (a PCA/whitening
+    * candidate) or the encoder collapsed; a drift in this ranking
+    * between two corpus snapshots is a model-regression signal.
+    *
+    * Exactness: values are quantized to micro-units
+    * (⌊round(x·1e6)⌋ — float→double is exact, round is IEEE-identical
+    * in both engines) and every accumulator is a DECIMAL(38,0) integer
+    * sum — order-independent, so Σxy / Σx / Σx² carry no
+    * double-summation-order risk (the kmeansParallelInit lesson).
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is then
+    * two correctly-rounded sqrts and one division on identical
+    * integers — bit-identical doubles cross-engine; zero-variance dims
+    * are filtered by exact integer compare before any division.
+    *
+    * Scale: the O(n·d²/2) pair pass carries ONLY Σxy (the marginals
+    * come from the O(n·d) per-dim pass, joined back broadcast — d²
+    * pair rows never carry redundant sums); both passes are map-side
+    * expansions partial-aggregated onto the bounded d²/2-key domain,
+    * so shuffle volume is d²-sized, not corpus-sized. */
+  def embDimCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir).embeddings
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("q"))
+    val marg = q
+      .select(posexplode(col("q")))
+      .select((col("pos") + 1).as("dim"), col("col").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("sx"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("den", col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+    val d = 64
+    val pairs = q
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, $d - 1), i -> " +
+          s"transform(sequence(i + 1, $d), j -> " +
+          "named_struct('i', i, 'j', j, " +
+          "'xy', element_at(q, i) * element_at(q, j)))))")).as("p"))
+      .select(col("p.i").as("dim_i"), col("p.j").as("dim_j"), col("p.xy"))
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
+    pairs
+      .join(broadcast(marg.select(col("dim").as("dim_i"), col("n"),
+        col("sx").as("sx_i"), col("den").as("den_i"))), "dim_i")
+      .join(broadcast(marg.select(col("dim").as("dim_j"),
+        col("sx").as("sx_j"), col("den").as("den_j"))), "dim_j")
+      .withColumn("corr",
+        ((col("n").cast("decimal(38,0)") * col("sxy") - col("sx_i") * col("sx_j"))
+          .cast("double") /
+          (sqrt(col("den_i").cast("double")) * sqrt(col("den_j").cast("double")))))
+      .select(col("dim_i"), col("dim_j"), (round(col("corr"), 4) + lit(0.0)).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+      .limit(15)
+  }
+
   /** How many buckets the persisted IVF index uses (small here; at scale
     * pick ≈ K so each cell is one bucket's worth of files). */
   val IvfIndexBuckets = 8
@@ -998,6 +1058,35 @@ object SimilarityOps {
          |    AS BIGINT) // count(*) AS acc_ppm
          |FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
          |GROUP BY e.label ORDER BY e.label""".stripMargin,
+    // Exact-integer Pearson over micro-unit quantized values; DuckDB
+    // sums promote to INT128 natively (the ev_anomaly pattern), the
+    // Spark side carries DECIMAL(38,0).
+    "emb_dim_corr" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |marg AS (
+        |  SELECT dim, count(*) AS n, sum(q[dim]) AS sx,
+        |    sum(q[dim] * q[dim]) AS sxx
+        |  FROM q CROSS JOIN dims GROUP BY dim),
+        |m2 AS (SELECT dim, n, sx, n * sxx - sx * sx AS den
+        |       FROM marg WHERE n * sxx - sx * sx > 0),
+        |pr AS (
+        |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |    sum(q[a.dim] * q[b.dim]) AS sxy
+        |  FROM q CROSS JOIN dims a CROSS JOIN dims b WHERE a.dim < b.dim
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT dim_i, dim_j,
+        |    round(CAST(mi.n * sxy - mi.sx * mj.sx AS DOUBLE)
+        |      / (sqrt(CAST(mi.den AS DOUBLE)) * sqrt(CAST(mj.den AS DOUBLE))), 4)
+        |      + 0.0 AS corr
+        |  FROM pr JOIN m2 mi ON pr.dim_i = mi.dim JOIN m2 mj ON pr.dim_j = mj.dim)
+        |SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j, corr
+        |FROM c ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 15""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |m AS (SELECT vec_id, e,
@@ -1088,6 +1177,7 @@ object SimilarityOps {
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
+    "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_kmeans" -> (embKmeans(_, _)),

@@ -736,6 +736,30 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("source")
 
+  /** One BPE merge step — adjacent character-pair frequencies over the
+    * corpus's word stream (with word multiplicity), i.e. exactly the
+    * count a byte-pair-encoding tokenizer trainer computes to pick its
+    * next merge: top-30 pairs by count with (count DESC, pair ASC)
+    * tiebreak. A full BPE train iterates this; the per-iteration scan
+    * is the distributed-scale piece (the merge TABLE update between
+    * iterations is driver-side small — the kmeansLoop posture), so the
+    * oracle gates the kernel once rather than unrolling a vocabulary
+    * trajectory.
+    *
+    * Scale: tokenize → per-word pair explode (bounded: word length) →
+    * partial-aggregated count on the ≤36² pair domain →
+    * TakeOrderedAndProject. A hot pair ("th") arrives at the shuffle
+    * as one row per partition, never as its occurrence stream. */
+  def txtBpeMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(30)
+
   /** txt_chunk_pack's context-window token budget. Docs average ~54
     * whitespace tokens, so 512 packs ~9 docs per window — a real
     * packing ratio at every test scale (each of the 20 sources fills
@@ -800,6 +824,13 @@ object TextOps {
          |SELECT doc_id, feature_idx, count(*) AS cnt
          |FROM h GROUP BY doc_id, feature_idx
          |ORDER BY doc_id, feature_idx""".stripMargin,
+    "txt_bpe_merge" ->
+      s"""WITH w AS (SELECT unnest($tokensSql) AS t FROM documents),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2))) AS pair
+         |  FROM w WHERE len(t) >= 2)
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "txt_chunk_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,
@@ -1178,6 +1209,7 @@ object TextOps {
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),
     "txt_chunk_pack" -> (txtChunkPack(_, _)),
+    "txt_bpe_merge" -> (txtBpeMerge(_, _)),
     "mr_grep_count" -> (mrGrepCount(_, _)),
     "txt_token_count" -> (txtTokenCount(_, _)),
     "txt_winnow" -> (txtWinnow(_, _)),
