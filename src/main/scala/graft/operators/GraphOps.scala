@@ -410,7 +410,28 @@ object GraphOps {
     * REMOVED sequentially; h-index rounds run all levels concurrently
     * and freeze in O(diameter·levels) — fewer, fatter rounds, the
     * shape a 1000-executor cluster wants. */
+  /** The support-≥2 co-purchase edge list (the kcore/label-prop/
+    * triangles base graph), checkpointed. */
+  private[graft] def supportEdges(spark: SparkSession, dir: String): DataFrame =
+    Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(spark, dir)
+    val (core, _) = corenessValues(spark, edges)
+    core.groupBy("c").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
+      .select(col("c").as("coreness"), col("n_vertices"), col("min_vertex"))
+      .orderBy("coreness")
+  }
+
+  /** The h-index loop behind [[graphKcore]], exposed for GraphSpec:
+    * returns (per-vertex (v, c) coreness values, iterations to the
+    * freeze-confirming round). `edges` is an undirected (p1, p2) edge
+    * list, one row per edge. */
+  private[graft] def corenessValues(
+      spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -420,10 +441,6 @@ object GraphOps {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val edges = Relational.coPurchasePairCounts(spark, dir)
-      .filter(col("n_orders") >= 2)
-      .select("p1", "p2")
-      .localCheckpoint()
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
@@ -451,9 +468,7 @@ object GraphOps {
       prev = measure
     }
     free(adjIds)
-    cur.groupBy("c").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
-      .select(col("c").as("coreness"), col("n_vertices"), col("min_vertex"))
-      .orderBy("coreness")
+    (cur, iters)
   }
 
   /** Label-propagation round count — FIXED, not convergence-driven:
@@ -486,6 +501,19 @@ object GraphOps {
     * per round with superseded checkpoint blocks freed (the pagerank
     * bookkeeping). */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    labelPropagate(spark, supportEdges(spark, dir), LpaRounds)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"), min("v").as("min_vertex"))
+      .select(col("lbl").as("community"), col("n_members"), col("min_vertex"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(20)
+  }
+
+  /** The fixed-round sync-LPA loop behind [[graphLabelProp]], exposed
+    * for GraphSpec fixtures: (v, lbl) per vertex after `rounds`
+    * self-vote-damped modal updates over the undirected (p1, p2)
+    * edge list. */
+  private[graft] def labelPropagate(
+      spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -495,17 +523,13 @@ object GraphOps {
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val edges = Relational.coPurchasePairCounts(spark, dir)
-      .filter(col("n_orders") >= 2)
-      .select("p1", "p2")
-      .localCheckpoint()
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
     var (lab, labIds) = checkpointed(
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
     val w = Window.partitionBy("src").orderBy(desc("n"), col("lbl"))
-    for (_ <- 1 to LpaRounds) {
+    for (_ <- 1 to rounds) {
       val votes = adj.join(lab, col("dst") === col("v"))
         .select(col("src"), col("lbl"))
         .unionByName(lab.select(col("v").as("src"), col("lbl")))
@@ -518,10 +542,7 @@ object GraphOps {
       lab = next; labIds = nextIds
     }
     free(adjIds)
-    lab.groupBy("lbl").agg(count(lit(1)).as("n_members"), min("v").as("min_vertex"))
-      .select(col("lbl").as("community"), col("n_members"), col("min_vertex"))
-      .orderBy(desc("n_members"), col("community"))
-      .limit(20)
+    lab
   }
 
   val oracles: Map[String, String] = Map(

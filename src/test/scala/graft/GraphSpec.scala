@@ -53,6 +53,51 @@ class GraphSpec extends AnyFunSuite {
       s"hub participation wrong: $counts")
   }
 
+  test("coreness h-index freezes before the cap and satisfies the k-core property") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Fixture with known core structure: a 5-clique (coreness 4), a
+    // 4-cycle hanging off it (coreness 2), and a pendant chain
+    // (coreness 1). Brute-force peeling gives the expected values.
+    val clique = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val cycle = Seq((5L, 10L), (10L, 11L), (11L, 12L), (12L, 5L))
+    val chain = Seq((12L, 20L), (20L, 21L))
+    val edges = (clique ++ cycle ++ chain).toDF("p1", "p2")
+    val (core, iters) = GraphOps.corenessValues(spark, edges)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    info(s"coreness froze after $iters iterations (cap ${GraphOps.CoreMaxIter}): $got")
+    assert(iters < GraphOps.CoreMaxIter, "no freeze within the cap")
+    val expected = Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L, 20L -> 1L, 21L -> 1L)
+    assert(got == expected, s"coreness mismatch: got $got")
+    // And on the real corpus: the freeze must confirm inside the cap
+    // (the oracle's fixed unroll is only equivalent past a true
+    // fixpoint).
+    val corpus = GraphOps.supportEdges(spark, sf)
+    val (_, corpusIters) = GraphOps.corenessValues(spark, corpus)
+    info(s"corpus coreness froze after $corpusIters (cap ${GraphOps.CoreMaxIter})")
+    assert(corpusIters < GraphOps.CoreMaxIter)
+  }
+
+  test("label propagation separates two cliques joined by a bridge") {
+    import spark.implicits._
+    // Two 5-cliques {1..5} and {11..15} with a single bridge 5-11:
+    // LPA must converge each clique to one community and must NOT
+    // merge them across the bridge.
+    def cliqueEdges(vs: Seq[Long]) =
+      for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j))
+    val edges = (cliqueEdges(1L to 5L) ++ cliqueEdges(11L to 15L) ++ Seq((5L, 11L)))
+      .toDF("p1", "p2")
+    val lab = GraphOps.labelPropagate(spark, edges, GraphOps.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = (1L to 5L).map(lab).toSet
+    val c2 = (11L to 15L).map(lab).toSet
+    info(s"labels: $lab")
+    assert(c1.size == 1, s"clique 1 not converged: $c1")
+    assert(c2.size == 1, s"clique 2 not converged: $c2")
+    assert(c1 != c2, "bridge merged the two cliques")
+  }
+
   test("bfs frontier freezes before the unroll cap and layers are a partition") {
     val layers = GraphOps.graphBfsLayers(spark, sf).collect()
     // Convergence room: the deepest layer index must sit strictly
