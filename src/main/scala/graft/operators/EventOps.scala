@@ -376,7 +376,53 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Cohort LTV triangle — the revenue companion to [[evRetention]]'s
+    * activity triangle: users grouped by signup cohort (first active
+    * day, ANY event type), purchase revenue rolled up per (cohort,
+    * age-in-days) cell with exact cents, purchase counts, and distinct
+    * buyers. Reading a column gives the day-N monetization curve;
+    * comparing rows gives cohort-quality drift — the report a
+    * subscription/commerce pipeline recomputes daily.
+    *
+    * Scale: two user-keyed partial-aggregated passes (first-day,
+    * purchases) joined co-partitioned on user_id, then a rollup on the
+    * bounded (cohort, age) triangle domain; the only distinct is
+    * per-cell buyers, partial-aggregated on (cohort, age, user). All
+    * integer (day bins, cents). */
+  def evCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $W24h").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      .localCheckpoint() // first-day AND purchase sides — one scan
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("day"), col("v_cents"))
+    buys.join(cohort, "user_id")
+      .withColumn("age_days", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "age_days")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct("user_id").as("n_buyers"),
+        (sum(col("v_cents").cast("decimal(38,0)")).cast("double") / 100)
+          .as("revenue"))
+      .orderBy("cohort_day", "age_days")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_cohort_ltv" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) // $W24h AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS v_cents
+         |  FROM events),
+         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+         |buys AS (SELECT user_id, day, v_cents FROM ev
+         |         WHERE event_type = 'purchase')
+         |SELECT cohort_day, b.day - c.cohort_day AS age_days,
+         |  count(*) AS n_purchases,
+         |  count(DISTINCT b.user_id) AS n_buyers,
+         |  CAST(sum(v_cents) AS DOUBLE) / 100 AS revenue
+         |FROM buys b JOIN cohort c ON b.user_id = c.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_user_features" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type, epoch_us(ts) // $W24h AS day,
@@ -545,5 +591,6 @@ object EventOps {
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
     "ev_user_features" -> (evUserFeatures(_, _)),
+    "ev_cohort_ltv" -> (evCohortLtv(_, _)),
   )
 }

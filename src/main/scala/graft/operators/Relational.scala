@@ -967,6 +967,60 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Mergeable quantile SAMPLE sketch — the fifth sketch family member
+    * next to HLL/KMV/CMS/Bloom, covering quantiles: per group, the 100
+    * rows with the smallest md5(orderkey-linenumber) form a
+    * deterministic uniform sample, and p50/p90 are nearest-rank stats
+    * OF THE SAMPLE (⌈q·k⌉ — integer rank math, no interpolation: the
+    * equi-depth interpolation formulas are a known cross-engine ulp
+    * trap). The k-min-by-hash set is a join-semilattice exactly like
+    * KMV's (k-min of a union == k-min of merged k-mins), so the sketch
+    * merges across partitions/days/shards for free and the result is
+    * independent of partitioning — the property that makes it a SKETCH
+    * rather than a sort.
+    *
+    * Scale: the sample cut is a per-group WindowGroupLimit (per-
+    * partition heap, rows die before the shuffle); the rank windows
+    * then run over ≤100 rows per group. The exact n comes from a
+    * separate 2-column partial-aggregated scan (no md5 paid there).
+    * Compare agg_exact_median: exact quantiles cost a value-domain
+    * histogram + cumsum (5 shuffles); the sample answers with one
+    * WindowGroupLimit at bounded error — the tradeoff a 100 TB
+    * pipeline actually chooses. */
+  def aggQuantileSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rows = t.lineitem.select(col("l_returnflag").as("grp"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+      // (orderkey, linenumber) is NOT unique in this corpus (dup rows
+      // exist) — fold the value into the hash so rows tied on skey are
+      // full duplicates carrying identical v: the sample MULTISET of v
+      // is then partition-order-invariant even though row identity
+      // is not.
+      expr("md5(concat(CAST(l_orderkey AS STRING), '-', " +
+        "CAST(l_linenumber AS STRING), '-', " +
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)))")
+        .as("skey"))
+    val wS = Window.partitionBy("grp").orderBy("skey")
+    val samp = rows.withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= 100)
+      .drop("srn")
+    val wR = Window.partitionBy("grp").orderBy("v", "skey")
+    val wK = Window.partitionBy("grp")
+    val est = samp
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("kg", count(lit(1)).over(wK))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("k"),
+        max(when(col("rn") === expr("(kg + 1) div 2"), col("v"))).as("p50c"),
+        max(when(col("rn") === expr("(9 * kg + 9) div 10"), col("v"))).as("p90c"))
+    val n = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    est.join(n, "grp")
+      .select(col("grp"), col("n"), col("k"),
+        (col("p50c").cast("double") / 100).as("p50_est"),
+        (col("p90c").cast("double") / 100).as("p90_est"))
+      .orderBy("grp")
+  }
+
   /** Year-over-year revenue growth per nation — the lag-window trend
     * report (the remaining window-function surface next to rank/ntile/
     * moving stats: `lag` across an ordered partition): revenue by
@@ -1452,6 +1506,35 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "agg_quantile_sample" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+        |               CAST(l_linenumber AS VARCHAR), '-',
+        |               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)))
+        |      AS skey
+        |  FROM lineitem),
+        |samp AS (
+        |  SELECT grp, v, skey FROM (
+        |    SELECT grp, v, skey,
+        |      row_number() OVER (PARTITION BY grp ORDER BY skey) AS srn
+        |    FROM rows_) WHERE srn <= 100),
+        |rk AS (
+        |  SELECT grp, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, skey) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS kg
+        |  FROM samp),
+        |est AS (
+        |  SELECT grp, count(*) AS k,
+        |    max(CASE WHEN rn = (kg + 1) // 2 THEN v END) AS p50c,
+        |    max(CASE WHEN rn = (9 * kg + 9) // 10 THEN v END) AS p90c
+        |  FROM rk GROUP BY grp),
+        |n_ AS (SELECT grp, count(*) AS n FROM rows_ GROUP BY grp)
+        |SELECT est.grp, n, k,
+        |  CAST(p50c AS DOUBLE) / 100 AS p50_est,
+        |  CAST(p90c AS DOUBLE) / 100 AS p90_est
+        |FROM est JOIN n_ ON est.grp = n_.grp ORDER BY est.grp""".stripMargin,
     "q34_yoy_growth" ->
       """WITH rev AS (
         |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -1946,6 +2029,7 @@ object Relational {
     "q32_important_stock" -> (q32ImportantStock(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
+    "agg_quantile_sample" -> (aggQuantileSample(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
