@@ -471,6 +471,40 @@ object GraphOps {
     (cur, iters)
   }
 
+  /** 2-hop reach — per vertex, the number of DISTINCT vertices within
+    * ≤2 hops (the friend-of-friend audience size; top-20 by reach):
+    * the influence/coverage metric next to degree (1-hop) and
+    * pagerank (∞-hop). Distinct matters: a vertex reachable through
+    * many shared neighbors counts once, so reach ≠ Σ neighbor
+    * degrees — the wedge DISTINCT is the operator's actual work.
+    *
+    * Scale: the wedge join keys on the shared middle vertex, so a
+    * hub's O(deg²) wedge stream is generated in one task — the
+    * explicit (a, c) repartition immediately after the join (the
+    * DedupOps banded-DP / triangle wedge-spread pattern) moves the
+    * dedup work onto the pair space BEFORE the partial-aggregating
+    * distinct, so no task owns a hub's whole neighborhood square. The
+    * distinct then collapses map-side per (a, c) partition and the
+    * per-vertex count is one more vertex-keyed partial agg. */
+  def graph2hopReach(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(spark, dir)
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint() // feeds both wedge sides + the direct union
+    val par = spark.sparkContext.defaultParallelism
+    val wedge = adj.select(col("dst").as("m"), col("src").as("a"))
+      .join(adj.select(col("src").as("m"), col("dst").as("c")), "m")
+      .filter(col("a") =!= col("c"))
+      .select("a", "c")
+      .repartition(par, col("a"), col("c"))
+    val reach = wedge.unionByName(adj.select(col("src").as("a"), col("dst").as("c")))
+      .distinct()
+      .groupBy("a").agg(count(lit(1)).as("reach"))
+    reach.select(col("a").as("p_partkey"), col("reach"))
+      .orderBy(desc("reach"), col("p_partkey"))
+      .limit(20)
+  }
+
   /** Label-propagation round count — FIXED, not convergence-driven:
     * synchronous LPA has no monotone measure (bipartite regions can
     * 2-cycle forever), so unlike BFS/pagerank/kcore there is no
@@ -620,6 +654,24 @@ object GraphOps {
         |SELECT p_partkey, count(*) AS n_triangles
         |FROM vx GROUP BY 1
         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+    "graph_2hop_reach" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM edges
+        |       UNION ALL SELECT p2, p1 FROM edges),
+        |hop2 AS (
+        |  SELECT DISTINCT a, c FROM (
+        |    SELECT x.src AS a, y.dst AS c
+        |    FROM adj x JOIN adj y ON x.dst = y.src WHERE x.src <> y.dst
+        |    UNION ALL
+        |    SELECT src AS a, dst AS c FROM adj))
+        |SELECT a AS p_partkey, count(*) AS reach
+        |FROM hop2 GROUP BY a ORDER BY reach DESC, p_partkey LIMIT 20""".stripMargin,
     "graph_label_prop" -> {
       // Identical fixed unroll — no early stop on either side (sync
       // LPA has no monotone freeze measure; see LpaRounds).
@@ -730,5 +782,6 @@ object GraphOps {
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),
+    "graph_2hop_reach" -> (graph2hopReach(_, _)),
   )
 }
