@@ -237,6 +237,53 @@ object StreamOps {
       }
   }
 
+  /** A keyed sample row for the streaming quantile twin: the same
+    * (group, md5 sample key, value cents) triple the batch
+    * agg_quantile_sample derives per lineitem row. */
+  final case class KeyedSample(group: String, skey: String, v: Long)
+
+  /** k-min-by-hash sample state: (skey, v) pairs sorted by skey. */
+  final case class QSampleState(skeys: Seq[String], values: Seq[Long])
+
+  /** Running per-group sample-quantile estimates. */
+  final case class GroupQuantiles(group: String, k: Long,
+      p50_est: Double, p90_est: Double)
+
+  /** Streaming quantile sample — the streaming twin of the batch
+    * agg_quantile_sample, completing the sketch-twin family (HLL, KMV,
+    * top-k, and now quantiles): per group a bounded k-entry min-by-
+    * md5-key buffer in mapGroupsWithState — the batch WindowGroupLimit
+    * cut re-expressed as streaming state, O(k) per group FOREVER on an
+    * unbounded stream.
+    *
+    * The buffer is a join-semilattice exactly like KMV's k-min set
+    * (k-min of a union == k-min of merged k-mins), so micro-batch
+    * boundaries, delivery order, and replays cannot change the
+    * converged sample: a replayed row's skey is already present
+    * (skey hashes the value in, so same skey ⇒ same row) and
+    * re-asserts. Estimates replay the batch integer nearest-rank math
+    * verbatim — rank (k+1) div 2 / (9k+9) div 10 over the (v, skey)
+    * order — so StreamingSpec asserts EXACT equality with the batch
+    * query's estimates after any split. */
+  def quantileSampleStream(rows: Dataset[KeyedSample], k: Int = 100)
+      : Dataset[GroupQuantiles] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[QSampleState, GroupQuantiles] {
+        (g: String, it: Iterator[KeyedSample], state: GroupState[QSampleState]) =>
+          var buf = state.getOption
+            .map(s => s.skeys.zip(s.values).toMap).getOrElse(Map.empty[String, Long])
+          it.foreach(r => if (!buf.contains(r.skey)) buf += r.skey -> r.v)
+          val kept = buf.toSeq.sortBy(_._1).take(k)
+          state.update(QSampleState(kept.map(_._1), kept.map(_._2)))
+          val sorted = kept.sortBy { case (s, v) => (v, s) }.map(_._2)
+          val n = sorted.length.toLong
+          def at(r: Long): Double = sorted(math.max(r, 1L).toInt - 1) / 100.0
+          GroupQuantiles(g, n, at((n + 1) / 2), at((9 * n + 9) / 10))
+      }
+  }
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)

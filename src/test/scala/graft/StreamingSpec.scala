@@ -196,6 +196,41 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming KMV diverged from batch: $streamed vs $batch")
   }
 
+  test("streaming quantile sample equals the batch agg_quantile_sample after any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same rows the batch query samples: (flag, skey, cents) with the
+    // value folded into the hash key (the non-unique-lineitem-key fix).
+    val rows = Tables(spark, sf).lineitem
+      .select(col("l_returnflag").as("g"),
+        expr("md5(concat(CAST(l_orderkey AS STRING), '-', " +
+          "CAST(l_linenumber AS STRING), '-', " +
+          "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)))").as("skey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .collect().map(r => StreamOps.KeyedSample(r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val (a, rest) = rows.splitAt(rows.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[StreamOps.KeyedSample]
+    val q = StreamOps.quantileSampleStream(input.toDS())
+      .writeStream.format("memory").queryName("qsamp").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b ++ a.take(100)); q.processAllAvailable() // replay overlap
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      """SELECT group, k, p50_est, p90_est FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY group ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM qsamp))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val batch = Relational.aggQuantileSample(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(streamed == batch,
+      s"streaming quantile sample diverged from batch: $streamed vs $batch")
+  }
+
   test("flatMapGroupsWithState emits exactly the batch-derivable closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
