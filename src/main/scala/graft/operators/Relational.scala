@@ -967,6 +967,34 @@ object Relational {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Order→ship latency distribution per order priority — ship date
+    * minus order date bucketed into SLA bands (≤7 week, ≤30 month,
+    * ≤90 quarter, >90 slow), per-priority counts and exact-ppm
+    * shares: the fulfillment SLA report, and the remaining
+    * date-arithmetic surface (datediff on two DATE columns; the other
+    * date ops bin timestamps). One fact-fact equi-join (orderkey),
+    * then a pure per-row map → partial-aggregated count on the
+    * |priorities|×4 domain → per-priority total broadcast for the
+    * cross-multiplied ppm; integer end-to-end. */
+  def q35ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val b = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay", datediff(col("l_shipdate"), col("o_orderdate")))
+      .withColumn("bucket",
+        when(col("delay") <= 7, "week")
+          .when(col("delay") <= 30, "month")
+          .when(col("delay") <= 90, "quarter")
+          .otherwise("slow"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val tot = b.groupBy("o_orderpriority").agg(sum("n").as("n_prio"))
+    b.join(broadcast(tot), "o_orderpriority")
+      .select(col("o_orderpriority"), col("bucket"), col("n"),
+        expr("n * 1000000 div n_prio").as("share_ppm"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
   /** Mergeable quantile SAMPLE sketch — the fifth sketch family member
     * next to HLL/KMV/CMS/Bloom, covering quantiles: per group, the 100
     * rows with the smallest md5(orderkey-linenumber) form a
@@ -1506,6 +1534,21 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q35_ship_delay" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 7 THEN 'week'
+        |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'month'
+        |         WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'quarter'
+        |         ELSE 'slow' END AS bucket,
+        |    count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_prio
+        |        FROM b GROUP BY 1)
+        |SELECT b.o_orderpriority, bucket, n, n * 1000000 // n_prio AS share_ppm
+        |FROM b JOIN tot ON b.o_orderpriority = tot.o_orderpriority
+        |ORDER BY b.o_orderpriority, bucket""".stripMargin,
     "agg_quantile_sample" ->
       """WITH rows_ AS (
         |  SELECT l_returnflag AS grp,
@@ -2030,6 +2073,7 @@ object Relational {
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
+    "q35_ship_delay" -> (q35ShipDelay(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),

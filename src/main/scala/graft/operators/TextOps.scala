@@ -736,6 +736,26 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("source")
 
+  /** Corpus composition report — predicted-language mix PER SOURCE
+    * (the table a curation team prints before setting mixing weights,
+    * and the [[qcDrift]]-style screen for a source whose language mix
+    * shifted between snapshots): per (source, predicted lang), doc
+    * count and exact-ppm share of the source. Rides [[txtLangid]]'s
+    * marker heuristic unchanged; one slim (doc_id, source) join, a
+    * partial-aggregated count on the |sources|×|langs| domain, and a
+    * broadcast of per-source totals for the cross-multiplied ppm. */
+  def qcLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val mix = txtLangid(spark, dir)
+      .join(Tables(spark, dir).documents.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = mix.groupBy("source").agg(sum("n_docs").as("n_src"))
+    mix.join(broadcast(tot), "source")
+      .select(col("source"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000000 div n_src").as("share_ppm"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** One BPE merge step — adjacent character-pair frequencies over the
     * corpus's word stream (with word multiplicity), i.e. exactly the
     * count a byte-pair-encoding tokenizer trainer computes to pick its
@@ -918,6 +938,26 @@ object TextOps {
          |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
          |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    "qc_lang_mix" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |c AS (SELECT doc_id,
+         |  $markerSqlCounts
+         |  FROM d),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
+         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+         |  FROM c),
+         |mix AS (
+         |  SELECT source, pred_lang, count(*) AS n_docs
+         |  FROM p JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_src
+         |        FROM mix GROUP BY 1)
+         |SELECT mix.source, pred_lang, n_docs,
+         |  n_docs * 1000000 // n_src AS share_ppm
+         |FROM mix JOIN tot ON mix.source = tot.source
+         |ORDER BY mix.source, pred_lang""".stripMargin,
     "txt_lang_confusion" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          |c AS (SELECT doc_id,
@@ -1205,6 +1245,7 @@ object TextOps {
     "txt_hashing_tf" -> (txtHashingTf(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
     "txt_lang_confusion" -> (txtLangConfusion(_, _)),
+    "qc_lang_mix" -> (qcLangMix(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),
