@@ -408,7 +408,55 @@ object EventOps {
       .orderBy("cohort_day", "age_days")
   }
 
+  /** Half-life for [[evDecayedScore]]: 7 days in microseconds. */
+  private val HalfLifeUs = 7L * W24h
+
+  /** Exponentially time-decayed engagement score — the recency-weighted
+    * feature every ranking/freshness pipeline computes (a count where
+    * yesterday's event is worth 2^(-1/7) of today's): per user,
+    * Σ value·2^(−age/halflife) anchored at the corpus max timestamp,
+    * top-20 users. The decay anchor is data-derived (a 1-row max
+    * broadcast-crossed onto the scan — no driver constant, no wall
+    * clock, so the result is a pure function of the input).
+    *
+    * Float posture: ONE pow per row, then each term is quantized to
+    * integer MICRO-UNITS before summing — the sum is a BIGINT, so it is
+    * order-independent (the cents-sum contract) and the top-20 cut has
+    * no float-summation-order risk; engines need only agree on the
+    * per-row pow/round, not on any accumulation order. Ages are exact
+    * integer microseconds (unix_micros / epoch_us) so both engines feed
+    * pow bit-identical arguments.
+    *
+    * Scale: one partial-aggregated scan (map-side combine on user_id)
+    * + a k-row TakeOrderedAndProject — no window, no global sort. */
+  def evDecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+    ev.crossJoin(broadcast(ev.agg(max("tus").as("tmax_us"))))
+      .select(col("user_id"),
+        expr(s"CAST(round(value * pow(0.5, CAST(tmax_us - tus AS DOUBLE) / $HalfLifeUs) * 1000000) AS BIGINT)")
+          .as("du"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("du").as("decayed_units"))
+      .orderBy(desc("decayed_units"), col("user_id"))
+      .limit(20)
+      .select(col("user_id"), col("n_events"), col("decayed_units"),
+        (col("decayed_units").cast("double") / 1000000).as("decayed_score"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_decayed_score" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tus,
+         |    CAST(round(value * pow(0.5,
+         |      CAST((SELECT max(epoch_us(ts)) FROM events) - epoch_us(ts) AS DOUBLE)
+         |        / $HalfLifeUs) * 1000000) AS BIGINT) AS du
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(du) AS BIGINT) AS decayed_units,
+         |  CAST(sum(du) AS DOUBLE) / 1000000 AS decayed_score
+         |FROM ev GROUP BY 1
+         |ORDER BY decayed_units DESC, user_id LIMIT 20""".stripMargin,
     "ev_cohort_ltv" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_type, epoch_us(ts) // $W24h AS day,
@@ -592,5 +640,6 @@ object EventOps {
     "ev_dau_wau" -> (evDauWau(_, _)),
     "ev_user_features" -> (evUserFeatures(_, _)),
     "ev_cohort_ltv" -> (evCohortLtv(_, _)),
+    "ev_decayed_score" -> (evDecayedScore(_, _)),
   )
 }

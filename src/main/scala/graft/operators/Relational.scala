@@ -360,6 +360,66 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact per-nation MEDIAN ABSOLUTE DEVIATION of customer balances —
+    * the robust dispersion statistic an outlier-filtering pipeline uses
+    * where stddev would be poisoned by the very outliers it screens
+    * (flag x when |x − median| > k·MAD is the robust z-score; compare
+    * emb_outliers' mean/stddev cut, which this complements with a
+    * breakdown point of 50% instead of 0%).
+    *
+    * Two chained [[aggExactMedian]] value-domain histograms: balances
+    * collapse to a (nation, cents) histogram whose cumulative pass
+    * locates the lower median; deviations |c − median| then RE-collapse
+    * to a second (nation, dev-cents) histogram (folding the mirrored
+    * value domain — at most the original bin count, usually fewer) and
+    * the same rank selection reads the MAD. Both statistics are exact
+    * cents integers chosen from rows that exist — no interpolation, no
+    * FP until the final /100 — and both histograms are bounded by the
+    * VALUE DOMAIN, not the corpus, so the whole reduction is two
+    * partial-aggregated scans + two domain-sized windows at any scale.
+    * The median join is broadcast: 25 rows onto a domain-sized side. */
+  def aggMad(spark: SparkSession, dir: String): DataFrame = {
+    // The histogram feeds BOTH median passes — localCheckpoint'ed so
+    // the scan+aggregate subtree isn't re-planned per consumer (the
+    // rankPick-join CSE trap above: un-cut, this query plans 14
+    // shuffles and scans customer twice; cut, 7 and once). Domain-
+    // bounded rows, so the materialization is small at any scale.
+    val h = Tables(spark, dir).customer
+      .select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
+      .groupBy("c_nationkey", "c")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // n comes from a full-partition window on the SAME exchange the
+    // cumulative window already needs — no separate total + join.
+    def lowerMedian(hist: DataFrame, vcol: String, out: String,
+        carry: Seq[String]): DataFrame = {
+      val wCum = Window.partitionBy("c_nationkey").orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("c_nationkey")
+      hist.withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
+        .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
+        .groupBy("c_nationkey")
+        .agg(max("n").as("n"),
+          (min(vcol).as(out) +: carry.map(c => max(c).as(c))): _*)
+    }
+    val med = lowerMedian(h, "c", "medc", Nil)
+    // medc and n ride along as per-group constants so the final result
+    // needs no second consumption of `med` (which would re-plan it).
+    val devH = h.join(broadcast(med), "c_nationkey")
+      .select(col("c_nationkey"), abs(col("c") - col("medc")).as("d"),
+        col("cnt"), col("medc"))
+      .groupBy("c_nationkey", "d")
+      .agg(sum("cnt").as("cnt"), max("medc").as("medc"))
+    lowerMedian(devH, "d", "madc", Seq("medc"))
+      .select(col("c_nationkey"), col("n"),
+        (col("medc").cast("double") / 100).as("median_bal"),
+        (col("madc").cast("double") / 100).as("mad_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Exact Gini coefficient of order value per customer market segment
     * — the revenue-concentration / inequality measure a curation
     * pipeline tracks per stratum (the same statistic data-mixing work
@@ -1495,6 +1555,37 @@ object Relational {
         |   OR (cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_mad" ->
+      """WITH h AS (
+        |  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c,
+        |         count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |t AS (SELECT c_nationkey, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |m AS (
+        |  SELECT c_nationkey, max(n) AS n, min(c) AS medc FROM (
+        |    SELECT h.c_nationkey, h.c, h.cnt, t.n,
+        |      sum(h.cnt) OVER (PARTITION BY h.c_nationkey ORDER BY h.c
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM h JOIN t USING (c_nationkey)) z
+        |  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |  GROUP BY 1),
+        |dh AS (
+        |  SELECT h.c_nationkey, abs(h.c - m.medc) AS d,
+        |         CAST(sum(h.cnt) AS BIGINT) AS cnt
+        |  FROM h JOIN m USING (c_nationkey) GROUP BY 1, 2),
+        |md AS (
+        |  SELECT c_nationkey, min(d) AS madc FROM (
+        |    SELECT dh.c_nationkey, dh.d, dh.cnt, t.n,
+        |      sum(dh.cnt) OVER (PARTITION BY dh.c_nationkey ORDER BY dh.d
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM dh JOIN t USING (c_nationkey)) z
+        |  WHERE cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |  GROUP BY 1)
+        |SELECT m.c_nationkey, m.n,
+        |  CAST(m.medc AS DOUBLE) / 100 AS median_bal,
+        |  CAST(md.madc AS DOUBLE) / 100 AS mad_bal
+        |FROM m JOIN md USING (c_nationkey)
+        |ORDER BY m.c_nationkey""".stripMargin,
     "agg_gini" ->
       """WITH h AS (
         |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
@@ -2075,6 +2166,7 @@ object Relational {
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
     "q35_ship_delay" -> (q35ShipDelay(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
+    "agg_mad" -> (aggMad(_, _)),
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),

@@ -153,6 +153,43 @@ object TextOps {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("source")
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-Res): each doc draws a deterministic uniform u from md5(doc_id)
+    * and competes on priority u^(1/w) with w = n_chars — the k winners
+    * are a length-proportional sample, the primitive behind
+    * token-weighted mixture draws (sampling DOCUMENTS uniformly
+    * under-represents long documents' tokens; sampling with w = doc
+    * length is uniform over TOKENS). Completes the sampling triad:
+    * mr_sample_hash (fixed-rate), mr_reservoir (fixed-size uniform),
+    * this (fixed-size weighted).
+    *
+    * Determinism/parity: u = (h + 0.5)/2^52 from the first 13 md5
+    * nibbles (a 52-bit integer — exactly representable as a double, so
+    * both engines compute bit-identical u), and the rank key is
+    * ln(u)/w (monotone in u^(1/w); log-space sidesteps pow underflow
+    * for large w). The key is compared, never output — engines need
+    * only agree on the ORDER of ~uniform random doubles, where a
+    * last-ulp libm divergence would need two keys within 1 ulp to
+    * matter. Zero-weight docs are excluded by definition (u^(1/0) is
+    * not a draw); doc_id breaks exact ties.
+    *
+    * Scale: priorities are per-row expressions; the k-cut is
+    * TakeOrderedAndProject (per-partition heap, k rows to the driver,
+    * no global sort) — the same physical shape as mr_reservoir. The
+    * A-Res key is a join-semilattice like KMV's: top-k of a union ==
+    * top-k of merged per-shard top-ks, so the sample merges across
+    * partitions/shards for free. */
+  def mrWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("n_chars") > 0)
+      .withColumn("u",
+        expr("(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10) AS BIGINT) + 0.5) / 4503599627370496"))
+      .withColumn("wkey", expr("ln(u) / n_chars"))
+      .orderBy(desc("wkey"), col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline composed from the library's own
     * stages: quality gate → exact-dup removal (keep the lowest doc_id)
     * → per-language counts of surviving docs. One declarative plan —
@@ -1014,6 +1051,20 @@ object TextOps {
       s"""SELECT source, count(*) AS n_sampled FROM documents
          |WHERE $h % 10 = 0 GROUP BY source ORDER BY source""".stripMargin
     },
+    "mr_weighted_sample" -> {
+      // 13-nibble md5 prefix → 52-bit integer, as a strpos sum (DuckDB
+      // has no conv()); 16^(13-i) multipliers are exact BIGINT literals.
+      val h = (1 to 13)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${java.math.BigInteger.valueOf(16).pow(13 - i)}")
+        .mkString("(", "\n|     + ", ")")
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ln(($h + 0.5) / 4503599627370496) / n_chars AS wkey
+         |  FROM documents WHERE n_chars > 0),
+         |top AS (SELECT doc_id, source, n_chars FROM keyed
+         |        ORDER BY wkey DESC, doc_id LIMIT 100)
+         |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin
+    },
     "txt_pipeline" ->
       s"""WITH d AS (
          |  SELECT doc_id, n_chars, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
@@ -1255,6 +1306,7 @@ object TextOps {
     "txt_token_count" -> (txtTokenCount(_, _)),
     "txt_winnow" -> (txtWinnow(_, _)),
     "mr_sample_hash" -> (mrSampleHash(_, _)),
+    "mr_weighted_sample" -> (mrWeightedSample(_, _)),
     "txt_pipeline" -> (txtPipeline(_, _)),
     "txt_repetition" -> (txtRepetition(_, _)),
     "txt_tfidf" -> (txtTfidf(_, _)),
