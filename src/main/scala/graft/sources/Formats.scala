@@ -228,6 +228,97 @@ object Formats {
     spark.table(tbl)
   }
 
+  /** Z-order grid width per dimension (16 bits → 32-bit z-values). */
+  val ZBits = 16
+
+  /** Morton interleave of two [[ZBits]]-bit grid coordinates (dim-0
+    * bits land at even positions). Pure integer expression — codegen'd,
+    * 2·ZBits shift/mask terms, no UDF. */
+  private def zInterleave(u: String, h: String): String =
+    (0 until ZBits).map(i =>
+      s"shiftleft(shiftright($u, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($h, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+
+  private val zorderCache =
+    scala.collection.mutable.Map.empty[(Int, String), (String, String)]
+
+  /** events written ONCE per (session, dir) Z-ORDER clustered on
+    * (user_id, event-hour) — the multi-dimensional data-skipping layout
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`) for the query family that
+    * filters BOTH a user band and a time band: rows sort by the Morton
+    * interleave of the two grid coordinates, so every file/row-group/
+    * page covers a small RECTANGLE in (user, time) space and carries
+    * tight min/max footer stats on BOTH columns — a single-column sort
+    * can only give one dim tight stats. Filters still target the raw
+    * `user_id`/`tus` columns (z is an ordering device, never a
+    * predicate), so pushdown + page-level column-index pruning skip
+    * everything outside the query rectangle.
+    *
+    * Each dimension is min/max-normalized onto a [[ZBits]]-bit grid
+    * before interleaving (the Delta approach): raw bit-interleave
+    * degenerates to a single-dim sort when one dim's varying bits sit
+    * far below the other's (here: user ids are dense-small, epoch-hours
+    * are large-with-low-bit-variance). The normalization stats are one
+    * tiny ingest-time aggregate — the kind of stats a 100 TB ingest
+    * already collects — collected to the driver as ONE row.
+    *
+    * Tiny pages (parquet.page.row.count.limit=128) make the page
+    * column-index the pruning grain so the skipping is observable at
+    * test scale; at 100 TB you'd keep default pages and let file +
+    * row-group stats do the same job across thousands of files. Also
+    * writes a time-sorted twin of the same rows — the conventional
+    * log layout — so FormatsSpec can assert the z-layout reads
+    * strictly fewer rows for a rectangle query than time-sorting does.
+    * Returns (z-ordered, time-sorted) readers. */
+  private[graft] def zorderLayouts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (zp, tp) = zorderCache.synchronized {
+      zorderCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val (zPath, tPath) = (tmp(s"events_zorder_$suffix"), tmp(s"events_tsort_$suffix"))
+        val ev = Tables(spark, dir).events
+          .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+            col("user_id"), col("event_type"), col("value"))
+          .withColumn("hr", expr("tus div 3600000000"))
+        val s = ev.agg(min("user_id"), max("user_id"), min("hr"), max("hr")).first()
+        val grid = (1 << ZBits) - 1
+        def gridded(c: String, lo: Long, hi: Long): String =
+          if (hi > lo) s"(($c - ${lo}L) * $grid) div ${hi - lo}L" else "0L"
+        val z = ev.withColumn("z", expr(zInterleave(
+            gridded("user_id", s.getLong(0), s.getLong(1)),
+            gridded("hr", s.getLong(2), s.getLong(3)))))
+          .drop("hr")
+        def write(df: DataFrame, sortCol: String, path: String): Unit =
+          df.repartitionByRange(FactBuckets, col(sortCol))
+            .sortWithinPartitions(sortCol)
+            .write.mode(SaveMode.Overwrite)
+            .option("parquet.page.row.count.limit", 128)
+            .parquet(path)
+        write(z, "z", zPath)
+        write(z, "tus", tPath)
+        (zPath, tPath)
+      })
+    }
+    (spark.read.parquet(zp), spark.read.parquet(tp))
+  }
+
+  /** Rectangle query over the z-ordered events layout: a user band ×
+    * a 3-day time band, aggregated per event type. Semantically the
+    * layout is invisible (the oracle runs on the original events
+    * table); the VALUE is in the plan + FormatsSpec's page-pruning
+    * evidence — both predicates reach the parquet scan and the
+    * z-clustering turns them into 2-dimensional page skipping. */
+  def srcZorderScan(spark: SparkSession, dir: String): DataFrame =
+    zorderLayouts(spark, dir)._1
+      // Jan 10 00:00 ≤ ts < Jan 13 00:00 UTC, exact microsecond bounds
+      .filter(col("user_id").between(3, 6) &&
+        col("tus") >= 1704844800000000L && col("tus") < 1705104000000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .orderBy("event_type")
+
   // Per-JVM unique scratch root: fixed /tmp paths collided when two
   // runs (driver verify + a local bench, say) raced the same directory.
   private lazy val tmpRoot: String =
@@ -368,6 +459,14 @@ object Formats {
     "src_json_nested" ->
       """SELECT event_id, user_id, event_type, round(value, 3) AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "src_zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 6
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -378,5 +477,6 @@ object Formats {
     "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
     "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
     "src_json_nested" -> (srcJsonNested(_, _)),
+    "src_zorder_scan" -> (srcZorderScan(_, _)),
   )
 }

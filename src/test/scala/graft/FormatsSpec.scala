@@ -197,4 +197,43 @@ class FormatsSpec extends AnyFunSuite {
     }
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)
   }
+
+  test("z-order layout: 2-dim rectangle query skips more pages than the time-sorted layout") {
+    // sf0.01, not the shared sf0.001: the rectangle needs BOTH dims
+    // selective for z-order to have an edge over time-sorting, and at
+    // sf0.001 the user band 3–6 is 4 of 15 users (27%) — too coarse
+    // for 128-row pages to separate the layouts. At sf0.01 the same
+    // band is 4 of 150 users (2.7%) × a 10% time band.
+    val (zdf, tdf) = Formats.zorderLayouts(spark, "/root/testdata/sf0.01")
+    // Rows the parquet reader actually materialized = the scan node's
+    // numOutputRows AFTER the pushed filters' row-group/page skipping
+    // (the residual row-level filter runs downstream in FilterExec, so
+    // this metric isolates what the LAYOUT saved). Filter-only query —
+    // no exchange, so the plan is not AQE-wrapped and the scan node is
+    // directly collectible.
+    def scannedRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = df.filter(col("user_id").between(3, 6) &&
+        col("tus") >= 1704844800000000L && col("tus") < 1705104000000000L)
+      // collect() (not count()) — count() builds a NEW aggregate plan,
+      // leaving this DataFrame's own executedPlan (whose metrics we
+      // read) unexecuted.
+      val n = q.collect().length.toLong
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, q.queryExecution.executedPlan.toString)
+      (scans.map(_.metrics("numOutputRows").value).sum, n)
+    }
+    val (zScanned, zMatched) = scannedRows(zdf)
+    val (tScanned, tMatched) = scannedRows(tdf)
+    val total = zdf.count()
+    assert(zMatched == tMatched, s"layouts disagree: z=$zMatched t=$tMatched")
+    // Time-sorting prunes the time band but reads every user; z-order
+    // prunes BOTH dims, so it must read strictly less — and far less
+    // than the full table.
+    assert(zScanned < tScanned,
+      s"z-order read $zScanned rows vs time-sorted $tScanned")
+    assert(zScanned * 4 <= total,
+      s"z-order read $zScanned of $total rows — pruning not engaging")
+  }
 }
