@@ -408,8 +408,9 @@ object EventOps {
       .orderBy("cohort_day", "age_days")
   }
 
-  /** Half-life for [[evDecayedScore]]: 7 days in microseconds. */
-  private val HalfLifeUs = 7L * W24h
+  /** Half-life for [[evDecayedScore]] (and its streaming twin —
+    * shared so the decay curve can never diverge): 7 days in µs. */
+  private[graft] val HalfLifeUs = 7L * W24h
 
   /** Exponentially time-decayed engagement score — the recency-weighted
     * feature every ranking/freshness pipeline computes (a count where

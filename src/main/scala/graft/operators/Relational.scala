@@ -837,9 +837,14 @@ object Relational {
     * derivation behind [[q26BasketPairs]] and GraphOps.graphTriangles'
     * edge list: ONE definition so a change (null guard, threshold)
     * can never diverge the two consumers. */
-  private[operators] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables(spark, dir).lineitem
-      .select("l_orderkey", "l_partkey").distinct()
+  private[operators] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
+    coPurchasePairCounts(Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct())
+
+  /** Pair derivation over a caller-supplied distinct (orderkey,
+    * partkey) set — lets a multi-consumer caller (q36) pass a
+    * checkpointed items table instead of re-deriving it. */
+  private[operators] def coPurchasePairCounts(items: DataFrame): DataFrame = {
     val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
     a.join(b, Seq("l_orderkey"))
@@ -852,6 +857,51 @@ object Relational {
     coPurchasePairCounts(spark, dir)
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
+
+  /** Association rules a→b over the co-purchase baskets (the market-
+    * basket step after [[q26BasketPairs]]'s raw counts): confidence
+    * = n(ab)/n(a) and lift = N·n(ab)/(n(a)·n(b)), support ≥ 2 orders,
+    * top-20 by lift. Canonical pairs fan out to both directions via
+    * ONE stack (no second pair pass); the per-item counts and the
+    * 1-row basket total broadcast onto the directed rules.
+    *
+    * Cross-engine float contract: every numerator/denominator is an
+    * exact BIGINT product (counts are small: n(ab)·N < 2^53, so the
+    * DOUBLE casts are exact), and each metric is ONE division of the
+    * same two exact integers in both engines — the ev_anomaly
+    * no-FP-until-the-last-op rule. The lift sort is therefore on
+    * bit-identical doubles; (a, b) breaks genuine ties.
+    *
+    * Scale: the distinct-items subtree is shared (ReusedExchange) by
+    * the pair self-join, the item counts, and the basket total; pair
+    * volume is Σ C(items/order, 2) — order-shape-bounded, never n²;
+    * the top-20 is TakeOrderedAndProject. */
+  def q36AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    // THREE consumers of the distinct-items set (pair self-join, item
+    // counts, basket total) — ReusedExchange only covers the self-
+    // join's two sides, so un-cut this plans 9 shuffles and scans
+    // lineitem three times. Checkpoint once, pre-partitioned on the
+    // self-join key so the join re-exchanges neither side (the
+    // pagerank LogicalRDD-keeps-partitioning move).
+    val items = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+      .repartition(col("l_orderkey"))
+      .localCheckpoint()
+    val directed = coPurchasePairCounts(items)
+      .selectExpr("stack(2, p1, p2, n_orders, p2, p1, n_orders) AS (a, b, nab)")
+      .filter(col("nab") >= 2)
+    val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    directed
+      .join(broadcast(cnt.select(col("l_partkey").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(cnt.select(col("l_partkey").as("b"), col("n").as("nb"))), "b")
+      .crossJoin(broadcast(
+        items.agg(countDistinct("l_orderkey").as("n_baskets"))))
+      .select(col("a"), col("b"), col("nab"), col("na"), col("nb"),
+        (col("nab").cast("double") / col("na")).as("confidence"),
+        expr("CAST(nab * n_baskets AS DOUBLE) / CAST(na * nb AS DOUBLE)").as("lift"))
+      .orderBy(desc("lift"), col("a"), col("b"))
+      .limit(20)
+  }
 
   /** TPC-H Q2 shape (min-cost supplier) on the DERIVED supply catalog
     * — the schema has no partsupp, so the supply table is derived from
@@ -1774,6 +1824,29 @@ object Relational {
         |FROM items a JOIN items b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin,
+    "q36_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS nab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT p1 AS a, p2 AS b, nab FROM pairs
+        |  UNION ALL
+        |  SELECT p2 AS a, p1 AS b, nab FROM pairs),
+        |cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |        FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items)
+        |SELECT d.a, d.b, CAST(d.nab AS BIGINT) AS nab,
+        |  ca.n AS na, cb.n AS nb,
+        |  CAST(d.nab AS DOUBLE) / ca.n AS confidence,
+        |  CAST(d.nab * n_baskets AS DOUBLE) / CAST(ca.n * cb.n AS DOUBLE) AS lift
+        |FROM directed d
+        |JOIN cnt ca ON d.a = ca.l_partkey
+        |JOIN cnt cb ON d.b = cb.l_partkey
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, d.a, d.b LIMIT 20""".stripMargin,
     "mr_secondary_sort" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
@@ -2150,6 +2223,7 @@ object Relational {
     "q24_market_share" -> (q24MarketShare(_, _)),
     "q25_returned_items" -> (q25ReturnedItems(_, _)),
     "q26_basket_pairs" -> (q26BasketPairs(_, _)),
+    "q36_assoc_rules" -> (q36AssocRules(_, _)),
     "mr_secondary_sort" -> (mrSecondarySort(_, _)),
     "agg_histogram" -> (aggHistogram(_, _)),
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),

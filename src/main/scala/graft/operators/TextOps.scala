@@ -190,6 +190,31 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment (90/5/5), reported
+    * per (language, split) — the dataset-versioning step every training
+    * pipeline runs before anything touches the data: membership is a
+    * pure function of md5(doc_id) (bucket = hash16 mod 100), so the
+    * split is stable across runs, engines, partitionings, cluster
+    * sizes, AND corpus growth — a doc added tomorrow cannot move
+    * today's docs between splits (the property a random split or a
+    * rank-based split both lack, and what keeps eval sets
+    * uncontaminated across dataset versions). The id-sum checksum
+    * gates MEMBERSHIP, not just counts.
+    *
+    * Scale: one partial-aggregated scan, O(1) per row, no shuffle
+    * until the (lang, split)-sized rollup. */
+  def mixSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+      .withColumn("split",
+        expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+
   /** End-to-end curation pipeline composed from the library's own
     * stages: quality gate → exact-dup removal (keep the lowest doc_id)
     * → per-language counts of surviving docs. One declarative plan —
@@ -1051,6 +1076,20 @@ object TextOps {
       s"""SELECT source, count(*) AS n_sampled FROM documents
          |WHERE $h % 10 = 0 GROUP BY source ORDER BY source""".stripMargin
     },
+    "mix_split_assign" -> {
+      val h = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH b AS (
+         |  SELECT lang, n_chars, doc_id,
+         |    CASE WHEN $h % 100 < 90 THEN 'train'
+         |         WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    },
     "mr_weighted_sample" -> {
       // 13-nibble md5 prefix → 52-bit integer, as a strpos sum (DuckDB
       // has no conv()); 16^(13-i) multipliers are exact BIGINT literals.
@@ -1315,6 +1354,7 @@ object TextOps {
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
     "mix_temperature" -> (mixTemperature(_, _)),
+    "mix_split_assign" -> (mixSplitAssign(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),

@@ -432,6 +432,56 @@ object StreamOps {
       }
   }
 
+  /** Per-user decayed-score state: high-water mark (drop rule) + the
+    * exact micro-unit sum and event count. O(users) forever — four
+    * longs, never the event history. */
+  final case class DecayState(hwTus: Long, hwId: Long,
+      nEvents: Long, units: Long)
+
+  /** Running per-user decayed score in exact micro-units. */
+  final case class UserDecayed(user_id: Long, n_events: Long,
+      decayed_units: Long)
+
+  /** Streaming twin of ev_decayed_score. The batch op anchors the
+    * decay at the corpus max timestamp — unknowable mid-stream — so
+    * the anchor is a PARAMETER here (the training-cutoff timestamp a
+    * production scorer fixes up front); batch equality holds when the
+    * spec anchors both at the same instant. Because each event's term
+    * is quantized to integer micro-units BEFORE accumulation (the
+    * batch op's own move, replayed verbatim: same pow, same HALF_UP
+    * rounding via BigDecimal — Spark SQL round's semantics — same
+    * [[graft.operators.EventOps.HalfLifeUs]]), the state sum is an
+    * exact BIGINT: micro-batching and arrival order cannot move it.
+    * Replays are suppressed by the [[transitionsStream]] at-or-behind
+    * drop contract (a decayed SUM is not a semilattice like HLL/KMV/
+    * top-k state — re-adding a replayed term would corrupt, so the
+    * high-water mark does the suppressing instead). */
+  def decayedScoreStream(events: Dataset[Ev], anchorUs: Long): Dataset[UserDecayed] = {
+    import events.sparkSession.implicits._
+    val halfLife = graft.operators.EventOps.HalfLifeUs
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[DecayState, UserDecayed] {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[DecayState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          var s = state.getOption
+            .getOrElse(DecayState(Long.MinValue, Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val after = e.tus > s.hwTus ||
+              (e.tus == s.hwTus && e.event_id > s.hwId)
+            if (after) {
+              val term = java.math.BigDecimal.valueOf(
+                  e.value * math.pow(0.5,
+                    (anchorUs - e.tus).toDouble / halfLife) * 1e6)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+              s = DecayState(e.tus, e.event_id, s.nEvents + 1, s.units + term)
+            }
+          }
+          state.update(s)
+          UserDecayed(userId, s.nEvents, s.units)
+      }
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -548,4 +548,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming decayed score equals batch ev_decayed_score across micro-batches with replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(e => (e.tus, e.event_id))
+    // The batch op anchors at the corpus max-ts; feed the stream the
+    // same anchor (the production training-cutoff parameter).
+    val anchorUs = evs.map(_.tus).max
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.decayedScoreStream(input.toDS(), anchorUs)
+      .writeStream.format("memory").queryName("decay")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // replay batch b verbatim: a decayed SUM is not idempotent, so
+      // this is exactly the case the high-water drop must absorb —
+      // every replayed term re-added would shift the BIGINT sum.
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    // Latest state per user, then the batch op's own top-20 cut.
+    val finalStates = spark.sql(
+      """SELECT user_id, n_events, decayed_units FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM decay))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val streamedTop = finalStates
+      .sortBy { case (uid, _, units) => (-units, uid) }.take(20).toSeq
+    val batch = graft.operators.EventOps.evDecayedScore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamedTop == batch)
+    assert(streamedTop.nonEmpty)
+  }
 }
