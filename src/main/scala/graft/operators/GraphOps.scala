@@ -310,6 +310,49 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** Degree assortativity (Newman 2002) of the co-purchase graph — the
+    * single scalar that says whether hubs attach to hubs (r > 0,
+    * social-network-like) or to leaves (r < 0, internet-like): the
+    * Pearson correlation of endpoint degrees over the directed
+    * symmetrized edge list. The hub diagnostic behind the wedge-spread
+    * decisions, next to [[graphDegreeDist]]'s marginal.
+    *
+    * Exactness: degrees are integers, so ALL five accumulators
+    * (edge count, Σj, Σjk, Σj², and by symmetry Σk = Σj) are exact
+    * DECIMAL(38,0)/HUGEINT sums — order-independent — and both the
+    * numerator Se·Σjk − (Σj)² and denominator Se·Σj² − (Σj)² are
+    * exact INTEGER products (≤ ~1e36 at 1e12 edges — inside both
+    * engines' 38-digit range). r is ONE division of the same two
+    * exact integers in both engines (the agg_gini contract); no
+    * rounding agreement needed.
+    *
+    * Scale: edges checkpointed once; degrees are a vertex-sized
+    * aggregate joined back onto edges (AQE broadcasts at test scale,
+    * shuffles where vertices outgrow it — nothing hint-pinned); the
+    * moment reduction is one partial-aggregated pass to a single row. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+    val stats = adj
+      .join(deg.select(col("src"), col("d").as("j")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("k")), "dst")
+      .agg(count(lit(1)).as("se"),
+        sum(expr("CAST(j AS DECIMAL(38,0))")).as("sj"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * j")).as("sj2"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * k")).as("sjk"))
+    stats.crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+      .selectExpr(
+        "CAST(n_vertices AS BIGINT) AS n_vertices",
+        "CAST(se div 2 AS BIGINT) AS n_edges",
+        "CAST(CAST(se AS DECIMAL(38,0)) * sjk - sj * sj AS DOUBLE) / " +
+          "CAST(CAST(se AS DECIMAL(38,0)) * sj2 - sj * sj AS DOUBLE) AS assortativity")
+  }
+
   /** BFS iteration cap — the oracle-mirroring bound (kmeansLoop /
     * PrMaxIter pattern): measured hub eccentricity is 3-4 at all three
     * test scales (the support-1 co-purchase graph is a dense blob);
@@ -618,6 +661,33 @@ object GraphOps {
         |deg AS (SELECT src, count(*) AS degree FROM adj GROUP BY src)
         |SELECT degree, count(*) AS n_vertices
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "graph_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS (SELECT p1 AS src, p2 AS dst FROM edges
+        |        UNION ALL SELECT p2, p1 FROM edges),
+        |deg AS (SELECT src, count(*) AS d FROM adj GROUP BY src),
+        |e AS (
+        |  SELECT dj.d AS j, dk.d AS k
+        |  FROM adj JOIN deg dj ON adj.src = dj.src
+        |           JOIN deg dk ON adj.dst = dk.src),
+        |s AS (
+        |  SELECT count(*) AS se,
+        |    sum(CAST(j AS HUGEINT)) AS sj,
+        |    sum(CAST(j AS HUGEINT) * j) AS sj2,
+        |    sum(CAST(j AS HUGEINT) * k) AS sjk
+        |  FROM e),
+        |v AS (SELECT count(*) AS n_vertices FROM deg)
+        |SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(se // 2 AS BIGINT) AS n_edges,
+        |  CAST(CAST(se AS HUGEINT) * sjk - sj * sj AS DOUBLE) /
+        |    CAST(CAST(se AS HUGEINT) * sj2 - sj * sj AS DOUBLE) AS assortativity
+        |FROM s CROSS JOIN v""".stripMargin,
     "graph_jaccard" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -779,6 +849,7 @@ object GraphOps {
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
+    "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),

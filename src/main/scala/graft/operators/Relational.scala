@@ -360,6 +360,70 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** The shared moment-combination formulas for [[aggMoments]] — ONE
+    * text, fed verbatim to BOTH engines (selectExpr here, CTE columns
+    * in the oracle), so the FP expression trees are identical by
+    * construction: given bit-equal inputs, each stage's IEEE ops
+    * produce bit-equal outputs and no rounding agreement is needed
+    * beyond the gate's 6dp. Stage 2 turns exact integer power sums
+    * into raw moments; stage 3 centers them; stage 4 normalizes. */
+  private val MomStage2 = Seq(
+    "CAST(s1 AS DOUBLE) / n AS m1",
+    "CAST(s2 AS DOUBLE) / n AS r2",
+    "CAST(s3 AS DOUBLE) / n AS r3",
+    "CAST(s4 AS DOUBLE) / n AS r4")
+  private val MomStage3 = Seq(
+    "r2 - m1 * m1 AS m2",
+    "r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1 AS m3",
+    "r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1 AS m4")
+  private val MomStage4 = Seq(
+    "m1 / 100 AS mean",
+    "sqrt(m2) / 100 AS stddev_pop",
+    "m3 / (m2 * sqrt(m2)) AS skewness",
+    "m4 / (m2 * m2) - 3 AS kurtosis_excess")
+
+  /** Exact higher central moments per group — population skewness and
+    * excess kurtosis of order value per return flag, the distribution-
+    * shape diagnostics (tail asymmetry, outlier weight) a quality
+    * pipeline tracks next to [[aggVarianceWelford]]'s spread. ONE
+    * partial-aggregated scan accumulates the four raw power sums
+    * Σc..Σc⁴ as EXACT DECIMAL(38,0)/HUGEINT integers (cents⁴ ≈ 1e28
+    * per row — order-independent integer addition, the cents-sum
+    * contract lifted to fourth powers; headroom to ~1e9 rows/group at
+    * this price domain, beyond which you shift to group-mean-centered
+    * accumulators), and the moment combination runs AFTER aggregation
+    * on one row per group via formulas whose TEXT is shared with the
+    * oracle — identical IEEE trees, bit-equal doubles. */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .selectExpr("l_returnflag",
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS c")
+      .selectExpr("l_returnflag", "c", "c * c AS c2")
+      .selectExpr("l_returnflag", "c", "c2", "c2 * c AS c3", "c2 * c2 AS c4")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"), sum("c2").as("s2"),
+        sum("c3").as("s3"), sum("c4").as("s4"))
+      .selectExpr("l_returnflag" +: "n" +: MomStage2: _*)
+      .selectExpr("l_returnflag" +: "n" +: "m1" +: MomStage3: _*)
+      .selectExpr("l_returnflag" +: "n" +: MomStage4: _*)
+      .orderBy("l_returnflag")
+
+  private[operators] def aggMomentsOracle: String =
+    s"""WITH p AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS c
+       |  FROM lineitem),
+       |pw AS (SELECT l_returnflag, c, c * c AS c2 FROM p),
+       |pw2 AS (SELECT l_returnflag, c, c2, c2 * c AS c3, c2 * c2 AS c4 FROM pw),
+       |s AS (
+       |  SELECT l_returnflag, count(*) AS n, sum(c) AS s1, sum(c2) AS s2,
+       |    sum(c3) AS s3, sum(c4) AS s4
+       |  FROM pw2 GROUP BY 1),
+       |m AS (SELECT l_returnflag, n, ${MomStage2.mkString(", ")} FROM s),
+       |cm AS (SELECT l_returnflag, n, m1, ${MomStage3.mkString(", ")} FROM m)
+       |SELECT l_returnflag, n, ${MomStage4.mkString(", ")}
+       |FROM cm ORDER BY l_returnflag""".stripMargin
+
   /** Exact per-nation MEDIAN ABSOLUTE DEVIATION of customer balances —
     * the robust dispersion statistic an outlier-filtering pipeline uses
     * where stddev would be poisoned by the very outliers it screens
@@ -2005,6 +2069,7 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "agg_moments" -> aggMomentsOracle,
     "agg_variance_welford" ->
       """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_welford,
         | round(var_samp(l_quantity), 4) AS var_builtin
@@ -2202,6 +2267,7 @@ object Relational {
     "mr_sort_global" -> (mrSortGlobal(_, _)),
     "ev_asof_join" -> (evAsofJoin(_, _)),
     "agg_variance_welford" -> (aggVarianceWelford(_, _)),
+    "agg_moments" -> (aggMoments(_, _)),
     "q17_corr_subquery" -> (q17CorrSubquery(_, _)),
     "agg_percentiles" -> (aggPercentiles(_, _)),
     "q15_rollup" -> (q15Rollup(_, _)),
