@@ -412,6 +412,64 @@ object EventOps {
     * shared so the decay curve can never diverge): 7 days in µs. */
   private[graft] val HalfLifeUs = 7L * W24h
 
+  /** One hour in microseconds. */
+  private val HourUs = 3600000000L
+
+  /** INTERVAL × INTERVAL overlap join — the remaining temporal-join
+    * shape next to ev_asof_join (point→latest-point) and ev_range_join
+    * (point→window): per-user session intervals (the ev_sessionize
+    * 30-min-gap derivation) joined against global INCIDENT hours
+    * (hours whose event count exceeds 1.25× the hourly average — the
+    * ev_anomaly flavor), rolled up per user as sessions touched and
+    * incident-hours covered. The "did this activity overlap that
+    * outage/campaign window" query every ops/attribution pipeline has.
+    *
+    * Scale posture: the overlap is BANDED, not an inequality join — a
+    * session [s,e] overlaps hour h iff h ∈ [s div H, e div H], so each
+    * session explodes to its spanned hours (fan-out = duration/1h,
+    * bounded by the session gap structure, never the other table) and
+    * the join is EQUI on hr with the tiny incident set broadcast. The
+    * oracle expresses the same overlap as a direct BETWEEN join —
+    * equivalence of the two formulations is exactly what the gate
+    * checks. The incident threshold is cross-multiplied integer
+    * (cnt·nh·4 > 5·tot), no FP. Both the slim event projection (2
+    * consumers: sessions + hourly counts) and the session table (2
+    * consumers: spans + rollup) are localCheckpoint'ed. */
+  def evIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      .localCheckpoint()
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = ev
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("s_start"), max("tus").as("s_end"))
+      .localCheckpoint()
+    val hours = ev.groupBy(expr(s"tus div $HourUs").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val incidents = hours
+      .crossJoin(broadcast(hours.agg(sum("cnt").as("tot"), count(lit(1)).as("nh"))))
+      .filter(col("cnt") * col("nh") * 4 > col("tot") * 5)
+    val overlaps = sess
+      .withColumn("hr",
+        explode(expr(s"sequence(s_start div $HourUs, s_end div $HourUs)")))
+      .join(broadcast(incidents.select("hr")), Seq("hr"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_inc_hours"))
+    sess.join(overlaps, Seq("user_id", "sid"), "left")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_inc_hours").isNotNull, 1L).otherwise(0L))
+          .as("n_incident_sessions"),
+        sum(coalesce(col("n_inc_hours"), lit(0L))).as("sum_incident_hours"))
+      .orderBy("user_id")
+  }
+
   /** Exponentially time-decayed engagement score — the recency-weighted
     * feature every ranking/freshness pipeline computes (a count where
     * yesterday's event is worth 2^(-1/7) of today's): per user,
@@ -446,6 +504,40 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ev_interval_overlap" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+         |x AS (
+         |  SELECT user_id, tus, event_id,
+         |    CASE WHEN lag(tus) OVER w IS NULL
+         |              OR tus - lag(tus) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |y AS (
+         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+         |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM x),
+         |sess AS (
+         |  SELECT user_id, sid, min(tus) AS s_start, max(tus) AS s_end
+         |  FROM y GROUP BY 1, 2),
+         |hours AS (
+         |  SELECT tus // $HourUs AS hr, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ev GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS nh
+         |        FROM hours),
+         |inc AS (SELECT hr FROM hours CROSS JOIN tot
+         |        WHERE cnt * nh * 4 > tot * 5),
+         |ov AS (
+         |  SELECT s.user_id, s.sid, CAST(count(*) AS BIGINT) AS n_inc_hours
+         |  FROM sess s JOIN inc i
+         |    ON i.hr BETWEEN s.s_start // $HourUs AND s.s_end // $HourUs
+         |  GROUP BY 1, 2)
+         |SELECT s.user_id, count(*) AS n_sessions,
+         |  CAST(sum(CASE WHEN o.n_inc_hours IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_incident_sessions,
+         |  CAST(sum(coalesce(o.n_inc_hours, 0)) AS BIGINT) AS sum_incident_hours
+         |FROM sess s LEFT JOIN ov o ON s.user_id = o.user_id AND s.sid = o.sid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_decayed_score" ->
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(ts) AS tus,
@@ -642,5 +734,6 @@ object EventOps {
     "ev_user_features" -> (evUserFeatures(_, _)),
     "ev_cohort_ltv" -> (evCohortLtv(_, _)),
     "ev_decayed_score" -> (evDecayedScore(_, _)),
+    "ev_interval_overlap" -> (evIntervalOverlap(_, _)),
   )
 }

@@ -233,8 +233,10 @@ object Formats {
 
   /** Morton interleave of two [[ZBits]]-bit grid coordinates (dim-0
     * bits land at even positions). Pure integer expression — codegen'd,
-    * 2·ZBits shift/mask terms, no UDF. */
-  private def zInterleave(u: String, h: String): String =
+    * 2·ZBits shift/mask terms, no UDF. Bijective on the grid
+    * (FunctionPropertiesSpec round-trips it), so z-sorting loses no
+    * distinction between cells. */
+  private[graft] def zInterleave(u: String, h: String): String =
     (0 until ZBits).map(i =>
       s"shiftleft(shiftright($u, $i) & 1, ${2 * i}) + " +
         s"shiftleft(shiftright($h, $i) & 1, ${2 * i + 1})")

@@ -198,6 +198,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)
   }
 
+  test("Morton interleave round-trips: bijective on the 16-bit grid") {
+    // Deterministic pseudo-random grid coordinates; de-interleave in
+    // plain Scala and require exact recovery — a dropped/misplaced bit
+    // in the generated expression would silently degrade z-locality
+    // (the layout would still "work", just prune worse).
+    val rows = spark.range(2000).selectExpr(
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 4), 16, 10) AS BIGINT) AS u",
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 5, 4), 16, 10) AS BIGINT) AS h")
+      .selectExpr("u", "h",
+        s"${graft.sources.Formats.zInterleave("u", "h")} AS z")
+      .collect()
+    rows.foreach { r =>
+      val (u, h, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var du = 0L; var dh = 0L
+      (0 until graft.sources.Formats.ZBits).foreach { i =>
+        du |= ((z >> (2 * i)) & 1L) << i
+        dh |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(du == u && dh == h, s"z=$z decoded ($du,$dh) != ($u,$h)")
+    }
+  }
+
   test("z-order layout: 2-dim rectangle query skips more pages than the time-sorted layout") {
     // sf0.01, not the shared sf0.001: the rectangle needs BOTH dims
     // selective for z-order to have an edge over time-sorting, and at
