@@ -970,7 +970,148 @@ object SimilarityOps {
           .as("max_err"))
       .orderBy("vec_id")
 
+  /** PRODUCT QUANTIZATION (Jégou et al. 2011 — the FAISS IVF-PQ codec,
+    * the compression step past [[embQuantize]]'s scalar int8): the
+    * 64-dim vector splits into [[PqM]] subspaces of 8 dims, each
+    * encoded as the id of its nearest codebook entry — 8 nibbles
+    * (4 bytes) per vector, a 64× compression of the float vector, the
+    * memory move that makes billion-vector ANN serving fit RAM.
+    *
+    * Exactness design (what makes a PQ encode ORACLE-CHECKABLE at
+    * all): elements are first quantized onto a 2^20 integer grid, so
+    * every subspace distance is an EXACT BIGINT (diffs ≤ ~2^21,
+    * squares ≤ 2^42, ×8 dims — no FP, no summation-order contract),
+    * and the per-subspace argmin is a plain `min` over the fused key
+    * dist·16 + cid (tie → smaller cid BY CONSTRUCTION) — both engines
+    * take min of identical integers. The codebook is the 16 md5-min
+    * vectors (the mr_reservoir k-min sample: deterministic, mergeable,
+    * engine-independent); a trained-codebook variant plugs into the
+    * same slot the way k-means|| plugs into the IVF anchor slot.
+    *
+    * Scale: encode fans each vector out to 16 codebook rows × 8
+    * subspaces (a fixed 128× row fan-out — linear, the documented PQ
+    * encode cost), the codebook broadcasts, and the reduce is ONE
+    * partial-aggregated groupBy(vec_id) with the 8 per-subspace mins
+    * as conditional aggregates (no second shuffle, no pivot). */
+  private val PqM = 8
+
+  /** (integer-grid vectors, 16-entry codebook) shared by the PQ ops. */
+  private def pqParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("xq"))
+    val cb = emb
+      .withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy("skey").limit(16)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("skey")) - 1).cast("long"))
+      .select(col("cid"), col("xq").as("cq"))
+    (emb, cb)
+  }
+
+  /** Per (vector, subspace) fused assignment keys dist·16 + cid, one
+    * row per (vec, codebook entry, subspace). */
+  private def pqKeys(emb: DataFrame, cb: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
+           |    acc + (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i))
+           |        * (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i)))
+           |  * 16 + cid)""".stripMargin)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "k")
+
+  def embPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, cb) = pqParts(spark, dir)
+    val aggs = (0 until PqM).map(i =>
+      min(when(col("m") === i, col("k"))).as(s"k$i"))
+    pqKeys(emb, cb).groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("vec_id",
+        s"concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes",
+        s"${(0 until PqM).map(i => s"(k$i div 16)").mkString(" + ")} AS qerr")
+      .orderBy("vec_id")
+  }
+
+  /** ADC (asymmetric distance) probe over the PQ codes: the query
+    * vector stays exact while database vectors are represented by
+    * their codebook entries — distance ≈ Σ_m ||q_m − c_codes[m]||²,
+    * exact integer arithmetic end-to-end, top-10 nearest to vec 0.
+    * This is the lookup pattern a PQ deployment actually serves (the
+    * per-query subspace distance table, here inlined as the broadcast
+    * codebook join). */
+  /** All (vec_id, adc_dist) rows pre-cut — IvfSpec draws a longer
+    * shortlist from the same frame to measure re-rank recall. */
+  private[graft] def simPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, cb) = pqParts(spark, dir)
+    val keys = pqKeys(emb, cb).groupBy("vec_id", "m").agg(min("k").as("k"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("xq").as("qv"))
+    keys.select(col("vec_id"), col("m"), (col("k") % 16).as("cid"))
+      .join(broadcast(cb), "cid")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i))
+          |      * (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i)))""".stripMargin)
+        .as("t"))
+      .groupBy("vec_id").agg(sum("t").as("adc_dist"))
+      .filter(col("vec_id") =!= 0)
+  }
+
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame =
+    simPqAdc(spark, dir).orderBy("adc_dist", "vec_id").limit(10)
+
+  /** Shared oracle CTE prefix for the PQ ops — the grid quantization,
+    * md5-min codebook, and fused-key derivation mirrored in DuckDB. */
+  private def pqOraclePrefix: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |cb0 AS (SELECT vec_id, xq, md5(CAST(vec_id AS VARCHAR)) AS skey
+       |        FROM emb ORDER BY skey LIMIT 16),
+       |cb AS (SELECT CAST(row_number() OVER (ORDER BY skey) - 1 AS BIGINT) AS cid,
+       |              xq AS cq FROM cb0),
+       |kraw AS (
+       |  SELECT e.vec_id, mm.m,
+       |    list_sum(list_transform(range(1, 9), i ->
+       |      (e.xq[CAST(mm.m * 8 + i AS INT)] - c.cq[CAST(mm.m * 8 + i AS INT)])
+       |      * (e.xq[CAST(mm.m * 8 + i AS INT)] - c.cq[CAST(mm.m * 8 + i AS INT)])))
+       |    * 16 + c.cid AS k
+       |  FROM emb e CROSS JOIN cb c
+       |       CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm)""".stripMargin
+
+  private[operators] def embPqEncodeOracle: String =
+    s"""$pqOraclePrefix,
+       |keys AS (
+       |  SELECT vec_id,
+       |    ${(0 until PqM).map(i =>
+            s"CAST(min(CASE WHEN m = $i THEN k END) AS BIGINT) AS k$i")
+            .mkString(",\n|    ")}
+       |  FROM kraw GROUP BY 1)
+       |SELECT vec_id,
+       |  concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes,
+       |  CAST(${(0 until PqM).map(i => s"k$i // 16").mkString(" + ")} AS BIGINT) AS qerr
+       |FROM keys ORDER BY vec_id""".stripMargin
+
+  private[operators] def simPqTopkOracle: String =
+    s"""$pqOraclePrefix,
+       |keys AS (SELECT vec_id, m, min(k) AS k FROM kraw GROUP BY 1, 2),
+       |dec AS (SELECT vec_id, m, CAST(k % 16 AS BIGINT) AS cid FROM keys),
+       |q AS (SELECT xq AS qv FROM emb WHERE vec_id = 0),
+       |terms AS (
+       |  SELECT d.vec_id,
+       |    list_sum(list_transform(range(1, 9), i ->
+       |      (q.qv[CAST(d.m * 8 + i AS INT)] - c.cq[CAST(d.m * 8 + i AS INT)])
+       |      * (q.qv[CAST(d.m * 8 + i AS INT)] - c.cq[CAST(d.m * 8 + i AS INT)]))) AS t
+       |  FROM dec d JOIN cb c ON d.cid = c.cid CROSS JOIN q)
+       |SELECT vec_id, CAST(sum(t) AS BIGINT) AS adc_dist
+       |FROM terms WHERE vec_id <> 0
+       |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "emb_pq_encode" -> embPqEncodeOracle,
+    "sim_pq_topk" -> simPqTopkOracle,
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) + 0.0 AS cos_sim
@@ -1180,6 +1321,8 @@ object SimilarityOps {
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
+    "emb_pq_encode" -> (embPqEncode(_, _)),
+    "sim_pq_topk" -> (simPqTopk(_, _)),
     "emb_kmeans" -> (embKmeans(_, _)),
   )
 }

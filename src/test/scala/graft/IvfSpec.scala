@@ -229,4 +229,32 @@ class IvfSpec extends AnyFunSuite {
     assert(nFound.toDouble / nTrue >= 0.85,
       s"recall ${nFound.toDouble / nTrue} below 0.85 ($nFound/$nTrue)")
   }
+
+  test("PQ ADC shortlist recalls the exact-L2 top-10 well above the random baseline") {
+    // The deployment pattern a PQ codec serves: ADC shortlist (top-50
+    // by code distance) → exact re-rank. With the UNTRAINED 16-entry
+    // md5-min codebook on this near-isotropic synthetic corpus,
+    // measured shortlist recall is 0.4–0.5 at all three SFs; the
+    // random-shortlist baseline is 50/N ≈ 0.1 here. Assert ≥ 0.2 —
+    // comfortably above chance, honestly below what a trained codebook
+    // would give (the k-means|| slot upgrade documented in the op).
+    val emb = Tables(spark, sf).embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+          .as("xq"))
+    val q = emb.filter(col("vec_id") === 0).select(col("xq").as("qv"))
+    val exactTop = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc + (element_at(xq, i) - element_at(qv, i)) * (element_at(xq, i) - element_at(qv, i)))")
+        .as("d"))
+      .orderBy("d", "vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val shortlist = SimilarityOps.simPqAdc(spark, sf)
+      .orderBy("adc_dist", "vec_id").limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exactTop.count(shortlist).toDouble / exactTop.size
+    info(s"shortlist recall@10-in-50 = $recall")
+    assert(recall >= 0.2, s"PQ shortlist recall $recall below 0.2")
+  }
 }
