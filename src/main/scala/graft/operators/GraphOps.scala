@@ -310,6 +310,33 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** Global clustering coefficient C = 3·triangles / wedges — the
+    * one-scalar transitivity summary ("my neighbors know each other")
+    * complementing [[graphTriangles]]' per-vertex participation and
+    * [[graphAssortativity]]'s degree mixing. Both counts are exact
+    * BIGINTs from the SAME oriented edge list (Σ per-vertex triangle
+    * participation = 3T by construction — no separate triangle pass;
+    * wedges = Σ d(d−1)/2 over the degree table, integer-exact), and C
+    * is ONE division of the two in both engines. Rides the existing
+    * wedge-spread triangle machinery; the only additions are two
+    * 1-row aggregates. */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val wedgeTot = adj.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val triTot = triangleCounts(edges).agg(sum("n_triangles").as("tri3"))
+    triTot.crossJoin(broadcast(wedgeTot))
+      .selectExpr(
+        "CAST(tri3 div 3 AS BIGINT) AS n_triangles",
+        "CAST(n_wedges AS BIGINT) AS n_wedges",
+        "CAST(tri3 AS DOUBLE) / n_wedges AS clustering_coeff")
+  }
+
   /** Degree assortativity (Newman 2002) of the co-purchase graph — the
     * single scalar that says whether hubs attach to hubs (r > 0,
     * social-network-like) or to leaves (r < 0, internet-like): the
@@ -661,6 +688,26 @@ object GraphOps {
         |deg AS (SELECT src, count(*) AS degree FROM adj GROUP BY src)
         |SELECT degree, count(*) AS n_vertices
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS (SELECT p1 AS src, p2 AS dst FROM edges
+        |        UNION ALL SELECT p2, p1 FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.p2 = e2.p1
+        |  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+        |SELECT t AS n_triangles, n_wedges,
+        |  CAST(3 * t AS DOUBLE) / n_wedges AS clustering_coeff
+        |FROM tri CROSS JOIN w""".stripMargin,
     "graph_assortativity" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -850,6 +897,7 @@ object GraphOps {
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
     "graph_assortativity" -> (graphAssortativity(_, _)),
+    "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),

@@ -360,6 +360,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Ratio-to-report window (share-of-total within a hierarchy level —
+    * the remaining window-function shape next to rank/ntile/lag/moving):
+    * each nation's share of its REGION's revenue. Revenue rolls up to
+    * exact BIGINT cents per nation first (partial-aggregated,
+    * region×nation-sized), the region total is a full-partition window
+    * over those ~25 rows (no second scan, no self-join), and the share
+    * is ONE division of two exact integers in both engines. */
+  def q37RatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    rev
+      .withColumn("region_cents",
+        sum("rev_cents").over(Window.partitionBy("region")))
+      .selectExpr("region", "nation",
+        "CAST(rev_cents AS DOUBLE) / 100 AS revenue",
+        "CAST(rev_cents AS DOUBLE) / region_cents AS share")
+      .orderBy("region", "nation")
+  }
+
   /** The shared moment-combination formulas for [[aggMoments]] — ONE
     * text, fed verbatim to BOTH engines (selectExpr here, CTE columns
     * in the oracle), so the FP expression trees are identical by
@@ -2069,6 +2093,19 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q37_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, nation,
+        |  CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+        |  CAST(rev_cents AS DOUBLE) / sum(rev_cents) OVER (PARTITION BY region)
+        |    AS share
+        |FROM rev ORDER BY region, nation""".stripMargin,
     "agg_moments" -> aggMomentsOracle,
     "agg_variance_welford" ->
       """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_welford,
@@ -2290,6 +2327,7 @@ object Relational {
     "q25_returned_items" -> (q25ReturnedItems(_, _)),
     "q26_basket_pairs" -> (q26BasketPairs(_, _)),
     "q36_assoc_rules" -> (q36AssocRules(_, _)),
+    "q37_ratio_to_report" -> (q37RatioToReport(_, _)),
     "mr_secondary_sort" -> (mrSecondarySort(_, _)),
     "agg_histogram" -> (aggHistogram(_, _)),
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
