@@ -415,6 +415,32 @@ object EventOps {
   /** One hour in microseconds. */
   private val HourUs = 3600000000L
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * GAPS-AND-ISLANDS shape (retention/engagement reporting's streak
+    * badge): distinct active days collapse per user, island id =
+    * day − row_number (constant within a consecutive run, integer
+    * arithmetic only), longest streak = max island size. Top-20 users
+    * by streak.
+    *
+    * Scale: the distinct is partial-aggregated on (user, day); both
+    * windows share ONE user-partitioned exchange (same partition key,
+    * Catalyst reuses the sort); islands never materialize beyond a
+    * grouped count. */
+  def evStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), expr(s"unix_micros(ts) div $W24h").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"), sum("len").as("n_active_days"))
+      .orderBy(desc("longest_streak"), col("user_id"))
+      .limit(20)
+  }
+
   /** INTERVAL × INTERVAL overlap join — the remaining temporal-join
     * shape next to ev_asof_join (point→latest-point) and ev_range_join
     * (point→window): per-user session intervals (the ev_sessionize
@@ -504,6 +530,20 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "ev_streak" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $W24h AS day FROM events),
+         |isl AS (
+         |  SELECT user_id,
+         |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+         |  FROM days),
+         |runs AS (
+         |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT user_id, max(len) AS longest_streak,
+         |  CAST(sum(len) AS BIGINT) AS n_active_days
+         |FROM runs GROUP BY 1
+         |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin,
     "ev_interval_overlap" ->
       s"""WITH ev AS (
          |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
@@ -735,5 +775,6 @@ object EventOps {
     "ev_cohort_ltv" -> (evCohortLtv(_, _)),
     "ev_decayed_score" -> (evDecayedScore(_, _)),
     "ev_interval_overlap" -> (evIntervalOverlap(_, _)),
+    "ev_streak" -> (evStreak(_, _)),
   )
 }

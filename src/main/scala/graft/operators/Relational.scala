@@ -360,6 +360,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** FULL OUTER join — the one join type the suite's q05/q11/q12
+    * family didn't yet gate (inner/left/semi/anti are covered): per
+    * nation, the count of HIGH-BALANCE customers full-outer-joined
+    * against the count of high-balance suppliers. The >9900 gate makes
+    * both sides sparse, so nations genuinely appear on only one side
+    * and the null-fill semantics (the part a full outer join exists
+    * for) are exercised in the gated values, not just the plan.
+    * Both sides are nation-sized partial aggregates — the join is
+    * dim-scale regardless of corpus size. */
+  def q38FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hc = t.customer.filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    val hs = t.supplier.filter(col("s_acctbal") > 9900)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_rich_suppliers"))
+    hc.join(hs, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_rich_customers"), lit(0L)).as("n_rich_customers"),
+        coalesce(col("n_rich_suppliers"), lit(0L)).as("n_rich_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Ratio-to-report window (share-of-total within a hierarchy level —
     * the remaining window-function shape next to rank/ntile/lag/moving):
     * each nation's share of its REGION's revenue. Revenue rolls up to
@@ -2093,6 +2117,18 @@ object Relational {
     "mr_sort_global" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+    "q38_full_outer" ->
+      """WITH hc AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |hs AS (
+        |  SELECT s_nationkey AS snk, count(*) AS n_rich_suppliers
+        |  FROM supplier WHERE s_acctbal > 9900 GROUP BY 1)
+        |SELECT coalesce(nk, snk) AS nationkey,
+        |  CAST(coalesce(n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+        |  CAST(coalesce(n_rich_suppliers, 0) AS BIGINT) AS n_rich_suppliers
+        |FROM hc FULL OUTER JOIN hs ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
     "q37_ratio_to_report" ->
       """WITH rev AS (
         |  SELECT r_name AS region, n_name AS nation,
@@ -2328,6 +2364,7 @@ object Relational {
     "q26_basket_pairs" -> (q26BasketPairs(_, _)),
     "q36_assoc_rules" -> (q36AssocRules(_, _)),
     "q37_ratio_to_report" -> (q37RatioToReport(_, _)),
+    "q38_full_outer" -> (q38FullOuter(_, _)),
     "mr_secondary_sort" -> (mrSecondarySort(_, _)),
     "agg_histogram" -> (aggHistogram(_, _)),
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
