@@ -26,6 +26,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long nanos and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver's parquet stamps timestamps isAdjustedToUTC=false.
+      // Read them as plain TimestampType, not TIMESTAMP_NTZ: with the
+      // session pinned to UTC the epoch-micros are bit-identical to the
+      // DuckDB oracle's naive reading, filters stay bare-attribute (so
+      // they push to the scan), and every downstream unix_micros /
+      // window() call keeps its TimestampType contract.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // InferFiltersFromGenerate clones the generator's child expression
       // into a pushed-down Filter; for our shingle pipelines that inlines
       // the whole tokenize+shingle tree (higher-order funcs, interpreted,

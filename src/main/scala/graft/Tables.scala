@@ -15,6 +15,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   // that were not built by GraftSession.
   org.apache.spark.sql.GraftFunctions.register(spark)
 
+  // Defensive for sessions not built by GraftSession (e.g. the driver's
+  // smoke-check): naive parquet timestamps must read as TimestampType,
+  // not NTZ — see GraftSession for the full rationale. Guarded so the
+  // getter stays side-effect-free on the normal path.
+  {
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if (!spark.conf.getOption(key).contains("false")) spark.conf.set(key, "false")
+  }
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
@@ -24,20 +33,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.parquet has INT64 TIMESTAMP(NANOS), which Spark 4 refuses at
-    * scan time unless read as raw longs. We set the legacy conf
-    * defensively (it is a runtime session conf — covers sessions not built
-    * by GraftSession) and convert nanos → a proper microsecond timestamp.
-    * `div` keeps the arithmetic exact-integer so the oracle comparison
-    * (DuckDB reads the same file natively as TIMESTAMP_NS) is bit-stable.
+  /** events.parquet's `ts` column has shipped in two physical forms
+    * across testdata generations: INT64 TIMESTAMP(NANOS) (Spark 4 refuses
+    * it at scan time unless read as raw longs — the legacy conf below) and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads natively; the
+    * inferTimestampNTZ conf keeps it TimestampType rather than NTZ so
+    * unix_micros/window() contracts hold downstream). Branch on the scanned
+    * dtype so both generations load identically. `div` keeps the nanos
+    * conversion exact-integer so the oracle comparison (DuckDB reads the
+    * same file natively) is bit-stable.
     */
   def events: DataFrame = {
     // Only touch session conf when the session wasn't built by
     // GraftSession (keeps the getter idempotent and side-effect-free on
     // the normal path — VERDICT r2 flagged the unconditional mutation).
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    table("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
