@@ -601,6 +601,30 @@ object Relational {
         round(centsSum("c_acctbal") / 100, 3).as("total_bal"))
       .orderBy(col("c_nationkey").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the third grouping-lattice shape next to
+    * q15_rollup (prefix chain) and q28_cube (full lattice): a
+    * hand-picked set list ((priority, status), (status), ()) that
+    * neither rollup nor cube can express, with the per-column
+    * `grouping()` markers exposed so NULL-as-subtotal and NULL-as-data
+    * are distinguishable downstream. Same physical shape as
+    * rollup/cube: ONE Expand (×3) over the scan + one
+    * partial-aggregated shuffle — subtotals cost an extra pass over
+    * the expanded rows, never extra scans. Null ordering pinned as in
+    * q15_rollup. */
+  def q39GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        round(centsSum("o_totalprice") / 100, 3).as("total"))
+      .orderBy(col("g_priority"), col("g_status"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** Pivot: order counts per status × priority (fixed value list, so the
     * output schema is static and oracle-mirrorable as conditional
     * aggregation). */
@@ -2167,6 +2191,16 @@ object Relational {
         | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q39_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | count(*) AS n,
+        | round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        |ORDER BY g_priority, g_status,
+        | o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q16_pivot" ->
       """SELECT o_orderstatus,
         | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
@@ -2345,6 +2379,7 @@ object Relational {
     "agg_percentiles" -> (aggPercentiles(_, _)),
     "q15_rollup" -> (q15Rollup(_, _)),
     "q28_cube" -> (q28Cube(_, _)),
+    "q39_grouping_sets" -> (q39GroupingSets(_, _)),
     "q16_pivot" -> (q16Pivot(_, _)),
     "dedup_keep_best" -> (dedupKeepBest(_, _)),
     "q18_big_spenders" -> (q18BigSpenders(_, _)),

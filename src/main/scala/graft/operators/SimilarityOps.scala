@@ -447,6 +447,47 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  /** Simplified silhouette per IVF cell — the cluster-quality eval a
+    * pipeline runs next to [[simRecallEval]] after (re)building an
+    * index: for each vector, a = cosine distance to its nearest
+    * anchor, b = distance to the second-nearest, s = (b−a)/max(a,b)
+    * ∈ [0,1] (anchor-as-centroid simplified silhouette — the O(n·K)
+    * form of the O(n²) classic). Low per-cell means flag anchors whose
+    * cells bleed into a neighbor (raise K or re-train); the assignment
+    * reuses [[ivfCells]]' exact ordering so this grades the SAME cells
+    * the ANN probes read.
+    *
+    * Determinism: graft_cosine is bit-identical cross-engine, each
+    * row's s quantizes to exact 1e-6 integer units BEFORE the per-cell
+    * fold, and the mean is an exact-BIGINT-sum / count division — no
+    * float-sum ordering exposure at all. Scale: assignment is entirely
+    * map-side (one broadcast anchor row, top-2 as an expression), then
+    * ONE partial-aggregated shuffle on K keys. */
+  def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val k = ivfK(emb.count())
+    val top2 =
+      s"""slice(sort_array(transform(arr,
+         |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))), 1, 2)""".stripMargin
+    emb.crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
+      .select(col("vec_id"), expr(top2).as("t2"))
+      .select(col("vec_id"),
+        expr("t2[0].aid").as("cid"),
+        expr("1D + t2[0].negc").as("d1"),
+        expr("1D + t2[1].negc").as("d2"))
+      .select(col("cid"),
+        when(col("d2") <= 0d, lit(0d))
+          .otherwise((col("d2") - col("d1")) / greatest(col("d1"), col("d2")))
+          .as("sil"))
+      .select(col("cid"),
+        expr("CAST(round(sil * 1000000) AS BIGINT)").as("silq"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        (round(sum("silq").cast("double") / count(lit(1)) / lit(1000000.0), 4)
+          + lit(0.0)).as("mean_sil"))
+      .orderBy("cid")
+  }
+
   /** Per-dimension embedding statistics (mean + sample variance): the
     * collapse/anisotropy health check run before trusting an embedding
     * drop — a dimension with ~0 variance is dead, one with an outsized
@@ -1283,6 +1324,39 @@ object SimilarityOps {
          |SELECT q.qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
+    "emb_silhouette" ->
+      s"""WITH kk AS (
+         |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
+         |  FROM embeddings),
+         |anch AS (
+         |  SELECT rnk.vec_id AS aid, rnk.embedding AS av FROM (
+         |    SELECT vec_id, embedding,
+         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings) rnk, kk WHERE rnk.rn <= kk.k),
+         |asn AS (
+         |  SELECT e.vec_id, a.aid,
+         |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.av")}) THEN -1.0
+         |              ELSE ${cosExprSql("e.embedding", "a.av")} END AS c
+         |  FROM embeddings e CROSS JOIN anch a),
+         |r2 AS (
+         |  SELECT vec_id, aid, c,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+         |  FROM asn),
+         |p AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN aid END) AS cid,
+         |    max(CASE WHEN rn = 1 THEN 1.0 - c END) AS d1,
+         |    max(CASE WHEN rn = 2 THEN 1.0 - c END) AS d2
+         |  FROM r2 WHERE rn <= 2 GROUP BY vec_id),
+         |q AS (
+         |  SELECT cid, CAST(round(
+         |    (CASE WHEN d2 <= 0 THEN 0.0
+         |          ELSE (d2 - d1) / greatest(d1, d2) END) * 1000000) AS BIGINT)
+         |    AS silq
+         |  FROM p)
+         |SELECT cid, count(*) AS n,
+         |  round(CAST(sum(silq) AS DOUBLE) / count(*) / 1000000.0, 4) + 0.0 AS mean_sil
+         |FROM q GROUP BY cid ORDER BY cid""".stripMargin,
     "emb_dim_stats" ->
       """SELECT CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS mean_v,
@@ -1318,6 +1392,7 @@ object SimilarityOps {
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
+    "emb_silhouette" -> (embSilhouette(_, _)),
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),

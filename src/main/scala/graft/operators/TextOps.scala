@@ -429,6 +429,50 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Zipf power-law fit over the vocabulary head: the least-squares
+    * slope of ln(freq) on ln(rank) across the top-100 tokens — the
+    * one-number "is this corpus naturally distributed" diagnostic
+    * (natural language sits near −1; generated/templated text drifts
+    * flat or cliff-shaped). Rank ties break on token so the head set
+    * is identical in both engines.
+    *
+    * Determinism: each (ln rank, ln freq) pair is quantized to exact
+    * 1e-6 integer units BEFORE the regression sums, and all five
+    * regression accumulators (n, Σx, Σy, Σxy, Σx²) are exact
+    * DECIMAL(38,0)/HUGEINT integer folds — order-independent by
+    * construction, so the closed-form slope/intercept is the same
+    * double in any partitioning (the unit scales cancel in the slope;
+    * the intercept divides back out once). Scale: the head cut is
+    * TakeOrderedAndProject over partial-aggregated token counts
+    * (per-partition heaps — the vocabulary is never globally sorted),
+    * and the regression folds 100 rows. */
+  def txtZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    val ord = Window.orderBy(desc("freq"), col("token"))
+    val head = freqs.orderBy(desc("freq"), col("token")).limit(100)
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .select(
+        expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+    val s = head.agg(
+      count(lit(1)).as("n_head"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val slope = (col("n_head") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n_head") * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.select(
+      col("n_head"),
+      (round(slope, 4) + lit(0.0)).as("slope"),
+      (round((col("sy").cast("double") / lit(1000000.0) -
+          slope * (col("sx").cast("double") / lit(1000000.0))) / col("n_head"), 4)
+        + lit(0.0)).as("intercept"))
+  }
+
   /** Per-language distinctive vocabulary — the lift/log-odds-style
     * domain-signature table a corpus analyst reads to see WHAT a
     * language/domain slice is about: for each lang, the top-5 tokens
@@ -974,6 +1018,30 @@ object TextOps {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot, 4)
          |    + 0.0 AS cum_share
          |FROM top, tot ORDER BY rnk""".stripMargin,
+    "txt_zipf_slope" ->
+      s"""WITH tk AS (
+         |  SELECT unnest($tokensSql) AS token FROM documents),
+         |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+         |top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 100),
+         |h AS (SELECT freq,
+         |        row_number() OVER (ORDER BY freq DESC, token) AS rnk FROM top),
+         |q AS (SELECT
+         |        CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |        CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |      FROM h),
+         |s AS (SELECT count(*) AS n_head,
+         |        sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |        sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+         |      FROM q)
+         |SELECT n_head,
+         |  round(CAST(n_head * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n_head * sxx - sx * sx AS DOUBLE), 4) + 0.0 AS slope,
+         |  round((CAST(sy AS DOUBLE) / 1000000.0
+         |         - (CAST(n_head * sxy - sx * sy AS DOUBLE)
+         |            / CAST(n_head * sxx - sx * sx AS DOUBLE))
+         |           * (CAST(sx AS DOUBLE) / 1000000.0)) / n_head, 4) + 0.0
+         |    AS intercept
+         |FROM s""".stripMargin,
     "txt_stats" ->
       s"""WITH d AS (
          |  SELECT lang, n_chars, $tokensSql AS tk,
@@ -1331,6 +1399,7 @@ object TextOps {
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),
     "txt_vocab" -> (txtVocab(_, _)),
+    "txt_zipf_slope" -> (txtZipfSlope(_, _)),
     "txt_distinctive" -> (txtDistinctive(_, _)),
     "txt_hashing_tf" -> (txtHashingTf(_, _)),
     "txt_langid" -> (txtLangid(_, _)),
