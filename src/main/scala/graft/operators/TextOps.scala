@@ -322,6 +322,64 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** Sparse-vector document similarity THROUGH the inverted index: the
+    * postings-join form of tf-idf cosine — top-25 document pairs by
+    * cosine over shingle tf-idf weights, where candidate pairs come
+    * from shared postings (never an all-pairs scan). This is the
+    * sparse complement to the dense-embedding [[graft.operators.SimilarityOps]]
+    * family: the same "block, then score only candidates" discipline,
+    * with the df window [2, 100] as the blocker (df=1 terms can't
+    * produce a pair; hot terms would cost O(df²) — real sparse-sim
+    * systems prune or tier exactly these).
+    *
+    * Determinism: each weight tf·ln(N/df) quantizes to exact 1e-6
+    * integer units BEFORE any fold; dots and squared norms are exact
+    * DECIMAL(38,0)/HUGEINT sums of those integers, so the final
+    * cosine double is partition-order-independent in both engines.
+    * Cosine is taken in the df-pruned term space (dot and norms from
+    * the SAME postings table — self-consistent, and the norm pass
+    * costs no extra scan). Scale: ONE term exchange builds the
+    * weighted postings (window df + groupBy share it), the pair join
+    * keys on term with per-term fan-out ≤ C(100,2), and the top-25 is
+    * TakeOrderedAndProject. The checkpoint feeds norms + both join
+    * sides from one pass (the minhash pattern). */
+  def simSparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .agg(count(lit(1)).as("n_docs"))
+    val post = docs
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', element_at(tk, i + 2)))")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .filter(col("df").between(2, 100))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        expr("CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT)").as("wq"))
+      .localCheckpoint()
+    val norms = post.groupBy("doc_id")
+      .agg(sum(expr("CAST(wq AS DECIMAL(38,0)) * wq")).as("nsq"))
+    val dots = post.as("a")
+      .join(post.as("b"), col("a.term") === col("b.term")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(expr("CAST(a.wq AS DECIMAL(38,0)) * b.wq")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (round(col("dot").cast("double")
+          / (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 4)
+          + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("d1"), col("d2"))
+      .limit(25)
+  }
+
   /** Candidate probe set for the CMS query: high/low-frequency corpus
     * words plus one absent key (collision-only estimate). */
   private val cmsProbes = Seq("join", "merge", "data", "dup", "the", "zzzz")
@@ -1232,6 +1290,34 @@ object TextOps {
          |FROM sh GROUP BY term
          |HAVING count(*) BETWEEN 2 AND 100
          |ORDER BY term""".stripMargin,
+    "sim_sparse_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(tk) - 1),
+         |           i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS term
+         |  FROM toks WHERE len(tk) >= 3),
+         |n AS (SELECT count(*) AS n_docs FROM toks WHERE len(tk) >= 3),
+         |tfq AS (SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, term,
+         |    CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS wq
+         |  FROM tfq JOIN dfq USING (term) CROSS JOIN n
+         |  WHERE df BETWEEN 2 AND 100),
+         |norms AS (SELECT doc_id, sum(wq::HUGEINT * wq) AS nsq FROM p GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.wq::HUGEINT * b.wq) AS dot
+         |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  round(CAST(dot AS DOUBLE)
+         |        / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))), 4)
+         |    + 0.0 AS cos_sim
+         |FROM dots
+         |JOIN norms n1 ON dots.d1 = n1.doc_id
+         |JOIN norms n2 ON dots.d2 = n2.doc_id
+         |ORDER BY cos_sim DESC, d1, d2 LIMIT 25""".stripMargin,
     "agg_cms_heavy" -> {
       def cell(v: String): String =
         s"((strpos('0123456789abcdef', substr(md5($v), i * 2 + 1, 1)) - 1) * 16" +
@@ -1419,6 +1505,7 @@ object TextOps {
     "txt_repetition" -> (txtRepetition(_, _)),
     "txt_tfidf" -> (txtTfidf(_, _)),
     "txt_inverted_index" -> (txtInvertedIndex(_, _)),
+    "sim_sparse_cosine" -> (simSparseCosine(_, _)),
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
