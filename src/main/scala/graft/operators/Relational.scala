@@ -1171,6 +1171,35 @@ object Relational {
       .limit(50)
   }
 
+  /** TPC-H Q16 shape on the derived supply relation: distinct-supplier
+    * counts per (brand, type, size) over selective part predicates,
+    * EXCLUDING flagged suppliers via NOT-IN (the "customer complaints"
+    * exclusion — here s_acctbal < 0). Exercises the
+    * count(DISTINCT) + anti-join + multi-attribute grouping combo the
+    * other TPC-H shapes don't.
+    *
+    * Scale shape: the supplier-part pairs come from ONE distinct over
+    * the pruned 2-column lineitem scan; the flagged-supplier set is a
+    * broadcast left-anti (6 rows — never a shuffle); part predicates
+    * push to the part scan before its broadcast join; the
+    * count(DISTINCT suppkey) per group is a two-phase partial
+    * aggregate on the (brand, type, size) keys. */
+  def q40PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ps = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val flagged = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t.part
+        .filter(col("p_size").isin(1, 9, 14, 23, 36, 45, 49)
+          && col("p_brand") =!= "Brand#13"
+          && !col("p_type").startsWith("PROMO"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** RFM customer segmentation — the classic marketing/churn feature
     * cube: per customer, Recency (days from the corpus's last order
     * date to the customer's last order), Frequency (order count), and
@@ -1889,6 +1918,16 @@ object Relational {
         |  CAST(sum(spend_cents) AS DOUBLE) / 100 AS total_spend,
         |  min(o_custkey) AS sample_custkey
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q40_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 9, 14, 23, 36, 45, 49)
+        |  AND p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q32_important_stock" ->
       """WITH ps AS (
         |  SELECT l_partkey,
@@ -2411,6 +2450,7 @@ object Relational {
     "q30_cheapest_supplier" -> (q30CheapestSupplier(_, _)),
     "q31_product_profit" -> (q31ProductProfit(_, _)),
     "q32_important_stock" -> (q32ImportantStock(_, _)),
+    "q40_part_suppliers" -> (q40PartSuppliers(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),

@@ -920,6 +920,59 @@ object TextOps {
       .orderBy("source", "pred_lang")
   }
 
+  /** Chi-square test of independence between lang and source — the
+    * statistical-significance layer over [[qcLangMix]]'s composition
+    * report: is the language mix actually DIFFERENT across sources, or
+    * within sampling noise? χ² = Σ (o−e)²/e over the full R×C grid
+    * (including zero-observed cells — they still carry expectation),
+    * e = row·col/N from exact integer marginals.
+    *
+    * Determinism: every per-cell term is a double derived from four
+    * exact integers with pinned association ((r·c)/N), quantized to
+    * 1e-6 units before the fold, and the fold is an exact BIGINT sum —
+    * partition-order-independent. Scale: one partial-aggregated count
+    * on the R×C domain; marginals fold from THAT table (no second
+    * corpus pass); the zero-cell completion is a broadcast
+    * dim-cross-join on |R|·|C| rows. */
+  def statChi2(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables(spark, dir).documents
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rows = obs.groupBy("lang").agg(sum("o").as("r"))
+    val cols = obs.groupBy("source").agg(sum("o").as("c"))
+    val n = obs.agg(sum("o").as("n"), count(lit(1)).as("n_obs_cells"))
+    rows.crossJoin(cols)
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("n_obs_cells"),
+        expr("""CAST(round(
+          (CAST(coalesce(o, 0) AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+          * (CAST(coalesce(o, 0) AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+          / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)""").as("termq"))
+      .agg(max("n_obs_cells").as("n_obs_cells"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"),
+        (round(sum("termq").cast("double") / lit(1000000.0), 4) + lit(0.0))
+          .as("chi2"))
+      .select(col("n_cells"), col("n_obs_cells"), col("dof"), col("chi2"))
+  }
+
+  /** k-anonymity audit over quasi-identifiers (lang, source, length
+    * band) — the privacy screen a training-data release runs: how
+    * small is the smallest identifier-combination group, and how many
+    * documents sit in groups below k=5 (re-identifiable under linkage
+    * attacks). One partial-aggregated count on the QI domain, then a
+    * 1-row integer fold — all counts exact. */
+  def qcKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 50").as("len_band"))
+      .agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("n_groups"),
+        min("g").as("min_k"),
+        sum(when(col("g") < 5, lit(1)).otherwise(lit(0))).as("groups_below_5"),
+        sum(when(col("g") < 5, col("g")).otherwise(lit(0))).as("docs_below_5"))
+
   /** One BPE merge step — adjacent character-pair frequencies over the
     * corpus's word stream (with word multiplicity), i.e. exactly the
     * count a byte-pair-encoding tokenizer trainer computes to pick its
@@ -1290,6 +1343,36 @@ object TextOps {
          |FROM sh GROUP BY term
          |HAVING count(*) BETWEEN 2 AND 100
          |ORDER BY term""".stripMargin,
+    "stat_chi2" ->
+      """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |rr AS (SELECT lang, sum(o) AS r FROM obs GROUP BY 1),
+        |cc AS (SELECT source, sum(o) AS c FROM obs GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n, count(*) AS n_obs_cells FROM obs),
+        |g AS (
+        |  SELECT rr.lang, cc.source, coalesce(o, 0) AS o, rr.r, cc.c,
+        |         nn.n, nn.n_obs_cells
+        |  FROM rr CROSS JOIN cc
+        |  LEFT JOIN obs ON obs.lang = rr.lang AND obs.source = cc.source
+        |  CROSS JOIN nn),
+        |t AS (
+        |  SELECT lang, source, n_obs_cells,
+        |    CAST(round(
+        |      (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |      / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT) AS termq
+        |  FROM g)
+        |SELECT count(*) AS n_cells, max(n_obs_cells) AS n_obs_cells,
+        |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+        |  round(CAST(sum(termq::HUGEINT) AS DOUBLE) / 1000000.0, 4) + 0.0 AS chi2
+        |FROM t""".stripMargin,
+    "qc_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 50 AS len_band, count(*) AS g
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups, CAST(min(g) AS BIGINT) AS min_k,
+        |  CAST(sum(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+        |  CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS docs_below_5
+        |FROM g""".stripMargin,
     "sim_sparse_cosine" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          |sh AS (
@@ -1506,6 +1589,8 @@ object TextOps {
     "txt_tfidf" -> (txtTfidf(_, _)),
     "txt_inverted_index" -> (txtInvertedIndex(_, _)),
     "sim_sparse_cosine" -> (simSparseCosine(_, _)),
+    "stat_chi2" -> (statChi2(_, _)),
+    "qc_k_anonymity" -> (qcKAnonymity(_, _)),
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
