@@ -254,6 +254,64 @@ object EventOps {
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(20)
 
+  /** Top 3-step paths — [[evTopTransitions]] widened to trigrams: the
+    * most common (step1 → step2 → step3) sequences where BOTH hops
+    * stay inside the 30-min session gap (a path never crosses a
+    * session boundary). The behavioral-flow report product teams read
+    * next to the funnel. Same scale shape as transitions: ONE user_id
+    * shuffle for the window, two lead() taps over it, then a
+    * partial-aggregated count on the ≤|types|³ path domain and a
+    * TakeOrderedAndProject top-20. */
+  def evTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("g1", lead("tus", 1).over(w) - col("tus"))
+      .withColumn("g2", lead("tus", 2).over(w) - lead("tus", 1).over(w))
+      .filter(col("t3").isNotNull
+        && col("g1") <= 1800000000L && col("g2") <= 1800000000L)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  /** Exponentially weighted moving average over each user's
+    * event-value sequence — the time-series smoother behind alerting
+    * baselines and engagement trending. α = 1/2 with an 8-tap bound,
+    * so every weight is a power of two: with values quantized to
+    * exact micro-units, numerator (Σ v_j·2^(7−j)) and denominator
+    * (Σ 2^(7−j) over the taps that exist) are exact BIGINTs and the
+    * smoothed value is ONE deterministic double division —
+    * bit-identical cross-engine, no recursive state (the closed-form
+    * window beats a sequential fold at any scale: one user_id
+    * shuffle, eight lag() taps reading the SAME window buffer). */
+  def evEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val base = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vq"))
+    val withLags = (1 to 7).foldLeft(base.withColumn("l0", col("vq"))) {
+      (df, j) => df.withColumn(s"l$j", lag(col("vq"), j).over(w))
+    }
+    val num = (0 to 7)
+      .map(j => s"coalesce(l$j, 0) * ${1L << (7 - j)}").mkString(" + ")
+    val den = (0 to 7)
+      .map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
+      .mkString(" + ")
+    withLags
+      .select(col("user_id"), col("event_id"),
+        (round(expr(s"CAST($num AS DOUBLE) / ($den)") / lit(1000000.0), 4)
+          + lit(0.0)).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Last-touch attribution: each purchase is credited to the user's
     * most recent NON-purchase event within 30 min (the ev_sessionize
     * boundary — credit never crosses a session gap); purchases with no
@@ -667,6 +725,41 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3,
+        |    lead(tus, 1) OVER w - tus AS g1,
+        |    lead(tus, 2) OVER w - lead(tus, 1) OVER w AS g2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM x
+        |WHERE step3 IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
+    "ev_ewma" -> {
+      val num = (0 to 7)
+        .map(j => s"coalesce(l$j, 0) * ${1L << (7 - j)}").mkString(" + ")
+      val den = (0 to 7)
+        .map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
+        .mkString(" + ")
+      val lags = (1 to 7)
+        .map(j => s"lag(vq, $j) OVER w AS l$j").mkString(",\n|    ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |         CAST(round(value * 1000000) AS BIGINT) AS vq
+         |  FROM events),
+         |x AS (
+         |  SELECT user_id, event_id, vq AS l0,
+         |    $lags
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+         |SELECT user_id, event_id,
+         |  round((CAST($num AS DOUBLE) / ($den)) / 1000000.0, 4) + 0.0 AS ewma
+         |FROM x ORDER BY user_id, event_id""".stripMargin
+    },
     "ev_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
@@ -768,6 +861,8 @@ object EventOps {
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),
+    "ev_top_paths" -> (evTopPaths(_, _)),
+    "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),

@@ -692,12 +692,18 @@ object Relational {
     * cross-engine float risk is one ln() in the small-range branch.
     * Same distinct-first input as agg_kmv_distinct (the HLL of a
     * multiset is the HLL of its support). */
+  /** The 64-register HLL estimator over (sp, present) columns — shared
+    * by [[aggHllDistinct]] and [[aggHllOverlap]], mirrored verbatim in
+    * both oracles (every term is either an exact dyadic sum or a
+    * pinned-association double, so the estimate is bit-stable). */
+  private val HllEstExpr =
+    """CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
+      |       AND present < 64
+      |     THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))
+      |     ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) END""".stripMargin
+
   def aggHllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val est =
-      """CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
-        |       AND present < 64
-        |     THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))
-        |     ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) END""".stripMargin
+    val est = HllEstExpr
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .withColumn("h",
@@ -717,6 +723,56 @@ object Relational {
         round(expr(est), 3).as("est_distinct"),
         col("n_exact"))
       .orderBy("l_returnflag")
+  }
+
+  /** HLL set-overlap estimate by inclusion–exclusion — the sketch
+    * answer to "how many orderkeys appear under BOTH return flags":
+    * |A∩R| ≈ est(A) + est(R) − est(A∪R), where all three estimates
+    * come from ONE tagged register build (each (flag, key) row feeds
+    * its own set and the union set, so the union sketch costs no
+    * extra scan — exactly how mergeable sketches compose in a
+    * warehouse rollup). Exact intersection count rides along for the
+    * error check. Registers are dyadic-sum exact like
+    * [[aggHllDistinct]]; one checkpointed distinct feeds tags + exact
+    * side. */
+  def aggHllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).lineitem
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("f"), col("l_orderkey"))
+      .distinct()
+      .localCheckpoint()
+    val exact = d.groupBy("l_orderkey").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") === 2)
+      .agg(count(lit(1)).as("n_exact_overlap"))
+    val ests = d
+      .select(explode(
+        when(col("f") === "A", array(lit("a"), lit("u")))
+          .otherwise(array(lit("r"), lit("u")))).as("s"), col("l_orderkey"))
+      .distinct()
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("s"),
+        expr("h div 67108864").as("bucket"),
+        expr("h % 67108864").as("w"))
+      .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
+      .groupBy("s", "bucket")
+      .agg(max("rho").as("r"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -r)")).as("sp"))
+      .select(col("s"), expr(HllEstExpr).as("est"))
+    ests
+      .agg(
+        max(when(col("s") === "a", col("est"))).as("ea"),
+        max(when(col("s") === "r", col("est"))).as("er"),
+        max(when(col("s") === "u", col("est"))).as("eu"))
+      .crossJoin(broadcast(exact))
+      .select(
+        (round(col("ea"), 3) + lit(0.0)).as("est_a"),
+        (round(col("er"), 3) + lit(0.0)).as("est_r"),
+        (round(col("eu"), 3) + lit(0.0)).as("est_union"),
+        (round(col("ea") + col("er") - col("eu"), 3) + lit(0.0)).as("est_overlap"),
+        col("n_exact_overlap"))
   }
 
   /** TPC-H Q18 shape: large-volume orders — aggregate the fact table,
@@ -2381,6 +2437,36 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "agg_hll_overlap" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT DISTINCT l_returnflag AS f, l_orderkey
+         |           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |t AS (SELECT DISTINCT s, l_orderkey FROM (
+         |  SELECT unnest(CASE WHEN f = 'A' THEN ['a', 'u'] ELSE ['r', 'u'] END) AS s,
+         |         l_orderkey
+         |  FROM d)),
+         |h AS (SELECT s, $h8 AS h FROM t),
+         |b AS (SELECT s, h // 67108864 AS bucket, h % 67108864 AS w FROM h),
+         |rk AS (SELECT s, bucket,
+         |         CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END AS rho
+         |       FROM b),
+         |reg AS (SELECT s, bucket, max(rho) AS r FROM rk GROUP BY 1, 2),
+         |g AS (SELECT s, count(*) AS present,
+         |        sum(pow(CAST(2 AS DOUBLE), -r)) AS sp
+         |      FROM reg GROUP BY 1),
+         |e AS (SELECT s, $HllEstExpr AS est FROM g),
+         |p AS (SELECT max(CASE WHEN s = 'a' THEN est END) AS ea,
+         |             max(CASE WHEN s = 'r' THEN est END) AS er,
+         |             max(CASE WHEN s = 'u' THEN est END) AS eu FROM e),
+         |x AS (SELECT count(*) AS n_exact_overlap FROM (
+         |  SELECT l_orderkey FROM d GROUP BY 1 HAVING count(*) = 2))
+         |SELECT round(ea, 3) + 0.0 AS est_a, round(er, 3) + 0.0 AS est_r,
+         |  round(eu, 3) + 0.0 AS est_union,
+         |  round(ea + er - eu, 3) + 0.0 AS est_overlap, n_exact_overlap
+         |FROM p CROSS JOIN x""".stripMargin
+    },
     "ev_asof_join" ->
       """SELECT l.user_id, l.event_id, l.value AS click_value,
         |       r.value AS prev_view_value
@@ -2451,6 +2537,7 @@ object Relational {
     "q31_product_profit" -> (q31ProductProfit(_, _)),
     "q32_important_stock" -> (q32ImportantStock(_, _)),
     "q40_part_suppliers" -> (q40PartSuppliers(_, _)),
+    "agg_hll_overlap" -> (aggHllOverlap(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
