@@ -488,6 +488,90 @@ object SimilarityOps {
       .orderBy("cid")
   }
 
+  /** Power-iteration rounds for [[embTopEigvec]] — fixed (not
+    * convergence-driven) because BOTH engines run exactly M rounds
+    * from the same deterministic start, so parity holds converged or
+    * not; 12 is comfortably past convergence for any spectral gap the
+    * health-check use case cares about. */
+  val PowIters = 12
+
+  /** round-half-away-from-zero — the SQL `round()` semantics of BOTH
+    * engines (Scala's math.round is half-toward-+∞, which differs on
+    * negative halves). */
+  private def rnd(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** First principal component of the embedding cloud — the
+    * anisotropy/whitening diagnostic an embedding pipeline runs next
+    * to [[embDimStats]]: the dominant eigenvector of the 64×64
+    * covariance matrix (loadings per dim) plus its eigenvalue, via
+    * power iteration. The n-dependent work — the exact co-moment sums
+    * Σxᵢxⱼ / Σxᵢ — is ONE distributed pass (pair products explode
+    * map-side to a 4096-key partial-aggregated shuffle); the 64×64
+    * matrix is bounded driver state and the [[PowIters]] matvec
+    * rounds are pure driver arithmetic, exactly the kmeansLoop
+    * state-on-driver posture.
+    *
+    * Cross-engine determinism of an ITERATED float pipeline, by
+    * construction: elements quantize to 1e-6 integers before any sum;
+    * co-moments are exact DECIMAL(38,0)/HUGEINT folds; the covariance
+    * quantizes to 1e-9 integers with one pinned-association double
+    * expression; every matvec/norm is a SEQUENTIAL index-ascending
+    * fold over those integers (mirroring DuckDB's list_sum over an
+    * ORDER BY-built list), and the vector re-quantizes to 1e-9 after
+    * every normalize — so both engines carry bit-identical integer
+    * state into every round and rounding error cannot compound. */
+  def embTopEigvec(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val eq = Tables(spark, dir).embeddings
+      .select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("eq"))
+      .localCheckpoint()
+    val n = eq.count()
+    val si = eq.select(posexplode(col("eq")))
+      .groupBy(col("pos").as("i"))
+      .agg(sum(expr("CAST(col AS DECIMAL(38,0))")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val sij = eq.select(explode(expr(
+        "flatten(transform(eq, (x, i) -> transform(eq, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"))
+        .as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+      .groupBy("i", "j")
+      .agg(sum(expr("CAST(p AS DECIMAL(38,0))")).as("sij"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+    // Quantized covariance: cq(i)(j) = round(C_ij * 1e9) with
+    // C_ij = (Sij/n)/1e12 − ((Si/n)/1e6)·((Sj/n)/1e6) — association
+    // mirrored literally in the oracle's cov CTE.
+    val cq = Array.tabulate(dims, dims) { (i, j) =>
+      rnd(((sij((i, j)) / n) / 1e12
+        - ((si(i) / n) / 1e6) * ((si(j) / n) / 1e6)) * 1e9)
+    }
+    var vq = Array.fill(dims)(125000000L) // 1/8 per dim (unit vector), 1e-9 units
+    var lambda = 0.0
+    for (_ <- 1 to PowIters) {
+      val uq = Array.tabulate(dims) { i =>
+        var s = 0.0
+        var k = 0
+        while (k < dims) { s += (cq(i)(k) / 1e9) * (vq(k) / 1e9); k += 1 }
+        rnd(s * 1e9)
+      }
+      var ns = 0.0
+      var i = 0
+      while (i < dims) { ns += (uq(i) / 1e9) * (uq(i) / 1e9); i += 1 }
+      val nrm = math.sqrt(ns)
+      lambda = nrm
+      vq = uq.map(u => rnd((u / 1e9) / nrm * 1e9))
+    }
+    val eigval = rnd(lambda * 1e6) / 1e6
+    val session = spark
+    import session.implicits._
+    vq.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v / 1e9, eigval) }
+      .toDF("dim", "loading", "eigval")
+      .orderBy("dim")
+  }
+
   /** Per-dimension embedding statistics (mean + sample variance): the
     * collapse/anisotropy health check run before trusting an embedding
     * drop — a dimension with ~0 variance is dead, one with an outsized
@@ -1324,6 +1408,56 @@ object SimilarityOps {
          |SELECT q.qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
+    "emb_top_eigvec" -> {
+      // PowIters unrolled power-iteration rounds; every fold is a
+      // list_sum over an ORDER BY-built list so the summation order
+      // matches the Spark driver's index-ascending loops exactly.
+      val iters = (1 to PowIters).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""u$t AS MATERIALIZED (
+           |  SELECT i, CAST(round(list_sum(list_transform(range(1, 65), k ->
+           |      (c[k] / 1000000000.0) * (v[k] / 1000000000.0))) * 1000000000) AS BIGINT) AS uq
+           |  FROM cr CROSS JOIN $prev),
+           |nm$t AS MATERIALIZED (
+           |  SELECT sqrt(list_sum(list_transform(list(uq ORDER BY i), x ->
+           |      (x / 1000000000.0) * (x / 1000000000.0)))) AS nrm
+           |  FROM u$t),
+           |v$t AS MATERIALIZED (
+           |  SELECT list(CAST(round((uq / 1000000000.0) / nrm * 1000000000) AS BIGINT)
+           |              ORDER BY i) AS v
+           |  FROM u$t CROSS JOIN nm$t)"""
+      }.mkString(",\n")
+      s"""WITH eq AS MATERIALIZED (
+         |  SELECT list_transform(embedding::DOUBLE[],
+         |           x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(0, 64)) AS i),
+         |nn AS (SELECT count(*) AS n FROM eq),
+         |si AS MATERIALIZED (
+         |  SELECT d.i, sum(e[d.i + 1]::HUGEINT) AS s
+         |  FROM eq CROSS JOIN dims d GROUP BY 1),
+         |sij AS MATERIALIZED (
+         |  SELECT d1.i AS i, d2.i AS j, sum(e[d1.i + 1]::HUGEINT * e[d2.i + 1]) AS s2
+         |  FROM eq CROSS JOIN dims d1 CROSS JOIN dims d2 GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT sij.i, sij.j,
+         |    CAST(round((
+         |      (CAST(s2 AS DOUBLE) / n) / 1000000000000.0
+         |      - ((CAST(a.s AS DOUBLE) / n) / 1000000.0)
+         |        * ((CAST(b.s AS DOUBLE) / n) / 1000000.0)
+         |    ) * 1000000000) AS BIGINT) AS cq
+         |  FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
+         |  CROSS JOIN nn),
+         |cr AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov GROUP BY i),
+         |v0 AS MATERIALIZED (
+         |  SELECT list_transform(range(0, 64), x -> CAST(125000000 AS BIGINT)) AS v),
+         |$iters
+         |SELECT CAST(d.i AS INTEGER) AS dim,
+         |  v[d.i + 1] / 1000000000.0 AS loading,
+         |  CAST(round(nrm * 1000000) AS BIGINT) / 1000000.0 AS eigval
+         |FROM v$PowIters CROSS JOIN nm$PowIters CROSS JOIN dims d
+         |ORDER BY dim""".stripMargin
+    },
     "emb_silhouette" ->
       s"""WITH kk AS (
          |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
@@ -1393,6 +1527,7 @@ object SimilarityOps {
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
     "emb_silhouette" -> (embSilhouette(_, _)),
+    "emb_top_eigvec" -> (embTopEigvec(_, _)),
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
