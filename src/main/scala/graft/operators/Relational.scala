@@ -725,6 +725,113 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The Welch t-statistic pipeline downstream of the 6 exact moment
+    * columns (n1, s1, q1, n2, s2, q2 — counts, cent sums, squared-cent
+    * sums): ONE formula string evaluated by BOTH engines (Spark expr
+    * and DuckDB SQL share the arithmetic grammar), so association is
+    * pinned by construction. All inputs exact integers → every derived
+    * double is bit-identical. */
+  private val TtestDerived = Seq(
+    "n1", "n2",
+    "round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100, 4) + 0.0 AS mean_diff",
+    """round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      | / sqrt((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |      + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2), 4)
+      | + 0.0 AS t_stat""".stripMargin,
+    """round(((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |     + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+      |  * ((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |     + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+      |  / (((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1)
+      |     * ((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1) / (n1 - 1)
+      |   + ((CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2)
+      |     * ((CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) / (n2 - 1)), 4)
+      | + 0.0 AS welch_dof""".stripMargin)
+
+  /** Welch's two-sample t-test between order-value populations
+    * (1-URGENT vs 5-LOW priority, exact cents) — the significance
+    * test an experimentation platform runs on revenue-per-order
+    * deltas. One pass builds the six exact moments (BIGINT counts,
+    * DECIMAL(38,0)/HUGEINT sums and squared sums — the agg_moments
+    * posture); t and the Welch–Satterthwaite dof derive through
+    * [[TtestDerived]], shared verbatim with the oracle. Scale: one
+    * partial-aggregated pass over the pruned 2-column scan, 1-row
+    * output — no shuffle wider than the 2-group conditional agg. */
+  def statTtest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .agg(
+        sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "1-URGENT",
+          expr("CAST(c AS DECIMAL(38,0))")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s1"),
+        sum(when(col("g") === "1-URGENT",
+          expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+        sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "5-LOW",
+          expr("CAST(c AS DECIMAL(38,0))")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2"),
+        sum(when(col("g") === "5-LOW",
+          expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+      .selectExpr(TtestDerived: _*)
+
+  /** Poisson(1) inverse-CDF on a uniform [0,1) draw — the weight a row
+    * gets in one bootstrap replicate. Shared verbatim by both engines
+    * (the breakpoint literals parse to identical doubles). */
+  private val PoissonWExpr =
+    """CASE WHEN u < 0.36787944117144233 THEN 0
+      |     WHEN u < 0.7357588823428847 THEN 1
+      |     WHEN u < 0.9196986029286058 THEN 2
+      |     WHEN u < 0.9810118431238462 THEN 3
+      |     WHEN u < 0.9963401531726563 THEN 4
+      |     WHEN u < 0.9994058151824183 THEN 5
+      |     WHEN u < 0.9999167588507119 THEN 6
+      |     ELSE 7 END""".stripMargin
+
+  /** Bootstrap confidence interval for mean order value via the
+    * POISSON bootstrap — the at-scale bootstrap: classical resampling
+    * needs n draws per replicate from a materialized population, while
+    * Poisson(1) weights make every replicate a weighted ONE-PASS
+    * aggregate (each row draws its own multiplicity independently —
+    * how production experimentation platforms bootstrap shuffled
+    * data). All B=50 replicates ride one scan: the replicate id
+    * explodes map-side, weights come from a deterministic md5 draw
+    * (row key × replicate), and the shuffle is 50 keys of exact
+    * (Σw·cents, Σw) pairs. The CI is nearest-rank over the 50
+    * replicate means (5th/95th pct at ranks 3/48); means are exact
+    * integer ratios so ordering is deterministic. */
+  def statBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 50
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+    val reps = base
+      .select(col("o_orderkey"), col("c"),
+        explode(expr(s"sequence(1, $B)")).as("b"))
+      .withColumn("u",
+        expr("CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '_', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+      .withColumn("w", expr(PoissonWExpr))
+      .groupBy("b")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * c")).as("swc"),
+        sum(col("w").cast("long")).as("sw"))
+      .select(col("b"), expr("(CAST(swc AS DOUBLE) / sw) / 100").as("mean_b"))
+    val ranked = reps.withColumn("rk",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    val full = base
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"), count(lit(1)).as("n"))
+      .select(expr("(CAST(s AS DOUBLE) / n) / 100").as("mean_full"))
+    ranked
+      .agg(
+        max(when(col("rk") === 3, col("mean_b"))).as("lo"),
+        max(when(col("rk") === 48, col("mean_b"))).as("hi"))
+      .crossJoin(broadcast(full))
+      .select(
+        (round(col("mean_full"), 4) + lit(0.0)).as("mean_est"),
+        (round(col("lo"), 4) + lit(0.0)).as("ci_lo"),
+        (round(col("hi"), 4) + lit(0.0)).as("ci_hi"),
+        lit(B).as("n_boot"))
+  }
+
   /** HLL set-overlap estimate by inclusion–exclusion — the sketch
     * answer to "how many orderkeys appear under BOTH return flags":
     * |A∩R| ≈ est(A) + est(R) − est(A∪R), where all three estimates
@@ -2437,6 +2544,49 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "stat_bootstrap_ci" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH base AS (
+         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders),
+         |x AS (
+         |  SELECT c,  b,
+         |    md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)) AS h
+         |  FROM base, (SELECT unnest(range(1, 51)) AS b)),
+         |uu AS (SELECT c, b, $h8 / 4294967296.0 AS u FROM x),
+         |ww AS (SELECT c, b, $PoissonWExpr AS w FROM uu),
+         |reps AS (
+         |  SELECT b, (CAST(sum(w::HUGEINT * c) AS DOUBLE) / CAST(sum(w) AS BIGINT)) / 100 AS mean_b
+         |  FROM ww GROUP BY b),
+         |rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rk FROM reps),
+         |full_m AS (
+         |  SELECT (CAST(sum(c::HUGEINT) AS DOUBLE) / count(*)) / 100 AS mean_full
+         |  FROM base)
+         |SELECT round(mean_full, 4) + 0.0 AS mean_est,
+         |  round(max(CASE WHEN rk = 3 THEN mean_b END), 4) + 0.0 AS ci_lo,
+         |  round(max(CASE WHEN rk = 48 THEN mean_b END), 4) + 0.0 AS ci_hi,
+         |  CAST(50 AS INTEGER) AS n_boot
+         |FROM rk CROSS JOIN full_m
+         |GROUP BY mean_full""".stripMargin
+    },
+    "stat_ttest" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    sum(CASE WHEN g = '1-URGENT' THEN c::HUGEINT ELSE 0 END) AS s1,
+         |    sum(CASE WHEN g = '1-URGENT' THEN c::HUGEINT * c ELSE 0 END) AS q1,
+         |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    sum(CASE WHEN g = '5-LOW' THEN c::HUGEINT ELSE 0 END) AS s2,
+         |    sum(CASE WHEN g = '5-LOW' THEN c::HUGEINT * c ELSE 0 END) AS q2
+         |  FROM x)
+         |SELECT ${TtestDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "agg_hll_overlap" -> {
       val h8 = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -2538,6 +2688,8 @@ object Relational {
     "q32_important_stock" -> (q32ImportantStock(_, _)),
     "q40_part_suppliers" -> (q40PartSuppliers(_, _)),
     "agg_hll_overlap" -> (aggHllOverlap(_, _)),
+    "stat_ttest" -> (statTtest(_, _)),
+    "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
