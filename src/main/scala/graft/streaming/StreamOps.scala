@@ -482,6 +482,72 @@ object StreamOps {
       }
   }
 
+  /** Per-type anomaly-detector state: the hour→count table (capped to
+    * the newest [[AnomalyCapHours]] hours) plus the per-type
+    * high-water mark for the at-or-behind replay drop. */
+  final case class AnomalyState(hwTus: Long, hwId: Long,
+      hours: Map[Long, Long])
+
+  /** Running anomaly report for one event type: the flagged hours
+    * encoded `hour=cnt=dirn=zsq` (sorted by hour, ';'-joined) — a
+    * stable encoding the spec compares against the batch rows. */
+  final case class TypeAnomalies(event_type: String, flags: String)
+
+  /** Hour-table cap: 2048 hours (~85 days) of per-type state — the
+    * boundedness contract on an unbounded stream. Inside the horizon
+    * the recomputed stats equal the batch query's full-corpus stats
+    * (the spec's corpus spans ~700 hours); past it the detector
+    * becomes a sliding-window variant by declared design. */
+  val AnomalyCapHours = 2048
+
+  /** Streaming twin of ev_anomaly: per event type, maintain hourly
+    * counts and re-derive the |z| ≥ 2 flag set each micro-batch with
+    * the batch query's EXACT integer test (a²(n−1) ≥ 4dn on BigInt —
+    * no float state at all, so micro-batching cannot move a flag).
+    * Replay safety comes from the [[transitionsStream]] at-or-behind
+    * high-water drop (counts are additive, not a semilattice — a
+    * replayed event would double-count). State is O(types ×
+    * [[AnomalyCapHours]]) forever. */
+  def anomalyStream(events: Dataset[Ev]): Dataset[TypeAnomalies] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[AnomalyState, TypeAnomalies] {
+        (t: String, evs: Iterator[Ev], state: GroupState[AnomalyState]) =>
+          var s = state.getOption
+            .getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Map.empty))
+          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
+          sorted.foreach { e =>
+            val after = e.tus > s.hwTus ||
+              (e.tus == s.hwTus && e.event_id > s.hwId)
+            if (after) {
+              val h = Math.floorDiv(e.tus, 3600000000L)
+              s = AnomalyState(e.tus, e.event_id,
+                s.hours.updated(h, s.hours.getOrElse(h, 0L) + 1))
+            }
+          }
+          if (s.hours.size > AnomalyCapHours)
+            s = s.copy(hours =
+              s.hours.toSeq.sortBy(-_._1).take(AnomalyCapHours).toMap)
+          state.update(s)
+          val n = BigInt(s.hours.size)
+          val cnts = s.hours.values.map(BigInt(_))
+          val sum = cnts.sum
+          val ss = cnts.map(c => c * c).sum
+          val flags = s.hours.toSeq.sortBy(_._1).flatMap { case (h, cnt) =>
+            val a = n * cnt - sum
+            val d = n * ss - sum * sum
+            if (n >= 2 && d > 0 && a * a * (n - 1) >= d * n * 4) {
+              val z = (a * a * (n - 1)).toDouble / (d * n).toDouble
+              val z4 = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              Some(s"$h=$cnt=${if (a > 0) "high" else "low"}=$z4")
+            } else None
+          }
+          TypeAnomalies(t, flags.mkString(";"))
+      }
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -27,6 +27,45 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq
   }
 
+  test("streaming anomaly flags equal batch ev_anomaly across micro-batches, with replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(e => (e.tus, e.event_id))
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // verbatim replay of b: every event at-or-behind the per-type
+      // high-water mark → counts must not move.
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      """SELECT event_type, flags FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM anom))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val batch = graft.operators.EventOps.evAnomaly(spark, sf)
+      .collect().toSeq.groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.sortBy(_.getLong(1)).map { r =>
+          val z4 = BigDecimal(r.getDouble(4))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          s"${r.getLong(1)}=${r.getLong(2)}=${r.getString(3)}=$z4"
+        }.mkString(";")
+      }
+    batch.foreach { case (t, expect) =>
+      assert(streamed.getOrElse(t, "") == expect,
+        s"type $t diverged: ${streamed.getOrElse(t, "")} vs $expect")
+    }
+    assert(batch.values.exists(_.nonEmpty))
+  }
+
   test("streaming sessionize equals batch ev_sessionize across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
