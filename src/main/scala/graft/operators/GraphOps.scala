@@ -85,7 +85,12 @@ object GraphOps {
     * shuffles otherwise) + one partial-aggregated groupBy + the
     * vertex-sized freeze join, lineage-cut per round with superseded
     * checkpoint blocks freed (the dedupComponents bookkeeping). */
-  private[graft] def pagerankRanks(spark: SparkSession, dir: String): (DataFrame, Int) = {
+  /** Seed nation for [[graphPpr]] — the personalization set is
+    * "customers of NATION_7", mirrored in the oracle. */
+  private val PprSeedNation = 7
+
+  private[graft] def pagerankRanks(spark: SparkSession, dir: String,
+      seeded: Boolean = false): (DataFrame, Int) = {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
     // NOTE (shared with dedupComponents): ownership of checkpoint
@@ -129,11 +134,30 @@ object GraphOps {
       edgesRaw.join(deg, "src").repartition(par, col("dst")))
     // Vertices carry N (vertex count) so teleport needs no driver-side
     // constant — a 1-row count broadcast-crossed onto the vertex set.
+    // In seeded (personalized) mode they additionally carry the seed
+    // flag and the broadcast seed count: the teleport mass lands ONLY
+    // on the seed set.
     val vertIds = t.customer.select((col("c_custkey") * 2).as("v"))
       .unionByName(t.supplier.select((col("s_suppkey") * 2 + 1).as("v")))
-    val verts = vertIds
+    val vertsBase = vertIds
       .crossJoin(broadcast(vertIds.agg(count(lit(1)).as("n"))))
-      .localCheckpoint()
+    val seedSet = t.customer
+      .filter(col("c_nationkey") === PprSeedNation)
+      .select((col("c_custkey") * 2).as("v"), lit(1L).as("is_seed"))
+    val verts =
+      (if (!seeded) vertsBase
+       else vertsBase
+         .join(broadcast(seedSet), Seq("v"), "left")
+         .crossJoin(broadcast(seedSet.agg(count(lit(1)).as("ns"))))
+         .select(col("v"), col("n"),
+           coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns")))
+        .localCheckpoint()
+
+    val carry = if (seeded) Seq("n", "is_seed", "ns") else Seq("n")
+    val teleport =
+      if (seeded)
+        s"CASE WHEN is_seed = 1 THEN ($Scale * 15) div (100 * ns) ELSE CAST(0 AS BIGINT) END"
+      else s"($Scale * 15) div (100 * n)"
 
     def step(rk: DataFrame): DataFrame = {
       val contrib = edges
@@ -141,27 +165,35 @@ object GraphOps {
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
       rk.join(contrib, col("v") === col("dst"), "left")
-        .select(col("v"), col("n"), col("r").as("rp"),
-          expr(s"($Scale * 15) div (100 * n) + (coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100").as("x"))
-        .select(col("v"), col("n"), col("rp"),
-          expr(s"CASE WHEN abs(x - rp) * $PrFreezeDenom <= rp THEN rp ELSE x END").as("r"))
+        .select(col("v") +: carry.map(col) :+ col("r").as("rp") :+
+          expr(s"$teleport + (coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100").as("x"): _*)
+        .select(col("v") +: carry.map(col) :+ col("rp") :+
+          expr(s"CASE WHEN abs(x - rp) * $PrFreezeDenom <= rp THEN rp ELSE x END").as("r"): _*)
     }
 
-    // Degree-proportional WARM START: for an undirected graph the
-    // random-walk stationary distribution is exactly degree/2|E|, so
-    // init = teleport + d·(degree share) starts ~one band-width from
-    // the solution instead of a full mix away — measured freeze drops
-    // 33 → 17 iterations, same top-20, at all three test scales. The
-    // 85·Scale·outdeg product stays in BIGINT up to outdeg ~1e5; a
-    // graph with hotter hubs widens this one expression to
-    // DECIMAL(38,0) (both engines), nothing else changes.
+    // Degree-proportional WARM START (uniform mode): for an undirected
+    // graph the random-walk stationary distribution is exactly
+    // degree/2|E|, so init = teleport + d·(degree share) starts ~one
+    // band-width from the solution instead of a full mix away —
+    // measured freeze drops 33 → 17 iterations, same top-20, at all
+    // three test scales. The 85·Scale·outdeg product stays in BIGINT
+    // up to outdeg ~1e5; a graph with hotter hubs widens this one
+    // expression to DECIMAL(38,0) (both engines), nothing else
+    // changes. Seeded mode instead starts from the personalization
+    // vector itself (all mass on the seeds) — the PPR analogue of the
+    // same idea: the solution concentrates near the seeds, so that is
+    // the right warm start.
     var (ranks, rankIds) = checkpointed(
-      verts
-        .join(deg.select(col("src").as("v"), col("outdeg")), Seq("v"), "left")
-        .crossJoin(broadcast(deg.agg(sum("outdeg").as("tot"))))
-        .select(col("v"), col("n"), lit(0L).as("rp"),
-          expr(s"($Scale * 15) div (100 * n) + " +
-            s"(85 * $Scale * coalesce(outdeg, CAST(0 AS BIGINT))) div (100 * tot)").as("r")))
+      if (seeded)
+        verts.select(col("v") +: carry.map(col) :+ lit(0L).as("rp") :+
+          expr(s"CASE WHEN is_seed = 1 THEN $Scale div ns ELSE CAST(0 AS BIGINT) END").as("r"): _*)
+      else
+        verts
+          .join(deg.select(col("src").as("v"), col("outdeg")), Seq("v"), "left")
+          .crossJoin(broadcast(deg.agg(sum("outdeg").as("tot"))))
+          .select(col("v"), col("n"), lit(0L).as("rp"),
+            expr(s"($Scale * 15) div (100 * n) + " +
+              s"(85 * $Scale * coalesce(outdeg, CAST(0 AS BIGINT))) div (100 * tot)").as("r")))
     // One step per materialized round — measured against the obvious
     // "two steps per job" batching at sf0.1: the composed plan reads
     // the un-checkpointed inner state TWICE (mass-push join + the
@@ -194,6 +226,21 @@ object GraphOps {
         expr("v div 2").as("key"),
         col("r").as("rank_units"))
       .orderBy(col("rank_units").desc, col("kind"), col("key"))
+      .limit(20)
+
+  /** Personalized PageRank from the NATION_7 customer seed set — the
+    * "suppliers closest to this customer segment" affinity ranking a
+    * recommender runs per segment: teleport mass lands ONLY on the
+    * seeds, so rank concentrates in their graph neighborhood instead
+    * of at global hubs. Same integer rank units, freeze-band early
+    * stop, per-round checkpoint, and dst-partitioned edge layout as
+    * [[graphPagerank]] — one parameter (where teleport lands) changes,
+    * nothing else. Output: top-20 SUPPLIERS by personalized rank. */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(spark, dir, seeded = true)._1
+      .filter(col("v") % 2 === 1)
+      .select(expr("v div 2").as("s_suppkey"), col("r").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("s_suppkey"))
       .limit(20)
 
   /** Triangle counting over the co-purchase graph: parts are vertices,
@@ -889,10 +936,56 @@ object GraphOps {
          |FROM r$PrMaxIter
          |ORDER BY rank_units DESC, kind, key LIMIT 20""".stripMargin
     },
+    "graph_ppr" -> {
+      // Same edge/degree CTEs and freeze-band update as graph_pagerank;
+      // the ONLY semantic change is where teleport mass lands (the
+      // NATION_7 customer seed set) and the personalization-vector
+      // init. Fixed PrMaxIter unroll == Spark's early-stopped loop
+      // (past-fixpoint iterations are the identity).
+      def iter(i: Int): String = {
+        val (prev, cN, rN) = (s"r${i - 1}", s"c$i", s"r$i")
+        s"""$cN AS MATERIALIZED (SELECT e.dst, sum($prev.r // od.outdeg) AS m
+           |  FROM e JOIN od USING (src) JOIN $prev ON $prev.v = e.src
+           |  GROUP BY e.dst),
+           |$rN AS MATERIALIZED (SELECT p.v, p.is_seed, p.ns,
+           |    CASE WHEN abs(CASE WHEN p.is_seed = 1
+           |                       THEN ($Scale * 15) // (100 * p.ns) ELSE 0 END
+           |                    + (coalesce($cN.m, 0) * 85) // 100 - p.r)
+           |                  * $PrFreezeDenom <= p.r
+           |         THEN p.r
+           |         ELSE CASE WHEN p.is_seed = 1
+           |                   THEN ($Scale * 15) // (100 * p.ns) ELSE 0 END
+           |                + (coalesce($cN.m, 0) * 85) // 100 END AS r
+           |  FROM $prev p LEFT JOIN $cN ON $cN.dst = p.v)""".stripMargin
+      }
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS cv, l.l_suppkey * 2 + 1 AS sv
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS MATERIALIZED (SELECT cv AS src, sv AS dst FROM p
+         |      UNION ALL SELECT sv AS src, cv AS dst FROM p),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |vi AS (SELECT c_custkey * 2 AS v FROM customer
+         |       UNION ALL SELECT s_suppkey * 2 + 1 AS v FROM supplier),
+         |seeds AS (SELECT c_custkey * 2 AS v FROM customer
+         |          WHERE c_nationkey = $PprSeedNation),
+         |sn AS (SELECT count(*) AS ns FROM seeds),
+         |r0 AS MATERIALIZED (
+         |  SELECT vi.v,
+         |    CASE WHEN s.v IS NOT NULL THEN 1 ELSE 0 END AS is_seed, sn.ns,
+         |    CASE WHEN s.v IS NOT NULL THEN $Scale // sn.ns ELSE 0 END AS r
+         |  FROM vi CROSS JOIN sn LEFT JOIN seeds s ON s.v = vi.v),
+         |${(1 to PrMaxIter).map(iter).mkString(",\n")}
+         |SELECT CAST(v // 2 AS BIGINT) AS s_suppkey,
+         |  CAST(r AS BIGINT) AS rank_units
+         |FROM r$PrMaxIter
+         |WHERE v % 2 = 1
+         |ORDER BY rank_units DESC, s_suppkey LIMIT 20""".stripMargin
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank(_, _)),
+    "graph_ppr" -> (graphPpr(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
