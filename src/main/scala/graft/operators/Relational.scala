@@ -775,6 +775,54 @@ object Relational {
           expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
       .selectExpr(TtestDerived: _*)
 
+  /** Mann–Whitney derived stats over the exact integer accumulators
+    * (n1, n2, r1_2 = 2·rank-sum of group 1 with average-rank ties,
+    * tiesum = Σ(t³−t)) — ONE formula string for both engines, like
+    * [[TtestDerived]]. */
+  private val MannWhitneyDerived = Seq(
+    "n1", "n2",
+    "round(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2, 4) + 0.0 AS u1",
+    """round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 - (CAST(n1 AS DOUBLE) * n2) / 2)
+      | / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+      |   * ((n1 + n2 + 1) - CAST(tiesum AS DOUBLE)
+      |       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
+      | + 0.0 AS z_stat""".stripMargin)
+
+  /** Mann–Whitney U rank-sum test between the same two order-value
+    * populations as [[statTtest]] — the NONPARAMETRIC member of the
+    * testing family (no normality assumption; the test experimentation
+    * platforms reach for on skewed revenue). Ties get average ranks
+    * (kept integer as 2·rank), the normal approximation carries the
+    * tie correction Σ(t³−t), and every accumulator is an exact
+    * DECIMAL(38,0)/HUGEINT integer — the z statistic derives through
+    * one shared formula string.
+    *
+    * Scale: ranks come from ONE cumulative window over the
+    * VALUE-DISTINCT table (per-value group counts first — the rank
+    * table is |distinct values|, not |rows|); an unbounded value
+    * domain would bin first, exactly like agg_histogram. */
+  def statMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("c")
+      .agg(
+        sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("c2"))
+      .withColumn("cnt", col("c1") + col("c2"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("avg2", expr("2 * (cum - cnt) + cnt + 1"))
+      .agg(
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * avg2")).as("r1_2"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tiesum"))
+      .selectExpr(MannWhitneyDerived: _*)
+  }
+
   /** Poisson(1) inverse-CDF on a uniform [0,1) draw — the weight a row
     * gets in one bootstrap replicate. Shared verbatim by both engines
     * (the breakpoint literals parse to identical doubles). */
@@ -2544,6 +2592,28 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "stat_mann_whitney" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |v AS (
+         |  SELECT c,
+         |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+         |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS c2
+         |  FROM x GROUP BY c),
+         |r AS (
+         |  SELECT c1, c2, c1 + c2 AS cnt,
+         |    sum(c1 + c2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM v),
+         |a AS (SELECT c1, c2, cnt, 2 * (cum - cnt) + cnt + 1 AS avg2 FROM r),
+         |m AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |    sum(c1::HUGEINT * avg2) AS r1_2,
+         |    sum(cnt::HUGEINT * cnt * cnt - cnt) AS tiesum
+         |  FROM a)
+         |SELECT ${MannWhitneyDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "stat_bootstrap_ci" -> {
       val h8 = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -2690,6 +2760,7 @@ object Relational {
     "agg_hll_overlap" -> (aggHllOverlap(_, _)),
     "stat_ttest" -> (statTtest(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
+    "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
