@@ -523,7 +523,12 @@ object SimilarityOps {
     * state into every round and rounding error cannot compound. */
   def embTopEigvec(spark: SparkSession, dir: String): DataFrame = {
     val dims = 64
+    // Repartition BEFORE the 2080-products-per-row expansion: a
+    // compact embeddings file scans as one partition, and the pair
+    // explode would single-thread the whole co-moment pass without the
+    // spread (the stat_bootstrap_ci lesson).
     val eq = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("eq"))
@@ -533,13 +538,18 @@ object SimilarityOps {
       .groupBy(col("pos").as("i"))
       .agg(sum(expr("CAST(col AS DECIMAL(38,0))")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-    val sij = eq.select(explode(expr(
-        "flatten(transform(eq, (x, i) -> transform(eq, (y, j) -> struct(i AS i, j AS j, x * y AS p))))"))
+    // Symmetric matrix: only the j ≥ i triangle is summed (2080 keys
+    // instead of 4096 — half the explode volume and shuffle), mirrored
+    // below and in the oracle's least/greatest lookup.
+    val sijT = eq.select(explode(expr(
+        "flatten(transform(eq, (x, i) -> transform(slice(eq, i + 1, 64 - i), (y, k) -> struct(i AS i, i + k AS j, x * y AS p))))"))
         .as("t"))
       .select(col("t.i"), col("t.j"), col("t.p"))
       .groupBy("i", "j")
       .agg(sum(expr("CAST(p AS DECIMAL(38,0))")).as("sij"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+    def sij(k: (Int, Int)): Double =
+      sijT((math.min(k._1, k._2), math.max(k._1, k._2)))
     // Quantized covariance: cq(i)(j) = round(C_ij * 1e9) with
     // C_ij = (Sij/n)/1e12 − ((Si/n)/1e6)·((Sj/n)/1e6) — association
     // mirrored literally in the oracle's cov CTE.
@@ -1438,15 +1448,18 @@ object SimilarityOps {
          |  FROM eq CROSS JOIN dims d GROUP BY 1),
          |sij AS MATERIALIZED (
          |  SELECT d1.i AS i, d2.i AS j, sum(e[d1.i + 1]::HUGEINT * e[d2.i + 1]) AS s2
-         |  FROM eq CROSS JOIN dims d1 CROSS JOIN dims d2 GROUP BY 1, 2),
+         |  FROM eq CROSS JOIN dims d1 CROSS JOIN dims d2
+         |  WHERE d2.i >= d1.i GROUP BY 1, 2),
          |cov AS MATERIALIZED (
-         |  SELECT sij.i, sij.j,
+         |  SELECT d1.i AS i, d2.i AS j,
          |    CAST(round((
          |      (CAST(s2 AS DOUBLE) / n) / 1000000000000.0
          |      - ((CAST(a.s AS DOUBLE) / n) / 1000000.0)
          |        * ((CAST(b.s AS DOUBLE) / n) / 1000000.0)
          |    ) * 1000000000) AS BIGINT) AS cq
-         |  FROM sij JOIN si a ON sij.i = a.i JOIN si b ON sij.j = b.i
+         |  FROM dims d1 CROSS JOIN dims d2
+         |  JOIN sij ON sij.i = least(d1.i, d2.i) AND sij.j = greatest(d1.i, d2.i)
+         |  JOIN si a ON d1.i = a.i JOIN si b ON d2.i = b.i
          |  CROSS JOIN nn),
          |cr AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov GROUP BY i),
          |v0 AS MATERIALIZED (
