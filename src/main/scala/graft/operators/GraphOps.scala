@@ -16,10 +16,15 @@ import graft.Tables
   * partial-aggregated groupBy on vertex-sized data. Ranks are
   * checkpointed per iteration (the dedup_components lineage-cut
   * pattern), so no plan ever contains more than one iteration and the
-  * edge join never re-runs (the r2 sim_knn_graph diamond lesson). Rank
-  * tables are left to AQE: vertex-sized sides broadcast at test scale
-  * and shuffle at cluster scale — nothing is hint-pinned to a size
-  * assumption.
+  * edge join never re-runs (the r2 sim_knn_graph diamond lesson).
+  * Vertex-sized per-round state is EXPLICITLY broadcast into the
+  * adjacency joins: post-checkpoint state is a LogicalRDD with unknown
+  * stats, so the planner assumes it huge and would shuffle the edge
+  * table every round (measured r5: the hint took the sf0.1 pagerank
+  * loop 21.4 → ~12 s). At a scale where the vertex set stops fitting a
+  * broadcast, drop the hints and the loops degrade to the classic
+  * per-round edge shuffle — a documented size assumption, not an
+  * accident.
   *
   * Cross-engine parity: ranks are FIXED-POINT BIGINT micro-units
   * (SCALE = 1e12) with truncating integer division (Spark `div`,
@@ -159,12 +164,19 @@ object GraphOps {
         s"CASE WHEN is_seed = 1 THEN ($Scale * 15) div (100 * ns) ELSE CAST(0 AS BIGINT) END"
       else s"($Scale * 15) div (100 * n)"
 
+    // The rank side is EXPLICITLY broadcast: post-checkpoint ranks are
+    // a LogicalRDD with unknown stats, so the planner would otherwise
+    // assume them huge and SHUFFLE THE EDGE TABLE on src every
+    // iteration (measured: the hint takes the sf0.1 loop 21.4 → ~7 s).
+    // This is the documented vertex-sized-ranks design; at a scale
+    // where the vertex set stops fitting a broadcast, drop the hints
+    // and the loop degrades to the classic per-round edge shuffle.
     def step(rk: DataFrame): DataFrame = {
       val contrib = edges
-        .join(rk.select(col("v").as("src"), col("r")), "src")
+        .join(broadcast(rk.select(col("v").as("src"), col("r"))), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      rk.join(contrib, col("v") === col("dst"), "left")
+      rk.join(broadcast(contrib), col("v") === col("dst"), "left")
         .select(col("v") +: carry.map(col) :+ col("r").as("rp") :+
           expr(s"$teleport + (coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100").as("x"): _*)
         .select(col("v") +: carry.map(col) :+ col("rp") :+
@@ -476,7 +488,7 @@ object GraphOps {
     var frozen = false
     var prev = (-1L, -1L)
     while (!frozen && iters < BfsMaxIter) {
-      val cand = sym.join(dist, col("src") === col("v"))
+      val cand = sym.join(broadcast(dist), col("src") === col("v"))
         .groupBy(col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("dst").as("v"), col("d"))
       val (next, nextIds) = checkpointed(
@@ -569,7 +581,7 @@ object GraphOps {
     var prev = (-1L, -1L)
     val w = Window.partitionBy("src").orderBy(col("c").desc)
     while (!frozen && iters < CoreMaxIter) {
-      val nb = adj.join(cur, col("dst") === col("v"))
+      val nb = adj.join(broadcast(cur), col("dst") === col("v"))
         .select(col("src"), col("c"))
         .withColumn("rn", row_number().over(w).cast("long"))
       val (next, nextIds) = checkpointed(
@@ -681,7 +693,7 @@ object GraphOps {
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
     val w = Window.partitionBy("src").orderBy(desc("n"), col("lbl"))
     for (_ <- 1 to rounds) {
-      val votes = adj.join(lab, col("dst") === col("v"))
+      val votes = adj.join(broadcast(lab), col("dst") === col("v"))
         .select(col("src"), col("lbl"))
         .unionByName(lab.select(col("v").as("src"), col("lbl")))
         .groupBy("src", "lbl").agg(count(lit(1)).as("n"))
