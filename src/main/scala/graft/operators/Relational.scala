@@ -1851,7 +1851,12 @@ object Relational {
     * column. At 100 TB this is the profiler shape you want: no
     * per-column scans, no collects, output = #columns rows. */
   def qcProfile(spark: SparkSession, dir: String): DataFrame =
+    // Four exact count_distincts in one aggregate plan an Expand (×5
+    // rows) whose partial phase runs inside the scan's partitioning —
+    // one row group = one thread without the spread (the
+    // stat_bootstrap_ci lesson; measured 6.9 → ~2 s at sf0.1).
     Tables(spark, dir).orders
+      .repartition(spark.sparkContext.defaultParallelism)
       .agg(
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
         count_distinct(col("o_custkey")).as("nd_ck"),

@@ -620,7 +620,11 @@ object SimilarityOps {
     * expansions partial-aggregated onto the bounded d²/2-key domain,
     * so shuffle volume is d²-sized, not corpus-sized. */
   def embDimCorr(spark: SparkSession, dir: String): DataFrame = {
+    // Spread before the 2016-pairs-per-row explode — one row group =
+    // one thread without it (the stat_bootstrap_ci lesson, same as
+    // embTopEigvec).
     val q = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("q"))
