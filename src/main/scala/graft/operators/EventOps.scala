@@ -281,6 +281,33 @@ object EventOps {
       .limit(20)
   }
 
+  /** Hourly session concurrency — the capacity-planning curve ops
+    * teams read (how many sessions are live in each hour): sessions
+    * from the ev_sessionize 30-min-gap rule, each exploded to the
+    * hours it touches (bounded fan-out — a session spans few hours by
+    * construction, since any 30-min silence ends it), then ONE
+    * partial-aggregated count per hour. The sweep-line alternative
+    * (global ±1 running sum) needs a single globally-ordered
+    * partition; the hour-bucket explode is the partitionable form. */
+  def evConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("is_new",
+        when(lag("tus", 1).over(w).isNull
+          || col("tus") - lag("tus", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("is_new").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("s"), max("tus").as("e"))
+      .select(explode(expr(
+        "sequence(s div 3600000000, e div 3600000000)")).as("epoch_hour"))
+      .groupBy("epoch_hour")
+      .agg(count(lit(1)).as("n_concurrent"))
+      .orderBy("epoch_hour")
+  }
+
   /** Exponentially weighted moving average over each user's
     * event-value sequence — the time-series smoother behind alerting
     * baselines and engagement trending. α = 1/2 with an 8-tap bound,
@@ -725,6 +752,25 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus, event_id,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |y AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (SELECT user_id, sid, min(tus) AS s, max(tus) AS e
+        |         FROM y GROUP BY 1, 2),
+        |h AS (SELECT unnest(range(s // 3600000000, e // 3600000000 + 1)) AS epoch_hour
+        |      FROM sess)
+        |SELECT epoch_hour, count(*) AS n_concurrent
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
@@ -862,6 +908,7 @@ object EventOps {
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),
     "ev_top_paths" -> (evTopPaths(_, _)),
+    "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),

@@ -574,11 +574,18 @@ object SimilarityOps {
       vq = uq.map(u => rnd((u / 1e9) / nrm * 1e9))
     }
     val eigval = rnd(lambda * 1e6) / 1e6
+    // Explained-variance share λ₁/tr(C): the one-number anisotropy
+    // verdict (λ₁ ≈ tr(C)/dims = isotropic; λ₁ → tr(C) = collapsed).
+    // Trace is an exact integer sum of the quantized diagonal.
+    var trq = 0L
+    var ti = 0
+    while (ti < dims) { trq += cq(ti)(ti); ti += 1 }
+    val varShare = rnd(lambda / (trq / 1e9) * 1e6) / 1e6
     val session = spark
     import session.implicits._
     vq.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v / 1e9, eigval) }
-      .toDF("dim", "loading", "eigval")
+      .map { case (v, i) => (i, v / 1e9, eigval, varShare) }
+      .toDF("dim", "loading", "eigval", "var_share")
       .orderBy("dim")
   }
 
@@ -1468,11 +1475,14 @@ object SimilarityOps {
          |cr AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov GROUP BY i),
          |v0 AS MATERIALIZED (
          |  SELECT list_transform(range(0, 64), x -> CAST(125000000 AS BIGINT)) AS v),
-         |$iters
+         |$iters,
+         |tr AS (SELECT sum(cq) AS trq FROM cov WHERE i = j)
          |SELECT CAST(d.i AS INTEGER) AS dim,
          |  v[d.i + 1] / 1000000000.0 AS loading,
-         |  CAST(round(nrm * 1000000) AS BIGINT) / 1000000.0 AS eigval
-         |FROM v$PowIters CROSS JOIN nm$PowIters CROSS JOIN dims d
+         |  CAST(round(nrm * 1000000) AS BIGINT) / 1000000.0 AS eigval,
+         |  CAST(round(nrm / (trq / 1000000000.0) * 1000000) AS BIGINT) / 1000000.0
+         |    AS var_share
+         |FROM v$PowIters CROSS JOIN nm$PowIters CROSS JOIN tr CROSS JOIN dims d
          |ORDER BY dim""".stripMargin
     },
     "emb_silhouette" ->

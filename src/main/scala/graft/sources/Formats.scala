@@ -405,6 +405,24 @@ object Formats {
     spark.read.schema(supplier.schema).orc(path).orderBy("s_suppkey")
   }
 
+  /** Compression-codec round-trip: the same table written as parquet
+    * under gzip / snappy / zstd and read back — the codec matrix a
+    * platform validates before declaring a storage default (zstd is
+    * the modern size/speed point; snappy the legacy default; gzip the
+    * interchange fallback). One row per codec, identical exact-cents
+    * checksums = all three decode paths agree. */
+  def srcCodecs(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir).part
+    Seq("gzip", "snappy", "zstd").map { c =>
+      val path = tmp(s"part_$c")
+      part.write.mode(SaveMode.Overwrite).option("compression", c).parquet(path)
+      spark.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(p_retailprice * 100) AS BIGINT)")).as("sum_cents"))
+        .select(lit(c).as("codec"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _).orderBy("codec")
+  }
+
   /** documents.text → raw text lines (the classic MapReduce input
     * format) → read back with spark.read.text → corpus stats. Line
     * framing destroys both row identity and order, so the op flattens
@@ -453,6 +471,13 @@ object Formats {
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src_codecs" ->
+      """SELECT codec, n_rows, sum_cents FROM
+        |  (SELECT count(*) AS n_rows,
+        |     CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |   FROM part)
+        |CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+        |ORDER BY codec""".stripMargin,
     "src_text_roundtrip" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(length(t)) AS BIGINT) AS sum_chars,
@@ -477,6 +502,7 @@ object Formats {
     "src_jsonl_gzip" -> (srcJsonlGzip(_, _)),
     "src_partitioned_write" -> (srcPartitionedWrite(_, _)),
     "src_orc_roundtrip" -> (srcOrcRoundtrip(_, _)),
+    "src_codecs" -> (srcCodecs(_, _)),
     "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
     "src_json_nested" -> (srcJsonNested(_, _)),
     "src_zorder_scan" -> (srcZorderScan(_, _)),
