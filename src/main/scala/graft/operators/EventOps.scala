@@ -281,6 +281,25 @@ object EventOps {
       .limit(20)
   }
 
+  /** Inter-purchase gap distribution — the repurchase-cycle histogram
+    * behind retention and LTV models: per user, the day gap between
+    * consecutive purchases, bucketed with a 30-day tail cap (the
+    * agg_histogram bounded-domain discipline). One user_id window
+    * shuffle + one ≤31-key count; every gap is exact integer days. */
+  def evRepurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(least(expr("(tus - prev) div 86400000000"), lit(30L)).as("gap_days"))
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("gap_days")
+  }
+
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions
     * from the ev_sessionize 30-min-gap rule, each exploded to the
@@ -752,6 +771,16 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_repurchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT (tus - lag(tus) OVER w) // 86400000000 AS rawgap
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT least(rawgap, 30) AS gap_days, count(*) AS n
+        |FROM g WHERE rawgap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_concurrency" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
@@ -909,6 +938,7 @@ object EventOps {
     "ev_top_transitions" -> (evTopTransitions(_, _)),
     "ev_top_paths" -> (evTopPaths(_, _)),
     "ev_concurrency" -> (evConcurrency(_, _)),
+    "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),

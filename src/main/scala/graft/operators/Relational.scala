@@ -725,6 +725,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Benford first-digit audit over order totals — the forensic
+    * screen for fabricated or truncated monetary data: observed
+    * first-significant-digit shares (exact ppm) next to the Benford
+    * expectation log10(1 + 1/d). Digits come from the exact-cents
+    * string head (no float log bucketing), the expectation is one
+    * deterministic double per digit, and the whole op is one
+    * 9-key partial-aggregated count. */
+  def qcBenford(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables(spark, dir).orders
+      .select(expr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    f.crossJoin(broadcast(f.agg(sum("n").as("tot"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div tot").as("obs_ppm"),
+        expr("CAST(round(log10(1 + CAST(1 AS DOUBLE) / digit) * 1000000) AS BIGINT)")
+          .as("exp_ppm"))
+      .orderBy("digit")
+  }
+
   /** The Welch t-statistic pipeline downstream of the 6 exact moment
     * columns (n1, s1, q1, n2, s2, q2 — counts, cent sums, squared-cent
     * sums): ONE formula string evaluated by BOTH engines (Spark expr
@@ -2605,6 +2627,16 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "qc_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |f AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM f)
+        |SELECT digit, n, n * 1000000 // tot AS obs_ppm,
+        |  CAST(round(log10(1 + CAST(1 AS DOUBLE) / digit) * 1000000) AS BIGINT) AS exp_ppm
+        |FROM f CROSS JOIN t ORDER BY digit""".stripMargin,
     "stat_mann_whitney" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -2774,6 +2806,7 @@ object Relational {
     "stat_ttest" -> (statTtest(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
+    "qc_benford" -> (qcBenford(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),

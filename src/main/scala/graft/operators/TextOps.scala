@@ -944,7 +944,7 @@ object TextOps {
     rows.crossJoin(cols)
       .join(obs, Seq("lang", "source"), "left")
       .crossJoin(broadcast(n))
-      .select(col("lang"), col("source"), col("n_obs_cells"),
+      .select(col("lang"), col("source"), col("n_obs_cells"), col("n"),
         expr("""CAST(round(
           (CAST(coalesce(o, 0) AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
           * (CAST(coalesce(o, 0) AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
@@ -952,9 +952,16 @@ object TextOps {
       .agg(max("n_obs_cells").as("n_obs_cells"),
         count(lit(1)).as("n_cells"),
         ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"),
-        (round(sum("termq").cast("double") / lit(1000000.0), 4) + lit(0.0))
-          .as("chi2"))
-      .select(col("n_cells"), col("n_obs_cells"), col("dof"), col("chi2"))
+        max("n").as("n_tot"),
+        least(countDistinct("lang") - 1, countDistinct("source") - 1).as("dmin"),
+        sum("termq").as("sq"))
+      .select(col("n_cells"), col("n_obs_cells"), col("dof"),
+        (round(col("sq").cast("double") / lit(1000000.0), 4) + lit(0.0)).as("chi2"),
+        // Cramér's V — χ² normalized to [0,1] effect size, so the
+        // verdict is comparable across table shapes and corpus sizes.
+        (round(sqrt((col("sq").cast("double") / lit(1000000.0))
+          / (col("n_tot").cast("double") * col("dmin"))), 4) + lit(0.0))
+          .as("cramers_v"))
   }
 
   /** k-anonymity audit over quasi-identifiers (lang, source, length
@@ -1355,7 +1362,7 @@ object TextOps {
         |  LEFT JOIN obs ON obs.lang = rr.lang AND obs.source = cc.source
         |  CROSS JOIN nn),
         |t AS (
-        |  SELECT lang, source, n_obs_cells,
+        |  SELECT lang, source, n_obs_cells, n,
         |    CAST(round(
         |      (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
         |      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
@@ -1363,7 +1370,11 @@ object TextOps {
         |  FROM g)
         |SELECT count(*) AS n_cells, max(n_obs_cells) AS n_obs_cells,
         |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
-        |  round(CAST(sum(termq::HUGEINT) AS DOUBLE) / 1000000.0, 4) + 0.0 AS chi2
+        |  round(CAST(sum(termq::HUGEINT) AS DOUBLE) / 1000000.0, 4) + 0.0 AS chi2,
+        |  round(sqrt((CAST(sum(termq::HUGEINT) AS DOUBLE) / 1000000.0)
+        |    / (CAST(max(n) AS DOUBLE)
+        |       * least(count(DISTINCT lang) - 1, count(DISTINCT source) - 1))), 4)
+        |    + 0.0 AS cramers_v
         |FROM t""".stripMargin,
     "qc_k_anonymity" ->
       """WITH g AS (
