@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventOps, Relational, SimilarityOps, TextOps}
+
+/** Mathematical invariants of the statistical/linear-algebra operators
+  * — identities that must hold for ANY input, complementing the
+  * oracle's value equality (which pins one corpus) with structural
+  * guarantees (which pin the math).
+  */
+class StatSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("Mann-Whitney U satisfies the U1 + U2 = n1*n2 identity") {
+    // U2 derives from the same accumulators with the groups swapped;
+    // the identity holds exactly because ranks are exact integers.
+    val r = Relational.statMannWhitney(spark, sf).collect().head
+    val (n1, n2, u1) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // u1 is (r1_2 - n1(n1+1))/2 rounded to 4dp — reconstruct U2 via the
+    // rank-sum complement: R1 + R2 = N(N+1)/2 (2x units).
+    val n = n1 + n2
+    val u2 = (n * (n + 1) / 2.0 - n1 * (n1 + 1) / 2.0 - u1) - n2 * (n2 + 1) / 2.0
+    assert(math.abs(u1 + u2 - n1.toDouble * n2) < 1e-6,
+      s"U1=$u1 U2=$u2 n1*n2=${n1 * n2}")
+  }
+
+  test("bootstrap CI brackets the full-sample mean and is ordered") {
+    val r = Relational.statBootstrapCi(spark, sf).collect().head
+    val (mean, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(lo <= hi, s"lo=$lo hi=$hi")
+    // Poisson-bootstrap replicate means concentrate around the sample
+    // mean; the 90% interval must contain it on any non-degenerate corpus.
+    assert(lo <= mean && mean <= hi, s"mean=$mean outside [$lo, $hi]")
+  }
+
+  test("chi-square and Cramer's V are non-negative and V is in [0,1]") {
+    val r = TextOps.statChi2(spark, sf).collect().head
+    val chi2 = r.getDouble(3)
+    val v = r.getDouble(4)
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0, s"cramers_v=$v")
+  }
+
+  test("Welch t-test dof lies between min(n)-1 and n1+n2-2") {
+    val r = Relational.statTtest(spark, sf).collect().head
+    val (n1, n2, dof) = (r.getLong(0), r.getLong(1), r.getDouble(4))
+    assert(dof >= math.min(n1, n2) - 1.0 && dof <= n1 + n2 - 2.0,
+      s"dof=$dof n1=$n1 n2=$n2")
+  }
+
+  test("top eigenvector is unit-norm, dominant, and var_share in (0,1]") {
+    val rows = SimilarityOps.embTopEigvec(spark, sf).collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"norm^2=$norm2")
+    val eig = rows.head.getDouble(2)
+    val share = rows.head.getDouble(3)
+    assert(share > 0.0 && share <= 1.0, s"var_share=$share")
+    // The dominant eigenvalue is >= the average eigenvalue tr(C)/64,
+    // i.e. share >= 1/64.
+    assert(share >= 1.0 / 64 - 1e-9, s"var_share=$share below isotropic floor")
+  }
+
+  test("Benford ppm shares sum to ~1e6 on both sides") {
+    val rows = Relational.qcBenford(spark, sf).collect()
+    val obs = rows.map(_.getLong(2)).sum
+    val exp = rows.map(_.getLong(3)).sum
+    // obs uses floor division (9 buckets) — within 9 ppm of a million;
+    // the Benford expectations themselves round to ~1e6.
+    assert(math.abs(obs - 1000000L) <= 9, s"obs ppm sum=$obs")
+    assert(math.abs(exp - 1000000L) <= 9, s"exp ppm sum=$exp")
+  }
+
+  test("hourly concurrency equals the sum of session hour spans") {
+    val conc = EventOps.evConcurrency(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    // Independently derive the same total: each session contributes
+    // (end_hour - start_hour + 1) rows.
+    val ev = Tables(spark, sf).events
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = ev
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("is_new",
+        when(lag("tus", 1).over(w).isNull
+          || col("tus") - lag("tus", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("is_new").over(cum))
+      .groupBy("user_id", "sid")
+      .agg(expr("max(tus) div 3600000000 - min(tus) div 3600000000 + 1").as("span"))
+      .agg(sum("span")).collect().head.getLong(0)
+    assert(conc == total, s"concurrency sum $conc != session-hour total $total")
+  }
+}
