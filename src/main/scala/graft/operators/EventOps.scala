@@ -281,6 +281,61 @@ object EventOps {
       .limit(20)
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes — the churn
+    * analysis a retention team runs: a user "dies" when inactive at
+    * corpus end (≥1 full silent day — the synthetic corpus's activity
+    * is dense, so longer horizons are degenerate; a production corpus
+    * raises the constant; duration = last−first active day), otherwise
+    * they are right-CENSORED at the observation horizon (the thing
+    * naive "average lifetime" gets wrong). Output: one row per death
+    * time t — at-risk count, deaths, and the survival estimate
+    * S(t) = Π (1 − dᵢ/nᵢ).
+    *
+    * Determinism of an ordered PRODUCT of rationals: each factor
+    * quantizes to an integer (nᵢ−dᵢ)·1e9 div nᵢ and the running
+    * product is the integer recurrence acc·f div 1e9 folded LEFT over
+    * the time-ordered factor list — both engines fold the identical
+    * integer sequence (Spark `aggregate` with init == DuckDB
+    * `list_reduce` over the init-prepended list), so S is bit-stable.
+    * Scale: lifetimes contract events to ONE row per user; the KM
+    * table is |distinct death times| (≤ observation days) rows, and
+    * the fold happens once over that bounded list. */
+  def evSurvival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables(spark, dir).events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val u = days.groupBy("user_id").agg(min("day").as("d0"), max("day").as("dl"))
+    val mx = days.agg(max("day").as("md"))
+    val g = u.crossJoin(broadcast(mx))
+      .select(
+        expr("CASE WHEN md - dl >= 1 THEN dl - d0 ELSE md - d0 END").as("t"),
+        expr("CASE WHEN md - dl >= 1 THEN 1 ELSE 0 END").as("ev"))
+      .groupBy("t")
+      .agg(sum("ev").as("d"), count(lit(1)).as("m"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val dth = g
+      .crossJoin(broadcast(g.agg(sum("m").as("n"))))
+      .withColumn("n_risk", col("n") - coalesce(sum("m").over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"),
+        expr("(n_risk - d) * 1000000000 div n_risk").as("f"))
+    dth
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("d"), col("f"))))
+        .as("arr"))
+      .filter(size(col("arr")) > 0)
+      .select(explode(expr(
+        """transform(sequence(1, size(arr)), i -> struct(
+          |  arr[i-1].t AS t, arr[i-1].n_risk AS n_risk, arr[i-1].d AS n_churn,
+          |  aggregate(transform(slice(arr, 1, i), x -> x.f),
+          |    CAST(1000000000 AS BIGINT),
+          |    (acc, x) -> (acc * x) div 1000000000) AS sq))""".stripMargin)).as("s"))
+      .select(col("s.t").as("t"), col("s.n_risk").as("n_risk"),
+        col("s.n_churn").as("n_churn"),
+        (round(col("s.sq").cast("double") / lit(1000000000.0), 4) + lit(0.0))
+          .as("survival"))
+      .orderBy("t")
+  }
+
   /** Inter-purchase gap distribution — the repurchase-cycle histogram
     * behind retention and LTV models: per user, the day gap between
     * consecutive purchases, bucketed with a 30-day tail cap (the
@@ -771,6 +826,42 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_survival" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS d0, max(day) AS dl
+        |      FROM days GROUP BY 1),
+        |mx AS (SELECT max(day) AS md FROM days),
+        |l AS (
+        |  SELECT CASE WHEN md - dl >= 1 THEN dl - d0 ELSE md - d0 END AS t,
+        |         CASE WHEN md - dl >= 1 THEN 1 ELSE 0 END AS ev
+        |  FROM u CROSS JOIN mx),
+        |g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |             CAST(count(*) AS BIGINT) AS m
+        |      FROM l GROUP BY 1),
+        |nn AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM g),
+        |r AS (
+        |  SELECT t, d,
+        |    n - coalesce(sum(m) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM g CROSS JOIN nn),
+        |dth AS (
+        |  SELECT t, n_risk, d, (n_risk - d) * 1000000000 // n_risk AS f
+        |  FROM r WHERE d > 0),
+        |one AS (
+        |  SELECT list(t ORDER BY t) AS ts, list(n_risk ORDER BY t) AS ns,
+        |         list(d ORDER BY t) AS ds, list(f ORDER BY t) AS fs
+        |  FROM dth),
+        |idx AS (SELECT unnest(range(1, 10000)) AS i)
+        |SELECT CAST(ts[i] AS BIGINT) AS t, CAST(ns[i] AS BIGINT) AS n_risk,
+        |  CAST(ds[i] AS BIGINT) AS n_churn,
+        |  round(CAST(list_reduce(
+        |      list_prepend(CAST(1000000000 AS BIGINT), fs[1:i]),
+        |      (acc, x) -> (acc * x) // 1000000000) AS DOUBLE)
+        |    / 1000000000.0, 4) + 0.0 AS survival
+        |FROM one CROSS JOIN idx
+        |WHERE i <= len(ts)
+        |ORDER BY t""".stripMargin,
     "ev_repurchase_gaps" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus
@@ -939,6 +1030,7 @@ object EventOps {
     "ev_top_paths" -> (evTopPaths(_, _)),
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
+    "ev_survival" -> (evSurvival(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),

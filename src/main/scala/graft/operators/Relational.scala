@@ -845,6 +845,46 @@ object Relational {
       .selectExpr(MannWhitneyDerived: _*)
   }
 
+  /** Kolmogorov–Smirnov two-sample test between the same order-value
+    * populations as [[statTtest]] / [[statMannWhitney]] — the
+    * DISTRIBUTION-SHAPE member of the testing family (t compares
+    * means, U compares ranks, KS compares whole ECDFs). The statistic
+    * is EXACT: D = max |F1 − F2| over the merged value domain
+    * evaluates as max |cum1·n2 − cum2·n1| on integers, divided once
+    * at the end by n1·n2 — no float ever enters the sup. The
+    * asymptotic significance scale sqrt(n1·n2/(n1+n2))·D rides along.
+    * Same scale shape as Mann–Whitney: one cumulative window over the
+    * value-DISTINCT table, then a 1-row fold. */
+  private val KsDerived = Seq(
+    "n1", "n2",
+    "round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) + 0.0 AS ks_d",
+    """round(sqrt((CAST(n1 AS DOUBLE) * n2) / (n1 + n2))
+      | * (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 4)
+      | + 0.0 AS ks_stat""".stripMargin)
+
+  def statKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("c")
+      .agg(
+        sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("c2"))
+    val tot = vals.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max(expr(
+          "abs(CAST(cum1 AS DECIMAL(38,0)) * n2 - CAST(cum2 AS DECIMAL(38,0)) * n1)"))
+          .as("dnum"))
+      .selectExpr(KsDerived: _*)
+  }
+
   /** Poisson(1) inverse-CDF on a uniform [0,1) draw — the weight a row
     * gets in one bootstrap replicate. Shared verbatim by both engines
     * (the breakpoint literals parse to identical doubles). */
@@ -2627,6 +2667,29 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "stat_ks_test" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |v AS (
+         |  SELECT c,
+         |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+         |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS c2
+         |  FROM x GROUP BY c),
+         |r AS (
+         |  SELECT
+         |    sum(c1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum1,
+         |    sum(c2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
+         |  FROM v),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |             CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+         |m AS (
+         |  SELECT n1, n2,
+         |    max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1)) AS dnum
+         |  FROM r CROSS JOIN t GROUP BY n1, n2)
+         |SELECT ${KsDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "qc_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
@@ -2807,6 +2870,7 @@ object Relational {
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
+    "stat_ks_test" -> (statKsTest(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
