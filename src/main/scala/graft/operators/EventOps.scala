@@ -281,6 +281,38 @@ object EventOps {
       .limit(20)
   }
 
+  /** Incremental materialized-view maintenance — the production
+    * refresh pattern behind every hourly-rollup dashboard: the stored
+    * MV (here: the hourly aggregate of the 90% "base" slice, built
+    * once and lineage-cut to stand in for the persisted table) is
+    * refreshed by recomputing ONLY the hours the 10% "delta" slice
+    * touches — untouched MV rows pass through unscanned. Refresh cost
+    * is O(delta + touched-hour slice), not O(corpus) — the
+    * dedup_incremental argument applied to aggregation state. The
+    * oracle is the PLAIN full aggregate: merged-refresh == full
+    * recompute is exactly the MV-consistency contract. The base/delta
+    * split is the deterministic md5 90/10 used by mix_split_assign. */
+  def evIncrHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .withColumn("is_delta",
+        expr("conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) % 10 = 9"))
+    val mv = ev.filter(!col("is_delta"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // the "stored" MV table
+    val touched = ev.filter(col("is_delta")).select("h").distinct()
+    val untouched = mv.join(broadcast(touched), Seq("h"), "left_anti")
+    val refreshed = ev
+      .join(broadcast(touched), Seq("h")) // base+delta rows of touched hours
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+    untouched.unionByName(refreshed)
+      .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"))
+      .orderBy("event_type", "epoch_hour")
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes — the churn
     * analysis a retention team runs: a user "dies" when inactive at
     * corpus end (≥1 full silent day — the synthetic corpus's activity
@@ -826,6 +858,13 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    // The oracle is the PLAIN full aggregate — merged-refresh == full
+    // recompute IS the MV-consistency contract under test.
+    "ev_incr_hourly" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS epoch_hour,
+        |  count(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY event_type, epoch_hour""".stripMargin,
     "ev_survival" ->
       """WITH days AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1031,6 +1070,7 @@ object EventOps {
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
+    "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),

@@ -72,6 +72,24 @@ class StatSpec extends AnyFunSuite {
     assert(math.abs(exp - 1000000L) <= 9, s"exp ppm sum=$exp")
   }
 
+  test("KS statistic is a valid sup-distance in [0,1]") {
+    val r = Relational.statKsTest(spark, sf).collect().head
+    val d = r.getDouble(2)
+    assert(d >= 0.0 && d <= 1.0, s"ks_d=$d")
+  }
+
+  test("survival curve is non-increasing within (0,1] with shrinking risk sets") {
+    val rows = EventOps.evSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getDouble(3))
+    assert(surv.forall(s => s > 0.0 && s <= 1.0), surv.mkString(","))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      s"survival not monotone: ${surv.mkString(",")}")
+    val risk = rows.map(_.getLong(1))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+      s"risk sets not strictly shrinking: ${risk.mkString(",")}")
+  }
+
   test("hourly concurrency equals the sum of session hour spans") {
     val conc = EventOps.evConcurrency(spark, sf).collect()
       .map(_.getLong(1)).sum
