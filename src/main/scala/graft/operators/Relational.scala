@@ -360,6 +360,36 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact WEIGHTED median — [[aggExactMedian]]'s counting selection
+    * with per-row weights (unit price weighted by quantity: "the
+    * price at which half the VOLUME trades", the volume-weighted
+    * benchmark a naive row-median misstates whenever weight and value
+    * correlate). Identical scale shape: value-domain histogram with
+    * exact BIGINT weight mass, one cumulative window, the rank pick
+    * is the first value whose running mass reaches half the total —
+    * all-integer (2·cum ≥ W), no interpolation. */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > 0)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "unit_cents")
+      .agg(sum("q").as("mass"))
+    val w = Window.partitionBy("l_returnflag").orderBy("unit_cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("mass").over(w))
+      .join(broadcast(h.groupBy("l_returnflag").agg(sum("mass").as("tw"))),
+        "l_returnflag")
+      .filter(col("cum") - col("mass") < expr("(tw + 1) div 2")
+        && expr("(tw + 1) div 2") <= col("cum"))
+      .groupBy("l_returnflag")
+      .agg(max("tw").as("total_weight"),
+        (min("unit_cents").cast("double") / 100).as("weighted_median"))
+      .orderBy("l_returnflag")
+  }
+
   /** FULL OUTER join — the one join type the suite's q05/q11/q12
     * family didn't yet gate (inner/left/semi/anti are covered): per
     * nation, the count of HIGH-BALANCE customers full-outer-joined
@@ -2667,6 +2697,24 @@ object Relational {
          |  n_exact
          |FROM g ORDER BY l_returnflag""".stripMargin
     },
+    "agg_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT) AS unit_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mass
+        |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, unit_cents, mass,
+        |    sum(mass) OVER (PARTITION BY l_returnflag ORDER BY unit_cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (SELECT l_returnflag, CAST(sum(mass) AS BIGINT) AS tw
+        |      FROM h GROUP BY 1)
+        |SELECT c.l_returnflag, max(tw) AS total_weight,
+        |  CAST(min(unit_cents) AS DOUBLE) / 100 AS weighted_median
+        |FROM c JOIN t USING (l_returnflag)
+        |WHERE cum - mass < (tw + 1) // 2 AND (tw + 1) // 2 <= cum
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stat_ks_test" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -2871,6 +2919,7 @@ object Relational {
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
     "stat_ks_test" -> (statKsTest(_, _)),
+    "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),

@@ -589,6 +589,39 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Split-half centroid drift — the embedding-STABILITY check run
+    * between snapshots (here the deterministic vec_id-parity halves
+    * stand in for "last week's corpus vs this week's"): per label,
+    * the cosine between the two halves' centroids; a label whose
+    * halves disagree (cos ≪ 1) is unstable under resampling and will
+    * drift across real snapshots. Centroids enter as raw SUM vectors
+    * (cosine is scale-invariant, so the mean's division — the only
+    * float step — is skipped entirely): everything up to the final
+    * cosine is exact 1e-6-quantized DECIMAL/HUGEINT integer sums, one
+    * (label, half, dim) partial-aggregated shuffle. */
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir).embeddings
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(expr("CAST(col AS DECIMAL(38,0))")).as("sv"))
+    val a = s.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("sv").as("sa"))
+    val b = s.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("sv").as("sb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(sum(expr("sa * sb")).as("dot"),
+        sum(expr("sa * sa")).as("na"),
+        sum(expr("sb * sb")).as("nb"))
+      .select(col("label"),
+        (round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4)
+          + lit(0.0)).as("drift_cos"))
+      .orderBy("label")
+  }
+
   /** Per-dimension embedding statistics (mean + sample variance): the
     * collapse/anisotropy health check run before trusting an embedding
     * drop — a dimension with ~0 variance is dead, one with an outsized
@@ -1518,6 +1551,29 @@ object SimilarityOps {
          |SELECT cid, count(*) AS n,
          |  round(CAST(sum(silq) AS DOUBLE) / count(*) / 1000000.0, 4) + 0.0 AS mean_sil
          |FROM q GROUP BY cid ORDER BY cid""".stripMargin,
+    "emb_drift" ->
+      """WITH eq AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |s AS (
+        |  SELECT label, half, d.d, sum(e[d.d + 1]::HUGEINT) AS sv
+        |  FROM eq CROSS JOIN dims d GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.sv AS sa, b.sv AS sb
+        |  FROM (SELECT * FROM s WHERE half = 0) a
+        |  JOIN (SELECT * FROM s WHERE half = 1) b
+        |    ON a.label = b.label AND a.d = b.d),
+        |m AS (SELECT label, sum(sa * sb) AS dot, sum(sa * sa) AS na,
+        |             sum(sb * sb) AS nb
+        |      FROM j GROUP BY 1)
+        |SELECT label,
+        |  round(CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4)
+        |    + 0.0 AS drift_cos
+        |FROM m ORDER BY label""".stripMargin,
     "emb_dim_stats" ->
       """SELECT CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS mean_v,
@@ -1555,6 +1611,7 @@ object SimilarityOps {
     "emb_dim_stats" -> (embDimStats(_, _)),
     "emb_silhouette" -> (embSilhouette(_, _)),
     "emb_top_eigvec" -> (embTopEigvec(_, _)),
+    "emb_drift" -> (embDrift(_, _)),
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
