@@ -281,6 +281,51 @@ object EventOps {
       .limit(20)
   }
 
+  /** Funnel step latency — [[evFunnel]]'s companion: not how MANY
+    * users reach each step but how LONG the converting users took
+    * (median + p90 minutes per hop), the numbers a growth team reads
+    * next to the step counts. Same step derivation as the funnel
+    * (first view, first click within 24 h, first purchase within
+    * 24 h); latencies are exact integer minutes and the quantiles are
+    * the agg_exact_median counting selection over a per-hop minute
+    * histogram — no interpolation, no sort of raw rows. */
+  def evFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + W24h)
+      .groupBy("user_id").agg(min("tus").as("t2"), max("t1").as("t1k"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + W24h)
+      .groupBy("user_id").agg(min("tus").as("t3"), max("t2").as("t2k"))
+    val gaps = c
+      .select(lit("1_view_to_click").as("hop"),
+        expr("(t2 - t1k) div 60000000").as("m"))
+      .unionByName(p.select(lit("2_click_to_purchase").as("hop"),
+        expr("(t3 - t2k) div 60000000").as("m")))
+    val h = gaps.groupBy("hop", "m").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("hop").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(h.groupBy("hop").agg(sum("cnt").as("n"))), "hop")
+      .filter((col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum")) ||
+        (col("cum") - col("cnt") < expr("(9 * n + 9) div 10") &&
+          expr("(9 * n + 9) div 10") <= col("cum")))
+      .groupBy("hop")
+      .agg(max("n").as("n_converted"),
+        min(when(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"), col("m"))).as("median_min"),
+        min(when(col("cum") - col("cnt") < expr("(9 * n + 9) div 10") &&
+          expr("(9 * n + 9) div 10") <= col("cum"), col("m"))).as("p90_min"))
+      .orderBy("hop")
+  }
+
   /** Incremental materialized-view maintenance — the production
     * refresh pattern behind every hourly-rollup dashboard: the stored
     * MV (here: the hourly aggregate of the 90% "base" slice, built
@@ -858,6 +903,39 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "ev_funnel_time" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tus) AS t2, max(t1) AS t1k
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + 86400000000
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tus) AS t3, max(t2) AS t2k
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + 86400000000
+        |      GROUP BY 1),
+        |gaps AS (
+        |  SELECT '1_view_to_click' AS hop, (t2 - t1k) // 60000000 AS m FROM c
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase' AS hop, (t3 - t2k) // 60000000 AS m FROM p),
+        |h AS (SELECT hop, m, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM gaps GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT hop, m, cnt,
+        |    sum(cnt) OVER (PARTITION BY hop ORDER BY m ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (SELECT hop, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+        |SELECT cc.hop, max(n) AS n_converted,
+        |  min(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |           THEN m END) AS median_min,
+        |  min(CASE WHEN cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+        |           THEN m END) AS p90_min
+        |FROM cc JOIN t USING (hop)
+        |WHERE (cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum)
+        |   OR (cum - cnt < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The oracle is the PLAIN full aggregate — merged-refresh == full
     // recompute IS the MV-consistency contract under test.
     "ev_incr_hourly" ->
@@ -1071,6 +1149,7 @@ object EventOps {
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
+    "ev_funnel_time" -> (evFunnelTime(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
