@@ -308,7 +308,12 @@ object EventOps {
         expr("(t2 - t1k) div 60000000").as("m"))
       .unionByName(p.select(lit("2_click_to_purchase").as("hop"),
         expr("(t3 - t2k) div 60000000").as("m")))
+    // The per-hop minute histogram feeds BOTH the cumulative window
+    // and the totals join; without the cut the whole funnel chain
+    // re-derives for the second consumer (PlanAuditSpec's ceiling
+    // caught the un-cut plan at 13 shuffles — the agg_mad lesson).
     val h = gaps.groupBy("hop", "m").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val w = Window.partitionBy("hop").orderBy("m")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     h.withColumn("cum", sum("cnt").over(w))
