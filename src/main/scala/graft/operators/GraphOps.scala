@@ -547,6 +547,39 @@ object GraphOps {
       .select("p1", "p2")
       .localCheckpoint()
 
+  /** Newman modularity of the LPA communities — the quality score
+    * that makes [[graphLabelProp]]'s output judgeable: Q = Σ_c
+    * (m_c/M − (d_c/2M)²), positive when communities capture more
+    * intra-edges than a degree-preserving random graph would. Every
+    * input is an exact integer count (within-community edges,
+    * community degree mass, M); each community's term is ONE
+    * pinned-association double quantized to 1e-9 before an exact
+    * BIGINT fold — partition-order-independent, and the oracle reuses
+    * the label_prop unroll verbatim upstream. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = supportEdges(spark, dir)
+    val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint()
+    val mm = edges.agg(count(lit(1)).as("mm"))
+    val we = edges
+      .join(lab.select(col("v").as("p1"), col("lbl").as("l1")), "p1")
+      .join(lab.select(col("v").as("p2"), col("lbl").as("l2")), "p2")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("c")).agg(count(lit(1)).as("mc"))
+    val dg = edges.select(col("p1").as("v"))
+      .unionByName(edges.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dc = lab.join(dg, "v").groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
+    dc.join(we, Seq("c"), "left")
+      .crossJoin(broadcast(mm))
+      .select(expr("""CAST(round((
+          CAST(coalesce(mc, 0) AS DOUBLE) / mm
+          - (CAST(dsum AS DOUBLE) / (2 * mm)) * (CAST(dsum AS DOUBLE) / (2 * mm))
+        ) * 1000000000) AS BIGINT)""").as("tq"))
+      .agg(count(lit(1)).as("n_communities"),
+        (round(sum("tq").cast("double") / lit(1000000000.0), 4) + lit(0.0))
+          .as("modularity"))
+  }
+
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(spark, dir)
     val (core, _) = corenessValues(spark, edges)
@@ -876,6 +909,52 @@ object GraphOps {
          |FROM l$LpaRounds GROUP BY lbl
          |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
     },
+    "graph_modularity" -> {
+      // Reuses the graph_label_prop unroll verbatim upstream, then
+      // scores the final labels.
+      val levels = (1 to LpaRounds).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT src AS v, lbl FROM (
+           |    SELECT src, lbl, row_number() OVER
+           |      (PARTITION BY src ORDER BY n DESC, lbl) AS rn
+           |    FROM (SELECT src, lbl, count(*) AS n FROM (
+           |            SELECT a.src, b.lbl FROM adj a JOIN l${i - 1} b ON a.dst = b.v
+           |            UNION ALL SELECT v AS src, lbl FROM l${i - 1})
+           |          GROUP BY src, lbl)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |edges AS MATERIALIZED (SELECT p1, p2 FROM pairs WHERE support >= 2),
+         |adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM edges
+         |       UNION ALL SELECT p2, p1 FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM adj),
+         |$levels,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM edges),
+         |we AS (
+         |  SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS mc
+         |  FROM edges e
+         |  JOIN l$LpaRounds la ON e.p1 = la.v
+         |  JOIN l$LpaRounds lb ON e.p2 = lb.v
+         |  WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+         |       FROM adj GROUP BY 1),
+         |dc AS (SELECT l.lbl AS c, CAST(sum(d) AS BIGINT) AS dsum
+         |       FROM l$LpaRounds l JOIN dg ON dg.v = l.v GROUP BY 1),
+         |terms AS (
+         |  SELECT CAST(round((
+         |      CAST(coalesce(mc, 0) AS DOUBLE) / mm
+         |      - (CAST(dsum AS DOUBLE) / (2 * mm)) * (CAST(dsum AS DOUBLE) / (2 * mm))
+         |    ) * 1000000000) AS BIGINT) AS tq
+         |  FROM dc LEFT JOIN we ON we.c = dc.c CROSS JOIN m)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |  round(CAST(sum(tq::HUGEINT) AS DOUBLE) / 1000000000.0, 4) + 0.0
+         |    AS modularity
+         |FROM terms""".stripMargin
+    },
     "graph_kcore" -> {
       // Fixed CoreMaxIter-level unroll of the h-index iteration; the
       // Spark side stops at the (count, Σc) freeze, past which each
@@ -1006,6 +1085,7 @@ object GraphOps {
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),
+    "graph_modularity" -> (graphModularity(_, _)),
     "graph_2hop_reach" -> (graph2hopReach(_, _)),
   )
 }

@@ -755,6 +755,50 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** ANOVA derived stats over the exact (k, n, ssb, ssw) accumulators
+    * — one formula string for both engines ([[TtestDerived]] pattern). */
+  private val AnovaDerived = Seq(
+    "k", "n_rows",
+    """round((CAST(ssb AS DOUBLE) / (k - 1))
+      | / (CAST(ssw AS DOUBLE) / (n_rows - k)), 4) + 0.0 AS f_stat""".stripMargin,
+    "round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 4) + 0.0 AS eta_sq")
+
+  /** One-way ANOVA across ALL order priorities — [[statTtest]]
+    * generalized from two groups to k (the omnibus "does priority
+    * matter at all" test run before pairwise comparisons): F =
+    * (SSB/(k−1))/(SSW/(n−k)) plus the η² effect size. Per-group exact
+    * moments (the t-test posture) feed per-group SSB/SSW terms, each
+    * ONE pinned-association double quantized to whole dollars² before
+    * an exact BIGINT fold — order-independent across any partitioning;
+    * the checkpointed 5-row moment table feeds totals and terms from
+    * one scan. */
+  def statAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("nj"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("sj"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("qj"))
+      .localCheckpoint()
+    val tot = g.agg(sum("nj").as("n"),
+      sum(expr("CAST(sj AS DECIMAL(38,0))")).as("s"),
+      count(lit(1)).as("k"))
+    g.crossJoin(broadcast(tot))
+      .select(col("k"), col("n").as("n_rows"),
+        expr("""CAST(round(
+          CAST(nj AS DOUBLE)
+          * ((CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
+             * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n))
+          / 10000) AS BIGINT)""").as("ssbq"),
+        expr("""CAST(round(
+          (CAST(qj * nj - sj * sj AS DOUBLE) / nj) / 10000) AS BIGINT)""")
+          .as("sswq"))
+      .groupBy("k", "n_rows")
+      .agg(sum("ssbq").as("ssb"), sum("sswq").as("ssw"))
+      .selectExpr(AnovaDerived: _*)
+  }
+
   /** Benford first-digit audit over order totals — the forensic
     * screen for fabricated or truncated monetary data: observed
     * first-significant-digit shares (exact ppm) next to the Benford
@@ -2738,6 +2782,33 @@ object Relational {
          |  FROM r CROSS JOIN t GROUP BY n1, n2)
          |SELECT ${KsDerived.mkString(",\n")}
          |FROM m""".stripMargin,
+    "stat_anova" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders),
+         |gm AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS nj,
+         |    sum(c::HUGEINT) AS sj, sum(c::HUGEINT * c) AS qj
+         |  FROM x GROUP BY 1),
+         |t AS (SELECT CAST(sum(nj) AS BIGINT) AS n, sum(sj) AS s,
+         |             CAST(count(*) AS BIGINT) AS k FROM gm),
+         |q AS (
+         |  SELECT k, n AS n_rows,
+         |    CAST(round(
+         |      CAST(nj AS DOUBLE)
+         |      * ((CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
+         |         * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n))
+         |      / 10000) AS BIGINT) AS ssbq,
+         |    CAST(round(
+         |      (CAST(qj * nj - sj * sj AS DOUBLE) / nj) / 10000) AS BIGINT) AS sswq
+         |  FROM gm CROSS JOIN t),
+         |m AS (
+         |  SELECT k, n_rows, CAST(sum(ssbq) AS BIGINT) AS ssb,
+         |         CAST(sum(sswq) AS BIGINT) AS ssw
+         |  FROM q GROUP BY 1, 2)
+         |SELECT ${AnovaDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "qc_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
@@ -2918,6 +2989,7 @@ object Relational {
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
+    "stat_anova" -> (statAnova(_, _)),
     "stat_ks_test" -> (statKsTest(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
