@@ -920,6 +920,41 @@ object TextOps {
       .orderBy("source", "pred_lang")
   }
 
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the bounded symmetric corpus-comparison number
+    * (0 = identical mixes, 1 bit = disjoint) curation reads before
+    * blending a new source, where KL would blow up on any
+    * vocabulary gap. Computed in the two-sided KL form
+    * ½Σ[p·log2(2p/(p+q)) + q·log2(2q/(p+q))] so absent-word terms
+    * vanish exactly (x·log x → 0 via the CASE, no smoothing).
+    * Per-word terms derive from exact integer counts, quantize to
+    * 1e-9, and fold as exact BIGINTs — order-independent; one token
+    * explode + |vocab|-key shuffle. */
+  def txtJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("w")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    toks
+      .crossJoin(broadcast(toks.agg(sum("c1").as("n1"), sum("c2").as("n2"))))
+      .select(expr("""CAST(round((
+          CASE WHEN c1 = 0 THEN 0.0
+               ELSE (CAST(c1 AS DOUBLE) / n1)
+                    * log2(2 * (CAST(c1 AS DOUBLE) / n1)
+                           / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)) END
+          + CASE WHEN c2 = 0 THEN 0.0
+                 ELSE (CAST(c2 AS DOUBLE) / n2)
+                      * log2(2 * (CAST(c2 AS DOUBLE) / n2)
+                             / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)) END
+        ) * 1000000000) AS BIGINT)""").as("tq"))
+      .agg(count(lit(1)).as("n_words"),
+        (round(sum("tq").cast("double") / lit(1000000000.0) / 2, 4) + lit(0.0))
+          .as("js_bits"))
+  }
+
   /** Chi-square test of independence between lang and source — the
     * statistical-significance layer over [[qcLangMix]]'s composition
     * report: is the language mix actually DIFFERENT across sources, or
@@ -1350,6 +1385,33 @@ object TextOps {
          |FROM sh GROUP BY term
          |HAVING count(*) BETWEEN 2 AND 100
          |ORDER BY term""".stripMargin,
+    "txt_js_divergence" ->
+      s"""WITH tk AS (
+         |  SELECT source, unnest($tokensSql) AS w FROM documents
+         |  WHERE source IN ('src0', 'src1')),
+         |g AS (
+         |  SELECT w,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |             CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+         |q AS (
+         |  SELECT CAST(round((
+         |      CASE WHEN c1 = 0 THEN 0.0
+         |           ELSE (CAST(c1 AS DOUBLE) / n1)
+         |                * log2(2 * (CAST(c1 AS DOUBLE) / n1)
+         |                       / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)) END
+         |      + CASE WHEN c2 = 0 THEN 0.0
+         |             ELSE (CAST(c2 AS DOUBLE) / n2)
+         |                  * log2(2 * (CAST(c2 AS DOUBLE) / n2)
+         |                         / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)) END
+         |    ) * 1000000000) AS BIGINT) AS tq
+         |  FROM g CROSS JOIN t)
+         |SELECT count(*) AS n_words,
+         |  round(CAST(sum(tq::HUGEINT) AS DOUBLE) / 1000000000.0 / 2, 4) + 0.0
+         |    AS js_bits
+         |FROM q""".stripMargin,
     "stat_chi2" ->
       """WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
         |rr AS (SELECT lang, sum(o) AS r FROM obs GROUP BY 1),
@@ -1601,6 +1663,7 @@ object TextOps {
     "txt_inverted_index" -> (txtInvertedIndex(_, _)),
     "sim_sparse_cosine" -> (simSparseCosine(_, _)),
     "stat_chi2" -> (statChi2(_, _)),
+    "txt_js_divergence" -> (txtJsDivergence(_, _)),
     "qc_k_anonymity" -> (qcKAnonymity(_, _)),
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
