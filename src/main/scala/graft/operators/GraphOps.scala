@@ -560,15 +560,20 @@ object GraphOps {
     val edges = supportEdges(spark, dir)
     val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint()
     val mm = edges.agg(count(lit(1)).as("mm"))
+    // The label table is vertex-sized but post-checkpoint (LogicalRDD,
+    // unknown stats) — broadcast explicitly or every consumer shuffles
+    // the edge table (the pagerankRanks lesson; the audit ceiling
+    // caught the hint-less plan at 10 shuffles).
     val we = edges
-      .join(lab.select(col("v").as("p1"), col("lbl").as("l1")), "p1")
-      .join(lab.select(col("v").as("p2"), col("lbl").as("l2")), "p2")
+      .join(broadcast(lab.select(col("v").as("p1"), col("lbl").as("l1"))), "p1")
+      .join(broadcast(lab.select(col("v").as("p2"), col("lbl").as("l2"))), "p2")
       .filter(col("l1") === col("l2"))
       .groupBy(col("l1").as("c")).agg(count(lit(1)).as("mc"))
     val dg = edges.select(col("p1").as("v"))
       .unionByName(edges.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val dc = lab.join(dg, "v").groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
+    val dc = dg.join(broadcast(lab), "v")
+      .groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
     dc.join(we, Seq("c"), "left")
       .crossJoin(broadcast(mm))
       .select(expr("""CAST(round((
