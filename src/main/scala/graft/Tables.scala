@@ -16,12 +16,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   org.apache.spark.sql.GraftFunctions.register(spark)
 
   // Defensive for sessions not built by GraftSession (e.g. the driver's
-  // smoke-check): naive parquet timestamps must read as TimestampType,
-  // not NTZ — see GraftSession for the full rationale. Guarded so the
-  // getter stays side-effect-free on the normal path.
+  // smoke-check), covering BOTH testdata generations: naive parquet
+  // timestamps must read as TimestampType, not NTZ (see GraftSession
+  // for the rationale), and the older INT64 TIMESTAMP(NANOS) files are
+  // rejected at schema resolution unless read as raw longs. Guarded so
+  // the constructor stays side-effect-free on the normal path.
   {
-    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    if (!spark.conf.getOption(key).contains("false")) spark.conf.set(key, "false")
+    val ntz = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if (!spark.conf.getOption(ntz).contains("false")) spark.conf.set(ntz, "false")
+    val nanos = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanos).contains("true")) spark.conf.set(nanos, "true")
   }
 
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
@@ -35,18 +39,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = table("lineitem")
   /** events.parquet's `ts` column has shipped in two physical forms
     * across testdata generations: INT64 TIMESTAMP(NANOS) (Spark 4 refuses
-    * it at scan time unless read as raw longs — the legacy conf below) and
-    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads natively; the
-    * inferTimestampNTZ conf keeps it TimestampType rather than NTZ so
-    * unix_micros/window() contracts hold downstream). Branch on the scanned
-    * dtype so both generations load identically. `div` keeps the nanos
-    * conversion exact-integer so the oracle comparison (DuckDB reads the
-    * same file natively) is bit-stable.
+    * it at scan time unless read as raw longs — the nanosAsLong conf set
+    * in the constructor block above) and plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads natively; the inferTimestampNTZ conf
+    * keeps it TimestampType rather than NTZ so unix_micros/window()
+    * contracts hold downstream). Branch on the scanned dtype so both
+    * generations load identically. `div` keeps the nanos conversion
+    * exact-integer so the oracle comparison (DuckDB reads the same file
+    * natively) is bit-stable.
     */
   def events: DataFrame = {
-    // Only touch session conf when the session wasn't built by
-    // GraftSession (keeps the getter idempotent and side-effect-free on
-    // the normal path — VERDICT r2 flagged the unconditional mutation).
     val raw = table("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

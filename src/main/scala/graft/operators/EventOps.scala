@@ -64,7 +64,14 @@ object EventOps {
     * chained by per-user joins, all hash-partitioned on user_id (one
     * physical shuffle layout reused), never a per-user event-sequence
     * sort. */
-  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** ONE definition of the funnel rule (first view → first click
+    * within 24 h → first purchase within 24 h), shared by the
+    * step-count funnel and its latency companion so the business rule
+    * cannot drift between them. c/p carry the previous step's
+    * timestamp (t1k/t2k) for the latency op — extra columns the
+    * count funnel simply ignores. Returns (ev, v, c, p). */
+  private def funnelSteps(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
     val v = ev.filter(col("event_type") === "view")
@@ -72,11 +79,16 @@ object EventOps {
     val c = ev.filter(col("event_type") === "click")
       .join(v, "user_id")
       .filter(col("tus") > col("t1") && col("tus") <= col("t1") + W24h)
-      .groupBy("user_id").agg(min("tus").as("t2"))
+      .groupBy("user_id").agg(min("tus").as("t2"), max("t1").as("t1k"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id")
+      .join(c.select(col("user_id"), col("t2")), "user_id")
       .filter(col("tus") > col("t2") && col("tus") <= col("t2") + W24h)
-      .groupBy("user_id").agg(min("tus").as("t3"))
+      .groupBy("user_id").agg(min("tus").as("t3"), max("t2").as("t2k"))
+    (ev, v, c, p)
+  }
+
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, v, c, p) = funnelSteps(spark, dir)
     ev.select("user_id").distinct()
       .join(v, Seq("user_id"), "left")
       .join(c, Seq("user_id"), "left")
@@ -291,18 +303,7 @@ object EventOps {
     * histogram — no interpolation, no sort of raw rows. */
   def evFunnelTime(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables(spark, dir).events
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("tus").as("t1"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("tus") > col("t1") && col("tus") <= col("t1") + W24h)
-      .groupBy("user_id").agg(min("tus").as("t2"), max("t1").as("t1k"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c.select(col("user_id"), col("t2")), "user_id")
-      .filter(col("tus") > col("t2") && col("tus") <= col("t2") + W24h)
-      .groupBy("user_id").agg(min("tus").as("t3"), max("t2").as("t2k"))
+    val (_, _, c, p) = funnelSteps(spark, dir)
     val gaps = c
       .select(lit("1_view_to_click").as("hop"),
         expr("(t2 - t1k) div 60000000").as("m"))
@@ -347,7 +348,7 @@ object EventOps {
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts) div 3600000000").as("h"))
       .withColumn("is_delta",
-        expr("conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) % 10 = 9"))
+        expr("CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10 = 9"))
     val mv = ev.filter(!col("is_delta"))
       .groupBy("event_type", "h")
       .agg(count(lit(1)).as("cnt"))
@@ -770,6 +771,22 @@ object EventOps {
         (col("decayed_units").cast("double") / 1000000).as("decayed_score"))
   }
 
+  /** DuckDB twin of [[funnelSteps]] — the funnel-rule CTEs shared by
+    * BOTH funnel oracles (t1k/t2k carried exactly as the Scala helper
+    * does; the count funnel ignores them). */
+  private def funnelStepsSql: String =
+    s"""ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |v AS (SELECT user_id, min(tus) AS t1 FROM ev
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(tus) AS t2, max(t1) AS t1k
+       |      FROM ev e JOIN v USING (user_id)
+       |      WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + $W24h
+       |      GROUP BY 1),
+       |p AS (SELECT e.user_id, min(tus) AS t3, max(t2) AS t2k
+       |      FROM ev e JOIN c USING (user_id)
+       |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + $W24h
+       |      GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ev_streak" ->
       s"""WITH days AS (
@@ -909,18 +926,7 @@ object EventOps {
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
     "ev_funnel_time" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
-        |v AS (SELECT user_id, min(tus) AS t1 FROM e
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(tus) AS t2, max(t1) AS t1k
-        |      FROM e JOIN v ON e.user_id = v.user_id
-        |      WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + 86400000000
-        |      GROUP BY 1),
-        |p AS (SELECT e.user_id, min(tus) AS t3, max(t2) AS t2k
-        |      FROM e JOIN c ON e.user_id = c.user_id
-        |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + 86400000000
-        |      GROUP BY 1),
+      s"""WITH $funnelStepsSql,
         |gaps AS (
         |  SELECT '1_view_to_click' AS hop, (t2 - t1k) // 60000000 AS m FROM c
         |  UNION ALL
@@ -974,6 +980,9 @@ object EventOps {
         |  SELECT list(t ORDER BY t) AS ts, list(n_risk ORDER BY t) AS ns,
         |         list(d ORDER BY t) AS ds, list(f ORDER BY t) AS fs
         |  FROM dth),
+        |-- bounded unroll: <= 9999 distinct death times (>= 27 years of
+        |-- daily horizons) — far above any corpus this gate sees; the
+        |-- WHERE i <= len(ts) below keeps it exact inside the bound
         |idx AS (SELECT unnest(range(1, 10000)) AS i)
         |SELECT CAST(ts[i] AS BIGINT) AS t, CAST(ns[i] AS BIGINT) AS n_risk,
         |  CAST(ds[i] AS BIGINT) AS n_churn,
@@ -1112,13 +1121,7 @@ object EventOps {
          |FROM events c WHERE c.event_type = 'click'
          |ORDER BY user_id, event_id""".stripMargin,
     "ev_funnel" ->
-      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
-         |v AS (SELECT user_id, min(tus) AS t1 FROM ev
-         |      WHERE event_type = 'view' GROUP BY 1),
-         |c AS (SELECT e.user_id, min(tus) AS t2 FROM ev e JOIN v USING (user_id)
-         |      WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + $W24h GROUP BY 1),
-         |p AS (SELECT e.user_id, min(tus) AS t3 FROM ev e JOIN c USING (user_id)
-         |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + $W24h GROUP BY 1),
+      s"""WITH $funnelStepsSql,
          |u AS (SELECT DISTINCT user_id FROM ev)
          |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
          |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps,

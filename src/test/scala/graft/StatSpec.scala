@@ -93,8 +93,12 @@ class StatSpec extends AnyFunSuite {
   test("hourly concurrency equals the sum of session hour spans") {
     val conc = EventOps.evConcurrency(spark, sf).collect()
       .map(_.getLong(1)).sum
-    // Independently derive the same total: each session contributes
-    // (end_hour - start_hour + 1) rows.
+    // Re-derive the total from the SAME sessionization rule but
+    // summing spans directly instead of exploding hour rows — this
+    // checks the explode/count half of the operator (each session
+    // contributes exactly end_hour − start_hour + 1 rows), NOT the
+    // session boundaries themselves (those share the rule below and
+    // are pinned against DuckDB by the oracle gate).
     val ev = Tables(spark, sf).events
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
