@@ -799,6 +799,42 @@ object Relational {
       .selectExpr(AnovaDerived: _*)
   }
 
+  /** Data-freshness lag per event type — the staleness panel an
+    * ingestion on-call reads: minutes between each type's newest event
+    * and the corpus high-water mark, with volumes. One
+    * partial-aggregated pass + a 1-row broadcast; exact integer
+    * minutes. */
+  def qcFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .groupBy("event_type")
+      .agg(max("tus").as("mt"), count(lit(1)).as("n_rows"))
+    per.crossJoin(broadcast(per.agg(max("mt").as("gm"))))
+      .select(col("event_type"), col("n_rows"),
+        expr("(gm - mt) div 60000000").as("lag_minutes"))
+      .orderBy("event_type")
+  }
+
+  /** Order-independent table content checksum — the migration/replica
+    * validation primitive (the "did the copy land bit-identical"
+    * check a DistCp-style move or engine swap ends with): each row
+    * canonicalizes to a delimited string, hashes to a 63-bit integer
+    * via md5, and the table digest is the exact SUM of row hashes —
+    * commutative, so any partitioning/order yields the same digest,
+    * and a single changed row moves it. One map-side pass + a 1-row
+    * fold; DECIMAL(38,0)/HUGEINT so the sum never wraps differently
+    * across engines. */
+  def mrTableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(expr(
+        """CAST(conv(substr(md5(concat_ws('|',
+          |  CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+          |  o_orderstatus, CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+          |  CAST(unix_micros(o_orderdate) AS STRING), o_orderpriority)), 1, 15), 16, 10)
+          |AS BIGINT)""".stripMargin).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(h AS DECIMAL(38,0))")).cast("string").as("content_digest"))
+
   /** Benford first-digit audit over order totals — the forensic
     * screen for fabricated or truncated monetary data: observed
     * first-significant-digit shares (exact ppm) next to the Benford
@@ -2782,6 +2818,30 @@ object Relational {
          |  FROM r CROSS JOIN t GROUP BY n1, n2)
          |SELECT ${KsDerived.mkString(",\n")}
          |FROM m""".stripMargin,
+    "mr_table_checksum" -> {
+      val h15 = (1 to 15)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH r AS (
+         |  SELECT md5(concat_ws('|',
+         |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+         |    o_orderstatus,
+         |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+         |    CAST(epoch_us(o_orderdate) AS VARCHAR), o_orderpriority)) AS h
+         |  FROM orders),
+         |x AS (SELECT CAST($h15 AS BIGINT) AS hv FROM r)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(hv::HUGEINT) AS VARCHAR) AS content_digest
+         |FROM x""".stripMargin
+    },
+    "qc_freshness" ->
+      """WITH p AS (
+        |  SELECT event_type, max(epoch_us(ts)) AS mt,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(mt) AS gm FROM p)
+        |SELECT event_type, n_rows, (gm - mt) // 60000000 AS lag_minutes
+        |FROM p CROSS JOIN g ORDER BY event_type""".stripMargin,
     "stat_anova" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -2990,6 +3050,8 @@ object Relational {
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
     "stat_anova" -> (statAnova(_, _)),
+    "mr_table_checksum" -> (mrTableChecksum(_, _)),
+    "qc_freshness" -> (qcFreshness(_, _)),
     "stat_ks_test" -> (statKsTest(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "q33_rfm_segments" -> (q33RfmSegments(_, _)),
