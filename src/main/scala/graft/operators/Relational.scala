@@ -995,6 +995,108 @@ object Relational {
       .selectExpr(KsDerived: _*)
   }
 
+  /** OLS derived stats over the exact integer accumulators (n, sx, sy,
+    * sxx, sxy, syy — count, value sums, squared sums, cross sum): ONE
+    * formula string for both engines, like [[TtestDerived]]. The r²
+    * avoids the DECIMAL(38,0)-overflowing (n·sxx−sx²)(n·syy−sy²)
+    * product by multiplying the two exact-quotient DOUBLE factors
+    * instead — identical IEEE trees cross-engine. */
+  private val LinregDerived = Seq(
+    "f", "n",
+    """round(CAST(n * sxy - sx * sy AS DOUBLE)
+      | / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+      | + 0.0 AS slope""".stripMargin,
+    """round((CAST(sy AS DOUBLE)
+      |  - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |    * CAST(sx AS DOUBLE)) / n, 4)
+      | + 0.0 AS intercept""".stripMargin,
+    """round((CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+      | * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE)), 4)
+      | + 0.0 AS r2""".stripMargin)
+
+  /** Simple OLS regression of whitespace-token count on character
+    * count, per language — the PARAMETRIC-model member of the stats
+    * family (t/U/KS/ANOVA test group differences; this FITS a
+    * relationship), on a pair with real structure: tokens grow
+    * linearly with characters at 1/(avg word length + 1), and the
+    * per-language slopes are exactly the tokens-per-char calibration a
+    * byte-budgeted pipeline multiplies by. (The lineitem qty/revenue
+    * pair was measured independent in this generator — corr ≈ 0.003 —
+    * so it demonstrates nothing and admits no sign invariant.)
+    * All six moment accumulators are exact BIGINT/DECIMAL(38,0)
+    * integers from ONE partial-aggregated pass (the agg_moments
+    * posture; n·sxy ≤ ~1e27 at 1e10 docs — 38-digit headroom), and
+    * slope/intercept/r² derive through [[LinregDerived]] shared
+    * verbatim with the oracle, so every double is bit-identical.
+    * Scale: one pruned scan, |langs|-group partial agg, no other
+    * shuffle. */
+  def statLinreg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang").as("f"),
+        expr("CAST(n_chars AS BIGINT)").as("x"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("y"))
+      .groupBy("f")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .selectExpr(LinregDerived: _*)
+      .orderBy("f")
+
+  /** Spearman rho derived from the exact 2·average-rank accumulators —
+    * the overflow-safe two-factor split of [[LinregDerived]] applied
+    * to the correlation: rho = cov / (sd·sd) with each factor one
+    * exact-integer CAST-DOUBLE quotient under a correctly-rounded
+    * sqrt. */
+  private val SpearmanDerived = Seq(
+    "n",
+    """round(CAST(n * sxy - sx * sy AS DOUBLE)
+      | / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      | / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 4)
+      | + 0.0 AS rho""".stripMargin)
+
+  /** Spearman rank correlation between the same character/token pair
+    * as [[statLinreg]] — the NONPARAMETRIC correlation member
+    * (monotone association without linreg's linearity assumption; the
+    * Mann–Whitney average-rank machinery pointed at two columns). Ties
+    * get average ranks kept integer as 2·rank (the avg2 idiom), every
+    * accumulator is an exact DECIMAL(38,0)/HUGEINT integer (n·sxy ≤
+    * 4n⁴ — exact to ~1e8 rows; past that the value domains would bin
+    * first, exactly like agg_histogram), and rho derives through
+    * [[SpearmanDerived]].
+    *
+    * Scale: both rank tables are VALUE-DISTINCT (char and token counts
+    * are band-bounded domains; the char side broadcasts at test scale,
+    * the token side shuffles on the value, uniform by construction);
+    * the one ordered window runs over each distinct table, not the
+    * corpus (the statMannWhitney posture and caveat), and the final
+    * fold is one partial-aggregated pass. */
+  def statSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(spark, dir).documents
+      .select(expr("CAST(n_chars AS BIGINT)").as("x"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("y"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def ranks(c: String): DataFrame = rows
+      .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .select(col("v"), expr("2 * (cum - cnt) + cnt + 1").as(s"r$c"))
+    rows
+      .join(broadcast(ranks("x")), rows("x") === col("v")).drop("v")
+      .join(ranks("y"), col("y") === col("v")).drop("v")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(rx AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(ry AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * rx")).as("sxx"),
+        sum(expr("CAST(rx AS DECIMAL(38,0)) * ry")).as("sxy"),
+        sum(expr("CAST(ry AS DECIMAL(38,0)) * ry")).as("syy"))
+      .selectExpr(SpearmanDerived: _*)
+  }
+
   /** Poisson(1) inverse-CDF on a uniform [0,1) draw — the weight a row
     * gets in one bootstrap replicate. Shared verbatim by both engines
     * (the breakpoint literals parse to identical doubles). */
@@ -2928,6 +3030,43 @@ object Relational {
          |FROM rk CROSS JOIN full_m
          |GROUP BY mean_full""".stripMargin
     },
+    "stat_linreg" ->
+      s"""WITH x AS (
+         |  SELECT lang AS f,
+         |         CAST(n_chars AS BIGINT) AS x,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+         |  FROM documents),
+         |m AS (
+         |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+         |    sum(y::HUGEINT * y) AS syy
+         |  FROM x GROUP BY f)
+         |SELECT ${LinregDerived.mkString(",\n")}
+         |FROM m ORDER BY f""".stripMargin,
+    "stat_spearman" ->
+      s"""WITH rows_t AS (
+         |  SELECT CAST(n_chars AS BIGINT) AS x,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+         |  FROM documents),
+         |xr AS (
+         |  SELECT v, 2 * (cum - cnt) + cnt + 1 AS rx FROM (
+         |    SELECT x AS v, count(*) AS cnt,
+         |      sum(count(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM rows_t GROUP BY x)),
+         |yr AS (
+         |  SELECT v, 2 * (cum - cnt) + cnt + 1 AS ry FROM (
+         |    SELECT y AS v, count(*) AS cnt,
+         |      sum(count(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM rows_t GROUP BY y)),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+         |    sum(rx::HUGEINT * rx) AS sxx, sum(rx::HUGEINT * ry) AS sxy,
+         |    sum(ry::HUGEINT * ry) AS syy
+         |  FROM rows_t JOIN xr ON rows_t.x = xr.v JOIN yr ON rows_t.y = yr.v)
+         |SELECT ${SpearmanDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "stat_ttest" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -3046,6 +3185,8 @@ object Relational {
     "q40_part_suppliers" -> (q40PartSuppliers(_, _)),
     "agg_hll_overlap" -> (aggHllOverlap(_, _)),
     "stat_ttest" -> (statTtest(_, _)),
+    "stat_linreg" -> (statLinreg(_, _)),
+    "stat_spearman" -> (statSpearman(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),

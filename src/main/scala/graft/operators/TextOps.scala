@@ -1087,12 +1087,125 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Stand-in banned terms for [[txtBlocklist]] — the list is a
+    * parameter of the operator (a real deployment loads its policy
+    * list); these three are ~7.5% of the synthetic vocabulary so the
+    * flag split is non-degenerate at every scale. */
+  private val blockTerms = Seq("slow", "hash", "big")
+  private val blockList = blockTerms.map(s => s"'$s'").mkString(", ")
+  /** Flag threshold: docs whose banned-token share is ≥ this ppm. */
+  private val BlockFlagPpm = 75000L
+
+  /** Blocklist policy screen — the toxicity/NSFW-wordlist gate every
+    * curation pipeline runs (here with stand-in terms; the list is a
+    * parameter): per-doc banned-token share in exact ppm (integer
+    * cross-multiplied division — thresholds compare identically
+    * cross-engine), flagged at ≥7.5%, rolled up per source with doc
+    * counts, flagged counts, flagged share, and the mean banned share
+    * (an exact integer div of exact sums).
+    *
+    * Scale: the banned count is a map-side array filter over the
+    * tokenizer's output (no explode, no shuffle until the |sources|-key
+    * partial agg) — the whole screen is one codegen'd linear pass. */
+  def txtBlocklist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source"), expr(tokensExpr).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("nt"),
+        expr(s"CAST(size(filter(tk, x -> x IN ($blockList))) AS BIGINT)").as("nb"))
+      .select(col("source"),
+        expr("CASE WHEN nt = 0 THEN 0 ELSE nb * 1000000 div nt END").as("ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ppm") >= BlockFlagPpm, 1L).otherwise(0L)).as("n_flagged"),
+        sum("ppm").as("sppm"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        expr("n_flagged * 1000000 div n_docs").as("flagged_ppm"),
+        expr("sppm div n_docs").as("avg_banned_ppm"))
+      .orderBy("source")
+
+  /** Unigram-LM cross-entropy per document — the language-model
+    * quality/surprise score (the poor man's perplexity filter every
+    * curation pipeline runs; CCNet/Gopher gate on exactly this shape):
+    * H(doc) = −(1/n)·Σ_w c_w·log2(p_w) bits/token against the corpus
+    * unigram distribution, reported for the 20 most surprising docs.
+    * Perplexity = 2^H is monotone in H, so the ranking is unchanged and
+    * the libm pow stays out of the gate (the txt_collocations move).
+    *
+    * Determinism: each distinct word's log2(N/c_w) is quantized to
+    * 1e-9 integer units, the per-doc fold is an exact BIGINT sum of
+    * integer products (order-independent), and the final bits/token is
+    * ONE division of two exact integers — identical doubles, identical
+    * ranking, deterministic (bits DESC, doc_id) order cross-engine.
+    *
+    * Scale: tokens collapse to per-(doc, word) counts BEFORE the vocab
+    * join (hot stopwords arrive at the join as one row per doc, not one
+    * per occurrence), the vocab count table partial-aggregates on
+    * uniform-ish word keys (AQE skew-split covers the head), and the
+    * top-20 cut is a TakeOrderedAndProject. */
+  def txtPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val dtoks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val counts = dtoks.groupBy("w").agg(sum("c").as("cw"))
+    val tot = counts.agg(sum("cw").as("nn"))
+    dtoks.join(counts, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        expr("c * CAST(round(log2(CAST(nn AS DOUBLE) / cw) * 1000000000) AS BIGINT)")
+          .as("tq"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum("tq").as("sq"))
+      .withColumn("ce_bits",
+        round(col("sq").cast("double") / lit(1000000000.0) / col("n_tokens"), 4)
+          + lit(0.0))
+      .orderBy((col("sq").cast("double") / lit(1000000000.0) / col("n_tokens")).desc,
+        col("doc_id"))
+      .limit(20)
+      .select("doc_id", "n_tokens", "ce_bits")
+  }
+
   private val markerSqlCounts = markers.map { case (l, ws) =>
     val arr = ws.map(w => s"'$w'").mkString(", ")
     s"len(list_intersect(tk, [$arr])) AS c_$l"
   }.mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "txt_blocklist" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len($tokensSql) AS BIGINT) AS nt,
+         |    CAST(len(list_filter($tokensSql, x -> x IN ($blockList))) AS BIGINT) AS nb
+         |  FROM documents),
+         |p AS (
+         |  SELECT source,
+         |    CASE WHEN nt = 0 THEN 0 ELSE nb * 1000000 // nt END AS ppm
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ppm >= $BlockFlagPpm THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN ppm >= $BlockFlagPpm THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS flagged_ppm,
+         |  CAST(sum(ppm) AS BIGINT) // count(*) AS avg_banned_ppm
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "txt_perplexity" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+         |  GROUP BY doc_id, w),
+         |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM dt GROUP BY w),
+         |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+         |tq AS (
+         |  SELECT doc_id, c,
+         |    c * CAST(round(log2(CAST(nn AS DOUBLE) / cw) * 1000000000) AS BIGINT) AS tq
+         |  FROM dt JOIN cw USING (w) CROSS JOIN tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tq) AS BIGINT) AS sq
+         |  FROM tq GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(sq AS DOUBLE) / 1000000000 / n_tokens, 4) + 0.0 AS ce_bits
+         |FROM agg
+         |ORDER BY CAST(sq AS DOUBLE) / 1000000000 / n_tokens DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "txt_hashing_tf" ->
       s"""WITH tk AS (
          |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
@@ -1640,6 +1753,8 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),
+    "txt_blocklist" -> (txtBlocklist(_, _)),
+    "txt_perplexity" -> (txtPerplexity(_, _)),
     "txt_vocab" -> (txtVocab(_, _)),
     "txt_zipf_slope" -> (txtZipfSlope(_, _)),
     "txt_distinctive" -> (txtDistinctive(_, _)),

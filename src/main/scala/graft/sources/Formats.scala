@@ -321,6 +321,65 @@ object Formats {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .orderBy("event_type")
 
+  /** events written ONCE per (session, dir) as a catalog table
+    * HIVE-PARTITIONED by event_type — the partition-pruning layout for
+    * type-selective workloads (the complement of [[bucketedEvents]],
+    * which co-locates by user): a filter or join on event_type prunes
+    * whole partition directories before any IO. At 100 TB the
+    * partition column is a date or a coarse category exactly like
+    * this; built through [[sessionTable]] so cleanup is covered. */
+  def partitionedEventsFact(spark: SparkSession, dir: String): DataFrame =
+    sessionTable(spark, dir, "graft_ev_part_") { tbl =>
+      Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type")
+        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+    }
+
+  /** Tiny event-type dimension (type → category) persisted as its own
+    * catalog table — the filterable dim side of the dynamic-partition-
+    * pruning join. It is deliberately a TABLE READ AT RUNTIME, not an
+    * inline literal list: a literal IN would be static pruning; the
+    * point of [[srcDppScan]] is that the surviving partition keys are
+    * only knowable by scanning the dim, which is exactly when Spark
+    * must inject the pruning subquery. */
+  def eventTypeDim(spark: SparkSession, dir: String): DataFrame =
+    sessionTable(spark, dir, "graft_ev_dim_") { tbl =>
+      Tables(spark, dir).events
+        .select(col("event_type")).distinct()
+        .withColumn("category",
+          expr("CASE WHEN event_type IN ('purchase', 'signup') " +
+            "THEN 'conversion' ELSE 'engagement' END"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+    }
+
+  /** DYNAMIC PARTITION PRUNING end to end — the other half of the
+    * partition-pruning story next to src_partitioned_write's static
+    * case, and a first-order 100 TB lever: the fact is partitioned on
+    * the join key, the dim carries a runtime filter (category =
+    * 'conversion'), and Spark injects a dynamicpruningexpression into
+    * the fact scan so only the dim-surviving partitions (2 of 5 here;
+    * the hot dates of a year-partitioned fact at scale) are ever read
+    * — pruning happens BEFORE fact IO, off the broadcast the join
+    * builds anyway. FormatsSpec asserts the pruning subquery in the
+    * plan and that static pushdown could NOT have done it; the oracle
+    * re-derives the same join on the raw table, so the layout is
+    * semantically invisible. Revenue folds as exact BIGINT cents. */
+  def srcDppScan(spark: SparkSession, dir: String): DataFrame = {
+    val fact = partitionedEventsFact(spark, dir)
+    val dim = eventTypeDim(spark, dir).filter(col("category") === "conversion")
+    fact.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("revenue_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+
   // Per-JVM unique scratch root: fixed /tmp paths collided when two
   // runs (driver verify + a local bench, say) raced the same directory.
   private lazy val tmpRoot: String =
@@ -494,6 +553,18 @@ object Formats {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_dpp_scan" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN 'conversion' ELSE 'engagement' END AS category
+        |  FROM events)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN dim USING (event_type)
+        |WHERE category = 'conversion'
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -506,5 +577,6 @@ object Formats {
     "src_text_roundtrip" -> (srcTextRoundtrip(_, _)),
     "src_json_nested" -> (srcJsonNested(_, _)),
     "src_zorder_scan" -> (srcZorderScan(_, _)),
+    "src_dpp_scan" -> (srcDppScan(_, _)),
   )
 }

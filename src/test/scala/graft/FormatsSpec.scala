@@ -198,6 +198,40 @@ class FormatsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") && plan.contains("lang"), plan)
   }
 
+  test("dynamic partition pruning: the dim's runtime filter prunes the fact's partitions") {
+    val df = Formats.srcDppScan(spark, sf)
+    val plan = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+      out.toString
+    }
+    // The pruning key is only knowable by SCANNING the dim (category is
+    // a stored column, not a literal), so the fact scan must carry an
+    // injected dynamicpruningexpression — runtime pruning, not static.
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+    // Static pushdown could not have done it: no literal event_type
+    // IN-list appears among the scan's pushed/partition filters.
+    assert(!plan.contains("IN (purchase,signup)") && !plan.contains("IN ('purchase'"),
+      s"pruning was static after all:\n$plan")
+    // And the layout is semantically invisible: same result as the
+    // derivation over the raw (unpartitioned) events table.
+    val ev = Tables(spark, sf).events
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("category",
+        expr("CASE WHEN event_type IN ('purchase', 'signup') " +
+          "THEN 'conversion' ELSE 'engagement' END"))
+      .filter(col("category") === "conversion")
+    val expected = ev.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("revenue_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq == expected.collect().toSeq,
+      "partitioned+DPP formulation diverged from the raw-table derivation")
+  }
+
   test("Morton interleave round-trips: bijective on the 16-bit grid") {
     // Deterministic pseudo-random grid coordinates; de-interleave in
     // plain Scala and require exact recovery — a dropped/misplaced bit

@@ -49,6 +49,27 @@ class StatSpec extends AnyFunSuite {
       s"dof=$dof n1=$n1 n2=$n2")
   }
 
+  test("OLS: token count regresses on chars with positive slope, r2 in (0.5, 1]") {
+    // Token count is chars/(avg word len + 1) plus bounded per-doc
+    // noise for any text generator, so each language's fit must slope
+    // up and explain most of the variance (measured ~0.995 here);
+    // r2 <= 1 is the structural bound.
+    val rows = Relational.statLinreg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (slope, r2) = (r.getDouble(2), r.getDouble(4))
+      assert(slope > 0.0, s"slope=$slope for lang ${r.getString(0)}")
+      assert(r2 > 0.5 && r2 <= 1.0, s"r2=$r2 for lang ${r.getString(0)}")
+    }
+  }
+
+  test("Spearman rho is in [-1,1] and strongly positive for chars vs tokens") {
+    val r = Relational.statSpearman(spark, sf).collect().head
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0, s"rho=$rho")
+    assert(rho > 0.5, s"rho=$rho — near-monotone pair not ranked as such")
+  }
+
   test("top eigenvector is unit-norm, dominant, and var_share in (0,1]") {
     val rows = SimilarityOps.embTopEigvec(spark, sf).collect()
     assert(rows.length == 64)
