@@ -252,6 +252,62 @@ object SimilarityOps {
   def simAnnKmeansPar(spark: SparkSession, dir: String): DataFrame =
     annProbe(spark, dir, ParKmeansAnchors)
 
+  /** Cross-modal cluster labeling — "what is IN this embedding
+    * cluster", the table a SemDeDup/clustering pass prints for a human:
+    * per PRIMARY IVF cell (each vector's single best anchor — disjoint
+    * clusters, unlike the multi-probe membership), the top-3
+    * distinctive tokens of the member documents by LIFT (in-cell doc
+    * frequency share over corpus share — the txt_distinctive law
+    * pointed at clusters), joined across modalities on doc_id ==
+    * vec_id. Lift is an exact integer ppm (cc·ntot·1e6 div
+    * (n_cell·cw), DECIMAL(38,0)/HUGEINT products, one integral
+    * division) so ranking and the cc-then-token tiebreaks are
+    * cross-engine stable; df ≥ 2 inside the cell kills singleton noise.
+    *
+    * Scale: the primary-cell assignment is fully map-side (broadcast
+    * anchor array, element_at(…, 1) — no explode, no shuffle); doc
+    * tokens collapse to DISTINCT (doc, token) once and feed both the
+    * corpus df and the cell counts (checkpointed); the modal join keys
+    * on doc ids (uniform); the rank window is a WindowGroupLimit over
+    * the bounded cell×vocab count table. */
+  def simClusterTerms(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val k = ivfK(emb.count())
+    val primExpr =
+      s"""element_at(transform(sort_array(transform(arr,
+         |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
+         |  s -> s.aid), 1)""".stripMargin
+    val assign = emb
+      .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
+      .select(col("vec_id"), expr(primExpr).as("aid"))
+      .localCheckpoint()
+    val docToks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(${TextOps.tokensExpr})")).as("w"))
+      .localCheckpoint()
+    val cellSizes = assign.groupBy("aid").agg(count(lit(1)).as("n_cell"))
+    val corpusDf = docToks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val nTot = Tables(spark, dir).documents.agg(count(lit(1)).as("ntot"))
+    val cellTerms = assign
+      .join(docToks, assign("vec_id") === docToks("doc_id"))
+      .groupBy("aid", "w").agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2)
+    val win = Window.partitionBy("aid")
+      .orderBy(desc("lift_ppm"), desc("cc"), col("w"))
+    cellTerms
+      .join(corpusDf, "w")
+      .join(broadcast(cellSizes), "aid")
+      .crossJoin(broadcast(nTot))
+      .select(col("aid"), col("w"), col("cc"),
+        expr("CAST(CAST(cc AS DECIMAL(38,0)) * ntot * 1000000 " +
+          "div (CAST(n_cell AS DECIMAL(38,0)) * cw) AS BIGINT)").as("lift_ppm"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(col("aid").as("cell"), col("rnk"), col("w").as("term"),
+        col("cc").as("n_docs"), col("lift_ppm"))
+      .orderBy("cell", "rnk")
+  }
+
   /** All-vectors kNN graph (top-5 neighbors each) from IVF cell
     * candidates — the building block for semantic clustering / SemDeDup.
     * Candidates are pairs sharing a probed cell, so the join cost is the
@@ -1307,6 +1363,36 @@ object SimilarityOps {
     "sim_ann_kmeans" ->
       s"""WITH $ivfCellsKmeansSql,
          |$annProbeTailSql""".stripMargin,
+    // Primary-cell (rn = 1) cluster labeling: reuses ivfCellsSql's asn
+    // CTE (the per-(vec, anchor) cosine table) and re-ranks it to the
+    // single best anchor; the unused `cells` CTE is pruned by DuckDB.
+    "sim_cluster_terms" ->
+      s"""WITH $ivfCellsSql,
+         |prim AS (
+         |  SELECT vec_id, aid FROM (
+         |    SELECT vec_id, aid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+         |    FROM asn) WHERE rn = 1),
+         |dt AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(${TextOps.tokensSql}) AS w FROM documents)),
+         |cs AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_cell FROM prim GROUP BY aid),
+         |cwt AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM dt GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM documents),
+         |ct AS (
+         |  SELECT p.aid, d.w, CAST(count(*) AS BIGINT) AS cc
+         |  FROM prim p JOIN dt d ON p.vec_id = d.doc_id
+         |  GROUP BY p.aid, d.w HAVING count(*) >= 2),
+         |sc AS (
+         |  SELECT aid, w, cc,
+         |    CAST(cc::HUGEINT * ntot * 1000000 // (n_cell::HUGEINT * cw) AS BIGINT) AS lift_ppm
+         |  FROM ct JOIN cwt USING (w) JOIN cs USING (aid) CROSS JOIN nt),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY aid ORDER BY lift_ppm DESC, cc DESC, w) AS rnk
+         |  FROM sc)
+         |SELECT aid AS cell, rnk, w AS term, cc AS n_docs, lift_ppm
+         |FROM rk WHERE rnk <= 3 ORDER BY cell, rnk""".stripMargin,
     // The index is a layout change; the SEMANTIC change vs
     // sim_ann_bucket is ranking on the int8-dequantized vectors —
     // the oracle replays quantize→dequantize (emb_quantize's codec,
@@ -1604,6 +1690,7 @@ object SimilarityOps {
     "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
+    "sim_cluster_terms" -> (simClusterTerms(_, _)),
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_knn_label_eval" -> (simKnnLabelEval(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
