@@ -438,6 +438,53 @@ object EventOps {
       .orderBy("gap_days")
   }
 
+  /** Lag-1 autocorrelation of the daily event-count series — the
+    * TIME-SERIES member of the stats family (t/U/KS compare groups,
+    * linreg/spearman relate columns; this asks whether the series
+    * remembers yesterday — the one-number screen behind "is volume
+    * bursty or independent" capacity/anomaly decisions). The estimator
+    * r1 = Σ(x_t−x̄)(x_{t+1}−x̄) / Σ(x_t−x̄)² is cleared of the
+    * rational x̄ by multiplying through by n²: every accumulator is an
+    * exact integer (counts, lagged cross products, squares — DECIMAL
+    * (38,0)/HUGEINT through the fold), and r1 is derived by ONE
+    * formula string shared verbatim with the oracle.
+    *
+    * Scale: the series is a |days|-key partial-aggregated count
+    * (bounded by the time span at any volume — the ev_gap_fill
+    * contract); the lag tap is a lead window over that bounded table,
+    * and the final fold is one row. */
+  def statAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("d")
+    series
+      .withColumn("xn", lead("x", 1).over(w))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"),
+        sum(expr("CASE WHEN xn IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          "ELSE CAST(x AS DECIMAL(38,0)) * xn END")).as("cxy"),
+        sum(expr("CASE WHEN xn IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          "ELSE CAST(x AS DECIMAL(38,0)) END")).as("sh"),
+        sum(expr("CASE WHEN xn IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          "ELSE CAST(xn AS DECIMAL(38,0)) END")).as("st"))
+      .selectExpr(AutocorrDerived: _*)
+  }
+
+  /** Autocorrelation derived stat over the exact integer accumulators
+    * (n days, S = Σx, Q = Σx², and over the n−1 lagged pairs: cxy =
+    * Σx_t·x_{t+1}, sh = Σx_t, st = Σx_{t+1}) — ONE formula string for
+    * both engines (the TtestDerived idiom): numerator and denominator
+    * are the mean-cleared sums scaled by n², each an exact integer. */
+  private val AutocorrDerived = Seq(
+    "n",
+    """round(CAST(n * n * cxy - n * s * (sh + st) + (n - 1) * s * s AS DOUBLE)
+      | / CAST(n * (n * q - s * s) AS DOUBLE), 4)
+      | + 0.0 AS r1""".stripMargin)
+
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions
     * from the ev_sessionize 30-min-gap rule, each exploded to the
@@ -993,6 +1040,20 @@ object EventOps {
         |FROM one CROSS JOIN idx
         |WHERE i <= len(ts)
         |ORDER BY t""".stripMargin,
+    "stat_autocorr" ->
+      s"""WITH series AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |l AS (SELECT x, lead(x) OVER (ORDER BY d) AS xn FROM series),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(x::HUGEINT) AS s, sum(x::HUGEINT * x) AS q,
+         |    sum(CASE WHEN xn IS NULL THEN 0::HUGEINT ELSE x::HUGEINT * xn END) AS cxy,
+         |    sum(CASE WHEN xn IS NULL THEN 0::HUGEINT ELSE x::HUGEINT END) AS sh,
+         |    sum(CASE WHEN xn IS NULL THEN 0::HUGEINT ELSE xn::HUGEINT END) AS st
+         |  FROM l)
+         |SELECT ${AutocorrDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "ev_repurchase_gaps" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus
@@ -1155,6 +1216,7 @@ object EventOps {
     "ev_top_paths" -> (evTopPaths(_, _)),
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
+    "stat_autocorr" -> (statAutocorr(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),

@@ -1693,6 +1693,42 @@ object Relational {
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
   }
 
+  /** TPC-H Q20 shape (excess/concentrated stock) on the DERIVED supply
+    * relation: suppliers in one nation who, for some filtered part they
+    * supply, shipped MORE THAN HALF of that (part, supplier) pair's
+    * all-time quantity in a single recent year — Q20's double-nested
+    * IN with a correlated scalar-aggregate threshold, collapsed the
+    * Spark-first way into ONE conditional aggregate over the pair keys
+    * plus a cross-multiplied integer gate (recent·2 > total — no
+    * division, no float) and a left-semi join back to suppliers.
+    *
+    * Scale: the part filter broadcasts and prunes the fact scan first;
+    * the pair rollup is one partial-aggregated shuffle on (part, supp)
+    * keys; the qualifying-supplier set collapses to a distinct before
+    * the semi join; the nation gate broadcasts. */
+  def q41ExcessStock(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val qualifying = t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        (year(col("l_shipdate")) === 2000).as("recent"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("tot_qty"),
+        sum(when(col("recent"), col("qty")).otherwise(0L)).as("recent_qty"))
+      .filter(col("recent_qty") * 2 > col("tot_qty"))
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(broadcast(Tables(spark, dir).nation
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+      .orderBy("s_suppkey")
+  }
+
   /** RFM customer segmentation — the classic marketing/churn feature
     * cube: per customer, Recency (days from the corpus's last order
     * date to the customer's last order), Frequency (order count), and
@@ -3030,6 +3066,24 @@ object Relational {
          |FROM rk CROSS JOIN full_m
          |GROUP BY mean_full""".stripMargin
     },
+    "q41_excess_stock" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 2000
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS recent_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT DISTINCT l_suppkey FROM pairs WHERE recent_qty * 2 > tot_qty)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN q ON s_suppkey = l_suppkey
+        |WHERE n_name = 'NATION_3'
+        |ORDER BY s_suppkey""".stripMargin,
     "stat_linreg" ->
       s"""WITH x AS (
          |  SELECT lang AS f,
@@ -3186,6 +3240,7 @@ object Relational {
     "agg_hll_overlap" -> (aggHllOverlap(_, _)),
     "stat_ttest" -> (statTtest(_, _)),
     "stat_linreg" -> (statLinreg(_, _)),
+    "q41_excess_stock" -> (q41ExcessStock(_, _)),
     "stat_spearman" -> (statSpearman(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),

@@ -70,6 +70,14 @@ class StatSpec extends AnyFunSuite {
     assert(rho > 0.5, s"rho=$rho — near-monotone pair not ranked as such")
   }
 
+  test("lag-1 autocorrelation lies in [-1,1]") {
+    // Cauchy-Schwarz bounds the lag-1 estimator for any series; the
+    // synthetic daily counts are ~independent so no sign is pinned.
+    val r = EventOps.statAutocorr(spark, sf).collect().head
+    val r1 = r.getDouble(1)
+    assert(r1 >= -1.0 && r1 <= 1.0, s"r1=$r1")
+  }
+
   test("top eigenvector is unit-norm, dominant, and var_share in (0,1]") {
     val rows = SimilarityOps.embTopEigvec(spark, sf).collect()
     assert(rows.length == 64)
