@@ -485,6 +485,118 @@ object EventOps {
       | / CAST(n * (n * q - s * s) AS DOUBLE), 4)
       | + 0.0 AS r1""".stripMargin)
 
+  /** Theil–Sen robust trend — the MEDIAN of all pairwise slopes of the
+    * daily event-count series (the outlier-immune complement to
+    * stat_linreg's OLS slope: one corrupted day moves OLS by its
+    * leverage but shifts a median by at most one rank). Slopes are
+    * exact integers — (x_j−x_i)·10⁶ div (d_j−d_i), truncate-toward-
+    * zero identical in both engines on BIGINT (the q34 parity note;
+    * day counts would need >9·10¹² events/day to overflow the ppm
+    * product) — and the median is a counting selection over the slope
+    * histogram (the agg_exact_median contract: no interpolation, no
+    * sort of the raw pairs, lower median at even n).
+    *
+    * Scale: the pairwise expansion is over the DAILY series, whose
+    * length is bounded by the time span — O(span²) pairs INDEPENDENT
+    * of row volume (the one place an inequality join is legitimate:
+    * the bounded side broadcasts, so no cartesian shuffle exists).
+    * The selection window runs over ≤|distinct slopes| ≤ span² rows. */
+  def statTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val a = series.select(col("d").as("d1"), col("x").as("x1"))
+    val b = series.select(col("d").as("d2"), col("x").as("x2"))
+    val hist = a.join(broadcast(b), col("d2") > col("d1"))
+      .select(expr("(x2 - x1) * 1000000 div (d2 - d1)").as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum("c").as("n_pairs"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n_pairs + 1) div 2") &&
+        col("cum") - col("c") < expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("s").as("slope_ppm"))
+  }
+
+  /** Weekly seasonality profile — the day-of-week × hour-of-day activity
+    * grid (the load-shape heatmap behind capacity planning and
+    * anomaly-baseline choice; ev_hourly_agg is the TIMELINE, this is
+    * the folded CYCLE). Both coordinates come from exact integer
+    * epoch-microsecond arithmetic — dow = (days + 4) mod 7 (epoch day 0
+    * was a Thursday; 0 = Sunday) and hour = (us div 3.6e9) mod 24 —
+    * rather than calendar functions, because Spark's dayofweek is
+    * 1-based Sunday while DuckDB's is 0-based: deriving both from the
+    * same integer formula removes the calendar-convention parity trap
+    * entirely (the UTC-pinned-session contract all event ops share).
+    *
+    * Scale: a pure per-row map into a partial-aggregated count on the
+    * fixed 168-cell domain, plus a 1-row total broadcast for exact-ppm
+    * shares — one shuffle of ≤168 rows per partition, no window. */
+  def evSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+    val grid = ev.groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    val tot = grid.agg(sum("n").as("n_total"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("n * 1000000 div n_total").as("share_ppm"))
+      .orderBy("dow", "hour")
+  }
+
+  /** A/B experiment readout — the end-to-end composition of the keyed
+    * deterministic split (the mix_split_assign md5 idiom: at 100 TB an
+    * experiment arm is a HASH of the unit key, never a random draw —
+    * membership must survive replays, late data, and corpus growth)
+    * with the stats family's exact-accumulator discipline: per variant,
+    * users and conversions (a purchase above $150), then the pooled
+    * two-proportion z² statistic. z² = (c_a·n_b − c_b·n_a)²·N /
+    * (n_a·n_b·C·(N−C)) — the classic (p̂₁−p̂₂)² over pooled variance
+    * with every factor cross-multiplied into exact BIGINT/DECIMAL(38,0)
+    * products, ONE final double division, and a degenerate-rate guard
+    * (C=0 or C=N ⇒ 0). The formula string is shared verbatim with the
+    * oracle (the TtestDerived idiom).
+    *
+    * Scale: conversion is a per-user max — a map-side partial agg on
+    * the user key; the readout is a one-row conditional fold over the
+    * per-user table. Nothing global but the final single row. */
+  def evAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm_b",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
+    perUser
+      .agg(
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
+      .selectExpr(Seq("n_a", "c_a", "n_b", "c_b",
+        "c_a * 1000000 div n_a AS conv_a_ppm",
+        "c_b * 1000000 div n_b AS conv_b_ppm",
+        AbTestZ2): _*)
+  }
+
+  /** Pooled two-proportion z² over the four exact integers (arm sizes
+    * n_a/n_b, arm conversions c_a/c_b) — ONE formula string for both
+    * engines (the TtestDerived idiom). z² cross-multiplies the pooled-
+    * variance denominator away so the only float op is the final
+    * division of two exact DECIMAL(38,0) products. (The ppm rates stay
+    * engine-specific: integer division is `div` in Spark, `//` in
+    * DuckDB — the q34_yoy_growth parity note.) */
+  private val AbTestZ2 =
+    """round(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+      | ELSE CAST((CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+      |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
+      |        * (n_a + n_b) AS DOUBLE)
+      |    / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
+      |        * (n_a + n_b - c_a - c_b) AS DOUBLE) END, 4) + 0.0 AS z2""".stripMargin
+
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions
     * from the ev_sessionize 30-min-gap rule, each exploded to the
@@ -1040,6 +1152,49 @@ object EventOps {
         |FROM one CROSS JOIN idx
         |WHERE i <= len(ts)
         |ORDER BY t""".stripMargin,
+    "stat_theil_sen" ->
+      """WITH series AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT (b.x - a.x) * 1000000 // (b.d - a.d) AS s
+        |  FROM series a JOIN series b ON b.d > a.d),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM h),
+        |cm AS (SELECT s, c, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM h)
+        |SELECT n_pairs, s AS slope_ppm
+        |FROM cm CROSS JOIN n
+        |WHERE cum >= (n_pairs + 1) // 2 AND cum - c < (n_pairs + 1) // 2""".stripMargin,
+    "ev_seasonality" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+        |SELECT dow, hour, n, n * 1000000 // n_total AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    "ev_ab_test" -> {
+      val h = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         |    $h % 2 AS arm_b
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM u)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  c_a * 1000000 // n_a AS conv_a_ppm,
+         |  c_b * 1000000 // n_b AS conv_b_ppm,
+         |  $AbTestZ2
+         |FROM m""".stripMargin
+    },
     "stat_autocorr" ->
       s"""WITH series AS (
          |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
@@ -1217,6 +1372,9 @@ object EventOps {
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "stat_autocorr" -> (statAutocorr(_, _)),
+    "ev_ab_test" -> (evAbTest(_, _)),
+    "ev_seasonality" -> (evSeasonality(_, _)),
+    "stat_theil_sen" -> (statTheilSen(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),

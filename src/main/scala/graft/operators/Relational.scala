@@ -1729,6 +1729,40 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q12 shape (shipping modes and order priority) — the LAST of
+    * the 22 TPC-H query shapes, completing the sweep. This schema ships
+    * no l_shipmode/commitdate/receiptdate, so the mode is the DERIVED
+    * fulfillment class q35 established (order→ship latency bands:
+    * ≤14 d express, ≤60 d standard, else economy), and the Q12 payload
+    * is kept verbatim: per mode, how many lines belong to critical
+    * (URGENT/HIGH) orders vs the rest, over one ship-year. Distinct
+    * from q35_ship_delay on purpose: Q12 PIVOTS the priority dimension
+    * into two conditional counts per mode row (the two-bucket CASE
+    * sum), q35 reports the full priority×band grid with shares.
+    *
+    * Scale: the year filter prunes the fact scan (pushed to parquet);
+    * one fact-fact equi-join on orderkey (the co-partitioned join every
+    * Q12 engine runs), then a per-row map and a partial-aggregated
+    * count on a 3-key domain — no window, no second shuffle. */
+  def q42ShipModes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_mode",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 14, "express")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 60, "standard")
+          .otherwise("economy"))
+      .groupBy("ship_mode")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
   /** RFM customer segmentation — the classic marketing/churn feature
     * cube: per customer, Recency (days from the corpus's last order
     * date to the customer's last order), Frequency (order count), and
@@ -2374,6 +2408,19 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q42_ship_modes" ->
+      """SELECT
+        |  CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 14 THEN 'express'
+        |       WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'standard'
+        |       ELSE 'economy' END AS ship_mode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_ship_delay" ->
       """WITH b AS (
         |  SELECT o_orderpriority,
@@ -3254,6 +3301,7 @@ object Relational {
     "q34_yoy_growth" -> (q34YoyGrowth(_, _)),
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
     "q35_ship_delay" -> (q35ShipDelay(_, _)),
+    "q42_ship_modes" -> (q42ShipModes(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_mad" -> (aggMad(_, _)),
     "agg_gini" -> (aggGini(_, _)),

@@ -460,6 +460,44 @@ object SimilarityOps {
       .orderBy("label", "cos_c", "vec_id")
   }
 
+  /** Nearest-centroid classification confusion matrix — the third
+    * member of the label-eval family (sim_knn_label_eval judges labels
+    * by NEIGHBORS, emb_silhouette by cluster geometry; this judges them
+    * by the cheapest deployable classifier: assign every vector to its
+    * most-cosine-similar LABEL CENTROID and cross-tabulate true vs
+    * predicted). The diagonal share is the "are these labels even
+    * linearly separable in embedding space" screen a pipeline runs
+    * before training anything.
+    *
+    * Parity: centroids are per-dimension avg rounded to 4 then FLOAT
+    * (the emb_centroids contract — identical bit patterns in both
+    * engines); the argmax orders by (round(cos, 4) DESC, label) with
+    * nanvl keeping zero-norm NaNs out of the ranking identically (the
+    * IvfP scaladoc's guard). Scale: the candidate set is n·|labels|
+    * rows from a broadcast of |labels| centroid rows — map-side, no
+    * shuffle until the |labels|²-cell count; the per-vector argmax is
+    * a window over ≤|labels| rows. */
+  def simCentroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = emb
+      .select(col("label").as("clabel"), posexplode(col("embedding")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 4).as("cv"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+        "x -> CAST(x.cv AS FLOAT))").as("cent"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos_c"), col("clabel"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("label"), col("vec_id"), col("clabel"),
+        nanvl(round(expr(cosExprSpark("embedding", "cent")), 4), lit(-1.0))
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("clabel").as("pred_label"), col("n"))
+      .orderBy("label", "pred_label")
+  }
+
   /** ANN recall evaluation AS A QUERY (the eval harness next to
     * IvfSpec's in-test recall measurement): for a 20-vector query
     * sample, recall@5 of the IVF probe against brute-force cosine
@@ -1666,6 +1704,23 @@ object SimilarityOps {
         | round(var_samp(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS var_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY t.dim ORDER BY dim""".stripMargin,
+    "sim_centroid_classify" ->
+      s"""WITH c AS (
+         |  SELECT label AS clabel, t.dim AS dim,
+         |    CAST(round(avg(embedding[t.dim + 1]::DOUBLE), 4) AS FLOAT) AS cv
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY label, t.dim),
+         |cent AS (SELECT clabel, list(cv::DOUBLE ORDER BY dim) AS cent FROM c GROUP BY clabel),
+         |s AS (
+         |  SELECT e.label, e.vec_id, cent.clabel,
+         |    CASE WHEN isnan(${cosExprSql("e.embedding", "cent.cent")}) THEN -1.0
+         |         ELSE round(${cosExprSql("e.embedding", "cent.cent")}, 4) END AS cos_c
+         |  FROM embeddings e CROSS JOIN cent),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos_c DESC, clabel) AS rn
+         |      FROM s)
+         |SELECT label, clabel AS pred_label, count(*) AS n
+         |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin,
     "emb_outliers" ->
       s"""WITH c AS (
          |  SELECT label, t.dim AS dim,
@@ -1701,6 +1756,7 @@ object SimilarityOps {
     "emb_drift" -> (embDrift(_, _)),
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
+    "sim_centroid_classify" -> (simCentroidClassify(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_pq_encode" -> (embPqEncode(_, _)),
     "sim_pq_topk" -> (simPqTopk(_, _)),

@@ -144,4 +144,46 @@ class StatSpec extends AnyFunSuite {
       .agg(sum("span")).collect().head.getLong(0)
     assert(conc == total, s"concurrency sum $conc != session-hour total $total")
   }
+
+  test("Theil-Sen pair count is C(days, 2) and the slope is rank-central") {
+    val r = EventOps.statTheilSen(spark, sf).collect().head
+    val (nPairs, slope) = (r.getLong(0), r.getLong(1))
+    import org.apache.spark.sql.functions._
+    val days = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().count()
+    assert(nPairs == days * (days - 1) / 2, s"pairs=$nPairs days=$days")
+    // Median rank test via an independent recount: at least half the
+    // pairwise slopes are <= the reported slope, and fewer than half
+    // are strictly below it (the lower-median contract).
+    val series = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val a = series.select(col("d").as("d1"), col("x").as("x1"))
+    val b = series.select(col("d").as("d2"), col("x").as("x2"))
+    // Conditional sums, not filters: a filter over the projected slope
+    // would be pushed below the inequality join condition and evaluate
+    // the division on d2 == d1 pairs (ANSI divide-by-zero).
+    val cnt = a.join(org.apache.spark.sql.functions.broadcast(b),
+        col("d2") > col("d1"))
+      .select(expr("(x2 - x1) * 1000000 div (d2 - d1)").as("s"))
+      .agg(sum(when(col("s") <= slope, 1L).otherwise(0L)).as("le"),
+        sum(when(col("s") < slope, 1L).otherwise(0L)).as("lt"))
+      .collect().head
+    val (le, lt) = (cnt.getLong(0), cnt.getLong(1))
+    val k = (nPairs + 1) / 2
+    assert(le >= k && lt < k, s"le=$le lt=$lt k=$k")
+  }
+
+  test("A/B readout: arms partition the users, rates bounded, z2 >= 0") {
+    val r = EventOps.evAbTest(spark, sf).collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (pa, pb, z2) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+    val users = Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    assert(na + nb == users, s"arms ${na + nb} != users $users")
+    assert(ca <= na && cb <= nb)
+    assert(pa >= 0 && pa <= 1000000 && pb >= 0 && pb <= 1000000)
+    assert(z2 >= 0.0, s"z2=$z2")
+  }
 }
