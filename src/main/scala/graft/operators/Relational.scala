@@ -2154,6 +2154,47 @@ object Relational {
       .limit(100)
       .select("o_orderkey", "o_custkey", "o_totalprice", "skey")
 
+  /** Referential-integrity audit — orphan foreign keys across every
+    * edge of the star schema (the deequ-style cross-TABLE check next
+    * to qc_checks' single-table assertions: a broken FK edge silently
+    * drops rows from every inner join downstream, so this is the first
+    * panel an ingestion gate runs). Per relation: distinct child keys,
+    * orphans (no matching parent), and the orphan count as exact
+    * integers from a left join's NULL-parent side.
+    *
+    * Scale: each branch reduces the child to a 1-column DISTINCT key
+    * set BEFORE joining (partial-agg shuffle on the key, the join then
+    * runs on key-set-sized inputs, never raw fact rows); constant-
+    * cardinality parents broadcast; the seven branches are independent subtrees
+    * unioned into a 7-row result — Spark schedules them concurrently,
+    * and each fact scan reads exactly one column. */
+  def qcReferential(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def edge(rel: String, child: DataFrame, ckey: String,
+             parent: DataFrame, pkey: String, bcastParent: Boolean): DataFrame = {
+      val keys = child.select(col(ckey).as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val par0 = parent.select(col(pkey).as("pk")).distinct()
+      val par = if (bcastParent) broadcast(par0) else par0
+      keys.join(par, col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_keys"), col("n_orphans"))
+    }
+    // Hard broadcast hints ONLY for the constant-cardinality dims
+    // (nation/region — 25/5 rows at ANY scale factor); part, supplier,
+    // customer, and orders all grow with SF, so those joins stay
+    // unhinted and AQE broadcasts them exactly while they fit.
+    edge("customer_nation", t.customer, "c_nationkey", t.nation, "n_nationkey", true)
+      .unionAll(edge("lineitem_orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey", false))
+      .unionAll(edge("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey", false))
+      .unionAll(edge("lineitem_supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey", false))
+      .unionAll(edge("nation_region", t.nation, "n_regionkey", t.region, "r_regionkey", true))
+      .unionAll(edge("orders_customer", t.orders, "o_custkey", t.customer, "c_custkey", false))
+      .unionAll(edge("supplier_nation", t.supplier, "s_nationkey", t.nation, "n_nationkey", true))
+      .orderBy("relation")
+  }
+
   /** Data-quality assertion pass (the deequ-style CHECK step that
     * gates a pipeline run, next to qc_profile's metrics): five checks
     * over `orders` evaluated in ONE scan — completeness, key
@@ -2654,6 +2695,23 @@ object Relational {
         |SELECT c_count, count(*) AS n_custs
         |FROM oc GROUP BY c_count
         |ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "qc_referential" -> {
+      def edge(rel: String, child: String, ckey: String,
+               parent: String, pkey: String): String =
+        s"""SELECT '$rel' AS relation, count(*) AS n_keys,
+           |  CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM (SELECT DISTINCT $ckey AS k FROM $child WHERE $ckey IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
+      Seq(
+        edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
     "qc_checks" ->
       """WITH a AS (SELECT
         |  count(*) AS n_rows,
@@ -3277,6 +3335,7 @@ object Relational {
     "agg_ntile_quartiles" -> (aggNtileQuartiles(_, _)),
     "mr_reservoir" -> (mrReservoir(_, _)),
     "qc_checks" -> (qcChecks(_, _)),
+    "qc_referential" -> (qcReferential(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
     "q29_top_supplier" -> (q29TopSupplier(_, _)),
     "agg_bloom_filter" -> (aggBloomFilter(_, _)),

@@ -498,6 +498,37 @@ object SimilarityOps {
       .orderBy("label", "pred_label")
   }
 
+  /** Pairwise-cosine geometry histogram — the embedding-space ISOTROPY
+    * diagnostic (the distribution of random-pair cosines: a healthy
+    * encoder concentrates near 0 with tails toward the duplicate/
+    * cluster structure; a collapsed encoder piles mass near 1 — the
+    * measurement that pruned the PCA kernel in r5, λ₁/λ₂ = 1.013, now
+    * as a standing query). A deterministic 100-vector md5-min sample
+    * (the mr_reservoir k-min idiom — mergeable, partition-independent)
+    * yields C(100,2) pairs; cosines are rounded to 4 then binned by
+    * EXACT INTEGER arithmetic — bin = (round(c·10⁴) + 10⁴) div 10³
+    * clamped to 19 — because a float (c+1)·10 floor hits IEEE boundary
+    * dust (1.1·10 = 11.000000000000002) that integer binning cannot.
+    *
+    * Scale: the sample cut is a TakeOrderedAndProject (per-partition
+    * top-k, no global sort); the pair expansion is a fixed 4950-row
+    * broadcast nested loop over driver-bounded rows; the histogram is
+    * a ≤20-key partial agg. Constant work at any corpus size. */
+  def simPairHist(spark: SparkSession, dir: String): DataFrame = {
+    val samp = Tables(spark, dir).embeddings
+      .withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy("skey").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val a = samp.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = samp.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(nanvl(round(expr(cosExprSpark("e1", "e2")), 4), lit(-1.0)).as("c"))
+      .select(expr(
+        "least(19, (CAST(round(c * 10000) AS BIGINT) + 10000) div 1000)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   /** ANN recall evaluation AS A QUERY (the eval harness next to
     * IvfSpec's in-test recall measurement): for a 20-vector query
     * sample, recall@5 of the IVF probe against brute-force cosine
@@ -1704,6 +1735,18 @@ object SimilarityOps {
         | round(var_samp(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS var_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY t.dim ORDER BY dim""".stripMargin,
+    "sim_pair_hist" ->
+      s"""WITH samp AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS skey
+         |    FROM embeddings ORDER BY skey LIMIT 100)),
+         |p AS (
+         |  SELECT CASE WHEN isnan(${cosExprSql("a.embedding", "b.embedding")}) THEN -1.0
+         |              ELSE round(${cosExprSql("a.embedding", "b.embedding")}, 4) END AS c
+         |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+         |SELECT least(19, (CAST(round(c * 10000) AS BIGINT) + 10000) // 1000) AS bin,
+         |  count(*) AS n
+         |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
     "sim_centroid_classify" ->
       s"""WITH c AS (
          |  SELECT label AS clabel, t.dim AS dim,
@@ -1757,6 +1800,7 @@ object SimilarityOps {
     "emb_dim_corr" -> (embDimCorr(_, _)),
     "emb_outliers" -> (embOutliers(_, _)),
     "sim_centroid_classify" -> (simCentroidClassify(_, _)),
+    "sim_pair_hist" -> (simPairHist(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_pq_encode" -> (embPqEncode(_, _)),
     "sim_pq_topk" -> (simPqTopk(_, _)),

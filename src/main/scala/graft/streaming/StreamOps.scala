@@ -382,6 +382,44 @@ object StreamOps {
     * rule) plus the last NON-purchase touch. touchTus == Long.MinValue
     * means no touch seen yet. O(users) forever — four fields, never
     * the event history. */
+  /** Per-user A/B row: deterministic arm + running conversion flag. */
+  final case class AbUser(user_id: Long, arm_b: Int, conv: Int)
+
+  /** Streaming twin of ev_ab_test's per-user core: each user's arm is
+    * the SAME md5-parity hash the batch query computes (arm membership
+    * is a pure function of the key — the property that makes a
+    * streaming experiment well-defined at all), and the conversion
+    * flag is a running max over the purchase-value gate. The flag is a
+    * JOIN-SEMILATTICE (max of a 0/1 per-event gate), so unlike the
+    * additive counters this twin needs NO high-water mark: replays,
+    * reordering, and duplicate delivery all collapse into the same
+    * fixed point for free. State is one Int per user; the arm totals
+    * are the downstream mergeable groupBy (StreamingSpec folds the
+    * emitted rows and pins equality with the batch readout's
+    * accumulators). */
+  def abTestStream(events: Dataset[Ev]): Dataset[AbUser] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Int, AbUser] {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Int]) =>
+          val conv = evs.foldLeft(state.getOption.getOrElse(0)) { (acc, e) =>
+            if (e.event_type == "purchase" && e.value > 150) 1 else acc
+          }
+          state.update(conv)
+          AbUser(uid, abArm(uid), conv)
+      }
+  }
+
+  /** The batch query's arm hash, in JVM form: first 16 bits of
+    * md5(uid decimal string), parity — bit-equal to Spark SQL's
+    * `conv(substr(md5(CAST(uid AS STRING)), 1, 4), 16, 10) % 2`. */
+  def abArm(uid: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(uid.toString.getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 2
+  }
+
   final case class AttrState(hwTus: Long, hwId: Long,
       touchTus: Long, touchType: String)
 

@@ -626,4 +626,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTop == batch)
     assert(streamedTop.nonEmpty)
   }
+
+  test("streaming A/B arms equal batch ev_ab_test accumulators, replay-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Deliberately UNSORTED delivery (natural file order) plus a full
+    // replayed batch: the conversion flag is a max-semilattice, so the
+    // twin must converge to the batch answer with no ordering contract
+    // and no high-water mark at all.
+    val evs = loadEvents()
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.abTestStream(input.toDS())
+      .writeStream.format("memory").queryName("abtest")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val arms = spark.sql(
+      """SELECT
+        |  sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS c_a,
+        |  sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS c_b
+        |FROM (
+        |  SELECT user_id, arm_b, conv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rid DESC) rn
+        |    FROM (SELECT *, monotonically_increasing_id() rid FROM abtest))
+        |  WHERE rn = 1)""".stripMargin)
+      .collect().head
+    val batch = graft.operators.EventOps.evAbTest(spark, sf).collect().head
+    assert((arms.getLong(0), arms.getLong(1), arms.getLong(2), arms.getLong(3)) ==
+      (batch.getLong(0), batch.getLong(1), batch.getLong(2), batch.getLong(3)))
+    assert(arms.getLong(0) + arms.getLong(2) > 0)
+  }
 }
