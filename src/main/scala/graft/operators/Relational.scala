@@ -2170,28 +2170,43 @@ object Relational {
     * and each fact scan reads exactly one column. */
   def qcReferential(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    def edge(rel: String, child: DataFrame, ckey: String,
-             parent: DataFrame, pkey: String, bcastParent: Boolean): DataFrame = {
-      val keys = child.select(col(ckey).as("k"))
-        .filter(col("k").isNotNull).distinct()
-      val par0 = parent.select(col(pkey).as("pk")).distinct()
-      val par = if (bcastParent) broadcast(par0) else par0
-      keys.join(par, col("k") === col("pk"), "left")
-        .agg(count(lit(1)).as("n_keys"),
-          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(rel).as("relation"), col("n_keys"), col("n_orphans"))
-    }
-    // Hard broadcast hints ONLY for the constant-cardinality dims
-    // (nation/region — 25/5 rows at ANY scale factor); part, supplier,
-    // customer, and orders all grow with SF, so those joins stay
-    // unhinted and AQE broadcasts them exactly while they fit.
-    edge("customer_nation", t.customer, "c_nationkey", t.nation, "n_nationkey", true)
-      .unionAll(edge("lineitem_orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey", false))
-      .unionAll(edge("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey", false))
-      .unionAll(edge("lineitem_supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey", false))
-      .unionAll(edge("nation_region", t.nation, "n_regionkey", t.region, "r_regionkey", true))
-      .unionAll(edge("orders_customer", t.orders, "o_custkey", t.customer, "c_custkey", false))
-      .unionAll(edge("supplier_nation", t.supplier, "s_nationkey", t.nation, "n_nationkey", true))
+    def ck(rel: String, df: DataFrame, key: String): DataFrame =
+      df.select(lit(rel).as("relation"), col(key).cast("long").as("k"))
+        .filter(col("k").isNotNull)
+    def pk(rel: String, df: DataFrame, key: String): DataFrame =
+      df.select(lit(rel).as("prelation"), col(key).cast("long").as("pk"))
+    // ONE tagged union per side, ONE distinct each, ONE co-partitioned
+    // join, ONE 7-key rollup — not seven independent join subtrees
+    // (that shape planned 21 exchanges; this one's distincts hash on
+    // exactly the join key (relation, k), so EnsureRequirements reuses
+    // their partitioning and the whole audit is 3 exchanges + the
+    // ordering). The union does mean each fact column rides one shared
+    // shuffle rather than its own broadcast — the right trade at scale,
+    // where part/supplier/customer parents outgrow broadcast anyway.
+    val children =
+      ck("customer_nation", t.customer, "c_nationkey")
+        .unionAll(ck("lineitem_orders", t.lineitem, "l_orderkey"))
+        .unionAll(ck("lineitem_part", t.lineitem, "l_partkey"))
+        .unionAll(ck("lineitem_supplier", t.lineitem, "l_suppkey"))
+        .unionAll(ck("nation_region", t.nation, "n_regionkey"))
+        .unionAll(ck("orders_customer", t.orders, "o_custkey"))
+        .unionAll(ck("supplier_nation", t.supplier, "s_nationkey"))
+        .distinct()
+    val parents =
+      pk("customer_nation", t.nation, "n_nationkey")
+        .unionAll(pk("lineitem_orders", t.orders, "o_orderkey"))
+        .unionAll(pk("lineitem_part", t.part, "p_partkey"))
+        .unionAll(pk("lineitem_supplier", t.supplier, "s_suppkey"))
+        .unionAll(pk("nation_region", t.region, "r_regionkey"))
+        .unionAll(pk("orders_customer", t.customer, "c_custkey"))
+        .unionAll(pk("supplier_nation", t.nation, "n_nationkey"))
+        .distinct()
+    children
+      .join(parents,
+        col("relation") === col("prelation") && col("k") === col("pk"), "left")
+      .groupBy("relation")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
       .orderBy("relation")
   }
 
