@@ -465,6 +465,31 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** Near-dup threshold sweep — surviving-pair counts per cosine
+    * threshold, from ONE candidate pass (the curve an operator reads
+    * to PICK the dedup threshold before committing a corpus-wide
+    * delete: dedup_lsh_recall calibrates the BLOCKING scheme, this
+    * calibrates the DECISION threshold riding on it). Counts are
+    * cumulative-from-above over the 0.05-wide cosine bins of the
+    * dedupEmbedding pair set — exact integer bins of round(cos·10⁴)
+    * div 500, so the per-threshold counts are bit-stable. The sweep
+    * floor IS the blocking threshold (0.40): below it the IVF probe's
+    * recall is uncalibrated and a count would mislead.
+    *
+    * Scale: rides dedupEmbedding's one checkpointed IVF pass; the
+    * sweep itself is a ≤20-key histogram + a ≤20-row window. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = dedupEmbedding(spark, dir)
+      .select(expr("CAST(round(cos_sim * 10000) AS BIGINT) div 500").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_pairs", sum("c").over(w))
+      .select((col("b") * 500).as("thr_ppm"), col("n_pairs"))
+      .orderBy("thr_ppm")
+  }
+
   /** SemDeDup-style component dedup: cluster vectors whose near-dup
     * graph (IVF-blocked pairs with cosine >= 0.4, see dedupEmbedding)
     * connects them, and report each component with its representative
@@ -813,6 +838,20 @@ object DedupOps {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / n, 4) AS overlap_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH ${SimilarityOps.ivfCellsSql},
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
+         |    round(${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")}, 4) AS cos_sim
+         |  FROM cells a JOIN cells b2 ON a.aid = b2.aid AND a.vec_id < b2.vec_id
+         |  WHERE ${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")} >= 0.4),
+         |h AS (
+         |  SELECT CAST(round(cos_sim * 10000) AS BIGINT) // 500 AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY 1)
+         |SELECT b * 500 AS thr_ppm,
+         |  CAST(sum(c) OVER (ORDER BY b DESC) AS BIGINT) AS n_pairs
+         |FROM h ORDER BY thr_ppm""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${SimilarityOps.ivfCellsSql}
          |SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2,
@@ -832,6 +871,7 @@ object DedupOps {
     "dedup_edit_near" -> (dedupEditNear(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),

@@ -485,6 +485,33 @@ object EventOps {
       | / CAST(n * (n * q - s * s) AS DOUBLE), 4)
       | + 0.0 AS r1""".stripMargin)
 
+  /** Daily new-vs-returning user split — the growth-accounting view
+    * next to ev_cumulative_users' running total and ev_dau_wau's
+    * stickiness ratio (is today's activity acquisition or retention?):
+    * per day, actives whose FIRST-ever active day is today vs the
+    * rest. First appearance is a per-user min over the collapsed
+    * (day, user) pairs — the ev_cumulative_users linearization of what
+    * is naively a self-join against all history.
+    *
+    * Scale: one distinct over (day, user) pairs (partial-agg shuffle),
+    * one user-keyed min, one user-keyed join of two user-sized tables,
+    * and a |days|-key rollup. No window over raw events, nothing
+    * quadratic; the first-appearance table is the thing a production
+    * pipeline would persist and merge incrementally (min is a
+    * semilattice — the same property the streaming twins exploit). */
+  def evNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct()
+    val first = du.groupBy("user_id").agg(min("d").as("first_d"))
+    du.join(first, "user_id")
+      .groupBy("d")
+      .agg(
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") === col("first_d"), 0L).otherwise(1L)).as("returning_users"))
+      .orderBy("d")
+  }
+
   /** Theil–Sen robust trend — the MEDIAN of all pairwise slopes of the
     * daily event-count series (the outlier-immune complement to
     * stat_linreg's OLS slope: one corrupted day moves OLS by its
@@ -1152,6 +1179,16 @@ object EventOps {
         |FROM one CROSS JOIN idx
         |WHERE i <= len(ts)
         |ORDER BY t""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM du GROUP BY 1)
+        |SELECT d,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN d = first_d THEN 0 ELSE 1 END) AS BIGINT) AS returning_users
+        |FROM du JOIN f USING (user_id)
+        |GROUP BY d ORDER BY d""".stripMargin,
     "stat_theil_sen" ->
       """WITH series AS (
         |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
@@ -1375,6 +1412,7 @@ object EventOps {
     "ev_ab_test" -> (evAbTest(_, _)),
     "ev_seasonality" -> (evSeasonality(_, _)),
     "stat_theil_sen" -> (statTheilSen(_, _)),
+    "ev_new_vs_returning" -> (evNewVsReturning(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),
