@@ -465,6 +465,33 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** Fuzzy name matching — candidate pairs from the part-name
+    * dictionary ranked by the graft_jaro_winkler NATIVE expression
+    * (the record-linkage member of the dedup family: levenshtein
+    * verifies EDITS on whole documents, Jaro–Winkler ranks typo-shaped
+    * NAME matches where shared prefixes dominate — the census-linkage
+    * convention). The oracle is DuckDB's OWN independent
+    * jaro_winkler_similarity — two implementations of the algorithm
+    * written from the published definition, agreeing to 4 decimals on
+    * every pair, which is the strongest correctness gate a fuzzy
+    * kernel can get.
+    *
+    * Scale: the pair space is over the DISTINCT name dictionary, not
+    * rows — a dictionary stays broadcastable at any fact volume (the
+    * stat_theil_sen bounded-side contract). For genuinely unbounded
+    * name sets the production shape blocks by prefix/phonetic key
+    * first; the kernel slots into that verify stage unchanged. */
+  def dedupNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir).part.select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("n1"))
+    val b = names.select(col("p_name").as("n2"))
+    a.join(broadcast(b), col("n1") < col("n2"))
+      .withColumn("jw", round(expr("graft_jaro_winkler(n1, n2)"), 4) + lit(0.0))
+      .filter(col("jw") >= 0.85)
+      .select("n1", "n2", "jw")
+      .orderBy("n1", "n2")
+  }
+
   /** Near-dup threshold sweep — surviving-pair counts per cosine
     * threshold, from ONE candidate pass (the curve an operator reads
     * to PICK the dedup threshold before committing a corpus-wide
@@ -838,6 +865,14 @@ object DedupOps {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / n, 4) AS overlap_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+    "dedup_name_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |p AS (
+        |  SELECT a.p_name AS n1, b.p_name AS n2,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) + 0.0 AS jw
+        |  FROM n a JOIN n b ON a.p_name < b.p_name)
+        |SELECT n1, n2, jw FROM p WHERE jw >= 0.85
+        |ORDER BY n1, n2""".stripMargin,
     "dedup_threshold_sweep" ->
       s"""WITH ${SimilarityOps.ivfCellsSql},
          |pairs AS (
@@ -872,6 +907,7 @@ object DedupOps {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
+    "dedup_name_match" -> (dedupNameMatch(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),

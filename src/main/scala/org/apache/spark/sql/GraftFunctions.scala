@@ -3,7 +3,7 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AudioMeta, CosineSim, ImageMeta, MinhashBands, ShingleHashes, VideoMeta, WinnowFps}
+import graft.functions.{AudioMeta, CosineSim, ImageMeta, JaroWinklerSim, MinhashBands, ShingleHashes, VideoMeta, WinnowFps}
 
 /** Registers graft's native Catalyst expressions into a session's
   * function registry so they are usable inside SQL fragments and
@@ -23,7 +23,8 @@ object GraftFunctions {
     "graft_winnow_fps" -> (children => WinnowFps(children(0))),
     "graft_image_meta" -> (children => ImageMeta(children(0))),
     "graft_audio_meta" -> (children => AudioMeta(children(0))),
-    "graft_video_meta" -> (children => VideoMeta(children(0))))
+    "graft_video_meta" -> (children => VideoMeta(children(0))),
+    "graft_jaro_winkler" -> (children => JaroWinklerSim(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

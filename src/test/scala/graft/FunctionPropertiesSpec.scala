@@ -227,4 +227,32 @@ class FunctionPropertiesSpec extends AnyFunSuite {
     val s2 = Seq((a, 5L), (a, 3L)).foldLeft(C.zero)(C.reduce)
     assert(est(s2, a) == 8L) // full-row collision: counts merge, over-estimate bound
   }
+
+  test("JaroWinklerAlgo: pinned oracle-probed cases, symmetry, bounds") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinklerAlgo.similarity(u(a), u(b))
+    // Cases probed against DuckDB's independent implementation BEFORE
+    // the kernel was written (see the JaroWinklerAlgo scaladoc):
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    // window 0 admits only same-position matches
+    assert(jw("ab", "ba") == 0.0)
+    // integer floor transposition halving (float half would give 0.9167)
+    assert(math.abs(jw("abcdxx", "bcadxx") - 0.9444444444444445) < 1e-12)
+    // no Winkler boost at/below the 0.7 jaro threshold despite prefix
+    assert(math.abs(jw("abcdef", "abzzzz") - 0.5555555555555555) < 1e-12)
+    // empties are 0, identity is 1
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    assert(jw("widget", "widget") == 1.0)
+    // symmetry + bounds over random ASCII pairs
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val t = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val f = jw(s, t); val r = jw(t, s)
+      assert(f == r, s"asymmetric on ($s, $t): $f vs $r")
+      assert(f >= 0.0 && f <= 1.0, s"out of bounds on ($s, $t): $f")
+    }
+  }
 }
