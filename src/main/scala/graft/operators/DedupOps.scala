@@ -465,6 +465,28 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** Per-source exact-duplicate rate — the dedup family's QC panel
+    * (dedup_exact lists the groups; this attributes the damage: WHICH
+    * source is polluting the corpus with copies, the number a crawl
+    * operator acts on). A doc is a duplicate if its text hash has a
+    * lower-doc_id twin anywhere in the corpus (the canonical-survivor
+    * rule every dedup op here shares); rates are exact ppm.
+    *
+    * Scale: one md5 groupBy (map-side partial agg) + one join back on
+    * the hash — both sides hash-partitioned on h so the join reuses
+    * the aggregation's exchange — then a |sources|-key rollup. */
+  def qcDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+    val canon = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    docs.join(canon, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** Fuzzy name matching — candidate pairs from the part-name
     * dictionary ranked by the graft_jaro_winkler NATIVE expression
     * (the record-linkage member of the dedup family: levenshtein
@@ -865,6 +887,16 @@ object DedupOps {
          |SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / n, 4) AS overlap_ratio
          |FROM a ORDER BY doc_id""".stripMargin,
+    "qc_dup_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |c AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS dup_ppm
+        |FROM d JOIN c USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_name_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |p AS (
@@ -908,6 +940,7 @@ object DedupOps {
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "dedup_name_match" -> (dedupNameMatch(_, _)),
+    "qc_dup_rate" -> (qcDupRate(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),

@@ -547,6 +547,57 @@ object EventOps {
       .select(col("n_pairs"), col("s").as("slope_ppm"))
   }
 
+  /** Wald–Wolfowitz runs test — is the daily volume series RANDOM
+    * around its median, or does it trend/oscillate? (The randomness
+    * screen next to stat_autocorr's memory measure: autocorrelation
+    * sees linear dependence, runs count sees ANY sign-pattern
+    * structure.) Days equal to the median drop (the classic
+    * convention); R, n₁, n₂ are exact integers — R = 1 + sign-change
+    * count from a lag window over the span-bounded daily table — and
+    * z = (R − (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n − 1))) is ONE
+    * shared formula string with a degenerate guard (n₁ or n₂ zero).
+    * The median is the agg_exact_median counting selection over the
+    * daily-count histogram.
+    *
+    * Scale: everything after the |days|-key partial agg runs on the
+    * span-bounded series (histogram, selection window, lag window). */
+  def statRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val hist = series.groupBy("x").agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum("c").as("n_days"))
+    val wv = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum("c").over(wv))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n_days + 1) div 2") &&
+        col("cum") - col("c") < expr("(n_days + 1) div 2"))
+      .select(col("x").as("med"))
+    val wd = Window.orderBy("d")
+    series.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("d"), (col("x") > col("med")).cast("int").as("s"))
+      .withColumn("prev", lag("s", 1).over(wd))
+      .agg(
+        sum(expr("s")).as("n1"),
+        sum(expr("1 - s")).as("n2"),
+        sum(expr("CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END"))
+          .as("runs"))
+      .selectExpr(Seq("n1", "n2", "runs", RunsZ): _*)
+  }
+
+  /** Runs-test z over the exact (n1, n2, runs) integers — ONE formula
+    * string for both engines; every product stays in DECIMAL(38,0)
+    * until the two final double casts. */
+  private val RunsZ =
+    """round(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+      | ELSE CAST(runs * (n1 + n2) - (2 * CAST(n1 AS DECIMAL(38,0)) * n2 + n1 + n2) AS DOUBLE)
+      |   / ((n1 + n2) * sqrt(CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2
+      |        * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n1 - n2) AS DOUBLE)
+      |      / CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+      | END, 4) + 0.0 AS z""".stripMargin
+
   /** Weekly seasonality profile — the day-of-week × hour-of-day activity
     * grid (the load-shape heatmap behind capacity planning and
     * anomaly-baseline choice; ev_hourly_agg is the TIMELINE, this is
@@ -1202,6 +1253,23 @@ object EventOps {
         |SELECT n_pairs, s AS slope_ppm
         |FROM cm CROSS JOIN n
         |WHERE cum >= (n_pairs + 1) // 2 AND cum - c < (n_pairs + 1) // 2""".stripMargin,
+    "stat_runs_test" ->
+      s"""WITH series AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM series GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_days FROM h),
+         |cm AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM h),
+         |med AS (SELECT x AS med FROM cm CROSS JOIN nn
+         |        WHERE cum >= (n_days + 1) // 2 AND cum - c < (n_days + 1) // 2),
+         |sg AS (SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+         |       FROM series CROSS JOIN med WHERE x <> med),
+         |l AS (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM sg),
+         |m AS (SELECT CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+         |  FROM l)
+         |SELECT n1, n2, runs, $RunsZ
+         |FROM m""".stripMargin,
     "ev_seasonality" ->
       """WITH g AS (
         |  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
@@ -1413,6 +1481,7 @@ object EventOps {
     "ev_seasonality" -> (evSeasonality(_, _)),
     "stat_theil_sen" -> (statTheilSen(_, _)),
     "ev_new_vs_returning" -> (evNewVsReturning(_, _)),
+    "stat_runs_test" -> (statRunsTest(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),

@@ -498,6 +498,28 @@ object SimilarityOps {
       .orderBy("label", "pred_label")
   }
 
+  /** IVF cell-balance panel — the index-health dashboard (the number
+    * an ANN operator watches after every anchor retrain: a ballooning
+    * max cell is the first symptom of anchor drift, and the join cost
+    * every probe pays is governed by exactly these populations). Over
+    * the multi-probe assignment the probes actually read (P cells per
+    * vector): cell count, assignment count, min/max population, and
+    * the max-over-mean ratio in exact ppm.
+    *
+    * Scale: one K-key partial-aggregated count over the checkpointed
+    * assignment pass, then a one-row fold. */
+  def embCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val pops = ivfCells(spark, dir)
+      .groupBy("aid").agg(count(lit(1)).as("pop"))
+    pops.agg(
+      count(lit(1)).as("n_cells"),
+      sum("pop").as("n_assigned"),
+      min("pop").as("min_pop"),
+      max("pop").as("max_pop"))
+      .withColumn("max_over_mean_ppm",
+        expr("max_pop * n_cells * 1000000 div n_assigned"))
+  }
+
   /** Pairwise-cosine geometry histogram — the embedding-space ISOTROPY
     * diagnostic (the distribution of random-pair cosines: a healthy
     * encoder concentrates near 0 with tails toward the duplicate/
@@ -1735,6 +1757,13 @@ object SimilarityOps {
         | round(var_samp(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS var_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY t.dim ORDER BY dim""".stripMargin,
+    "emb_cell_balance" ->
+      s"""WITH ${ivfCellsSql},
+         |p AS (SELECT aid, CAST(count(*) AS BIGINT) AS pop FROM cells GROUP BY aid)
+         |SELECT count(*) AS n_cells, CAST(sum(pop) AS BIGINT) AS n_assigned,
+         |  min(pop) AS min_pop, max(pop) AS max_pop,
+         |  max(pop) * count(*) * 1000000 // CAST(sum(pop) AS BIGINT) AS max_over_mean_ppm
+         |FROM p""".stripMargin,
     "sim_pair_hist" ->
       s"""WITH samp AS (
          |  SELECT vec_id, embedding FROM (
@@ -1801,6 +1830,7 @@ object SimilarityOps {
     "emb_outliers" -> (embOutliers(_, _)),
     "sim_centroid_classify" -> (simCentroidClassify(_, _)),
     "sim_pair_hist" -> (simPairHist(_, _)),
+    "emb_cell_balance" -> (embCellBalance(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_pq_encode" -> (embPqEncode(_, _)),
     "sim_pq_topk" -> (simPqTopk(_, _)),

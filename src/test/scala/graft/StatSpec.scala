@@ -175,6 +175,21 @@ class StatSpec extends AnyFunSuite {
     assert(le >= k && lt < k, s"le=$le lt=$lt k=$k")
   }
 
+  test("runs test: counts partition the off-median days, R in [1, n]") {
+    val r = EventOps.statRunsTest(spark, sf).collect().head
+    val (n1, n2, runs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    import org.apache.spark.sql.functions._
+    val days = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().count()
+    // ties (days exactly at the median) are dropped, so n1+n2 <= days;
+    // at least one day sits at the lower median by construction.
+    assert(n1 + n2 < days && n1 + n2 > 0, s"n1=$n1 n2=$n2 days=$days")
+    assert(runs >= 1 && runs <= n1 + n2, s"runs=$runs")
+    // a sign change needs both signs present
+    if (n1 == 0 || n2 == 0) assert(runs == 1)
+  }
+
   test("A/B readout: arms partition the users, rates bounded, z2 >= 0") {
     val r = EventOps.evAbTest(spark, sf).collect().head
     val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
