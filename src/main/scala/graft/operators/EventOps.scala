@@ -625,6 +625,42 @@ object EventOps {
       .orderBy("dow", "hour")
   }
 
+  /** Bot/automation screen — the traffic-hygiene shortlist every
+    * training-data pipeline runs over behavioral logs before trusting
+    * them (ev_user_features builds the MODELING features; this ranks
+    * users by the burstiness fingerprints that separate scripts from
+    * people): per user, hour-level concentration (max events in any
+    * one active hour vs the uniform share) and the mean inter-event
+    * gap. burst_ppm = max_hourly·active_hours·10⁶ div n_events — an
+    * exact-integer ratio that is 10⁶ for a perfectly uniform user and
+    * grows with concentration; mean_gap_us = (last−first) div (n−1),
+    * exact microseconds. Top-20 shortlist by (burst desc, user) via
+    * TakeOrderedAndProject.
+    *
+    * Scale: one (user, hour) partial-agg count re-aggregated per user,
+    * one user-keyed scalar pass, a co-partitioned user join (both
+    * sides already hash on user), and a global top-20 heap. No raw-
+    * event window — the gap statistic needs only first/last/count. */
+  def evBotScreen(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+    val hourly = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("active_hours"), max("c").as("max_hourly"))
+    val scalar = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("tus").as("first_tus"),
+        max("tus").as("last_tus"))
+    scalar.join(hourly, "user_id")
+      .select(col("user_id"), col("n_events"), col("active_hours"),
+        col("max_hourly"),
+        expr("CASE WHEN n_events > 1 THEN (last_tus - first_tus) div (n_events - 1) " +
+          "ELSE 0 END").as("mean_gap_us"),
+        expr("max_hourly * active_hours * 1000000 div n_events").as("burst_ppm"))
+      .orderBy(desc("burst_ppm"), col("user_id"))
+      .limit(20)
+  }
+
   /** A/B experiment readout — the end-to-end composition of the keyed
     * deterministic split (the mix_split_assign md5 idiom: at 100 TB an
     * experiment arm is a HASH of the unit key, never a random draw —
@@ -1279,6 +1315,25 @@ object EventOps {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
         |SELECT dow, hour, n, n * 1000000 // n_total AS share_ppm
         |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    "ev_bot_screen" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, epoch_us(ts) // 3600000000 AS hour
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS active_hours,
+        |    CAST(max(c) AS BIGINT) AS max_hourly
+        |  FROM (SELECT user_id, hour, count(*) AS c FROM e GROUP BY 1, 2)
+        |  GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(tus) AS first_tus, max(tus) AS last_tus
+        |  FROM e GROUP BY user_id)
+        |SELECT s.user_id, n_events, active_hours, max_hourly,
+        |  CASE WHEN n_events > 1 THEN (last_tus - first_tus) // (n_events - 1)
+        |       ELSE 0 END AS mean_gap_us,
+        |  max_hourly * active_hours * 1000000 // n_events AS burst_ppm
+        |FROM s JOIN h ON s.user_id = h.user_id
+        |ORDER BY burst_ppm DESC, s.user_id LIMIT 20""".stripMargin,
     "ev_ab_test" -> {
       val h = (1 to 4)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
@@ -1482,6 +1537,7 @@ object EventOps {
     "stat_theil_sen" -> (statTheilSen(_, _)),
     "ev_new_vs_returning" -> (evNewVsReturning(_, _)),
     "stat_runs_test" -> (statRunsTest(_, _)),
+    "ev_bot_screen" -> (evBotScreen(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),

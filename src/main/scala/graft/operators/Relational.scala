@@ -1334,6 +1334,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** The MapReduce string-aggregation classic (group-concat — the
+    * shape of every "build a posting/roster per key" reduce): per
+    * nation, the sorted roster of its suppliers as one CSV value plus
+    * the count. Determinism comes from sorting INSIDE the aggregate
+    * domain (array_sort on the collected list == DuckDB's
+    * string_agg ORDER BY) — collect order is partition-dependent, the
+    * sorted join is not.
+    *
+    * Scale: one partial-agg shuffle on the nation key; the roster row
+    * is O(group size) — the same bounded-value-size caveat as
+    * txt_inverted_index's postings (cap or tier hot keys in
+    * production; nations are a constant 25 here). */
+  def mrGroupConcat(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("array_join(array_sort(collect_list(s_name)), ',')").as("roster"))
+      .orderBy("nation")
+  }
+
   /** redmap `CoGroup` as a declarative plan: per nation, customers and
     * suppliers grouped side by side (keys from EITHER input survive).
     * The DataFrame formulation is two partial-aggregates + a full-outer
@@ -2911,6 +2933,11 @@ object Relational {
         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM f)
         |SELECT fp, doc_id AS keep_id, n_chars FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
+    "mr_group_concat" ->
+      """SELECT n_name AS nation, count(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
     "mr_cogroup" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers,
         |                  round(sum(c_acctbal), 3) AS sum_acctbal
@@ -3336,6 +3363,7 @@ object Relational {
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
     "agg_hll_distinct" -> (aggHllDistinct(_, _)),
     "mr_cogroup" -> (mrCogroup(_, _)),
+    "mr_group_concat" -> (mrGroupConcat(_, _)),
     "qc_profile" -> (qcProfile(_, _)),
     "q20_set_ops" -> (q20SetOps(_, _)),
     "q23_volume_shipping" -> (q23VolumeShipping(_, _)),
