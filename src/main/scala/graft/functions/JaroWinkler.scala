@@ -26,15 +26,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *   applied only when jaro exceeds the classic 0.7 threshold
   *   ('abcdef' vs 'abzzzz' stays at its 0.5556 jaro despite the
   *   2-char prefix).
-  * Comparison is per UTF-16 char — identical to DuckDB's per-byte walk
-  * on this corpus's ASCII names; both engines round to 4 decimals at
-  * the call sites, absorbing any last-ulp division-order dust.
+  * Comparison is per UTF-8 BYTE — the same walk DuckDB does, on any
+  * input; both engines round to 4 decimals at the call sites,
+  * absorbing any last-ulp division-order dust.
   */
 object JaroWinklerAlgo {
 
   def similarity(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
+    // Byte walk, not toString: avoids two String decodes per row on the
+    // |dict|²/2 hot path, and per-BYTE comparison is exactly DuckDB's
+    // own walk (more faithful to the oracle than UTF-16 chars would be
+    // on any non-ASCII input). getBytes is copy-free for an untruncated
+    // backing array.
+    val s = a.getBytes
+    val t = b.getBytes
     val l1 = s.length
     val l2 = t.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -48,7 +53,7 @@ object JaroWinklerAlgo {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -62,7 +67,7 @@ object JaroWinklerAlgo {
     while (i < l1) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) raw += 1
+        if (s(i) != t(k)) raw += 1
         k += 1
       }
       i += 1
@@ -73,7 +78,7 @@ object JaroWinklerAlgo {
     if (jaro <= 0.7) return jaro
     var prefix = 0
     val maxPrefix = math.min(4, math.min(l1, l2))
-    while (prefix < maxPrefix && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    while (prefix < maxPrefix && s(prefix) == t(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }

@@ -534,8 +534,11 @@ object DedupOps {
       .groupBy("b").agg(count(lit(1)).as("c"))
     val w = Window.orderBy(desc("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // b counts 0.05-wide bins of cos (round(cos·10⁴) div 500), so the
+    // ppm threshold is b·50000 — cos 0.40 → 400000, cos 1.0 → 1000000,
+    // matching every other *_ppm column's 10⁶ scale.
     hist.withColumn("n_pairs", sum("c").over(w))
-      .select((col("b") * 500).as("thr_ppm"), col("n_pairs"))
+      .select((col("b") * 50000).as("thr_ppm"), col("n_pairs"))
       .orderBy("thr_ppm")
   }
 
@@ -916,7 +919,7 @@ object DedupOps {
          |  SELECT CAST(round(cos_sim * 10000) AS BIGINT) // 500 AS b,
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM pairs GROUP BY 1)
-         |SELECT b * 500 AS thr_ppm,
+         |SELECT b * 50000 AS thr_ppm,
          |  CAST(sum(c) OVER (ORDER BY b DESC) AS BIGINT) AS n_pairs
          |FROM h ORDER BY thr_ppm""".stripMargin,
     "dedup_embedding" ->

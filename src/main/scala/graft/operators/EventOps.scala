@@ -555,7 +555,9 @@ object EventOps {
     * convention); R, n₁, n₂ are exact integers — R = 1 + sign-change
     * count from a lag window over the span-bounded daily table — and
     * z = (R − (2n₁n₂/n + 1)) / √(2n₁n₂(2n₁n₂ − n)/(n²(n − 1))) is ONE
-    * shared formula string with a degenerate guard (n₁ or n₂ zero).
+    * shared formula string with a degenerate guard (an empty side, or
+    * zero variance when 2n₁n₂ ≤ n — e.g. n₁ = n₂ = 1, where the raw
+    * formula divides by a 0.0 sqrt into ±Inf/NaN).
     * The median is the agg_exact_median counting selection over the
     * daily-count histogram.
     *
@@ -591,7 +593,7 @@ object EventOps {
     * string for both engines; every product stays in DECIMAL(38,0)
     * until the two final double casts. */
   private val RunsZ =
-    """round(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+    """round(CASE WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= n1 + n2 THEN 0.0
       | ELSE CAST(runs * (n1 + n2) - (2 * CAST(n1 AS DECIMAL(38,0)) * n2 + n1 + n2) AS DOUBLE)
       |   / ((n1 + n2) * sqrt(CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2
       |        * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n1 - n2) AS DOUBLE)
@@ -642,9 +644,14 @@ object EventOps {
     * sides already hash on user), and a global top-20 heap. No raw-
     * event window — the gap statistic needs only first/last/count. */
   def evBotScreen(spark: SparkSession, dir: String): DataFrame = {
+    // Checkpointed: the slim projection feeds two DIFFERENTLY-keyed
+    // aggregations ((user, hour) and user) — ReuseExchange can't merge
+    // those, so without the cut the fact scan + unix_micros run twice
+    // (the ev_sessionize/ev_user_features one-scan discipline).
     val ev = Tables(spark, dir).events
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         expr("unix_micros(ts) div 3600000000").as("hour"))
+      .localCheckpoint()
     val hourly = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("c"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("active_hours"), max("c").as("max_hourly"))
@@ -670,9 +677,11 @@ object EventOps {
     * two-proportion z² statistic. z² = (c_a·n_b − c_b·n_a)²·N /
     * (n_a·n_b·C·(N−C)) — the classic (p̂₁−p̂₂)² over pooled variance
     * with every factor cross-multiplied into exact BIGINT/DECIMAL(38,0)
-    * products, ONE final double division, and a degenerate-rate guard
-    * (C=0 or C=N ⇒ 0). The formula string is shared verbatim with the
-    * oracle (the TtestDerived idiom).
+    * products, ONE final double division, and a degenerate guard
+    * (empty arm, C=0, or C=N ⇒ 0 — an empty arm would otherwise be a
+    * 0/0 NaN in z² and an ANSI divide-by-zero in the ppm rate). The
+    * z² formula string is shared verbatim with the oracle (the
+    * TtestDerived idiom).
     *
     * Scale: conversion is a per-user max — a map-side partial agg on
     * the user key; the readout is a one-row conditional fold over the
@@ -691,8 +700,8 @@ object EventOps {
         sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
         sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
       .selectExpr(Seq("n_a", "c_a", "n_b", "c_b",
-        "c_a * 1000000 div n_a AS conv_a_ppm",
-        "c_b * 1000000 div n_b AS conv_b_ppm",
+        "CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END AS conv_a_ppm",
+        "CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END AS conv_b_ppm",
         AbTestZ2): _*)
   }
 
@@ -704,7 +713,8 @@ object EventOps {
     * engine-specific: integer division is `div` in Spark, `//` in
     * DuckDB — the q34_yoy_growth parity note.) */
   private val AbTestZ2 =
-    """round(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+    """round(CASE WHEN n_a = 0 OR n_b = 0
+      |        OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
       | ELSE CAST((CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
       |        * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)
       |        * (n_a + n_b) AS DOUBLE)
@@ -1350,8 +1360,8 @@ object EventOps {
          |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
          |  FROM u)
          |SELECT n_a, c_a, n_b, c_b,
-         |  c_a * 1000000 // n_a AS conv_a_ppm,
-         |  c_b * 1000000 // n_b AS conv_b_ppm,
+         |  CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END AS conv_a_ppm,
+         |  CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm,
          |  $AbTestZ2
          |FROM m""".stripMargin
     },

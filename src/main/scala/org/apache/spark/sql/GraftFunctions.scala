@@ -16,15 +16,30 @@ import graft.functions.{AudioMeta, CosineSim, ImageMeta, JaroWinklerSim, Minhash
   * test driver or a spark-shell. Registration is idempotent.
   */
 object GraftFunctions {
+  /** Arity-checked builder: a wrong-arity SQL call gets the analysis
+    * error a built-in would give, not an IndexOutOfBoundsException out
+    * of the raw `children(i)` access. */
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.size != arity)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> arity.toString,
+            "actualNum" -> children.size.toString, "docroot" -> ""))
+      build(children)
+    }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (children => CosineSim(children(0), children(1))),
-    "graft_shingle_hashes" -> (children => ShingleHashes(children(0))),
-    "graft_minhash_bands" -> (children => MinhashBands(children(0))),
-    "graft_winnow_fps" -> (children => WinnowFps(children(0))),
-    "graft_image_meta" -> (children => ImageMeta(children(0))),
-    "graft_audio_meta" -> (children => AudioMeta(children(0))),
-    "graft_video_meta" -> (children => VideoMeta(children(0))),
-    "graft_jaro_winkler" -> (children => JaroWinklerSim(children(0), children(1))))
+    "graft_cosine" -> checked("graft_cosine", 2)(c => CosineSim(c(0), c(1))),
+    "graft_shingle_hashes" -> checked("graft_shingle_hashes", 1)(c => ShingleHashes(c(0))),
+    "graft_minhash_bands" -> checked("graft_minhash_bands", 1)(c => MinhashBands(c(0))),
+    "graft_winnow_fps" -> checked("graft_winnow_fps", 1)(c => WinnowFps(c(0))),
+    "graft_image_meta" -> checked("graft_image_meta", 1)(c => ImageMeta(c(0))),
+    "graft_audio_meta" -> checked("graft_audio_meta", 1)(c => AudioMeta(c(0))),
+    "graft_video_meta" -> checked("graft_video_meta", 1)(c => VideoMeta(c(0))),
+    "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
