@@ -382,6 +382,35 @@ object StreamOps {
     * rule) plus the last NON-purchase touch. touchTus == Long.MinValue
     * means no touch seen yet. O(users) forever — four fields, never
     * the event history. */
+  /** Per-user first-appearance row (epoch day of the user's earliest
+    * event seen so far). */
+  final case class UserFirstDay(user_id: Long, first_d: Long)
+
+  /** Streaming twin of ev_new_vs_returning's core: each user's
+    * first-ever active day as a running MIN — a join-semilattice like
+    * [[abTestStream]]'s conversion flag, so replays, reordering, and
+    * duplicates are free and no high-water mark exists. The daily
+    * new-user counts are the downstream fold over the emitted states
+    * (StreamingSpec pins them against the batch query's new_users
+    * column); the returning side needs the per-day active sets and
+    * stays a batch/windowed concern by design — the STATE this twin
+    * maintains (the first-appearance table) is exactly what the batch
+    * op's scaladoc says production persists incrementally. */
+  def newVsReturningStream(events: Dataset[Ev]): Dataset[UserFirstDay] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserFirstDay] {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(Long.MaxValue)
+          val d = evs.foldLeft(prev) { (acc, e) =>
+            math.min(acc, Math.floorDiv(e.tus, 86400000000L))
+          }
+          state.update(d)
+          UserFirstDay(uid, d)
+      }
+  }
+
   /** Per-user A/B row: deterministic arm + running conversion flag. */
   final case class AbUser(user_id: Long, arm_b: Int, conv: Int)
 

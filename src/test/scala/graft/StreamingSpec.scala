@@ -627,6 +627,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTop.nonEmpty)
   }
 
+  test("streaming first-appearance states fold to batch new_users per day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Unsorted delivery + full replay: first-day is a min-semilattice,
+    // so no ordering contract and no high-water mark exist to test —
+    // only convergence to the batch fixed point.
+    val evs = loadEvents()
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.newVsReturningStream(input.toDS())
+      .writeStream.format("memory").queryName("firstday")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamedNew = spark.sql(
+      """SELECT first_d, count(*) AS n FROM (
+        |  SELECT user_id, first_d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rid DESC) rn
+        |    FROM (SELECT *, monotonically_increasing_id() rid FROM firstday))
+        |  WHERE rn = 1)
+        |GROUP BY first_d""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batchNew = graft.operators.EventOps.evNewVsReturning(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).toMap
+    assert(streamedNew == batchNew,
+      s"streamed $streamedNew vs batch $batchNew")
+    assert(streamedNew.nonEmpty)
+  }
+
   test("streaming A/B arms equal batch ev_ab_test accumulators, replay-free") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
