@@ -627,6 +627,45 @@ object EventOps {
       .orderBy("dow", "hour")
   }
 
+  /** Session entry/exit matrix — what users arrive ON and leave FROM
+    * (the landing/exit-page analysis next to ev_top_transitions'
+    * within-session edges): sessions by the shared 30-min-gap rule,
+    * entry = first event type, exit = last (both under the (tus,
+    * event_id) total order every session op uses), counted on the
+    * |types|² grid with exact-ppm shares of all sessions.
+    *
+    * Scale: ONE user-keyed window pass builds session ids and both
+    * boundary ranks (three window functions over the same
+    * WindowExec), then a partial-aggregated pivot of boundary rows
+    * only; the grid rollup is |types|²-keyed. */
+  def evEntryExit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    val bounds = sess
+      .withColumn("rn_a", row_number().over(ws))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy(desc("tus"), desc("event_id"))))
+      .filter(col("rn_a") === 1 || col("rn_d") === 1)
+      .groupBy("user_id", "sid")
+      .agg(max(when(col("rn_a") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("exit_type"))
+    val grid = bounds.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+    grid.crossJoin(broadcast(grid.agg(sum("n_sessions").as("n_total"))))
+      .select(col("entry_type"), col("exit_type"), col("n_sessions"),
+        expr("n_sessions * 1000000 div n_total").as("share_ppm"))
+      .orderBy("entry_type", "exit_type")
+  }
+
   /** Bot/automation screen — the traffic-hygiene shortlist every
     * training-data pipeline runs over behavioral logs before trusting
     * them (ev_user_features builds the MODELING features; this ranks
@@ -1325,6 +1364,32 @@ object EventOps {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
         |SELECT dow, hour, n, n * 1000000 // n_total AS share_ppm
         |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    "ev_entry_exit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                   OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid
+        |  FROM s),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, sid ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM s2),
+        |b AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+        |  FROM r WHERE rn_a = 1 OR rn_d = 1 GROUP BY 1, 2),
+        |g AS (SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM g)
+        |SELECT entry_type, exit_type, n_sessions,
+        |  n_sessions * 1000000 // n_total AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY entry_type, exit_type""".stripMargin,
     "ev_bot_screen" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, epoch_us(ts) // 3600000000 AS hour
@@ -1548,6 +1613,7 @@ object EventOps {
     "ev_new_vs_returning" -> (evNewVsReturning(_, _)),
     "stat_runs_test" -> (statRunsTest(_, _)),
     "ev_bot_screen" -> (evBotScreen(_, _)),
+    "ev_entry_exit" -> (evEntryExit(_, _)),
     "ev_survival" -> (evSurvival(_, _)),
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),

@@ -2232,6 +2232,56 @@ object Relational {
       .orderBy("relation")
   }
 
+  /** The one schema list both engines' completeness panels derive
+    * from — sharing it means the Spark plan and the oracle cannot
+    * drift from EACH OTHER; a testdata schema change surfaces as an
+    * analysis error on both sides at once (the TESTDATA.md contract,
+    * hardcoded deliberately rather than reflected, so the panel also
+    * DETECTS a column going missing instead of silently narrowing). */
+  private val CompletenessSchema: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** Schema-wide completeness matrix — null counts for EVERY column of
+    * EVERY table in one panel (the whole-warehouse deequ completeness
+    * sweep; qc_checks asserts on one table, qc_profile profiles one,
+    * this is the ingestion gate's first screen across all ten). Each
+    * table contributes ONE scan: a single aggregate row (count + one
+    * conditional sum per column) unpivoted by `stack` into per-column
+    * rows — no per-column scans, no shuffle at all until the final
+    * ordering of ~60 rows.
+    *
+    * Scale: ten independent single-pass aggregates (Spark schedules
+    * them concurrently), each reading every column once — this panel
+    * is the one legitimate full-width scan in the suite, because its
+    * SUBJECT is every column. */
+  def qcCompleteness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    CompletenessSchema.map { case (name, cols) =>
+      val aggs = cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))
+      val stackArgs = cols.map(c => s"'$c', nn_$c").mkString(", ")
+      t.table(name)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .selectExpr(s"'$name' AS table_name",
+          s"stack(${cols.length}, $stackArgs) AS (column_name, n_null)",
+          "n_rows")
+        .select("table_name", "column_name", "n_rows", "n_null")
+    }.reduce(_.unionAll(_))
+      .orderBy("table_name", "column_name")
+  }
+
   /** Data-quality assertion pass (the deequ-style CHECK step that
     * gates a pipeline run, next to qc_profile's metrics): five checks
     * over `orders` evaluated in ONE scan — completeness, key
@@ -2732,6 +2782,18 @@ object Relational {
         |SELECT c_count, count(*) AS n_custs
         |FROM oc GROUP BY c_count
         |ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "qc_completeness" -> {
+      val ctes = CompletenessSchema.map { case (name, cols) =>
+        val ks = cols.map(c => s"count($c) AS k_$c").mkString(", ")
+        s"a_$name AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, $ks FROM $name)"
+      }.mkString("WITH ", ",\n", "")
+      val branches = CompletenessSchema.flatMap { case (name, cols) =>
+        cols.map(c =>
+          s"SELECT '$name' AS table_name, '$c' AS column_name, n_rows, " +
+            s"CAST(n_rows - k_$c AS BIGINT) AS n_null FROM a_$name")
+      }.mkString("\nUNION ALL\n")
+      s"$ctes\n$branches\nORDER BY table_name, column_name"
+    },
     "qc_referential" -> {
       def edge(rel: String, child: String, ckey: String,
                parent: String, pkey: String): String =
@@ -3379,6 +3441,7 @@ object Relational {
     "mr_reservoir" -> (mrReservoir(_, _)),
     "qc_checks" -> (qcChecks(_, _)),
     "qc_referential" -> (qcReferential(_, _)),
+    "qc_completeness" -> (qcCompleteness(_, _)),
     "q27_order_count_dist" -> (q27OrderCountDist(_, _)),
     "q29_top_supplier" -> (q29TopSupplier(_, _)),
     "agg_bloom_filter" -> (aggBloomFilter(_, _)),
