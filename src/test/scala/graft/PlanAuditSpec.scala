@@ -26,10 +26,16 @@ class PlanAuditSpec extends AnyFunSuite {
         .findAllIn(plan).size
     }
     counts.foreach { case (n, c) => info(f"$n%-22s $c shuffle(s)") }
-    val worst = counts.maxBy(_._2)
     // The heaviest pipelines (banded LSH with verification) legitimately
     // need several shuffles; anything beyond this ceiling means a join
-    // or agg lost its partitioning reuse.
-    assert(worst._2 <= 8, s"${worst._1} plans ${worst._2} shuffles")
+    // or agg lost its partitioning reuse. Documented exceptions only:
+    // - qc_completeness unions TEN independent single-scan global
+    //   aggregates (one per table of the schema-wide panel); each
+    //   contributes exactly one ONE-ROW partial->final exchange, so its
+    //   count is bounded by the table count, never by data volume.
+    val ceiling = Map("qc_completeness" -> 10).withDefaultValue(8)
+    counts.foreach { case (n, c) =>
+      assert(c <= ceiling(n), s"$n plans $c shuffles (ceiling ${ceiling(n)})")
+    }
   }
 }
