@@ -82,4 +82,35 @@ class FunctionsSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, s"$bad rows disagree with the SQL formulation")
   }
+
+  test("blocked name matching recalls every all-pairs match on this corpus") {
+    // The two-probe token blocking (first token, last token) must find
+    // the SAME result set as the all-pairs query here — the measured
+    // 140/140 recall that justifies calling it the production shape.
+    val full = graft.operators.DedupOps.dedupNameMatch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val blocked = graft.operators.DedupOps.dedupNameBlocked(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(blocked == full,
+      s"missing: ${(full -- blocked).take(5)}; extra: ${(blocked -- full).take(5)}")
+    assert(full.nonEmpty)
+  }
+
+  test("wrong-arity calls to graft functions raise an analysis error, not IOOBE") {
+    // The registry builders are arity-checked: a user typo must get the
+    // standard WRONG_NUM_ARGS analysis error instead of an
+    // IndexOutOfBoundsException out of the raw children(i) access.
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_jaro_winkler('a')").collect()
+    }
+    assert(e1.getMessage.contains("graft_jaro_winkler"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0F))").collect()
+    }
+    assert(e2.getMessage.contains("graft_cosine"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_image_meta()").collect()
+    }
+    assert(e3.getMessage.contains("graft_image_meta"))
+  }
 }
