@@ -787,6 +787,47 @@ object EventOps {
       .orderBy("epoch_hour")
   }
 
+  /** OHLC bar aggregation — the time-series downsampler every metrics
+    * store runs before charting/alerting: per (event_type, 4 h bar),
+    * the first (open), max (high), min (low), and last (close) value
+    * plus count and volume. Values in exact 1e-6 BIGINT units (the vq
+    * convention) so every output is order-independent.
+    *
+    * open/close are argmin/argmax by the total order (tus, event_id):
+    * ONE window pass assigns row_number ascending and the partition
+    * count (same partitioning, so the unordered count reuses the
+    * ordered window's exchange+sort), then the groupBy collapses onto
+    * that distribution — one shuffle total on the uniform
+    * (event_type, bar) key, which is exactly the key a 1000-executor
+    * ingest would already be partitioned by. first()/last() would be
+    * nondeterministic under parallel scan order; the row_number gate
+    * is the deterministic equivalent. */
+  def evOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val barUs = 14400000000L // 4 h in microseconds
+    val w = Window.partitionBy("event_type", "bar").orderBy("tus", "event_id")
+    val wAll = Window.partitionBy("event_type", "bar")
+    Tables(spark, dir).events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vq"))
+      .withColumn("bar", expr(s"tus div $barUs"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("event_type", "bar")
+      .agg(
+        max(when(col("rn") === 1, col("vq"))).as("open_u"),
+        max("vq").as("high_u"),
+        min("vq").as("low_u"),
+        max(when(col("rn") === col("cnt"), col("vq"))).as("close_u"),
+        count(lit(1)).as("n"),
+        sum("vq").as("vol_u"))
+      .select(col("event_type"),
+        expr(s"timestamp_micros(bar * $barUs)").as("bar_start"),
+        col("open_u"), col("high_u"), col("low_u"), col("close_u"),
+        col("n"), col("vol_u"))
+      .orderBy("event_type", "bar_start")
+  }
+
   /** Exponentially weighted moving average over each user's
     * event-value sequence — the time-series smoother behind alerting
     * baselines and engagement trending. α = 1/2 with an 8-tap bound,
@@ -1110,6 +1151,24 @@ object EventOps {
        |      GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_ohlc_bars" ->
+      s"""WITH e AS (
+         |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+         |         CAST(round(value * 1000000) AS BIGINT) AS vq
+         |  FROM events),
+         |x AS (
+         |  SELECT event_type, tus // 14400000000 AS bar, vq,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY event_type, tus // 14400000000) AS cnt
+         |  FROM e WINDOW w AS (
+         |    PARTITION BY event_type, tus // 14400000000
+         |    ORDER BY tus, event_id))
+         |SELECT event_type, make_timestamp(bar * 14400000000) AS bar_start,
+         |  max(CASE WHEN rn = 1 THEN vq END) AS open_u,
+         |  max(vq) AS high_u, min(vq) AS low_u,
+         |  max(CASE WHEN rn = cnt THEN vq END) AS close_u,
+         |  count(*) AS n, CAST(sum(vq) AS BIGINT) AS vol_u
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_streak" ->
       s"""WITH days AS (
          |  SELECT DISTINCT user_id, epoch_us(ts) // $W24h AS day FROM events),
@@ -1618,6 +1677,7 @@ object EventOps {
     "ev_incr_hourly" -> (evIncrHourly(_, _)),
     "ev_funnel_time" -> (evFunnelTime(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
+    "ev_ohlc_bars" -> (evOhlcBars(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),

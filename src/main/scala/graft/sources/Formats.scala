@@ -515,7 +515,66 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** CDC snapshot merge (upsert apply) — the table-maintenance kernel
+    * every lakehouse pipeline runs nightly: apply a change feed of
+    * updates / deletes / inserts to a base snapshot, latest-wins. The
+    * change feed is derived DETERMINISTICALLY from orders itself
+    * (key%10: 0-2 → update price +5%, 3 → delete, 7 → insert under a
+    * fresh key past max(o_orderkey)) so the oracle replays the exact
+    * same feed. Money in exact BIGINT cents (the q01 contract).
+    *
+    * The merge itself is ONE full-outer join on the key — change rows
+    * override, deletes drop, inserts survive as change-only rows. Scale
+    * posture: full-outer cannot broadcast, so both sides shuffle on the
+    * key — exactly the copy-on-write merge a 100 TB table does; with
+    * the base kept in the [[writeBucketed]] layout the base side's
+    * exchange disappears and only the (small) change feed moves. Output
+    * is the per-status row/value reconciliation a merge job logs. */
+  def srcMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables(spark, dir).orders.select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val c = b
+      .filter(expr("k % 10 IN (0, 1, 2, 3, 7)"))
+      .crossJoin(broadcast(b.agg(max("k").as("mk"))))
+      .select(
+        expr("CASE WHEN k % 10 = 7 THEN k + mk ELSE k END").as("ck"),
+        col("st").as("cst"),
+        expr("CASE WHEN k % 10 = 3 THEN 'D' WHEN k % 10 <= 2 THEN 'U' ELSE 'I' END").as("op"),
+        expr("CASE WHEN k % 10 <= 2 THEN (cents * 105) div 100 ELSE cents END").as("ccents"))
+    b.join(c, col("k") === col("ck"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("st"), col("cst")).as("mst"),
+        expr("CASE WHEN op IN ('U', 'I') THEN ccents ELSE cents END").as("mcents"))
+      .groupBy(col("mst").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum("mcents").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val oracles: Map[String, String] = Map(
+    "src_merge_upsert" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders),
+        |c AS (
+        |  SELECT CASE WHEN k % 10 = 7 THEN k + mk ELSE k END AS ck,
+        |         st AS cst,
+        |         CASE WHEN k % 10 = 3 THEN 'D'
+        |              WHEN k % 10 <= 2 THEN 'U' ELSE 'I' END AS op,
+        |         CASE WHEN k % 10 <= 2 THEN (cents * 105) // 100
+        |              ELSE cents END AS ccents
+        |  FROM b, mx WHERE k % 10 IN (0, 1, 2, 3, 7)),
+        |m AS (
+        |  SELECT coalesce(b.st, c.cst) AS mst,
+        |         CASE WHEN c.op IN ('U', 'I') THEN c.ccents
+        |              ELSE b.cents END AS mcents
+        |  FROM b FULL OUTER JOIN c ON b.k = c.ck
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT mst AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(mcents) AS BIGINT) AS total_cents
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_jsonl_roundtrip" ->
@@ -578,5 +637,6 @@ object Formats {
     "src_json_nested" -> (srcJsonNested(_, _)),
     "src_zorder_scan" -> (srcZorderScan(_, _)),
     "src_dpp_scan" -> (srcDppScan(_, _)),
+    "src_merge_upsert" -> (srcMergeUpsert(_, _)),
   )
 }
