@@ -360,6 +360,59 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Mergeable equi-width histogram-quantile SKETCH, gated against the
+    * exact answer — the quantile member of the sketch family
+    * (HLL/KMV/CMS cover distinct/heavy-hitters; this covers
+    * percentiles): 1024 equi-width bins over [min, max] whose counts
+    * are a semilattice (bin counts ADD across shards/days — the
+    * mergeable property exact quantiles lack, and why a 100 TB
+    * fleet's per-hour quantile rollups ship bin vectors, not values),
+    * quantile estimate = lower edge of the first bin whose cumulative
+    * count reaches the rank — deterministic integer arithmetic
+    * end-to-end, error bounded by one bin width by construction.
+    *
+    * The query reports the sketch estimate NEXT TO the exact
+    * counting-selection value ([[aggExactMedian]]'s histogram) for
+    * p50/p90/p99 with the signed error in cents — the
+    * [[graft.operators.SimilarityOps]] sim_recall_eval move: the
+    * accuracy gate IS a gated query, not a comment. One checkpointed
+    * value-domain histogram feeds bounds, bins, and the exact side;
+    * both cumulative windows are single-partition but DOMAIN-bounded
+    * (≤1024 bins; ≤|distinct cents| rows), never corpus-sized. */
+  def aggQuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).lineitem
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bounds = h.agg(min("c").as("lo"), max("c").as("hi"),
+      sum("cnt").as("n"))
+    val ranks = bounds
+      .select(explode(array(lit(50), lit(90), lit(99))).as("q"),
+        col("n"), col("lo"), col("hi"))
+      .select(col("q"), expr("(q * n + 99) div 100").as("r"),
+        col("lo"), col("hi"))
+    val bins = h.crossJoin(broadcast(bounds))
+      .groupBy(expr("((c - lo) * 1024) div (hi - lo + 1)").as("b"))
+      .agg(sum("cnt").as("bc"))
+    val wb = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = bins.withColumn("cum", sum("bc").over(wb))
+      .join(broadcast(ranks), col("cum") >= col("r"))
+      .groupBy("q")
+      .agg(min("b").as("eb"), max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("q"),
+        expr("lo + (eb * (hi - lo + 1)) div 1024").as("est_cents"))
+    val wc = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ex = h.withColumn("cum", sum("cnt").over(wc))
+      .join(broadcast(ranks.select("q", "r")), col("cum") >= col("r"))
+      .groupBy("q").agg(min("c").as("exact_cents"))
+    est.join(ex, "q")
+      .select(col("q"), col("est_cents"), col("exact_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"))
+      .orderBy("q")
+  }
+
   /** Exact WEIGHTED median — [[aggExactMedian]]'s counting selection
     * with per-row weights (unit price weighted by quantity: "the
     * price at which half the VOLUME trades", the volume-weighted
@@ -797,6 +850,61 @@ object Relational {
       .groupBy("k", "n_rows")
       .agg(sum("ssbq").as("ssb"), sum("sswq").as("ssw"))
       .selectExpr(AnovaDerived: _*)
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene's W with the
+    * MEDIAN center — the robust form) across document sources on
+    * n_chars: W is one-way ANOVA's F computed on z = |x − group
+    * median|, the "are the sources' length SPREADS comparable"
+    * pre-check run before any pooled-variance test ([[statAnova]]
+    * answers the MEANS question; this answers the variances one).
+    *
+    * Everything folds from ONE corpus scan: rows collapse to the
+    * (source, n_chars) histogram (value-domain bounded — the
+    * [[aggExactMedian]] counting-selection posture), the exact lower
+    * median comes off the cumulative histogram, and the z-moments
+    * (nj, Σz, Σz²) re-read the SAME checkpointed histogram weighted by
+    * cnt — z is exact-integer chars since the lower median is an
+    * actual value. SSB/SSW terms follow the [[statAnova]] contract:
+    * one pinned-association double per GROUP (k of them, not n),
+    * rounded to integer chars² before the exact fold. */
+  def statLevene(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).documents
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = h.groupBy("source").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = h.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), "source")
+      .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+        expr("(n + 1) div 2") <= col("cum"))
+      .select(col("source"), col("n_chars").as("med"))
+    val gm = h.join(broadcast(med), "source")
+      .withColumn("z", abs(col("n_chars") - col("med")))
+      .groupBy("source")
+      .agg(sum("cnt").as("nj"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * cnt")).as("sj"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z * cnt")).as("qj"))
+      .localCheckpoint()
+    val t = gm.agg(sum("nj").as("n"),
+      sum(expr("CAST(sj AS DECIMAL(38,0))")).as("s"),
+      count(lit(1)).as("k"))
+    gm.crossJoin(broadcast(t))
+      .select(col("k"), col("n").as("n_rows"),
+        expr("""CAST(round(
+          CAST(nj AS DOUBLE)
+          * ((CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
+             * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n))
+          ) AS BIGINT)""").as("ssbq"),
+        expr("CAST(round(CAST(qj * nj - sj * sj AS DOUBLE) / nj) AS BIGINT)")
+          .as("sswq"))
+      .groupBy("k", "n_rows")
+      .agg(sum("ssbq").as("ssb"), sum("sswq").as("ssw"))
+      .selectExpr("k", "n_rows",
+        """round((CAST(ssb AS DOUBLE) / (k - 1))
+          | / (CAST(ssw AS DOUBLE) / (n_rows - k)), 4) + 0.0 AS w_stat""".stripMargin)
   }
 
   /** Data-freshness lag per event type — the staleness panel an
@@ -3181,6 +3289,70 @@ object Relational {
          |  CAST(sum(hv::HUGEINT) AS VARCHAR) AS content_digest
          |FROM x""".stripMargin
     },
+    "stat_levene" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM h GROUP BY 1),
+        |cumh AS (
+        |  SELECT source, n_chars, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+        |  FROM h),
+        |med AS (
+        |  SELECT c.source, c.n_chars AS med
+        |  FROM cumh c JOIN tot USING (source)
+        |  WHERE c.cum - c.cnt < (n + 1) // 2 AND (n + 1) // 2 <= c.cum),
+        |gm AS (
+        |  SELECT h.source, CAST(sum(cnt) AS BIGINT) AS nj,
+        |    sum(abs(h.n_chars - med)::HUGEINT * cnt) AS sj,
+        |    sum(abs(h.n_chars - med)::HUGEINT * abs(h.n_chars - med) * cnt) AS qj
+        |  FROM h JOIN med USING (source) GROUP BY 1),
+        |t AS (SELECT CAST(sum(nj) AS BIGINT) AS n, sum(sj) AS s,
+        |             CAST(count(*) AS BIGINT) AS k FROM gm),
+        |q AS (
+        |  SELECT k, n AS n_rows,
+        |    CAST(round(
+        |      CAST(nj AS DOUBLE)
+        |      * ((CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n)
+        |         * (CAST(sj AS DOUBLE) / nj - CAST(s AS DOUBLE) / n))
+        |      ) AS BIGINT) AS ssbq,
+        |    CAST(round(CAST(qj * nj - sj * sj AS DOUBLE) / nj) AS BIGINT) AS sswq
+        |  FROM gm CROSS JOIN t),
+        |m AS (
+        |  SELECT k, n_rows, CAST(sum(ssbq) AS BIGINT) AS ssb,
+        |         CAST(sum(sswq) AS BIGINT) AS ssw
+        |  FROM q GROUP BY 1, 2)
+        |SELECT k, n_rows,
+        |  round((CAST(ssb AS DOUBLE) / (k - 1))
+        |   / (CAST(ssw AS DOUBLE) / (n_rows - k)), 4) + 0.0 AS w_stat
+        |FROM m""".stripMargin,
+    "agg_quantile_bins" ->
+      """WITH h AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |bounds AS (SELECT min(c) AS lo, max(c) AS hi,
+        |                  CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |ranks AS (
+        |  SELECT q, (q * n + 99) // 100 AS r, lo, hi
+        |  FROM bounds, (VALUES (50), (90), (99)) AS t(q)),
+        |bins AS (
+        |  SELECT ((c - lo) * 1024) // (hi - lo + 1) AS b,
+        |         CAST(sum(cnt) AS BIGINT) AS bc
+        |  FROM h, bounds GROUP BY 1),
+        |bcum AS (SELECT b, sum(bc) OVER (ORDER BY b) AS cum FROM bins),
+        |est AS (
+        |  SELECT q, CAST(lo + (min(b) * (hi - lo + 1)) // 1024 AS BIGINT)
+        |           AS est_cents
+        |  FROM bcum JOIN ranks ON cum >= r GROUP BY q, lo, hi),
+        |hcum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM h),
+        |ex AS (
+        |  SELECT q, min(c) AS exact_cents
+        |  FROM hcum JOIN ranks ON cum >= r GROUP BY 1)
+        |SELECT q, est_cents, exact_cents,
+        |  est_cents - exact_cents AS err_cents
+        |FROM est JOIN ex USING (q) ORDER BY q""".stripMargin,
     "qc_freshness" ->
       """WITH p AS (
         |  SELECT event_type, max(epoch_us(ts)) AS mt,
@@ -3458,6 +3630,8 @@ object Relational {
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
     "stat_anova" -> (statAnova(_, _)),
+    "stat_levene" -> (statLevene(_, _)),
+    "agg_quantile_bins" -> (aggQuantileBins(_, _)),
     "mr_table_checksum" -> (mrTableChecksum(_, _)),
     "qc_freshness" -> (qcFreshness(_, _)),
     "stat_ks_test" -> (statKsTest(_, _)),

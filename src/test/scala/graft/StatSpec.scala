@@ -201,4 +201,27 @@ class StatSpec extends AnyFunSuite {
     assert(pa >= 0 && pa <= 1000000 && pb >= 0 && pb <= 1000000)
     assert(z2 >= 0.0, s"z2=$z2")
   }
+
+  test("quantile-bin sketch: lower-edge estimate within one bin width below exact") {
+    val rows = Relational.aggQuantileBins(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    // bin width from the corpus bounds the estimator error by construction
+    val h = Tables(spark, sf).lineitem
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS c")
+      .agg(org.apache.spark.sql.functions.expr("max(c) - min(c) + 1").as("span"))
+      .collect().head.getLong(0)
+    val width = h / 1024 + 1
+    rows.foreach { r =>
+      val err = r.getLong(3)
+      // est is the bin's LOWER edge, so it can only undershoot
+      assert(err <= 0 && -err <= width, s"q=${r.getInt(0)} err=$err width=$width")
+    }
+  }
+
+  test("Brown-Forsythe W is non-negative and finite with k>=2 groups") {
+    val r = Relational.statLevene(spark, sf).collect().head
+    val (k, n, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(k >= 2 && n > k, s"k=$k n=$n")
+    assert(w >= 0.0 && !w.isNaN && !w.isInfinite, s"w_stat=$w")
+  }
 }
