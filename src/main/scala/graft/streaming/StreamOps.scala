@@ -615,6 +615,57 @@ object StreamOps {
       }
   }
 
+  /** Per-(type, 4 h bar) OHLC state: open/close carry their
+    * (tus, event_id) witness so each is an argmin/argmax on the batch
+    * query's total order. */
+  final case class OhlcState(otus: Long, oid: Long, open: Long,
+      ctus: Long, cid: Long, close: Long, high: Long, low: Long)
+
+  /** Running OHLC per (event_type, bar) in 1e-6 BIGINT units. */
+  final case class BarOhlc(event_type: String, bar: Long, open_u: Long,
+      high_u: Long, low_u: Long, close_u: Long)
+
+  /** Streaming OHLC bars — the streaming twin of the batch
+    * ev_ohlc_bars, and a NEW state shape for the twin family:
+    * argmin/argmax-by-witness. All four components are join-
+    * semilattices — open/close are min/max on the lexicographic
+    * (tus, event_id) total order (the witness rides in the state so a
+    * later micro-batch can lose the comparison), high/low plain
+    * max/min on the value — so replays and out-of-order delivery can
+    * only re-assert, never corrupt, with NO ordering contract needed
+    * (unlike the sessionizer's gap rule). Count/volume are
+    * deliberately absent: sums are not idempotent under replay — a
+    * pipeline that needs them runs the counting twins alongside.
+    * State is O(bars × 8 longs); bars ever-grow with time, so a
+    * production deployment ages out closed bars via the watermark
+    * (the hourlyAggWatermarked pattern) — state here is bounded by
+    * the spec's corpus. Values quantize with math.round: HALF_UP for
+    * the positive-value domain, matching the batch CAST(round(v*1e6))
+    * contract. */
+  def ohlcStream(events: Dataset[Ev]): Dataset[BarOhlc] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.tus / 14400000000L))
+      .mapGroupsWithState[OhlcState, BarOhlc] {
+        (key: (String, Long), evs: Iterator[Ev], state: GroupState[OhlcState]) =>
+          val (ty, bar) = key
+          var s = state.getOption.getOrElse(OhlcState(
+            Long.MaxValue, Long.MaxValue, 0L,
+            Long.MinValue, Long.MinValue, 0L, Long.MinValue, Long.MaxValue))
+          evs.foreach { e =>
+            val vq = math.round(e.value * 1e6)
+            if (e.tus < s.otus || (e.tus == s.otus && e.event_id < s.oid))
+              s = s.copy(otus = e.tus, oid = e.event_id, open = vq)
+            if (e.tus > s.ctus || (e.tus == s.ctus && e.event_id > s.cid))
+              s = s.copy(ctus = e.tus, cid = e.event_id, close = vq)
+            if (vq > s.high) s = s.copy(high = vq)
+            if (vq < s.low) s = s.copy(low = vq)
+          }
+          state.update(s)
+          BarOhlc(ty, bar, s.open, s.high, s.low, s.close)
+      }
+  }
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

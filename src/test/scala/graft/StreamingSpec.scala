@@ -699,4 +699,47 @@ class StreamingSpec extends AnyFunSuite {
       (batch.getLong(0), batch.getLong(1), batch.getLong(2), batch.getLong(3)))
     assert(arms.getLong(0) + arms.getLong(2) > 0)
   }
+
+  test("streaming OHLC argmin/argmax states converge to the batch bars under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Unsorted delivery + a full replayed middle batch: every component
+    // is a semilattice (open/close argmin/argmax by witness, high/low
+    // min/max), so convergence needs no ordering contract.
+    val evs = loadEvents()
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.ohlcStream(input.toDS())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    // latest emitted row per (type, bar) — Update mode re-emits on change
+    val streamed = spark.sql(
+      """SELECT event_type, bar, open_u, high_u, low_u, close_u FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type, bar ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM ohlc))
+        |WHERE rn = 1""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.operators.EventOps.evOhlcBars(spark, sf)
+      .selectExpr("event_type", "unix_micros(bar_start) div 14400000000 AS bar",
+        "open_u", "high_u", "low_u", "close_u")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed == batch, {
+      val diff = (streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k)).take(3)
+      s"OHLC divergence at $diff: streamed=${diff.map(streamed.get)} batch=${diff.map(batch.get)}"
+    })
+    assert(streamed.size > 10)
+  }
 }
