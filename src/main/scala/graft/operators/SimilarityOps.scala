@@ -129,16 +129,25 @@ object SimilarityOps {
     * [[KmeansAnchors]], the Lloyd loop's per-iteration K-row centroid
     * snapshots). */
   def ivfCells(spark: SparkSession, dir: String,
-      anchors: AnchorSource = SampleAnchors): DataFrame = {
+      anchors: AnchorSource = SampleAnchors,
+      withRank: Boolean = false): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
     val probeExpr =
       s"""slice(transform(sort_array(transform(arr,
          |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
          |  s -> s.aid), 1, $IvfP)""".stripMargin
-    emb
-      .crossJoin(broadcast(anchorsArr(emb, k, anchors)))
-      .select(col("vec_id"), col("embedding"), explode(expr(probeExpr)).as("aid"))
+    val base = emb.crossJoin(broadcast(anchorsArr(emb, k, anchors)))
+    // withRank keeps the probe ORDER (1 = best anchor) — the
+    // [[simProbeSweep]] axis; the default path is unchanged.
+    if (withRank)
+      base.select(col("vec_id"), col("embedding"),
+          posexplode(expr(probeExpr)))
+        .select(col("vec_id"), col("embedding"),
+          (col("pos") + 1).as("prank"), col("col").as("aid"))
+    else
+      base.select(col("vec_id"), col("embedding"),
+        explode(expr(probeExpr)).as("aid"))
   }
 
   /** DuckDB twin of [[ivfCells]]: same K formula, same md5-ranked anchor
@@ -592,6 +601,56 @@ object SimilarityOps {
       .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall", col("n_hits").cast("double") / 5.0)
       .orderBy("qid")
+  }
+
+  /** ANN probe-count tuning curve — recall@5 AND candidate volume as a
+    * function of how many cells the query probes (p = 1..IvfP), from
+    * ONE cell-assignment pass: the curve an operator reads to PICK the
+    * probe count before a corpus-wide deployment ([[simRecallEval]]
+    * gates the shipped configuration; this shows the whole tradeoff —
+    * dedup_threshold_sweep's move applied to the ANN probe knob).
+    * Candidate volume is the COST axis: at 100 TB each probe level
+    * scans ~p/K of the corpus per query, and the sweep makes the
+    * recall-per-scan knee visible instead of guessed.
+    *
+    * Mechanics: cells carry their probe RANK (posexplode of the same
+    * top-P expression — rank 1 = best anchor), each candidate pair
+    * enters at the query's smallest probing rank (min-agg), cosines
+    * are scored ONCE on the checkpointed pair set, and the p axis is a
+    * 4-row broadcast join — per-p ranking is a WindowGroupLimit on
+    * (p, qid). Recall is exact integer ppm over the 20-query truth. */
+  def simProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val cells = ivfCells(spark, dir, SampleAnchors, withRank = true)
+      .localCheckpoint()
+    val qcells = cells.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("aid"), col("prank").as("qprank"))
+    val scored = cells.join(qcells, Seq("aid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(min("qprank").as("minp"))
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("c", round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0))
+      .select("qid", "vec_id", "minp", "c")
+    val ps = spark.range(1, IvfP + 1).select(col("id").cast("int").as("p"))
+    val wp = Window.partitionBy("p", "qid").orderBy(desc("c"), col("vec_id"))
+    scored.join(broadcast(ps), col("minp") <= col("p"))
+      .withColumn("rn", row_number().over(wp))
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("rn") <= 5 && col("hit").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div 100"))
+      .orderBy("p")
   }
 
   /** Simplified silhouette per IVF cell — the cluster-quality eval a
@@ -1613,6 +1672,38 @@ object SimilarityOps {
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
+    "sim_probe_sweep" ->
+      s"""WITH $ivfCellsSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |exall AS (
+         |  SELECT q.qid, e.vec_id, round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id, 1 AS hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM exall) WHERE rn <= 5),
+         |qr AS (
+         |  SELECT vec_id AS qid, aid, rn AS prank FROM (
+         |    SELECT vec_id, aid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+         |    FROM asn WHERE vec_id < 20) WHERE rn <= $IvfP),
+         |cand AS (
+         |  SELECT qr.qid, c2.vec_id, min(qr.prank) AS minp
+         |  FROM qr JOIN cells c2 USING (aid)
+         |  WHERE c2.vec_id <> qr.qid GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT cand.qid, cand.vec_id, minp,
+         |    round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+         |  JOIN q ON cand.qid = q.qid),
+         |j AS (
+         |  SELECT p, s.qid, s.vec_id,
+         |    row_number() OVER (PARTITION BY p, s.qid ORDER BY c DESC, s.vec_id) AS rn
+         |  FROM scored s JOIN (VALUES (1), (2), (3), (4)) ps(p) ON minp <= p)
+         |SELECT p, CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 100 AS BIGINT) AS recall_ppm
+         |FROM j LEFT JOIN ex ON j.qid = ex.qid AND j.vec_id = ex.vec_id
+         |GROUP BY p ORDER BY p""".stripMargin,
     "sim_recall_eval" ->
       s"""WITH $ivfCellsSql,
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
@@ -1821,6 +1912,7 @@ object SimilarityOps {
     "sim_knn_graph" -> (simKnnGraph(_, _)),
     "sim_knn_label_eval" -> (simKnnLabelEval(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
+    "sim_probe_sweep" -> (simProbeSweep(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
     "emb_silhouette" -> (embSilhouette(_, _)),

@@ -620,6 +620,31 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .orderBy("chunk_hash")
 
+  /** Soft deduplication — duplicate-count DOWNWEIGHTING, the policy
+    * alternative to dedup_exact's hard drop (repetition-aware training
+    * weights: a doc with k exact copies contributes 1/k of a doc, so a
+    * crawl's duplication structure reweights the mixture instead of
+    * truncating it). Per-copy weight = exact `1e6 div k` ppm off ONE
+    * content-hash window (an unordered count-over-partition — one
+    * uniform md5 exchange, no sort), then a per-source rollup of raw
+    * vs EFFECTIVE doc and token mass. The raw−effective gap per source
+    * is the number a mixture designer reads next to mix_temperature's
+    * quota: how much of this source is genuinely distinct mass. */
+  def mixSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    Tables(spark, dir).documents
+      .select(col("source"), md5(col("text")).as("h"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("tok"))
+      .withColumn("k", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_docs"),
+        sum(expr("1000000 div k")).as("eff_docs_ppm"),
+        sum("tok").as("toks_raw"),
+        sum(expr("tok * (1000000 div k)")).as("eff_toks_ppm"))
+      .orderBy("source")
+  }
+
   /** mix_token_budget's per-source token budget. */
   private[graft] val MixBudgetTokens = 700L
 
@@ -1410,6 +1435,18 @@ object TextOps {
       s"""SELECT source, count(*) AS n_sampled FROM documents
          |WHERE $h % 10 = 0 GROUP BY source ORDER BY source""".stripMargin
     },
+    "mix_soft_dedup" ->
+      """WITH t AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |x AS (SELECT source, tok, count(*) OVER (PARTITION BY h) AS k FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(1000000 // k) AS BIGINT) AS eff_docs_ppm,
+        |  CAST(sum(tok) AS BIGINT) AS toks_raw,
+        |  CAST(sum(tok * (1000000 // k)) AS BIGINT) AS eff_toks_ppm
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "mix_split_assign" -> {
       val h = (1 to 4)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
@@ -1783,6 +1820,7 @@ object TextOps {
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
+    "mix_soft_dedup" -> (mixSoftDedup(_, _)),
     "mix_temperature" -> (mixTemperature(_, _)),
     "mix_split_assign" -> (mixSplitAssign(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),

@@ -257,4 +257,18 @@ class IvfSpec extends AnyFunSuite {
     info(s"shortlist recall@10-in-50 = $recall")
     assert(recall >= 0.2, s"PQ shortlist recall $recall below 0.2")
   }
+
+  test("probe sweep: recall and candidate volume are monotone in p, top out high") {
+    val rows = SimilarityOps.simProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to SimilarityOps.IvfP))
+    val cands = rows.map(_.getLong(1))
+    val recalls = rows.map(_.getLong(3))
+    // more probes can only add candidates, and a superset candidate
+    // pool can only improve an exact re-rank's recall
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toSeq)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }, recalls.toSeq)
+    // full-probe recall matches the shipped configuration's gate
+    assert(recalls.last >= 800000L, s"recall@P=${recalls.last} ppm")
+    info(s"sweep: candidates=${cands.toSeq} recall_ppm=${recalls.toSeq}")
+  }
 }
