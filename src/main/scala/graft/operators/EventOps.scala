@@ -787,6 +787,80 @@ object EventOps {
       .orderBy("epoch_hour")
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every metrics
+    * forecaster must beat, evaluated as a query: forecast(type, hour)
+    * = observed count 24 h earlier, scored by MAE over the corpus's
+    * final 72 hours. Hour pairing is an equi-join on (type, h−24)
+    * rather than a lag(24) window so GAPPY series stay correct (a
+    * missing hour silently misaligns every lag after it; the join
+    * skips hours missing either side — documented backtest scope).
+    * Exact integers end-to-end: counts, absolute errors, and the
+    * MAE in milli-units via integer division. One (type, hour)
+    * partial-agg shuffle; the self-join collapses onto the same
+    * checkpointed ≤|types|·|hours| table. */
+  def evSeasonalNaive(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val prev = hourly.select(col("event_type"), (col("h") + 24).as("h"),
+      col("cnt").as("cnt_prev"))
+    hourly.join(prev, Seq("event_type", "h"))
+      .crossJoin(broadcast(hourly.agg(max("h").as("mh"))))
+      .filter(col("h") > col("mh") - 72)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("cnt") - col("cnt_prev"))).as("sum_abs_err"))
+      .withColumn("mae_milli", expr("sum_abs_err * 1000 div n_hours"))
+      .orderBy("event_type")
+  }
+
+  /** Shared MDE formula string (both engines): two-proportion minimum
+    * detectable effect at α=0.05 two-sided, 80% power —
+    * (z_{0.975} + z_{0.80}) = 1.959964 + 0.841621 = 2.801585. The one
+    * double chain (sqrt is correctly rounded IEEE in both engines, the
+    * literal and association pinned by this single string) quantizes
+    * straight to ppm. */
+  private val MdePpm =
+    """CAST(round(2.801585
+      | * sqrt(2.0 * (CAST(pooled_ppm AS DOUBLE) / 1000000.0)
+      |        * (1.0 - CAST(pooled_ppm AS DOUBLE) / 1000000.0)
+      |        / n_min)
+      | * 1000000) AS BIGINT) AS mde_ppm""".stripMargin
+
+  /** Experiment POWER readout — the minimum detectable effect the
+    * ev_ab_test experiment can resolve at 80% power, next to the
+    * effect it actually observed: the "was this A/B test big enough"
+    * panel an experimentation platform prints before anyone reads the
+    * z-score. Same per-user conversion accumulators as ev_ab_test
+    * (one user_id shuffle, 4-long fold); pooled rate and observed
+    * diff in exact ppm; the MDE is the one pinned double chain
+    * ([[MdePpm]]), and `detectable` is an exact integer compare of
+    * observed vs MDE. */
+  def statPowerMde(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm_b",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
+      .agg(
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
+      .selectExpr("n_a", "n_b",
+        "(c_a + c_b) * 1000000 div (n_a + n_b) AS pooled_ppm",
+        "least(n_a, n_b) AS n_min",
+        """abs(CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END
+          | - CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END)
+          | AS observed_diff_ppm""".stripMargin)
+      .selectExpr("n_a", "n_b", "pooled_ppm", "observed_diff_ppm", MdePpm)
+      .selectExpr("n_a", "n_b", "pooled_ppm", "observed_diff_ppm", "mde_ppm",
+        "CASE WHEN observed_diff_ppm >= mde_ppm THEN 1 ELSE 0 END AS detectable")
+
   /** OHLC bar aggregation — the time-series downsampler every metrics
     * store runs before charting/alerting: per (event_type, 4 h bar),
     * the first (open), max (high), min (low), and last (close) value
@@ -1151,6 +1225,49 @@ object EventOps {
        |      GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_seasonal_naive" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(h) AS mh FROM hourly),
+        |j AS (
+        |  SELECT a.event_type, a.h, a.cnt, b.cnt AS cnt_prev
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.h = b.h + 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(abs(cnt - cnt_prev)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(cnt - cnt_prev)) * 1000 // count(*) AS BIGINT) AS mae_milli
+        |FROM j, mx WHERE j.h > mh - 72
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stat_power_mde" -> {
+      val h = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         |    $h % 2 AS arm_b
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM u),
+         |x AS (
+         |  SELECT n_a, n_b,
+         |    (c_a + c_b) * 1000000 // (n_a + n_b) AS pooled_ppm,
+         |    least(n_a, n_b) AS n_min,
+         |    abs(CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END
+         |      - CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END)
+         |      AS observed_diff_ppm
+         |  FROM m),
+         |y AS (SELECT n_a, n_b, pooled_ppm, observed_diff_ppm, $MdePpm FROM x)
+         |SELECT n_a, n_b, pooled_ppm, observed_diff_ppm, mde_ppm,
+         |  CASE WHEN observed_diff_ppm >= mde_ppm THEN 1 ELSE 0 END AS detectable
+         |FROM y""".stripMargin
+    },
     "ev_ohlc_bars" ->
       s"""WITH e AS (
          |  SELECT event_type, event_id, epoch_us(ts) AS tus,
@@ -1678,6 +1795,8 @@ object EventOps {
     "ev_funnel_time" -> (evFunnelTime(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
+    "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
+    "stat_power_mde" -> (statPowerMde(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
