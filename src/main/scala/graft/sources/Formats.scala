@@ -515,6 +515,40 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** Small-file COMPACTION — the other nightly table-maintenance
+    * kernel next to [[srcMergeUpsert]] (streaming ingest leaves
+    * thousands of KB-sized files per partition; scan cost at 100 TB is
+    * dominated by file-open overhead until someone compacts): a
+    * 64-file fragmented copy of orders is rewritten through
+    * `coalesce(4)` — coalesce, NOT repartition, so compaction moves no
+    * shuffle data; each output task just concatenates input splits
+    * (the right plan at any scale; repartition would shuffle the
+    * whole table to fix a layout problem). File counts are
+    * deterministic (round-robin repartition fills all 64; coalesce
+    * emits one file per merged task), asserted against the filesystem
+    * here and mirrored as literals in the oracle; row count and exact
+    * cents total gate that compaction lost and changed NOTHING. */
+  def srcCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val frag = tmp("orders_fragmented")
+    val compact = tmp("orders_compacted")
+    orders.repartition(64).write.mode(SaveMode.Overwrite).parquet(frag)
+    spark.read.parquet(frag).coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(compact)
+    def nFiles(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+      finally s.close()
+    }
+    spark.read.parquet(compact)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("total_cents"))
+      .select(lit(nFiles(frag)).as("files_before"),
+        lit(nFiles(compact)).as("files_after"),
+        col("n_rows"), col("total_cents"))
+  }
+
   /** CDC snapshot merge (upsert apply) — the table-maintenance kernel
     * every lakehouse pipeline runs nightly: apply a change feed of
     * updates / deletes / inserts to a base snapshot, latest-wins. The
@@ -553,6 +587,12 @@ object Formats {
   }
 
   val oracles: Map[String, String] = Map(
+    "src_compaction" ->
+      """SELECT CAST(64 AS BIGINT) AS files_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders""".stripMargin,
     "src_merge_upsert" ->
       """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
         |b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -638,5 +678,6 @@ object Formats {
     "src_zorder_scan" -> (srcZorderScan(_, _)),
     "src_dpp_scan" -> (srcDppScan(_, _)),
     "src_merge_upsert" -> (srcMergeUpsert(_, _)),
+    "src_compaction" -> (srcCompaction(_, _)),
   )
 }
