@@ -824,11 +824,11 @@ object EventOps {
     * literal and association pinned by this single string) quantizes
     * straight to ppm. */
   private val MdePpm =
-    """CAST(round(2.801585
+    """CASE WHEN n_min = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round(2.801585
       | * sqrt(2.0 * (CAST(pooled_ppm AS DOUBLE) / 1000000.0)
       |        * (1.0 - CAST(pooled_ppm AS DOUBLE) / 1000000.0)
       |        / n_min)
-      | * 1000000) AS BIGINT) AS mde_ppm""".stripMargin
+      | * 1000000) AS BIGINT) END AS mde_ppm""".stripMargin
 
   /** Experiment POWER readout — the minimum detectable effect the
     * ev_ab_test experiment can resolve at 80% power, next to the
