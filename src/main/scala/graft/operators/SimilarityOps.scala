@@ -438,6 +438,38 @@ object SimilarityOps {
       .agg((round(avg("v"), 4) + lit(0.0)).as("avg_v"))
       .orderBy("label", "dim")
 
+  /** Source-level SEMANTIC affinity matrix — which corpora say the
+    * same things: per-source mean embedding (the [[embCentroids]]
+    * round-4→FLOAT parity contract), then pairwise centroid cosine
+    * over all source pairs — the embedding-space sibling of
+    * txt_js_divergence's token-distribution comparison, and the table
+    * a mixture designer reads to spot redundant sources BEFORE paying
+    * for cross-source dedup. Scale: one doc⋈embedding key join +
+    * one (source, dim) partial agg; the pair stage is a broadcast
+    * self-join over |sources| rows — |sources|²/2 cells off
+    * vertex-sized state, never touching the corpus again (the 20-row
+    * centroid table is checkpointed — both self-join sides read the
+    * materialized rows, not two copies of the agg subtree). */
+  def embSourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cents = t.embeddings
+      .join(t.documents.select(col("doc_id").as("vec_id"), col("source")),
+        "vec_id")
+      .select(col("source"), posexplode(col("embedding")))
+      .groupBy(col("source"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 4).as("cv"))
+      .groupBy("source")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), " +
+        "x -> CAST(x.cv AS FLOAT))").as("cent"))
+      .localCheckpoint()
+    val a = cents.select(col("source").as("s1"), col("cent").as("c1"))
+    val b = cents.select(col("source").as("s2"), col("cent").as("c2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        (round(expr(cosExprSpark("c1", "c2")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("s1"), col("s2"))
+  }
+
   /** Embedding-space outlier detection: per label, the 3 vectors
     * FARTHEST (lowest cosine) from their label's centroid — the
     * mislabeled-example / embedding-drift screen a training-data
@@ -1667,6 +1699,21 @@ object SimilarityOps {
          |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
          |  CAST(dim AS INTEGER) AS dim, c
          |FROM u$KmMaxIter ORDER BY cid, dim""".stripMargin,
+    "emb_source_affinity" ->
+      s"""WITH j AS (
+         |  SELECT d.source, e.embedding
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |cd AS (
+         |  SELECT source, t.dim, round(avg(embedding[t.dim + 1]::DOUBLE), 4) AS cv
+         |  FROM j CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
+         |  GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT source, list(CAST(cv AS FLOAT) ORDER BY dim) AS cent
+         |  FROM cd GROUP BY 1)
+         |SELECT a.source AS s1, b.source AS s2,
+         |  round(${cosExprSql("a.cent", "b.cent")}, 4) + 0.0 AS cos_sim
+         |FROM cents a JOIN cents b ON a.source < b.source
+         |ORDER BY cos_sim DESC, s1, s2""".stripMargin,
     "emb_centroids" ->
       """SELECT label, CAST(t.dim AS INTEGER) AS dim,
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
@@ -1914,6 +1961,7 @@ object SimilarityOps {
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "sim_probe_sweep" -> (simProbeSweep(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
+    "emb_source_affinity" -> (embSourceAffinity(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
     "emb_silhouette" -> (embSilhouette(_, _)),
     "emb_top_eigvec" -> (embTopEigvec(_, _)),
