@@ -620,6 +620,52 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .orderBy("chunk_hash")
 
+  /** Boilerplate STRIP measurement — the C4/RefinedWeb cleaning step
+    * txt_passage_dedup only reports: chunks whose document frequency
+    * reaches [[BoilerDf]] (headers, footers, license blurbs) are
+    * boilerplate, and the query measures what stripping them would
+    * cost each source in exact ppm of token mass. Totals count EVERY
+    * chunk (Σ chunk lengths = doc tokens); only ≥30-char chunks can
+    * qualify as boilerplate (the passage_dedup noise gate — a 1-token
+    * tail chunk repeating across docs is not a template). One
+    * checkpointed chunk pass feeds the df table and the measured
+    * join-back; the boiler set is tiny by construction (high-df
+    * chunks) and rides back as a broadcast.
+    *
+    * Threshold calibration: 3 exercises the strip path on the test
+    * corpus, whose duplicate families top out at df 3–4 (a
+    * share-of-corpus threshold like 1% of docs never fires there and
+    * would gate a permanently-zero column). A production web crawl
+    * sets this to a share-of-corpus value via the same parameter. */
+  private[graft] val BoilerDf = 3L
+
+  def txtStripBoilerplate(spark: SparkSession, dir: String,
+      dfThreshold: Long = BoilerDf): DataFrame = {
+    val chunks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), expr(tokensExpr).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, (size(ts) - 1) div 10), i -> slice(ts, i * 10 + 1, 10))"))
+        .as("ctoks"))
+      .select(col("doc_id"), col("source"),
+        md5(array_join(col("ctoks"), " ")).as("h"),
+        size(col("ctoks")).cast("long").as("ctok"),
+        length(array_join(col("ctoks"), " ")).as("clen"))
+      .localCheckpoint()
+    val boiler = chunks.filter(col("clen") >= 30)
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= dfThreshold)
+      .select(col("h"), lit(1L).as("isb"))
+    chunks.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy("source")
+      .agg(sum("ctok").as("tokens_total"),
+        sum(when(col("isb").isNotNull, col("ctok")).otherwise(0L))
+          .as("tokens_boiler"))
+      .withColumn("boiler_ppm",
+        expr("tokens_boiler * 1000000 div tokens_total"))
+      .orderBy("source")
+  }
+
   /** Soft deduplication — duplicate-count DOWNWEIGHTING, the policy
     * alternative to dedup_exact's hard drop (repetition-aware training
     * weights: a doc with k exact copies contributes 1/k of a doc, so a
@@ -1435,6 +1481,31 @@ object TextOps {
       s"""SELECT source, count(*) AS n_sampled FROM documents
          |WHERE $h % 10 = 0 GROUP BY source ORDER BY source""".stripMargin
     },
+    "txt_strip_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS ts FROM documents),
+         |tz AS (SELECT * FROM toks WHERE len(ts) > 0),
+         |ch AS (
+         |  SELECT doc_id, source, array_to_string(ts[i*10+1 : i*10+10], ' ') AS chunk
+         |  FROM tz, (SELECT unnest(range(0,
+         |         (SELECT (max(len(ts)) + 9) // 10 FROM tz))) AS i)
+         |  WHERE i * 10 < len(ts)),
+         |c2 AS (
+         |  SELECT doc_id, source, md5(chunk) AS h,
+         |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS ctok,
+         |    length(chunk) AS clen
+         |  FROM ch),
+         |boiler AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df
+         |    FROM c2 WHERE clen >= 30 GROUP BY 1)
+         |  WHERE df >= $BoilerDf)
+         |SELECT source, CAST(sum(ctok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN ctok ELSE 0 END) AS BIGINT)
+         |    AS tokens_boiler,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN ctok ELSE 0 END) * 1000000
+         |    // sum(ctok) AS BIGINT) AS boiler_ppm
+         |FROM c2 LEFT JOIN boiler b USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mix_soft_dedup" ->
       """WITH t AS (
         |  SELECT source, md5(text) AS h,
@@ -1821,6 +1892,7 @@ object TextOps {
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
     "mix_soft_dedup" -> (mixSoftDedup(_, _)),
+    "txt_strip_boilerplate" -> (txtStripBoilerplate(_, _)),
     "mix_temperature" -> (mixTemperature(_, _)),
     "mix_split_assign" -> (mixSplitAssign(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
