@@ -725,24 +725,51 @@ object EventOps {
     * Scale: conversion is a per-user max — a map-side partial agg on
     * the user key; the readout is a one-row conditional fold over the
     * per-user table. Nothing global but the final single row. */
-  def evAbTest(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables(spark, dir).events
+  /** ONE definition of the experiment's per-user conversion
+    * accumulators (conversion gate, md5 arm hash, per-arm 4-way fold),
+    * shared by [[evAbTest]] and [[statPowerMde]] — the md5Ranked
+    * lesson: the MDE panel's contract is "the same experiment", and a
+    * copy would let an edit to the conversion threshold silently
+    * decouple the two (review-caught). Mirrored by [[AbAccumSql]] on
+    * the oracle side. */
+  private def abArmAccumulators(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
       .groupBy("user_id")
       .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
         .otherwise(0L)).as("conv"))
       .withColumn("arm_b",
         expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
-    perUser
       .agg(
         sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
         sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
         sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
         sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
+
+  /** DuckDB twin of [[abArmAccumulators]]: CTEs `u` (per-user conv +
+    * arm) and `m` (the 4 accumulators). */
+  private val AbAccumSql = {
+    val h = (1 to 4)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
+    s"""u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+       |    $h % 2 AS arm_b
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+       |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+       |  FROM u)""".stripMargin
+  }
+
+  def evAbTest(spark: SparkSession, dir: String): DataFrame =
+    abArmAccumulators(spark, dir)
       .selectExpr(Seq("n_a", "c_a", "n_b", "c_b",
         "CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END AS conv_a_ppm",
         "CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END AS conv_b_ppm",
         AbTestZ2): _*)
-  }
 
   /** Pooled two-proportion z² over the four exact integers (arm sizes
     * n_a/n_b, arm conversions c_a/c_b) — ONE formula string for both
@@ -840,26 +867,20 @@ object EventOps {
     * ([[MdePpm]]), and `detectable` is an exact integer compare of
     * observed vs MDE. */
   def statPowerMde(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
-      .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
-        .otherwise(0L)).as("conv"))
-      .withColumn("arm_b",
-        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
-      .agg(
-        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
-        sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
-        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
-        sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
+    abArmAccumulators(spark, dir)
       .selectExpr("n_a", "n_b",
         "(c_a + c_b) * 1000000 div (n_a + n_b) AS pooled_ppm",
         "least(n_a, n_b) AS n_min",
         """abs(CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END
           | - CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END)
           | AS observed_diff_ppm""".stripMargin)
-      .selectExpr("n_a", "n_b", "pooled_ppm", "observed_diff_ppm", MdePpm)
+      .selectExpr("n_a", "n_b", "n_min", "pooled_ppm", "observed_diff_ppm",
+        MdePpm)
       .selectExpr("n_a", "n_b", "pooled_ppm", "observed_diff_ppm", "mde_ppm",
-        "CASE WHEN observed_diff_ppm >= mde_ppm THEN 1 ELSE 0 END AS detectable")
+        // a single-arm experiment resolves nothing, whatever it observed
+        """CASE WHEN n_min = 0 THEN 0
+          | WHEN observed_diff_ppm >= mde_ppm THEN 1
+          | ELSE 0 END AS detectable""".stripMargin)
 
   /** OHLC bar aggregation — the time-series downsampler every metrics
     * store runs before charting/alerting: per (event_type, 4 h bar),
@@ -1240,21 +1261,8 @@ object EventOps {
         |  CAST(sum(abs(cnt - cnt_prev)) * 1000 // count(*) AS BIGINT) AS mae_milli
         |FROM j, mx WHERE j.h > mh - 72
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "stat_power_mde" -> {
-      val h = (1 to 4)
-        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH u AS (
-         |  SELECT user_id,
-         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
-         |    $h % 2 AS arm_b
-         |  FROM events GROUP BY user_id),
-         |m AS (
-         |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
-         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
-         |  FROM u),
+    "stat_power_mde" ->
+      s"""WITH $AbAccumSql,
          |x AS (
          |  SELECT n_a, n_b,
          |    (c_a + c_b) * 1000000 // (n_a + n_b) AS pooled_ppm,
@@ -1263,11 +1271,12 @@ object EventOps {
          |      - CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END)
          |      AS observed_diff_ppm
          |  FROM m),
-         |y AS (SELECT n_a, n_b, pooled_ppm, observed_diff_ppm, $MdePpm FROM x)
+         |y AS (SELECT n_a, n_b, n_min, pooled_ppm, observed_diff_ppm, $MdePpm FROM x)
          |SELECT n_a, n_b, pooled_ppm, observed_diff_ppm, mde_ppm,
-         |  CASE WHEN observed_diff_ppm >= mde_ppm THEN 1 ELSE 0 END AS detectable
-         |FROM y""".stripMargin
-    },
+         |  CASE WHEN n_min = 0 THEN 0
+         |   WHEN observed_diff_ppm >= mde_ppm THEN 1
+         |   ELSE 0 END AS detectable
+         |FROM y""".stripMargin,
     "ev_ohlc_bars" ->
       s"""WITH e AS (
          |  SELECT event_type, event_id, epoch_us(ts) AS tus,
@@ -1585,27 +1594,13 @@ object EventOps {
         |  max_hourly * active_hours * 1000000 // n_events AS burst_ppm
         |FROM s JOIN h ON s.user_id = h.user_id
         |ORDER BY burst_ppm DESC, s.user_id LIMIT 20""".stripMargin,
-    "ev_ab_test" -> {
-      val h = (1 to 4)
-        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH u AS (
-         |  SELECT user_id,
-         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
-         |    $h % 2 AS arm_b
-         |  FROM events GROUP BY user_id),
-         |m AS (
-         |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
-         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
-         |  FROM u)
+    "ev_ab_test" ->
+      s"""WITH $AbAccumSql
          |SELECT n_a, c_a, n_b, c_b,
          |  CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END AS conv_a_ppm,
          |  CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm,
          |  $AbTestZ2
-         |FROM m""".stripMargin
-    },
+         |FROM m""".stripMargin,
     "stat_autocorr" ->
       s"""WITH series AS (
          |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x

@@ -1745,7 +1745,7 @@ object SimilarityOps {
          |j AS (
          |  SELECT p, s.qid, s.vec_id,
          |    row_number() OVER (PARTITION BY p, s.qid ORDER BY c DESC, s.vec_id) AS rn
-         |  FROM scored s JOIN (VALUES (1), (2), (3), (4)) ps(p) ON minp <= p)
+         |  FROM scored s JOIN (VALUES ${(1 to IvfP).map(i => s"($i)").mkString(", ")}) ps(p) ON minp <= p)
          |SELECT p, CAST(count(*) AS BIGINT) AS n_candidates,
          |  CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 100 AS BIGINT) AS recall_ppm

@@ -632,15 +632,17 @@ object TextOps {
     * join-back; the boiler set is tiny by construction (high-df
     * chunks) and rides back as a broadcast.
     *
-    * Threshold calibration: 3 exercises the strip path on the test
-    * corpus, whose duplicate families top out at df 3–4 (a
-    * share-of-corpus threshold like 1% of docs never fires there and
-    * would gate a permanently-zero column). A production web crawl
-    * sets this to a share-of-corpus value via the same parameter. */
+    * Threshold calibration: [[BoilerDf]] = 3 exercises the strip path
+    * on the test corpus, whose duplicate families top out at df 3–4
+    * (a share-of-corpus threshold like 1% of docs never fires there
+    * and would gate a permanently-zero column). A production web
+    * crawl raises this ONE constant to a share-of-corpus value — it
+    * is interpolated into the oracle too, so Spark and the gate can
+    * never disagree on the knob (a runtime parameter would let a
+    * caller diverge from the fixed oracle; review-caught). */
   private[graft] val BoilerDf = 3L
 
-  def txtStripBoilerplate(spark: SparkSession, dir: String,
-      dfThreshold: Long = BoilerDf): DataFrame = {
+  def txtStripBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), expr(tokensExpr).as("ts"))
       .filter(size(col("ts")) > 0)
@@ -654,7 +656,7 @@ object TextOps {
       .localCheckpoint()
     val boiler = chunks.filter(col("clen") >= 30)
       .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= dfThreshold)
+      .filter(col("df") >= BoilerDf)
       .select(col("h"), lit(1L).as("isb"))
     chunks.join(broadcast(boiler), Seq("h"), "left")
       .groupBy("source")

@@ -524,16 +524,23 @@ object Formats {
     * shuffle data; each output task just concatenates input splits
     * (the right plan at any scale; repartition would shuffle the
     * whole table to fix a layout problem). File counts are
-    * deterministic (round-robin repartition fills all 64; coalesce
-    * emits one file per merged task), asserted against the filesystem
-    * here and mirrored as literals in the oracle; row count and exact
-    * cents total gate that compaction lost and changed NOTHING. */
+    * deterministic: round-robin repartition fills all 64 (orders has
+    * ≥64 rows at every SF), and coalesce(1) emits exactly ONE file
+    * regardless of how the scan bin-packed the fragments (coalesce(N>1)
+    * would emit min(N, scan partitions) — and the scan's partition
+    * count depends on core count and maxPartitionBytes, so any larger
+    * target is machine-dependent; review-caught). One output file is
+    * the real per-date-partition compaction shape — a 100 TB table
+    * runs this fan-in once per partition, in parallel across
+    * partitions. Counts asserted against the filesystem here and
+    * mirrored as literals in the oracle; row count and exact cents
+    * total gate that compaction lost and changed NOTHING. */
   def srcCompaction(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables(spark, dir).orders
     val frag = tmp("orders_fragmented")
     val compact = tmp("orders_compacted")
     orders.repartition(64).write.mode(SaveMode.Overwrite).parquet(frag)
-    spark.read.parquet(frag).coalesce(4)
+    spark.read.parquet(frag).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(compact)
     def nFiles(p: String): Long = {
       import scala.jdk.CollectionConverters._
@@ -589,7 +596,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "src_compaction" ->
       """SELECT CAST(64 AS BIGINT) AS files_before,
-        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST(1 AS BIGINT) AS files_after,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders""".stripMargin,
