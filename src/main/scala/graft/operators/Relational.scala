@@ -1893,6 +1893,46 @@ object Relational {
       .orderBy("ship_mode")
   }
 
+  /** 2D SKYLINE (Pareto frontier) — orders no other order beats on
+    * BOTH axes (higher value AND earlier date): the classic dominance
+    * query behind best-tradeoff shortlists. The naive form is an
+    * O(n²) NOT EXISTS anti-join; sorted by (value desc, date asc), a
+    * point is dominated iff some EARLIER row has date ≤ its own, so
+    * the frontier is one running-min window — O(n log n).
+    *
+    * Scale shape: a global-sort window is one corpus-sized partition,
+    * so the query uses the skyline DECOMPOSITION LAW skyline(S) =
+    * skyline(∪ᵢ skyline(Sᵢ)): level 1 runs the running-min window per
+    * hash bucket (32 parallel partitions, each emitting only its
+    * local frontier — the result SET is identical under any
+    * partitioning because dominance is partition-independent), level
+    * 2 re-runs the same window on the tiny survivor union. Exact
+    * integer cents and days; output DISTINCT (both engines collapse
+    * duplicate frontier points identically, making the window's
+    * first-kept-wins tiebreak invisible). The oracle states the
+    * O(n²) definition directly — same set by the law. */
+  def q43Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir).orders.select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+    def frontier(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val w = (if (parts.isEmpty) Window.partitionBy()
+        else Window.partitionBy(parts.map(col): _*))
+        .orderBy(desc("c"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("mind", min("d").over(w))
+        .filter(col("mind").isNull || col("mind") > col("d"))
+        .drop("mind")
+    }
+    val local = frontier(
+      pts.withColumn("b", expr("crc32(CAST(c * 131071 + d AS STRING)) % 32")),
+      Seq("b")).drop("b")
+    frontier(local, Seq.empty)
+      .select((col("c").cast("double") / 100).as("price"), col("d").as("day"))
+      .distinct()
+      .orderBy(desc("price"), col("day"))
+  }
+
   /** RFM customer segmentation — the classic marketing/churn feature
     * cube: per customer, Recency (days from the corpus's last order
     * date to the customer's last order), Frequency (order count), and
@@ -2657,6 +2697,20 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |  AND l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Deliberately the O(n²) dominance DEFINITION, not a mirror of the
+    // two-level window plan — the skyline set is unique, so the two
+    // independent formulations agreeing is a stronger check.
+    "q43_skyline" ->
+      """WITH p AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |         epoch_us(o_orderdate) // 86400000000 AS d
+        |  FROM orders)
+        |SELECT DISTINCT c / 100.0 AS price, d AS day
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.c >= a.c AND b.d <= a.d AND (b.c > a.c OR b.d < a.d))
+        |ORDER BY price DESC, day""".stripMargin,
     "q35_ship_delay" ->
       """WITH b AS (
         |  SELECT o_orderpriority,
@@ -3641,6 +3695,7 @@ object Relational {
     "agg_quantile_sample" -> (aggQuantileSample(_, _)),
     "q35_ship_delay" -> (q35ShipDelay(_, _)),
     "q42_ship_modes" -> (q42ShipModes(_, _)),
+    "q43_skyline" -> (q43Skyline(_, _)),
     "agg_exact_median" -> (aggExactMedian(_, _)),
     "agg_mad" -> (aggMad(_, _)),
     "agg_gini" -> (aggGini(_, _)),

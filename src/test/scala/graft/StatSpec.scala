@@ -218,6 +218,25 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline: no output point dominates another, and none is dominated by any input") {
+    import org.apache.spark.sql.functions._
+    val sky = Relational.q43Skyline(spark, sf).collect()
+      .map(r => (math.round(r.getDouble(0) * 100), r.getLong(1)))
+    // pairwise non-dominance within the frontier
+    for (a <- sky; b <- sky if a != b)
+      assert(!(b._1 >= a._1 && b._2 <= a._2 && (b._1 > a._1 || b._2 < a._2)),
+        s"$b dominates $a inside the frontier")
+    // frontier membership: no input point strictly dominates a frontier point
+    val pts = Tables(spark, sf).orders.select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (a <- sky)
+      assert(!pts.exists(b => b._1 >= a._1 && b._2 <= a._2 &&
+        (b._1 > a._1 || b._2 < a._2)), s"input dominates frontier point $a")
+    assert(sky.nonEmpty)
+  }
+
   test("Brown-Forsythe W is non-negative and finite with k>=2 groups") {
     val r = Relational.statLevene(spark, sf).collect().head
     val (k, n, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
