@@ -255,6 +255,130 @@ object GraphOps {
       .orderBy(col("rank_units").desc, col("s_suppkey"))
       .limit(20)
 
+  /** Iteration cap for [[graphHits]] — the oracle-mirroring bound (the
+    * PrMaxIter pattern): DuckDB unrolls exactly this many iterations;
+    * past the frozen fixpoint each further iteration is the identity.
+    * Measured global freeze: iteration 2 at ALL THREE test scales —
+    * HITS is power iteration on MᵀM, so the transient decays at
+    * (λ₂/λ₁)², and the degree warm start lands one a-step from the
+    * uniform vector's image — plus 4× headroom. */
+  private[graft] val HitsMaxIter = 8
+
+  /** HITS hub/authority scores over the directed bipartite trade graph
+    * (customer → supplier through an order line) — the OTHER classic
+    * link-analysis kernel next to [[graphPagerank]]: authorities are
+    * suppliers trusted by well-connected customers, hubs are customers
+    * whose suppliers are widely trusted — mutually recursive, which is
+    * exactly what degree counts miss.
+    *
+    * Same integer machinery as PageRank with one addition: HITS
+    * requires NORMALIZATION each half-step (the raw map is unbounded),
+    * so after each mass push the vector rescales to Σ = [[Scale]] via
+    * one broadcast 1-row total — the rescale product runs in
+    * DECIMAL(38,0)/HUGEINT (value × Scale overflows BIGINT), one
+    * integral division back to BIGINT units, identical both engines.
+    * The freeze band ([[PrFreezeDenom]], 1%) gives the truncating
+    * integer map a genuine fixpoint (the PageRank 2-cycle lesson);
+    * once both vectors freeze, pushes, totals, and candidates
+    * reproduce exactly, so early-stopped Spark == the oracle's fixed
+    * [[HitsMaxIter]]-unrolled CTE chain.
+    *
+    * Per-round cost: TWO vertex-broadcast edge joins (a-step groups on
+    * sv, h-step on cv), each collapsing onto its OWN pre-partitioned
+    * checkpointed edge copy — zero exchanges per step at any scale
+    * where the vertex vectors broadcast; the documented degrade path
+    * is the classic per-round edge shuffle. */
+  private[graft] def hitsScores(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Int) = {
+    val t = Tables(spark, dir)
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val par = sc.defaultParallelism
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cv"), col("l_suppkey").as("sv"))
+      .distinct().localCheckpoint()
+    // One edge copy per grouping key: each half-step's groupBy
+    // collapses onto its copy's materialized distribution.
+    val (eBySv, e1Ids) = checkpointed(pairs.repartition(par, col("sv")))
+    val (eByCv, e2Ids) = checkpointed(pairs.repartition(par, col("cv")))
+    val deg = pairs.groupBy("cv").agg(count(lit(1)).as("dg"))
+    // Hub warm start ∝ out-degree (the PageRank warm-start move: one
+    // a-step of the uniform vector lands exactly there, so this skips
+    // a free iteration); isolated customers start and stay at 0.
+    val hub0 = t.customer.select(col("c_custkey").as("cv"))
+      .join(deg, Seq("cv"), "left")
+      .crossJoin(broadcast(deg.agg(sum("dg").as("td"))))
+      .select(col("cv"), lit(0L).as("hp"),
+        expr(s"($Scale * coalesce(dg, CAST(0 AS BIGINT))) div td").as("h"))
+    val auth0 = t.supplier.select(col("s_suppkey").as("sv"),
+      lit(0L).as("ap"), lit(0L).as("a"))
+    val rescale =
+      s"""CASE WHEN tt IS NULL OR tt = 0 THEN CAST(0 AS BIGINT)
+         | ELSE CAST((CAST(coalesce(m, CAST(0 AS BIGINT)) AS DECIMAL(38,0))
+         |   * $Scale) div tt AS BIGINT) END AS cand""".stripMargin
+    def freeze(prevCol: String, outCol: String): String =
+      s"""CASE WHEN abs(cand - $prevCol) * $PrFreezeDenom <= $prevCol
+         | THEN $prevCol ELSE cand END AS $outCol""".stripMargin
+    var (hub, hubIds) = checkpointed(hub0)
+    var (auth, authIds) = checkpointed(auth0)
+    var iters = 0
+    var converged = false
+    def l1(df: DataFrame, a: String, b: String): Long =
+      Option(df.agg(sum(abs(col(a) - col(b)))).first()
+        .getAs[java.lang.Long](0)).fold(0L)(_.longValue)
+    while (!converged && iters < HitsMaxIter) {
+      val araw = eBySv
+        .join(broadcast(hub.select(col("cv"), col("h"))), "cv")
+        .groupBy("sv").agg(sum("h").as("m"))
+      val aNext = auth.join(broadcast(araw), Seq("sv"), "left")
+        .crossJoin(broadcast(araw.agg(sum("m").as("tt"))))
+        .select(col("sv"), col("a").as("ap"), col("m"), col("tt"))
+        .selectExpr("sv", "ap", rescale)
+        .selectExpr("sv", "ap", freeze("ap", "a"))
+      val (a2, a2Ids) = checkpointed(aNext)
+      val hraw = eByCv
+        .join(broadcast(a2.select(col("sv"), col("a"))), "sv")
+        .groupBy("cv").agg(sum("a").as("m"))
+      val hNext = hub.join(broadcast(hraw), Seq("cv"), "left")
+        .crossJoin(broadcast(hraw.agg(sum("m").as("tt"))))
+        .select(col("cv"), col("h").as("hp"), col("m"), col("tt"))
+        .selectExpr("cv", "hp", rescale)
+        .selectExpr("cv", "hp", freeze("hp", "h"))
+      val (h2, h2Ids) = checkpointed(hNext)
+      iters += 1
+      val delta = l1(a2, "a", "ap") + l1(h2, "h", "hp")
+      free(authIds); free(hubIds)
+      auth = a2; authIds = a2Ids
+      hub = h2; hubIds = h2Ids
+      converged = delta == 0L
+    }
+    free(e1Ids); free(e2Ids)
+    (hub, auth, iters)
+  }
+
+  /** Top-10 authorities (suppliers) and top-10 hubs (customers) by
+    * HITS score — see [[hitsScores]]. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val (hub, auth, _) = hitsScores(spark, dir)
+    val topA = auth
+      .select(lit("authority").as("kind"), col("sv").as("key"),
+        col("a").as("score_units"))
+      .orderBy(desc("score_units"), col("key")).limit(10)
+    val topH = hub
+      .select(lit("hub").as("kind"), col("cv").as("key"),
+        col("h").as("score_units"))
+      .orderBy(desc("score_units"), col("key")).limit(10)
+    topA.unionByName(topH)
+      .orderBy(col("kind"), desc("score_units"), col("key"))
+  }
+
   /** Triangle counting over the co-purchase graph: parts are vertices,
     * an edge joins two parts co-ordered in ≥2 distinct orders (the
     * support threshold sparsifies boilerplate co-occurrence), and the
@@ -1032,6 +1156,57 @@ object GraphOps {
          |FROM r$PrMaxIter
          |ORDER BY rank_units DESC, kind, key LIMIT 20""".stripMargin
     },
+    "graph_hits" -> {
+      // The pagerank unroll pattern with HITS's two half-steps per
+      // iteration; every candidate expression is interpolated TWICE
+      // (band test + else branch), exactly like the pagerank oracle.
+      def aCand(ar: String) =
+        s"""CASE WHEN tt.tt IS NULL OR tt.tt = 0 THEN CAST(0 AS BIGINT)
+           | ELSE (coalesce($ar.m, 0)::HUGEINT * $Scale) // tt.tt END""".stripMargin
+      def iter(i: Int): String = {
+        val (hp, ap) = (s"h${i - 1}", s"a${i - 1}")
+        val (ar, at, aN, hr, ht, hN) =
+          (s"ar$i", s"at$i", s"a$i", s"hr$i", s"ht$i", s"h$i")
+        s"""$ar AS MATERIALIZED (
+           |  SELECT p.sv, sum($hp.h) AS m FROM p JOIN $hp USING (cv) GROUP BY 1),
+           |$at AS (SELECT sum(m) AS tt FROM $ar),
+           |$aN AS MATERIALIZED (
+           |  SELECT ax.sv,
+           |    CASE WHEN abs(${aCand(ar)} - ax.a) * $PrFreezeDenom <= ax.a
+           |         THEN ax.a ELSE ${aCand(ar)} END AS a
+           |  FROM $ap ax CROSS JOIN $at tt LEFT JOIN $ar ON $ar.sv = ax.sv),
+           |$hr AS MATERIALIZED (
+           |  SELECT p.cv, sum($aN.a) AS m FROM p JOIN $aN USING (sv) GROUP BY 1),
+           |$ht AS (SELECT sum(m) AS tt FROM $hr),
+           |$hN AS MATERIALIZED (
+           |  SELECT hx.cv,
+           |    CASE WHEN abs(${aCand(hr)} - hx.h) * $PrFreezeDenom <= hx.h
+           |         THEN hx.h ELSE ${aCand(hr)} END AS h
+           |  FROM $hp hx CROSS JOIN $ht tt LEFT JOIN $hr ON $hr.cv = hx.cv)"""
+          .stripMargin
+      }
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS cv, l.l_suppkey AS sv
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |dg AS MATERIALIZED (SELECT cv, count(*) AS dg FROM p GROUP BY 1),
+         |td AS (SELECT sum(dg) AS td FROM dg),
+         |h0 AS MATERIALIZED (
+         |  SELECT c.c_custkey AS cv,
+         |    CAST(($Scale * coalesce(dg.dg, 0)) // td.td AS BIGINT) AS h
+         |  FROM customer c CROSS JOIN td LEFT JOIN dg ON dg.cv = c.c_custkey),
+         |a0 AS MATERIALIZED (
+         |  SELECT s_suppkey AS sv, CAST(0 AS BIGINT) AS a FROM supplier),
+         |${(1 to HitsMaxIter).map(iter).mkString(",\n")}
+         |SELECT * FROM (
+         |  (SELECT 'authority' AS kind, CAST(sv AS BIGINT) AS key,
+         |     CAST(a AS BIGINT) AS score_units
+         |   FROM a$HitsMaxIter ORDER BY a DESC, sv LIMIT 10)
+         |  UNION ALL
+         |  (SELECT 'hub' AS kind, CAST(cv AS BIGINT) AS key,
+         |     CAST(h AS BIGINT) AS score_units
+         |   FROM h$HitsMaxIter ORDER BY h DESC, cv LIMIT 10))
+         |ORDER BY kind, score_units DESC, key""".stripMargin
+    },
     "graph_ppr" -> {
       // Same edge/degree CTEs and freeze-band update as graph_pagerank;
       // the ONLY semantic change is where teleport mass lands (the
@@ -1082,6 +1257,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_ppr" -> (graphPpr(_, _)),
+    "graph_hits" -> (graphHits(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),

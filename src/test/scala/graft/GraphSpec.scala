@@ -112,4 +112,25 @@ class GraphSpec extends AnyFunSuite {
     // Layers partition the reached set: distances are consecutive.
     assert(layers.map(_.getLong(0)).sorted.sameElements(0L to maxD))
   }
+
+  test("HITS freezes before the cap; vectors stay normalized within truncation") {
+    val (hub, auth, iters) = GraphOps.hitsScores(spark, sf)
+    info(s"HITS froze after $iters iterations (cap ${GraphOps.HitsMaxIter})")
+    assert(iters < GraphOps.HitsMaxIter,
+      s"no early stop: $iters == cap — the oracle-unroll equivalence needs a real fixpoint")
+    // each normalized vector sums to Scale minus truncation (< 1 unit
+    // per vertex) — the rescale did its job
+    import org.apache.spark.sql.functions._
+    val sumA = auth.agg(sum("a")).first().getLong(0)
+    val sumH = hub.agg(sum("h")).first().getLong(0)
+    val nA = auth.count(); val nH = hub.count()
+    val scale = 1000000000000L
+    // freeze-band hysteresis holds each coordinate within 1% of its
+    // exact normalized value, so the totals sit within band + truncation
+    val tolA = nA + scale / 100; val tolH = nH + scale / 100
+    assert(sumA <= scale && sumA >= scale - tolA, s"sum(a)=$sumA n=$nA")
+    assert(sumH <= scale && sumH >= scale - tolH, s"sum(h)=$sumH n=$nH")
+    val top = GraphOps.graphHits(spark, sf).collect()
+    assert(top.length == 20 && top.forall(_.getLong(2) > 0))
+  }
 }
