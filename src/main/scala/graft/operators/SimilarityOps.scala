@@ -685,6 +685,45 @@ object SimilarityOps {
       .orderBy("p")
   }
 
+  /** Dimension-TRUNCATION tuning curve — recall@5 when similarity uses
+    * only the first d of 64 dimensions (d = 8, 16, 32, 64), against
+    * the full-dimension truth: the Matryoshka-style eval a pipeline
+    * runs before shrinking its ANN index — halving dims halves index
+    * bytes AND scan cost, and this curve shows what recall that buys.
+    * The third tuning axis next to [[simProbeSweep]] (probe count) and
+    * the int8/PQ rows (code width).
+    *
+    * One pass: the 20-query × corpus pair set fans out ×4 through a
+    * broadcast dims join, each row's cosine computed on the SLICED
+    * arrays (same codegen'd expression — slice is free relative to
+    * the dot product), per-(d, qid) top-5 via WindowGroupLimit.
+    * Exact-ppm recall; d = 64 recovers the truth by construction
+    * (the curve's built-in sanity row). */
+  def simTruncDimSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val dims = spark.range(3, 7).select(expr("CAST(pow(2, id) AS INT)").as("d"))
+    val wd = Window.partitionBy("d", "qid").orderBy(desc("c"), col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .crossJoin(broadcast(dims))
+      .withColumn("c", round(expr(
+        cosExprSpark("slice(embedding, 1, d)", "slice(qv, 1, d)")), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") <= 5)
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy("d")
+      .agg(sum(when(col("hit").isNotNull, lit(1L)).otherwise(lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div 100"))
+      .orderBy("d")
+  }
+
   /** Simplified silhouette per IVF cell — the cluster-quality eval a
     * pipeline runs next to [[simRecallEval]] after (re)building an
     * index: for each vector, a = cosine distance to its nearest
@@ -1719,6 +1758,28 @@ object SimilarityOps {
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
+    "sim_trunc_dim_sweep" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |exall AS (
+         |  SELECT q.qid, e.vec_id, round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ex AS (SELECT qid, vec_id, 1 AS hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM exall) WHERE rn <= 5),
+         |tr AS (
+         |  SELECT d, q.qid, e.vec_id,
+         |    round(${cosExprSql("e.embedding[1:d]", "q.qv[1:d]")}, 4) + 0.0 AS c
+         |  FROM embeddings e CROSS JOIN q
+         |    CROSS JOIN (VALUES (8), (16), (32), (64)) ds(d)
+         |  WHERE e.vec_id <> q.qid),
+         |j AS (
+         |  SELECT d, qid, vec_id,
+         |    row_number() OVER (PARTITION BY d, qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM tr)
+         |SELECT d, CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN rn <= 5 AND hit IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 100 AS BIGINT) AS recall_ppm
+         |FROM j LEFT JOIN ex ON j.qid = ex.qid AND j.vec_id = ex.vec_id
+         |GROUP BY d ORDER BY d""".stripMargin,
     "sim_probe_sweep" ->
       s"""WITH $ivfCellsSql,
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
@@ -1960,6 +2021,7 @@ object SimilarityOps {
     "sim_knn_label_eval" -> (simKnnLabelEval(_, _)),
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "sim_probe_sweep" -> (simProbeSweep(_, _)),
+    "sim_trunc_dim_sweep" -> (simTruncDimSweep(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_source_affinity" -> (embSourceAffinity(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
