@@ -814,6 +814,43 @@ object EventOps {
       .orderBy("epoch_hour")
   }
 
+  /** Seasonal DECOMPOSITION (STL-lite) of the hourly event count
+    * series: trend = centered 25 h moving average, seasonal =
+    * hour-of-day mean of the DETRENDED series, residual = what's left
+    * — the classical additive split behind "is Monday 9am actually
+    * anomalous or just Monday 9am" (ev_seasonality reads the raw
+    * hour-of-day profile; this one removes the trend first so a
+    * growing corpus doesn't masquerade as seasonality). All
+    * exact-integer milli-units: trend and seasonal are sum·1000 div
+    * count with explicit frame counts, so both engines truncate
+    * identically. The hourly series is one bounded row per hour
+    * (~|corpus days|·24), so the single-partition trend window is
+    * domain-sized, never corpus-sized (the stat_autocorr posture).
+    * Output: 24 hour-of-day rows with the seasonal factor and the
+    * mean absolute residual — a seasonal factor dwarfing its residual
+    * is a real pattern, not noise. */
+  def statSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .withColumn("trend_milli",
+        expr("sum(n * 1000) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) div " +
+          "count(n) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)"))
+      .withColumn("det_milli", col("n") * 1000 - col("trend_milli"))
+      .withColumn("hod", expr("h % 24"))
+      .localCheckpoint()
+    val seasonal = hourly.groupBy("hod")
+      .agg(expr("sum(det_milli) div count(1)").as("seasonal_milli"),
+        count(lit(1)).as("n_hours"))
+    hourly.join(broadcast(seasonal), "hod")
+      .groupBy("hod")
+      .agg(max("seasonal_milli").as("seasonal_milli"),
+        max("n_hours").as("n_hours"),
+        expr("sum(abs(det_milli - seasonal_milli)) div count(1)")
+          .as("mean_abs_resid_milli"))
+      .orderBy("hod")
+  }
+
   /** Seasonal-naive forecast BACKTEST — the baseline every metrics
     * forecaster must beat, evaluated as a query: forecast(type, hour)
     * = observed count 24 h earlier, scored by MAE over the corpus's
@@ -1246,6 +1283,27 @@ object EventOps {
        |      GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stat_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT h, n,
+        |    CAST(sum(n * 1000) OVER w // count(n) OVER w AS BIGINT) AS trend_milli
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |det AS (
+        |  SELECT h % 24 AS hod, n * 1000 - trend_milli AS det_milli FROM tr),
+        |se AS (
+        |  SELECT hod, CAST(sum(det_milli) // count(*) AS BIGINT) AS seasonal_milli,
+        |    CAST(count(*) AS BIGINT) AS n_hours
+        |  FROM det GROUP BY 1)
+        |SELECT hod, max(seasonal_milli) AS seasonal_milli,
+        |  max(n_hours) AS n_hours,
+        |  CAST(sum(abs(det_milli - se.seasonal_milli)) // count(*) AS BIGINT)
+        |    AS mean_abs_resid_milli
+        |FROM det JOIN se USING (hod)
+        |GROUP BY hod ORDER BY hod""".stripMargin,
     "ev_seasonal_naive" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -1791,6 +1849,7 @@ object EventOps {
     "ev_ewma" -> (evEwma(_, _)),
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
+    "stat_seasonal_decompose" -> (statSeasonalDecompose(_, _)),
     "stat_power_mde" -> (statPowerMde(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
