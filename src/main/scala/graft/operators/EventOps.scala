@@ -814,6 +814,57 @@ object EventOps {
       .orderBy("epoch_hour")
   }
 
+  /** Audience OVERLAP matrix — Jaccard similarity between event
+    * types' user sets ("how much do purchasers overlap with
+    * sharers"): the segmentation panel read before building funnels
+    * between two behaviors. One distinct (type, user) pass feeds set
+    * sizes AND the intersection self-join; the join keys on user_id,
+    * where each user carries ≤|types| rows, so per-key fan-out is
+    * bounded by |types|² whatever the corpus size — never a hot key.
+    * Exact-ppm Jaccard from three integers. Pairs with an empty
+    * intersection are absent (both engines inner-join the pair
+    * counts). */
+  def evUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables(spark, dir).events
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = tu.select(col("event_type").as("t1"), col("user_id"))
+      .join(tu.select(col("event_type").as("t2"), col("user_id")), "user_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("t1"), col("n").as("n1"))), "t1")
+      .join(broadcast(sizes.select(col("event_type").as("t2"), col("n").as("n2"))), "t2")
+      .select(col("t1"), col("t2"), col("inter"), col("n1"), col("n2"),
+        expr("inter * 1000000 div (n1 + n2 - inter)").as("jaccard_ppm"))
+      .orderBy("t1", "t2")
+  }
+
+  /** CUSUM change-point detection on the daily event-count series —
+    * "did the level shift, and when": the cumulative sum of
+    * deviations from the global mean peaks at the most likely change
+    * point. Deviations are scaled ×n (cusum_k = Σ_{i≤k} (n·xᵢ − S))
+    * so everything stays in exact BIGINTs — no mean division until
+    * never. One bounded daily rollup, one domain-sized cumulative
+    * window, one deterministic argmax (max |cusum|, earliest day
+    * tiebreak). */
+  def statCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .crossJoin(broadcast(daily.agg(sum("x").as("s"), count(lit(1)).as("nd"))))
+      .withColumn("cusum", sum(col("nd") * col("x") - col("s")).over(w))
+      .select(col("d"), col("nd"), abs(col("cusum")).as("ac"), col("cusum"))
+      .orderBy(desc("ac"), col("d"))
+      .limit(1)
+      .select(col("nd").as("n_days"), col("d").as("change_day"),
+        col("cusum").as("cusum_units"))
+  }
+
   /** Seasonal DECOMPOSITION (STL-lite) of the hourly event count
     * series: trend = centered 25 h moving average, seasonal =
     * hour-of-day mean of the DETRENDED series, residual = what's left
@@ -1283,6 +1334,33 @@ object EventOps {
        |      GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ev_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, inter, s1.n AS n1, s2.n AS n2,
+        |  inter * 1000000 // (s1.n + s2.n - inter) AS jaccard_ppm
+        |FROM p JOIN s s1 ON s1.event_type = p.t1
+        |       JOIN s s2 ON s2.event_type = p.t2
+        |ORDER BY t1, t2""".stripMargin,
+    "stat_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS nd
+        |      FROM daily),
+        |c AS (
+        |  SELECT d, nd,
+        |    CAST(sum(nd * x - s) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cusum
+        |  FROM daily CROSS JOIN t)
+        |SELECT nd AS n_days, d AS change_day, cusum AS cusum_units
+        |FROM c ORDER BY abs(cusum) DESC, d LIMIT 1""".stripMargin,
     "stat_seasonal_decompose" ->
       """WITH hourly AS (
         |  SELECT epoch_us(ts) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n
@@ -1850,6 +1928,8 @@ object EventOps {
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
     "stat_seasonal_decompose" -> (statSeasonalDecompose(_, _)),
+    "ev_user_overlap" -> (evUserOverlap(_, _)),
+    "stat_cusum" -> (statCusum(_, _)),
     "stat_power_mde" -> (statPowerMde(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),

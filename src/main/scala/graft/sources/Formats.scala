@@ -571,10 +571,18 @@ object Formats {
     * the base kept in the [[writeBucketed]] layout the base side's
     * exchange disappears and only the (small) change feed moves. Output
     * is the per-status row/value reconciliation a merge job logs. */
-  def srcMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val b = Tables(spark, dir).orders.select(
+  /** Base snapshot as (k, st, cents) — shared by [[srcMergeUpsert]]
+    * and [[srcSnapshotDiff]]. */
+  private def orderSnapshot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+
+  /** The merged (post-CDC-apply) snapshot as (mk, mst, mcents) — ONE
+    * definition feeding both the merge rollup and the diff (the
+    * shared-accumulator discipline); mirrored by [[MergeCteSql]]. */
+  private def mergedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val b = orderSnapshot(spark, dir)
     val c = b
       .filter(expr("k % 10 IN (0, 1, 2, 3, 7)"))
       .crossJoin(broadcast(b.agg(max("k").as("mk"))))
@@ -586,12 +594,58 @@ object Formats {
     b.join(c, col("k") === col("ck"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(
+        coalesce(col("ck"), col("k")).as("mk"),
         coalesce(col("st"), col("cst")).as("mst"),
         expr("CASE WHEN op IN ('U', 'I') THEN ccents ELSE cents END").as("mcents"))
+  }
+
+  /** DuckDB twin of the change-feed + merge CTE chain (`b`, `c`, `m`
+    * with m = (mk, mst, mcents)). */
+  private val MergeCteSql =
+    """mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders),
+      |c AS (
+      |  SELECT CASE WHEN k % 10 = 7 THEN k + mk ELSE k END AS ck,
+      |         st AS cst,
+      |         CASE WHEN k % 10 = 3 THEN 'D'
+      |              WHEN k % 10 <= 2 THEN 'U' ELSE 'I' END AS op,
+      |         CASE WHEN k % 10 <= 2 THEN (cents * 105) // 100
+      |              ELSE cents END AS ccents
+      |  FROM b, mx WHERE k % 10 IN (0, 1, 2, 3, 7)),
+      |m AS (
+      |  SELECT coalesce(c.ck, b.k) AS mk, coalesce(b.st, c.cst) AS mst,
+      |         CASE WHEN c.op IN ('U', 'I') THEN c.ccents
+      |              ELSE b.cents END AS mcents
+      |  FROM b FULL OUTER JOIN c ON b.k = c.ck
+      |  WHERE c.op IS NULL OR c.op <> 'D')""".stripMargin
+
+  def srcMergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergedOrders(spark, dir)
       .groupBy(col("mst").as("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"), sum("mcents").as("total_cents"))
       .orderBy("o_orderstatus")
-  }
+
+  /** Snapshot DIFF — the replication/migration validation that tells
+    * you WHAT changed when [[mrTableChecksum]]-style digests disagree:
+    * base vs post-merge snapshot through one full-outer key join,
+    * classified into added / removed / changed / same with the exact
+    * net cents delta. Same shuffle shape as the merge itself; the
+    * classification is one CASE over the joined row. */
+  def srcSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    orderSnapshot(spark, dir)
+      .join(mergedOrders(spark, dir), col("k") === col("mk"), "full_outer")
+      .select(expr(
+        """CASE WHEN k IS NULL THEN 'added'
+          |     WHEN mk IS NULL THEN 'removed'
+          |     WHEN cents <> mcents THEN 'changed'
+          |     ELSE 'same' END""".stripMargin).as("kind"),
+        expr("coalesce(mcents, CAST(0 AS BIGINT)) - coalesce(cents, CAST(0 AS BIGINT))")
+          .as("delta"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"), sum("delta").as("cents_delta"))
+      .orderBy("kind")
 
   val oracles: Map[String, String] = Map(
     "src_compaction" ->
@@ -601,27 +655,22 @@ object Formats {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders""".stripMargin,
     "src_merge_upsert" ->
-      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
-        |b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
-        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |      FROM orders),
-        |c AS (
-        |  SELECT CASE WHEN k % 10 = 7 THEN k + mk ELSE k END AS ck,
-        |         st AS cst,
-        |         CASE WHEN k % 10 = 3 THEN 'D'
-        |              WHEN k % 10 <= 2 THEN 'U' ELSE 'I' END AS op,
-        |         CASE WHEN k % 10 <= 2 THEN (cents * 105) // 100
-        |              ELSE cents END AS ccents
-        |  FROM b, mx WHERE k % 10 IN (0, 1, 2, 3, 7)),
-        |m AS (
-        |  SELECT coalesce(b.st, c.cst) AS mst,
-        |         CASE WHEN c.op IN ('U', 'I') THEN c.ccents
-        |              ELSE b.cents END AS mcents
-        |  FROM b FULL OUTER JOIN c ON b.k = c.ck
-        |  WHERE c.op IS NULL OR c.op <> 'D')
-        |SELECT mst AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(mcents) AS BIGINT) AS total_cents
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $MergeCteSql
+         |SELECT mst AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(mcents) AS BIGINT) AS total_cents
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_snapshot_diff" ->
+      s"""WITH $MergeCteSql,
+         |d AS (
+         |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+         |              WHEN m.mk IS NULL THEN 'removed'
+         |              WHEN b.cents <> m.mcents THEN 'changed'
+         |              ELSE 'same' END AS kind,
+         |    coalesce(m.mcents, 0) - coalesce(b.cents, 0) AS delta
+         |  FROM b FULL OUTER JOIN m ON b.k = m.mk)
+         |SELECT kind, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(delta) AS BIGINT) AS cents_delta
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_jsonl_roundtrip" ->
@@ -686,5 +735,6 @@ object Formats {
     "src_dpp_scan" -> (srcDppScan(_, _)),
     "src_merge_upsert" -> (srcMergeUpsert(_, _)),
     "src_compaction" -> (srcCompaction(_, _)),
+    "src_snapshot_diff" -> (srcSnapshotDiff(_, _)),
   )
 }
