@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -361,6 +362,53 @@ object GraphOps {
     }
     free(e1Ids); free(e2Ids)
     (hub, auth, iters)
+  }
+
+  /** Walk length for [[graphWalkCorpus]] (steps per walk; unrolled
+    * identically in the oracle). */
+  private[graft] val WalkLen = 4
+
+  /** DETERMINISTIC random-walk corpus over the trade graph — the
+    * DeepWalk/node2vec input step, where a graph becomes "sentences"
+    * for a skip-gram embedding run: [[WalkLen]]-step walks from 50
+    * md5-ranked start customers, each step picking neighbor
+    * rank = md5(start ∥ step) mod degree from the rank-ordered
+    * adjacency. The md5 draw replaces the coin flip (the
+    * mix_token_budget move), so the corpus is bit-identical across
+    * runs, engines, partitionings, and cluster sizes — which is what
+    * makes a 100 TB walk corpus REPRODUCIBLE and its training run
+    * auditable. Each step is one join of the 50-row walk frontier
+    * (broadcast) against the checkpointed ranked adjacency; per-key
+    * fan-out is the vertex degree, filtered to exactly one row by the
+    * draw. Starts without edges drop out (inner join, both engines
+    * identically). */
+  def graphWalkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cv"), (col("l_suppkey") * 2 + 1).as("sv"))
+      .distinct()
+    val adj = pairs.select(col("cv").as("src"), col("sv").as("dst"))
+      .unionByName(pairs.select(col("sv").as("src"), col("cv").as("dst")))
+    val radj = adj
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    val starts = t.customer.select((col("c_custkey") * 2).as("v0"))
+      .orderBy(md5(col("v0").cast("string")), col("v0")).limit(50)
+    var cur = starts
+      .withColumn("path", col("v0").cast("string"))
+      .withColumn("v", col("v0"))
+    for (i <- 1 to WalkLen) {
+      cur = broadcast(cur).join(radj, col("v") === col("src"))
+        .filter(col("rank") === expr(
+          s"CAST(conv(substr(md5(concat(CAST(v0 AS STRING), '_', '$i')), 1, 6), 16, 10) AS BIGINT) % deg"))
+        .select(col("v0"),
+          concat(col("path"), lit("-"), col("dst").cast("string")).as("path"),
+          col("dst").as("v"))
+    }
+    cur.select(col("v0").as("start_v"), col("path")).orderBy("start_v")
   }
 
   /** Top-10 authorities (suppliers) and top-10 hubs (customers) by
@@ -1156,6 +1204,34 @@ object GraphOps {
          |FROM r$PrMaxIter
          |ORDER BY rank_units DESC, kind, key LIMIT 20""".stripMargin
     },
+    "graph_walk_corpus" -> {
+      // Same md5-digit draw as the mix_* oracles, on the vertex-id ∥
+      // '_' ∥ step string the Spark side hashes.
+      def draw(i: Int): String = (1 to 6)
+        .map(j => s"(strpos('0123456789abcdef', substr(md5(CAST(v0 AS VARCHAR) || '_$i'), $j, 1)) - 1) * ${1L << (4 * (6 - j))}")
+        .mkString("(", " + ", ")")
+      def step(i: Int): String =
+        s"""s$i AS MATERIALIZED (
+           |  SELECT v0, path || '-' || CAST(dst AS VARCHAR) AS path, dst AS v
+           |  FROM s${i - 1} JOIN radj ON radj.src = s${i - 1}.v
+           |  WHERE rank = ${draw(i)} % deg)""".stripMargin
+      s"""WITH p AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS cv, l.l_suppkey * 2 + 1 AS sv
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |adj AS (SELECT cv AS src, sv AS dst FROM p
+         |        UNION ALL SELECT sv AS src, cv AS dst FROM p),
+         |radj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+         |    count(*) OVER (PARTITION BY src) AS deg
+         |  FROM adj),
+         |starts AS (
+         |  SELECT c_custkey * 2 AS v0 FROM customer
+         |  ORDER BY md5(CAST(c_custkey * 2 AS VARCHAR)), 1 LIMIT 50),
+         |s0 AS (SELECT v0, CAST(v0 AS VARCHAR) AS path, v0 AS v FROM starts),
+         |${(1 to WalkLen).map(step).mkString(",\n")}
+         |SELECT v0 AS start_v, path FROM s$WalkLen ORDER BY start_v""".stripMargin
+    },
     "graph_hits" -> {
       // The pagerank unroll pattern with HITS's two half-steps per
       // iteration; every candidate expression is interpolated TWICE
@@ -1258,6 +1334,7 @@ object GraphOps {
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_ppr" -> (graphPpr(_, _)),
     "graph_hits" -> (graphHits(_, _)),
+    "graph_walk_corpus" -> (graphWalkCorpus(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
