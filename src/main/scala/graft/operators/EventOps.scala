@@ -814,6 +814,49 @@ object EventOps {
       .orderBy("epoch_hour")
   }
 
+  /** Sequence-ordering audit — "do event ids respect time within each
+    * user's stream": the ingestion-hygiene check that catches clock
+    * skew, replayed shards, and out-of-order assignment before any
+    * window operator silently consumes them (every sessionize/funnel/
+    * lag in this engine orders by (tus, event_id) — this panel
+    * measures how often those two orders DISAGREE). Per-user lag
+    * window (the scale-safe stream-local formulation — a global id
+    * ordering would be one corpus-sized partition), exact counts, the
+    * worst backwards time-step in microseconds, and the inversion
+    * rate in ppm. */
+  def qcSequenceCheck(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("ptus", lag("tus", 1).over(w))
+      .filter(col("ptus").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ptus") > col("tus"), 1L).otherwise(0L)).as("n_inversions"),
+        max(when(col("ptus") > col("tus"), col("ptus") - col("tus"))
+          .otherwise(0L)).as("max_backstep_us"))
+      .withColumn("inversion_ppm",
+        expr("n_inversions * 1000000 div n_pairs"))
+  }
+
+  /** Sample-ratio-mismatch check — THE standard A/B health gate run
+    * before reading any result: is the observed arm split consistent
+    * with the designed 50/50? z² = (n_a − n_b)²/(n_a + n_b), an exact
+    * rational quantized to micro-units, flagged against the 95%
+    * χ²₁ critical value 3.84 with an integer cross-multiplied compare
+    * (no float threshold). A failed SRM invalidates the experiment
+    * regardless of its p-value — which is why this panel exists
+    * separately from ev_ab_test's effect readout. Same shared
+    * [[abArmAccumulators]] as the other experiment panels. */
+  def statSrmCheck(spark: SparkSession, dir: String): DataFrame =
+    abArmAccumulators(spark, dir)
+      .selectExpr("n_a", "n_b",
+        """CASE WHEN n_a + n_b = 0 THEN CAST(0 AS BIGINT)
+          | ELSE ((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)
+          | END AS srm_z2_micro""".stripMargin)
+      .selectExpr("n_a", "n_b", "srm_z2_micro",
+        // z2 > 3.84 ⟺ z2_micro > 3840000, exactly
+        "CASE WHEN srm_z2_micro > 3840000 THEN 1 ELSE 0 END AS srm_flag")
+
   /** Audience OVERLAP matrix — Jaccard similarity between event
     * types' user sets ("how much do purchasers overlap with
     * sharers"): the segmentation panel read before building funnels
@@ -1334,6 +1377,28 @@ object EventOps {
        |      GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "qc_sequence_check" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS ptus
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN ptus > tus THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+        |  CAST(max(CASE WHEN ptus > tus THEN ptus - tus ELSE 0 END) AS BIGINT)
+        |    AS max_backstep_us,
+        |  CAST(sum(CASE WHEN ptus > tus THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS inversion_ppm
+        |FROM e WHERE ptus IS NOT NULL""".stripMargin,
+    "stat_srm_check" ->
+      s"""WITH $AbAccumSql
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a + n_b = 0 THEN 0
+         |       ELSE ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+         |  END AS srm_z2_micro,
+         |  CASE WHEN (CASE WHEN n_a + n_b = 0 THEN 0
+         |             ELSE ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) END)
+         |            > 3840000 THEN 1 ELSE 0 END AS srm_flag
+         |FROM m""".stripMargin,
     "ev_user_overlap" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
@@ -1929,6 +1994,8 @@ object EventOps {
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
     "stat_seasonal_decompose" -> (statSeasonalDecompose(_, _)),
     "ev_user_overlap" -> (evUserOverlap(_, _)),
+    "stat_srm_check" -> (statSrmCheck(_, _)),
+    "qc_sequence_check" -> (qcSequenceCheck(_, _)),
     "stat_cusum" -> (statCusum(_, _)),
     "stat_power_mde" -> (statPowerMde(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),

@@ -685,6 +685,33 @@ object SimilarityOps {
       .orderBy("p")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for
+    * each anchor of a query sample, the 5 most-similar vectors with a
+    * DIFFERENT label (the near-miss impostors a triplet/InfoNCE run
+    * trains against; easy negatives teach nothing, and random
+    * sampling at 100 TB yields almost exclusively easy ones — mining
+    * is what makes the batch informative). Same bounded shape as
+    * [[simRecallEval]]'s exact side: 20 broadcast anchors, map-side
+    * cosines, the label-mismatch filter BEFORE the per-anchor
+    * WindowGroupLimit top-5. At corpus scale the anchor side is a
+    * sample per training batch and the scan side rides the ANN index
+    * (probe first, then label-filter) — this is the exact-truth
+    * formulation the index path is gated against. */
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("c"), col("vec_id"))
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("c", round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("rn").cast("long").as("rank"), col("vec_id"),
+        col("label").as("neg_label"), col("c").as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Dimension-TRUNCATION tuning curve — recall@5 when similarity uses
     * only the first d of 64 dimensions (d = 8, 16, 32, 64), against
     * the full-dimension truth: the Matryoshka-style eval a pipeline
@@ -1758,6 +1785,20 @@ object SimilarityOps {
         | round(avg(embedding[t.dim + 1]::DOUBLE), 4) + 0.0 AS avg_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) t
         |GROUP BY label, t.dim ORDER BY label, dim""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT q.qid, e.vec_id, e.label AS neg_label,
+         |    round(${cosExprSql("e.embedding", "q.qv")}, 4) + 0.0 AS c
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid AND e.label <> q.qlabel)
+         |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, neg_label, c AS cos_sim
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+         |  FROM cand) WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "sim_trunc_dim_sweep" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |exall AS (
@@ -2022,6 +2063,7 @@ object SimilarityOps {
     "sim_recall_eval" -> (simRecallEval(_, _)),
     "sim_probe_sweep" -> (simProbeSweep(_, _)),
     "sim_trunc_dim_sweep" -> (simTruncDimSweep(_, _)),
+    "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "emb_centroids" -> (embCentroids(_, _)),
     "emb_source_affinity" -> (embSourceAffinity(_, _)),
     "emb_dim_stats" -> (embDimStats(_, _)),
