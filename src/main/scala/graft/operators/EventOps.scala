@@ -21,7 +21,7 @@ object EventOps {
 
   /** 24 h in microseconds — the band width AND the funnel step window.
     * Integer microsecond arithmetic end-to-end so oracle parity is exact. */
-  private val W24h = 86400000000L
+  private[graft] val W24h = 86400000000L
 
   /** Bounded-range join: for every click, count the same user's views in
     * the preceding 24 h window.
@@ -975,6 +975,61 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Holt linear-trend forecast (double exponential smoothing,
+    * α = β = 0.5) over each event type's DAILY count series — the
+    * next-better baseline above [[evSeasonalNaive]]: level + trend
+    * state absorbs drift a seasonal-naive repeat can't, and the fitted
+    * (level, trend) pair IS the h-step forecast line. Output per
+    * type: series length, final level/trend, and the 1- and 7-day-
+    * ahead forecasts.
+    *
+    * The recurrence l' = ½y + ½(l+b); b' = ½(l'−l) + ½b is SEQUENTIAL
+    * by definition, so it folds LEFT over the gap-filled time-ordered
+    * series (missing days count 0 — a dense axis join, so a gap can't
+    * silently misalign the fold; the evSeasonalNaive lesson). State
+    * rides as a 2-element DOUBLE array because DuckDB's list_reduce
+    * requires acc type == element type (the ev_survival init-prepend
+    * trick, lifted from scalars to pairs); init is the textbook
+    * l₁ = y₁, b₁ = y₂ − y₁. Every fold step is the same IEEE double
+    * tree in both engines (halving is exact, adds correctly rounded —
+    * the agg_moments contract), so the fit is bit-stable.
+    *
+    * Scale: one (type, day) partial-agg shuffle; the fold runs once
+    * per type over a days-long bounded array (series length is
+    * calendar time, not corpus size). */
+  def statHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val span = daily.agg(min("d").as("d0"), max("d").as("d1"))
+    val axis = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("d"))
+    val ser = axis.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(d, y)))").as("sy"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+    ser
+      .withColumn("ys", expr("transform(sy, p -> array(p.y, CAST(0 AS DOUBLE)))"))
+      .withColumn("st", expr(
+        """aggregate(slice(ys, 3, CAST(size(ys) - 2 AS INT)),
+          |  array(ys[0][0], ys[1][0] - ys[0][0]),
+          |  (acc, x) -> array(
+          |    0.5D * x[0] + 0.5D * (acc[0] + acc[1]),
+          |    0.5D * ((0.5D * x[0] + 0.5D * (acc[0] + acc[1])) - acc[0])
+          |      + 0.5D * acc[1]))""".stripMargin))
+      .select(col("event_type"), col("n_days"),
+        (round(expr("st[0]"), 4) + lit(0.0)).as("level"),
+        (round(expr("st[1]"), 4) + lit(0.0)).as("trend"),
+        (round(expr("st[0] + st[1]"), 4) + lit(0.0)).as("fc_1"),
+        (round(expr("st[0] + 7 * st[1]"), 4) + lit(0.0)).as("fc_7"))
+      .orderBy("event_type")
+  }
+
   /** Shared MDE formula string (both engines): two-proportion minimum
     * detectable effect at α=0.05 two-sided, 80% power —
     * (z_{0.975} + z_{0.80}) = 1.959964 + 0.841621 = 2.801585. The one
@@ -1447,6 +1502,41 @@ object EventOps {
         |    AS mean_abs_resid_milli
         |FROM det JOIN se USING (hod)
         |GROUP BY hod ORDER BY hod""".stripMargin,
+    "stat_holt_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |axis AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1)) AS d
+        |  FROM types CROSS JOIN span),
+        |full_s AS (
+        |  SELECT a.event_type, a.d,
+        |         CAST(coalesce(cnt, 0) AS DOUBLE) AS y
+        |  FROM axis a LEFT JOIN daily x
+        |    ON a.event_type = x.event_type AND a.d = x.d),
+        |ser AS (
+        |  SELECT event_type, list([y, CAST(0 AS DOUBLE)] ORDER BY d) AS ys,
+        |         count(*) AS n_days
+        |  FROM full_s GROUP BY 1 HAVING count(*) >= 2),
+        |fit AS (
+        |  SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[3:]),
+        |      (acc, x) -> [
+        |        0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+        |        0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+        |          + 0.5 * acc[2]])
+        |      AS st
+        |  FROM ser)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(st[1], 4) + 0.0 AS level,
+        |  round(st[2], 4) + 0.0 AS trend,
+        |  round(st[1] + st[2], 4) + 0.0 AS fc_1,
+        |  round(st[1] + 7 * st[2], 4) + 0.0 AS fc_7
+        |FROM fit ORDER BY event_type""".stripMargin,
     "ev_seasonal_naive" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -1992,6 +2082,7 @@ object EventOps {
     "ev_ewma" -> (evEwma(_, _)),
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
+    "stat_holt_forecast" -> (statHoltForecast(_, _)),
     "stat_seasonal_decompose" -> (statSeasonalDecompose(_, _)),
     "ev_user_overlap" -> (evUserOverlap(_, _)),
     "stat_srm_check" -> (statSrmCheck(_, _)),

@@ -519,6 +519,62 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Adamic–Adar link prediction over the co-purchase graph — the
+    * next-link recommender score: for NON-adjacent part pairs that
+    * share co-purchase neighbors, Σ over shared neighbors z of
+    * 1/ln(deg(z)) — common-neighbor evidence that DISCOUNTS hub
+    * neighbors (sharing a niche part is stronger evidence than sharing
+    * one everything-buys-it part), exactly the weighting
+    * [[graphJaccard]]'s set ratio misses. Existing edges are
+    * anti-joined out — the prediction targets links that do not exist
+    * yet. Top-20 candidate edges.
+    *
+    * Determinism: each shared vertex's weight quantizes ONCE to
+    * integer nano-units (round(1e9/ln(d)) — degree-1 vertices are
+    * filtered out first: they have no second neighbor to complete a
+    * wedge, and ANSI mode would refuse their ln(1) = 0 divisor), and
+    * a pair's score is an exact BIGINT sum of those units —
+    * partition-order-independent, ranked with the (p1, p2) tiebreak.
+    * Both engines round the SAME IEEE double 1e9/ln(CAST(d AS
+    * DOUBLE)), the txt_js_divergence log-quantization contract.
+    *
+    * Scale: the wedge join keys on the shared vertex — the triangle
+    * hub hazard — so the explicit (a, c) pair-id spread runs before
+    * the score aggregation (the [[wedges]] law); degrees are a
+    * vertex-sized broadcast onto the adjacency, and the weight rides
+    * the wedge row in, so no post-aggregation re-join is needed. */
+  def graphAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .filter(col("n_orders") >= 2)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    // Degree-1 vertices can't center a wedge (no second neighbor), and
+    // their ln(1) = 0 would trip ANSI division — filter BEFORE the
+    // weight expression so it never evaluates on them.
+    val degW = adj.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2)
+      .select(col("src"),
+        expr("CAST(round(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)").as("wq"))
+    val par = spark.sparkContext.defaultParallelism
+    val wadj = adj.join(broadcast(degW), "src")
+    val scored = wadj.select(col("src"), col("dst").as("a"), col("wq"))
+      .join(adj.select(col("src"), col("dst").as("c")), "src")
+      .filter(col("a") < col("c"))
+      .repartition(par, col("a"), col("c"))
+      .groupBy("a", "c")
+      .agg(sum("wq").as("sq"), count(lit(1)).as("common"))
+    scored
+      .join(edges,
+        scored("a") === edges("p1") && scored("c") === edges("p2"), "left_anti")
+      .select(col("a").as("p1"), col("c").as("p2"), col("common"),
+        (round(col("sq").cast("double") / lit(1000000000.0), 4) + lit(0.0))
+          .as("aa_score"))
+      .orderBy(desc("aa_score"), col("p1"), col("p2"))
+      .limit(20)
+  }
+
   /** Degree distribution of the co-purchase graph — the first
     * diagnostic a graph pipeline prints (is this power-law? where do
     * the hubs start? what support threshold keeps the wedge joins
@@ -676,6 +732,83 @@ object GraphOps {
     free(symIds)
     dist.groupBy("d").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
       .orderBy("d")
+  }
+
+  /** [[graphCloseness]] sample size: exact all-sources closeness is
+    * O(n·E) — the Eppstein–Wang sampling result is THE scale path, and
+    * the sample is the md5-ranked deterministic pick so both engines
+    * (and any cluster size) choose the same sources. */
+  private[graft] val ClosenessSeeds = 8
+
+  /** Sampled closeness centrality — Wasserman–Faust normalized
+    * closeness for [[ClosenessSeeds]] md5-sampled source vertices of
+    * the full co-purchase graph: C(s) = (r−1)²/((n−1)·Σd) where r =
+    * vertices reached from s and Σd their hop-distance sum (the
+    * disconnected-safe form: the (r−1)/(n−1) factor scales reach, so
+    * a vertex seeing only a small component can't claim a hub's
+    * score). The sampled-source design is the Eppstein–Wang estimator
+    * shape: exact closeness needs all-pairs BFS, a sample of sources
+    * costs |S| BFS passes at ANY corpus size.
+    *
+    * Iteration: [[graphBfsLayers]]' monotone frontier min-label loop
+    * lifted to (seed, v) keys — ONE loop runs all |S| BFS frontiers
+    * concurrently (fatter rounds, not more of them — the kcore
+    * lesson), same integer (count, Σd) freeze measure, same per-round
+    * lineage cut with superseded blocks freed, same [[BfsMaxIter]]
+    * oracle-mirroring cap. State is ≤ |S|·n rows — |S| is a constant,
+    * so the per-round join stays linear in the graph; the closeness
+    * itself is ONE division of two exact BIGINT products. */
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val (sym, symIds) = checkpointed(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    val verts = sym.select(col("src")).distinct()
+    // Materialized 1-row |V| — the final closeness select runs AFTER
+    // sym's checkpoint blocks are freed, so it must not re-derive
+    // verts from the freed lineage.
+    val nRow = verts.agg(count(lit(1)).as("n")).localCheckpoint()
+    val seeds = verts
+      .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
+      .limit(ClosenessSeeds)
+    var (dist, distIds) = checkpointed(
+      seeds.select(col("src").as("s"), col("src").as("v"), lit(0L).as("d")))
+    var iters = 0
+    var frozen = false
+    var prev = (-1L, -1L)
+    while (!frozen && iters < BfsMaxIter) {
+      val cand = sym.join(broadcast(dist), col("src") === col("v"))
+        .groupBy(col("s"), col("dst")).agg(min(col("d") + 1).as("d"))
+        .select(col("s"), col("dst").as("v"), col("d"))
+      val (next, nextIds) = checkpointed(
+        dist.unionByName(cand).groupBy("s", "v").agg(min("d").as("d")))
+      iters += 1
+      val m = next.agg(count(lit(1)), sum("d")).first()
+      val measure = (m.getLong(0), m.getLong(1))
+      free(distIds)
+      dist = next; distIds = nextIds
+      frozen = measure == prev
+      prev = measure
+    }
+    free(symIds)
+    dist.groupBy("s")
+      .agg(count(lit(1)).as("reached"), sum("d").as("sum_dist"))
+      .crossJoin(broadcast(nRow))
+      .select(col("s").as("seed"), col("reached"), col("sum_dist"),
+        (round(((col("reached") - 1) * (col("reached") - 1)).cast("double") /
+          ((col("n") - 1) * col("sum_dist")).cast("double"), 6) + lit(0.0))
+          .as("closeness"))
+      .orderBy("seed")
   }
 
   /** Coreness iteration cap — the oracle-mirroring bound (BfsMaxIter /
@@ -944,6 +1077,39 @@ object GraphOps {
          |SELECT d, count(*) AS n_vertices, min(v) AS min_vertex
          |FROM d$BfsMaxIter GROUP BY d ORDER BY d""".stripMargin
     },
+    "graph_closeness" -> {
+      val levels = (1 to BfsMaxIter).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s, v, min(d) AS d FROM (
+           |    SELECT s, v, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT p.s, e.dst AS v, p.d + 1 AS d
+           |    FROM d${i - 1} p JOIN sym e ON p.v = e.src) GROUP BY s, v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |       UNION ALL SELECT p2, p1 FROM pairs),
+         |verts AS MATERIALIZED (SELECT DISTINCT src FROM sym),
+         |nn AS (SELECT count(*) AS n FROM verts),
+         |seeds AS (SELECT src FROM verts
+         |          ORDER BY md5(CAST(src AS VARCHAR)), src
+         |          LIMIT $ClosenessSeeds),
+         |d0 AS (SELECT CAST(src AS BIGINT) AS s, CAST(src AS BIGINT) AS v,
+         |              CAST(0 AS BIGINT) AS d FROM seeds),
+         |$levels
+         |SELECT s AS seed, count(*) AS reached,
+         |  CAST(sum(d) AS BIGINT) AS sum_dist,
+         |  round(CAST((count(*) - 1) * (count(*) - 1) AS DOUBLE) /
+         |        CAST((max(nn.n) - 1) * sum(d) AS DOUBLE), 6) + 0.0
+         |    AS closeness
+         |FROM d$BfsMaxIter CROSS JOIN nn
+         |GROUP BY s ORDER BY seed""".stripMargin
+    },
     "graph_degree_dist" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -1023,6 +1189,34 @@ object GraphOps {
         |  round(common * 1.0 / (da.d + dc.d - common), 4) AS jaccard
         |FROM com JOIN deg da ON com.a = da.src JOIN deg dc ON com.c = dc.src
         |ORDER BY jaccard DESC, p1, p2 LIMIT 20""".stripMargin,
+    "graph_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS MATERIALIZED (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |adj AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM edges
+        |       UNION ALL SELECT p2, p1 FROM edges),
+        |degw AS (
+        |  SELECT src,
+        |    CAST(round(1000000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+        |      AS wq
+        |  FROM adj GROUP BY src HAVING count(*) >= 2),
+        |com AS (
+        |  SELECT e1.dst AS a, e2.dst AS c,
+        |    sum(w.wq::HUGEINT) AS sq, count(*) AS common
+        |  FROM adj e1
+        |  JOIN adj e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN degw w ON w.src = e1.src
+        |  GROUP BY 1, 2)
+        |SELECT com.a AS p1, com.c AS p2, common,
+        |  round(CAST(sq AS DOUBLE) / 1000000000.0, 4) + 0.0 AS aa_score
+        |FROM com
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM edges e WHERE e.p1 = com.a AND e.p2 = com.c)
+        |ORDER BY aa_score DESC, p1, p2 LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
@@ -1337,10 +1531,12 @@ object GraphOps {
     "graph_walk_corpus" -> (graphWalkCorpus(_, _)),
     "graph_triangles" -> (graphTriangles(_, _)),
     "graph_jaccard" -> (graphJaccard(_, _)),
+    "graph_adamic_adar" -> (graphAdamicAdar(_, _)),
     "graph_degree_dist" -> (graphDegreeDist(_, _)),
     "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
+    "graph_closeness" -> (graphCloseness(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),
     "graph_modularity" -> (graphModularity(_, _)),

@@ -222,6 +222,73 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** [[simMmrRerank]] candidate-pool size (top-M by relevance) and
+    * number of selections; λ = 0.7 enters both engines as the exact
+    * integer pair (7, 3) so the greedy argmax is integer math. */
+  val MmrPool = 40
+  val MmrK = 10
+
+  /** Maximal Marginal Relevance re-ranking — the diversified-retrieval
+    * step a curation pipeline runs AFTER top-k similarity: greedily
+    * pick [[MmrK]] of the top-[[MmrPool]] candidates maximizing
+    * λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j), so near-duplicate
+    * hits can't crowd the result the way plain top-k lets them
+    * (sim_topk_cosine is the λ=1 degenerate case).
+    *
+    * The greedy loop is SEQUENTIAL by definition, but its state is the
+    * bounded MmrPool-row candidate table, never the corpus — so the
+    * corpus-sized work is exactly sim_topk_cosine's scan, and the
+    * selection unrolls as [[MmrK]] chained single-partition window
+    * steps over the checkpointed pool (each step: rank by the current
+    * MMR score, capture the winner's embedding via first_value, fold
+    * it into every candidate's running max-sim — state referenced once
+    * per step, so the plan grows linearly, and the one SinglePartition
+    * exchange up front satisfies all ten windows). The oracle unrolls
+    * the same ten steps as MATERIALIZED CTEs (the emb_kmeans pattern).
+    *
+    * Determinism: relevance and pair similarities quantize ONCE to
+    * integer micro-units off the bit-identical [[cosExprSpark]] fold;
+    * score = 7·relq − 3·maxsimq stays in exact BIGINTs with the
+    * (unpicked-first, score DESC, vec_id) total order shared verbatim
+    * by both engines. */
+  def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val pool = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"CAST(round(${cosExprSpark("embedding", "qv")} * 1000000) AS BIGINT)")
+          .as("relq"))
+      .orderBy(desc("relq"), col("vec_id"))
+      .limit(MmrPool)
+      .localCheckpoint()
+    var st = pool.select(col("vec_id"), col("embedding"), col("relq"),
+      lit(0L).as("maxsimq"), lit(0).as("picked"), lit(0L).as("pick_score"))
+    for (k <- 1 to MmrK) {
+      val w = Window.orderBy(
+        when(col("picked") > 0, 1).otherwise(0).asc,
+        col("score").desc, col("vec_id").asc)
+      st = st
+        .withColumn("score", lit(7L) * col("relq") - lit(3L) * col("maxsimq"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pick_emb", first(col("embedding")).over(w))
+        .select(col("vec_id"), col("embedding"), col("relq"),
+          greatest(col("maxsimq"),
+            expr(s"CAST(round(${cosExprSpark("embedding", "pick_emb")} * 1000000) AS BIGINT)"))
+            .as("maxsimq"),
+          when(col("rn") === 1, lit(k)).otherwise(col("picked")).as("picked"),
+          when(col("rn") === 1, col("score")).otherwise(col("pick_score"))
+            .as("pick_score"))
+    }
+    st.filter(col("picked") > 0)
+      .select(col("picked").as("mmr_rank"), col("vec_id"),
+        (round(col("relq").cast("double") / lit(1000000.0), 4) + lit(0.0))
+          .as("rel_sim"),
+        (round(col("pick_score").cast("double") / lit(10000000.0), 4) + lit(0.0))
+          .as("mmr_score"))
+      .orderBy("mmr_rank")
+  }
+
   /** ANN: probe only the query vector's top-P IVF cells (a few
     * corpus/K-sized slices instead of the full scan), then rank. The
     * query's probed cells ride in as a broadcast semi-join. */
@@ -1592,9 +1659,50 @@ object SimilarityOps {
        |FROM terms WHERE vec_id <> 0
        |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
+  /** One [[simMmrRerank]] greedy step in DuckDB — the state CTE's
+    * window rank + winner fold, mirroring the Spark step verbatim. */
+  private def mmrStepSql(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"s${k - 1}"
+    s"""s$k AS MATERIALIZED (
+       |  SELECT vec_id, embedding, relq,
+       |    greatest(maxsimq,
+       |      CAST(round(${cosExprSql("embedding", "pick_emb")} * 1000000) AS BIGINT))
+       |      AS maxsimq,
+       |    CASE WHEN rn = 1 THEN $k ELSE picked END AS picked,
+       |    CASE WHEN rn = 1 THEN score ELSE pick_score END AS pick_score
+       |  FROM (
+       |    SELECT *,
+       |      row_number() OVER (ORDER BY
+       |        (CASE WHEN picked > 0 THEN 1 ELSE 0 END), score DESC, vec_id)
+       |        AS rn,
+       |      first_value(embedding) OVER (ORDER BY
+       |        (CASE WHEN picked > 0 THEN 1 ELSE 0 END), score DESC, vec_id)
+       |        AS pick_emb
+       |    FROM (SELECT *, 7 * relq - 3 * maxsimq AS score FROM $prev)))"""
+      .stripMargin
+  }
+
+  private def simMmrRerankOracle: String =
+    s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(round(${cosExprSql("embedding", "q")} * 1000000) AS BIGINT) AS relq
+       |  FROM embeddings, qv WHERE vec_id <> 0
+       |  ORDER BY relq DESC, vec_id LIMIT $MmrPool),
+       |s0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, relq, CAST(0 AS BIGINT) AS maxsimq,
+       |    0 AS picked, CAST(0 AS BIGINT) AS pick_score
+       |  FROM pool),
+       |${(1 to MmrK).map(mmrStepSql).mkString(",\n")}
+       |SELECT picked AS mmr_rank, vec_id,
+       |  round(CAST(relq AS DOUBLE) / 1000000.0, 4) + 0.0 AS rel_sim,
+       |  round(CAST(pick_score AS DOUBLE) / 10000000.0, 4) + 0.0 AS mmr_score
+       |FROM s$MmrK WHERE picked > 0 ORDER BY mmr_rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "emb_pq_encode" -> embPqEncodeOracle,
     "sim_pq_topk" -> simPqTopkOracle,
+    "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) + 0.0 AS cos_sim
@@ -2052,6 +2160,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
+    "sim_mmr_rerank" -> (simMmrRerank(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),

@@ -378,6 +378,63 @@ object StreamOps {
       }
   }
 
+  /** Per-user funnel state: the (tus, event_id) high-water mark (drop
+    * rule) plus the three step timestamps (Long.MinValue = unset).
+    * Five fields per user, O(users) forever — never the event
+    * history. */
+  final case class FunnelSt(hwmT: Long, hwmId: Long,
+      t1: Long, t2: Long, t3: Long)
+
+  /** Running per-user deepest funnel step. */
+  final case class UserSteps(user_id: Long, steps: Int)
+
+  /** Streaming twin of ev_funnel: per user, the deepest step of the
+    * view → click (≤24 h) → purchase (≤24 h) funnel seen so far, via
+    * ONE [[FunnelSt]] row per user in mapGroupsWithState. The batch
+    * rule binds t1 to the FIRST view and each next step to the FIRST
+    * qualifying event after it; under per-user in-order delivery (the
+    * [[transitionsStream]] kafka-partition-per-user contract, same
+    * at-or-behind high-water drop — replays suppressed, a late event
+    * loses its step rather than rewriting history) "first qualifying
+    * in arrival order" IS the batch min, and a qualifying step's
+    * strict tus > previous-step tus means its predecessor is always
+    * already bound when it arrives. The emitted deepest-step is
+    * MONOTONE per user, so the downstream histogram folds with
+    * max(steps) per user — any micro-batching. The 24 h window is
+    * the batch operator's own constant ([[EventOps.W24h]] — one
+    * definition, the funnelSteps discipline). */
+  def funnelStream(events: Dataset[Ev]): Dataset[UserSteps] = {
+    import events.sparkSession.implicits._
+    val W = graft.operators.EventOps.W24h
+    val U = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, UserSteps] {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) =>
+          var s = state.getOption.getOrElse(FunnelSt(U, U, U, U, U))
+          evs.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+            val after = s.hwmT == U || e.tus > s.hwmT ||
+              (e.tus == s.hwmT && e.event_id > s.hwmId)
+            if (after) {
+              var (t1, t2, t3) = (s.t1, s.t2, s.t3)
+              e.event_type match {
+                case "view" if t1 == U => t1 = e.tus
+                case "click" if t1 != U && t2 == U &&
+                  e.tus > t1 && e.tus <= t1 + W => t2 = e.tus
+                case "purchase" if t2 != U && t3 == U &&
+                  e.tus > t2 && e.tus <= t2 + W => t3 = e.tus
+                case _ =>
+              }
+              s = FunnelSt(e.tus, e.event_id, t1, t2, t3)
+            }
+          }
+          state.update(s)
+          UserSteps(uid,
+            if (s.t3 != U) 3 else if (s.t2 != U) 2
+            else if (s.t1 != U) 1 else 0)
+      }
+  }
+
   /** Per-user attribution state: the overall high-water mark (drop
     * rule) plus the last NON-purchase touch. touchTus == Long.MinValue
     * means no touch seen yet. O(users) forever — four fields, never

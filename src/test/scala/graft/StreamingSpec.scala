@@ -553,6 +553,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel equals batch ev_funnel across micro-batches, with replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Per-user in-order delivery (the kafka-partition-per-user
+    // contract); three uneven splits put view→click→purchase chains
+    // across micro-batch boundaries so FunnelSt must carry over.
+    val evs = loadEvents().sortBy(e => (e.tus, e.event_id))
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      // replay batch b verbatim: every event is at-or-behind the
+      // per-user high-water mark → no step rebinds.
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    // steps is monotone per user, so max(steps) == the final state.
+    val streamed = spark.sql(
+      """SELECT steps, count(*) AS n_users FROM (
+        |  SELECT user_id, max(steps) AS steps FROM funnel GROUP BY 1)
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val batch = graft.operators.EventOps.evFunnel(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._2).sum > 0)
+  }
+
   test("streaming attribution equals batch ev_attribution across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
