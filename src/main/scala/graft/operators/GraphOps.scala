@@ -811,6 +811,112 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** Sampled betweenness centrality — Brandes' algorithm from the
+    * [[ClosenessSeeds]] md5-sampled sources (the Brandes–Pich sampled
+    * estimator: exact betweenness is all-sources Brandes, O(n·E);
+    * a fixed source panel costs |S| two-phase passes at any corpus
+    * size): which vertices do shortest paths FUNNEL through — the
+    * bridge/bottleneck signal degree and closeness both miss. Top-20
+    * by sampled score.
+    *
+    * Phase 1 (forward): level-synchronous multi-source BFS keyed by
+    * (source, v) — per round, the frontier pushes (dist, path-count σ)
+    * one hop out; σ(v) = Σ σ(parents) is final the round v is first
+    * reached BECAUSE the BFS is level-synchronous (all level-L parents
+    * settle in round L). Settled rows accumulate per round (the
+    * dedup_components append shape), frontier
+    * empty = done.
+    * Phase 2 (backward): Brandes' dependency δ(u) = Σ_children
+    * σu/σv·(1 + δ(v)) runs level-by-level from the deepest frontier
+    * back to the sources. The fraction is quantized exactly: δ rides
+    * as integer micro-units and each edge contributes
+    * (σu·(Q + δq(v))) div σv — the product in DECIMAL(38,0)/HUGEINT
+    * (σ can reach deg^L; the hits rescale contract), the integral
+    * division truncating identically in both engines, the per-vertex
+    * sum an exact BIGINT fold. Betweenness(v) = Σ_sources δq(v),
+    * v ≠ source.
+    *
+    * Scale: per round ONE frontier⋈edges join (frontier is ≤|S|·n
+    * rows — vertex-sized × a constant) + partial-aggregated sums; the
+    * backward joins run on the settled per-level slices, never the
+    * event/corpus tables. The oracle unrolls both phases at the fixed
+    * [[BfsMaxIter]] depth (empty levels are the identity — the
+    * early-stop == full-unroll law every iterative kernel here uses). */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val (sym, _) = checkpointed(
+      edges.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    val seeds = sym.select(col("src")).distinct()
+      .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
+      .limit(ClosenessSeeds)
+    // Forward: settled(s, v, d, sig) grows by one level per round.
+    var (frontier, _) = checkpointed(
+      seeds.select(col("src").as("s"), col("src").as("v"),
+        lit(0L).as("d"), lit(1L).as("sig")))
+    var settled = frontier
+    var level = 0L
+    var frontierN = 1L
+    while (frontierN > 0 && level < BfsMaxIter) {
+      level += 1
+      val cand = sym.join(broadcast(frontier), col("src") === col("v"))
+        .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
+        .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
+      val (next, _) = checkpointed(
+        cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
+      frontierN = next.count()
+      if (frontierN > 0) {
+        val (merged, _) = checkpointed(settled.unionByName(next))
+        settled = merged
+        frontier = next
+      }
+    }
+    // Backward: per-level dependency tables, deepest first. deltas(L)
+    // holds (s, v, dq) for every settled v at level L.
+    val lmax = level - (if (frontierN == 0) 1 else 0)
+    var deltas = checkpointed(
+      settled.filter(col("d") === lmax)
+        .select(col("s"), col("v"), lit(0L).as("dq")))._1
+    var acc = deltas
+    var l = lmax - 1
+    while (l >= 0) {
+      val children = settled.filter(col("d") === l + 1)
+        .join(deltas.select(col("s"), col("v"), col("dq")), Seq("s", "v"))
+        .select(col("s"), col("v").as("cv"), col("sig").as("csig"), col("dq"))
+      val parents = settled.filter(col("d") === l)
+        .select(col("s"), col("v"), col("sig"))
+      val contrib = parents
+        .join(sym.select(col("src").as("v"), col("dst").as("cv")), "v")
+        .join(children, Seq("s", "cv"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(expr(
+          "CAST(sig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
+      val (next, _) = checkpointed(
+        parents.select(col("s"), col("v"))
+          .join(contrib, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
+      deltas = next
+      acc = checkpointed(acc.unionByName(next))._1
+      l -= 1
+    }
+    acc.filter(col("v") =!= col("s"))
+      .groupBy("v")
+      .agg(sum("dq").as("bq"), count(lit(1)).as("n_sources"))
+      .select(col("v").as("p_partkey"), col("n_sources"),
+        (round(col("bq").cast("double") / lit(1000000.0), 4) + lit(0.0))
+          .as("betweenness"))
+      .orderBy(desc("betweenness"), col("p_partkey"))
+      .limit(20)
+  }
+
   /** Coreness iteration cap — the oracle-mirroring bound (BfsMaxIter /
     * PrMaxIter pattern): measured h-index freeze is 21 iterations at
     * sf0.001 (the dense 200-vertex blob peels slowly), 10 at sf0.01,
@@ -1076,6 +1182,65 @@ object GraphOps {
          |$levels
          |SELECT d, count(*) AS n_vertices, min(v) AS min_vertex
          |FROM d$BfsMaxIter GROUP BY d ORDER BY d""".stripMargin
+    },
+    "graph_betweenness" -> {
+      val fwd = (1 to BfsMaxIter).map { i =>
+        s"""cand$i AS (
+           |  SELECT p.s, e.dst AS v, CAST($i AS BIGINT) AS d,
+           |         CAST(sum(p.sig) AS BIGINT) AS sig
+           |  FROM fr${i - 1} p JOIN sym e ON p.v = e.src GROUP BY 1, 2),
+           |fr$i AS MATERIALIZED (
+           |  SELECT c.* FROM cand$i c
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM st${i - 1} t WHERE t.s = c.s AND t.v = c.v)),
+           |st$i AS MATERIALIZED (
+           |  SELECT * FROM st${i - 1} UNION ALL SELECT * FROM fr$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val bwd = (0 until BfsMaxIter).reverse.map { l =>
+        s"""d$l AS MATERIALIZED (
+           |  SELECT p.s, p.v, CAST(coalesce(x.sm, 0) AS BIGINT) AS dq
+           |  FROM (SELECT s, v FROM st$BfsMaxIter WHERE d = $l) p
+           |  LEFT JOIN (
+           |    SELECT p2.s, p2.v,
+           |      sum((CAST(p2.sig AS HUGEINT) * (1000000 + dn.dq)) // ch.sig)
+           |        AS sm
+           |    FROM (SELECT s, v, sig FROM st$BfsMaxIter WHERE d = $l) p2
+           |    JOIN sym e ON p2.v = e.src
+           |    JOIN (SELECT s, v, sig FROM st$BfsMaxIter WHERE d = ${l + 1}) ch
+           |      ON ch.s = p2.s AND ch.v = e.dst
+           |    JOIN d${l + 1} dn ON dn.s = ch.s AND dn.v = ch.v
+           |    GROUP BY 1, 2) x ON x.s = p.s AND x.v = p.v)"""
+          .stripMargin
+      }.mkString(",\n")
+      val allD = (0 to BfsMaxIter)
+        .map(l => s"SELECT * FROM d$l").mkString(" UNION ALL ")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |       UNION ALL SELECT p2, p1 FROM pairs),
+         |seeds AS (SELECT src FROM (SELECT DISTINCT src FROM sym)
+         |          ORDER BY md5(CAST(src AS VARCHAR)), src
+         |          LIMIT $ClosenessSeeds),
+         |st0 AS MATERIALIZED (
+         |  SELECT CAST(src AS BIGINT) AS s, CAST(src AS BIGINT) AS v,
+         |         CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
+         |  FROM seeds),
+         |fr0 AS (SELECT * FROM st0),
+         |$fwd,
+         |d$BfsMaxIter AS MATERIALIZED (
+         |  SELECT s, v, CAST(0 AS BIGINT) AS dq
+         |  FROM st$BfsMaxIter WHERE d = $BfsMaxIter),
+         |$bwd
+         |SELECT v AS p_partkey, count(*) AS n_sources,
+         |  round(CAST(sum(dq) AS DOUBLE) / 1000000.0, 4) + 0.0 AS betweenness
+         |FROM ($allD) u
+         |WHERE v <> s
+         |GROUP BY v
+         |ORDER BY betweenness DESC, p_partkey LIMIT 20""".stripMargin
     },
     "graph_closeness" -> {
       val levels = (1 to BfsMaxIter).map { i =>
@@ -1537,6 +1702,7 @@ object GraphOps {
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
     "graph_closeness" -> (graphCloseness(_, _)),
+    "graph_betweenness" -> (graphBetweenness(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_label_prop" -> (graphLabelProp(_, _)),
     "graph_modularity" -> (graphModularity(_, _)),

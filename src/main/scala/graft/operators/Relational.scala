@@ -2459,6 +2459,46 @@ object Relational {
           |) AS (check_name, metric, passed)""".stripMargin)
       .orderBy("check_name")
 
+  /** Keyed pseudonymization audit — the privacy transform a
+    * training-data release applies to direct identifiers, proven to
+    * preserve exactly what analysts need. Tokens are the first 16 hex
+    * chars of SHA-256 over salt‖value (the salt literal stands in for
+    * the per-release KMS secret a production pipeline injects;
+    * rotating it unlinks releases — the pseudonymization contract).
+    * Per market segment the panel proves:
+    * (1) UNIQUENESS — distinct tokens == distinct names, so the keyed
+    * hash caused no silent identity merges on this domain; and
+    * (2) JOINABILITY — order counts joined through the tokenized
+    * custkey == joined through the raw key, so referential integrity
+    * survives tokenization (the property that makes the released
+    * tables analyzable at all).
+    *
+    * Scale: tokenization is a codegen'd scalar on each side of the
+    * usual custkey join (same shuffle layout, a 16-char key instead
+    * of a BIGINT); both panels are partial-aggregated counts. */
+  def qcPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def tok(e: String) =
+      s"substring(sha2(concat('graft-release-1:', CAST($e AS STRING)), 256), 1, 16)"
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_name"), expr(tok("c_custkey")).as("ctok"))
+    val names = cust.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n_customers"),
+      countDistinct("c_name").as("n_names"),
+      countDistinct(expr(tok("c_name"))).as("n_tokens"))
+    val rawJ = t.orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders_raw"))
+    val tokJ = t.orders.select(expr(tok("o_custkey")).as("otok"))
+      .join(cust, col("otok") === col("ctok"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders_tok"))
+    names.join(rawJ, Seq("c_mktsegment")).join(tokJ, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_tokens"),
+        (col("n_tokens") === col("n_names")).as("tokens_unique"),
+        col("n_orders_raw"), col("n_orders_tok"),
+        (col("n_orders_raw") === col("n_orders_tok")).as("join_preserved"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Dataset profiler (deequ-style data-quality pass): per-column
     * null count, distinct count, and min/max over `orders` in ONE scan
     * — the schema-validation step a pipeline runs before trusting a new
@@ -3185,6 +3225,36 @@ object Relational {
         |UNION ALL
         |SELECT 'only_1998' AS tag, o_custkey FROM (SELECT o_custkey FROM a98 EXCEPT SELECT o_custkey FROM a99)
         |ORDER BY tag, o_custkey""".stripMargin,
+    "qc_pseudonymize" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, c_name,
+        |    substr(sha256('graft-release-1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |      AS ctok
+        |  FROM customer),
+        |names AS (
+        |  SELECT c_mktsegment, count(*) AS n_customers,
+        |    count(DISTINCT c_name) AS n_names,
+        |    count(DISTINCT
+        |      substr(sha256('graft-release-1:' || CAST(c_name AS VARCHAR)), 1, 16))
+        |      AS n_tokens
+        |  FROM cust GROUP BY 1),
+        |rawj AS (
+        |  SELECT c_mktsegment, count(*) AS n_orders_raw
+        |  FROM orders JOIN cust ON o_custkey = c_custkey GROUP BY 1),
+        |tokj AS (
+        |  SELECT c_mktsegment, count(*) AS n_orders_tok
+        |  FROM (SELECT
+        |    substr(sha256('graft-release-1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+        |      AS otok FROM orders) o
+        |  JOIN cust ON otok = ctok GROUP BY 1)
+        |SELECT names.c_mktsegment, n_customers, n_tokens,
+        |  n_tokens = n_names AS tokens_unique,
+        |  n_orders_raw, n_orders_tok,
+        |  n_orders_raw = n_orders_tok AS join_preserved
+        |FROM names
+        |JOIN rawj ON names.c_mktsegment = rawj.c_mktsegment
+        |JOIN tokj ON names.c_mktsegment = tokj.c_mktsegment
+        |ORDER BY 1""".stripMargin,
     "qc_profile" ->
       """WITH a AS (
         |  SELECT count(*) AS n,
@@ -3653,6 +3723,7 @@ object Relational {
     "mr_cogroup" -> (mrCogroup(_, _)),
     "mr_group_concat" -> (mrGroupConcat(_, _)),
     "qc_profile" -> (qcProfile(_, _)),
+    "qc_pseudonymize" -> (qcPseudonymize(_, _)),
     "q20_set_ops" -> (q20SetOps(_, _)),
     "q23_volume_shipping" -> (q23VolumeShipping(_, _)),
     "q24_market_share" -> (q24MarketShare(_, _)),
