@@ -60,6 +60,15 @@ object GraphOps {
     * update moves it by <= r/PrFreezeDenom (1%). */
   private val PrFreezeDenom = 100L
 
+  // NOTE (measured r5): seeded/personalized mode runs to the PrMaxIter
+  // cap BY THE MATH, not by chatter — the debug hook below shows the L1
+  // delta decaying at exactly d = 0.85 per round with ~all 16k vertices
+  // still moving (the init is all-mass-on-seeds; the solution is 85%
+  // diffused, so the transient is the full diffusion). An absolute
+  // freeze floor of 1e5 units was tried and changed nothing; both
+  // engines truncate at the same cap, so cross-engine equality holds
+  // either way. The cap is therefore graph_ppr's cost: ~24 edge passes.
+
   /** Convergence-driven PageRank (d = 0.85) over the undirected
     * bipartite trade graph: {customer c} ↔ {supplier s} when any order
     * line of c's order was supplied by s. Output: top-20 vertices.
@@ -224,6 +233,10 @@ object GraphOps {
       // so 0 means EXACT global freeze (and monotone identity after).
       val delta = Option(next.agg(sum(abs(col("r") - col("rp")))).first()
         .getAs[java.lang.Long](0)).fold(0L)(_.longValue)
+      if (sys.env.contains("GRAFT_PR_DEBUG")) {
+        val nm = next.filter(col("r") =!= col("rp")).count()
+        println(s"[pr-debug] iter=$iters delta=$delta moved=$nm")
+      }
       free(rankIds)
       ranks = next; rankIds = nextIds
       converged = delta == 0L
