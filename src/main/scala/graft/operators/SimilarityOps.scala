@@ -289,6 +289,54 @@ object SimilarityOps {
       .orderBy("mmr_rank")
   }
 
+  /** Hybrid retrieval fusion — Reciprocal Rank Fusion of the lexical
+    * BM25 ranking (TextOps.bm25ScoresQ — the txt_bm25 scorer itself,
+    * one lexical definition) with the semantic cosine ranking against
+    * the vec_id = 0 query vector (doc_id == vec_id, the
+    * sim_cluster_terms cross-modal link): score(d) = Σᵢ 1/(60 +
+    * rankᵢ(d)) over the two top-50 lists — the modern lexical+vector
+    * search shape, robust to either side's score scale because only
+    * RANKS enter the fusion.
+    *
+    * Exact integers end-to-end: both rankings order on
+    * integer-quantized scores with doc-id tiebreaks, each list's
+    * contribution is 1e9 div (60 + rank) — integral division — and
+    * the fused score is their exact BIGINT sum (rank 0 encodes
+    * "absent from that list", contributing nothing). Scale: both
+    * rankings are bounded top-50 cuts of linear scans; the fusion
+    * itself is a 50∪50-row full outer join. */
+  def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val lex = graft.operators.TextOps.bm25ScoresQ(spark, dir)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(desc("sq"), col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= 50)
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        expr(s"CAST(round(${cosExprSpark("embedding", "qv")} * 1000000) AS BIGINT)")
+          .as("relq"))
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(desc("relq"), col("doc_id"))).cast("long"))
+      .filter(col("sem_rank") <= 50)
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .withColumn("rrf_ppb", expr(
+        """CASE WHEN lex_rank > 0
+          |     THEN CAST(1000000000 AS BIGINT) div (60 + lex_rank)
+          |     ELSE CAST(0 AS BIGINT) END
+          | + CASE WHEN sem_rank > 0
+          |     THEN CAST(1000000000 AS BIGINT) div (60 + sem_rank)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .orderBy(desc("rrf_ppb"), col("doc_id"))
+      .limit(20)
+  }
+
   /** ANN: probe only the query vector's top-P IVF cells (a few
     * corpus/K-sized slices instead of the full scan), then rank. The
     * query's probed cells ride in as a broadcast semi-join. */
@@ -1699,10 +1747,37 @@ object SimilarityOps {
        |  round(CAST(pick_score AS DOUBLE) / 10000000.0, 4) + 0.0 AS mmr_score
        |FROM s$MmrK WHERE picked > 0 ORDER BY mmr_rank""".stripMargin
 
+  private def simHybridRrfOracle: String =
+    s"""WITH ${graft.operators.TextOps.bm25CtesSql},
+       |lex AS (
+       |  SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY sq DESC, doc_id) AS BIGINT)
+       |        AS lex_rank
+       |    FROM bsq) WHERE lex_rank <= 50),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |sem AS (
+       |  SELECT doc_id, sem_rank FROM (
+       |    SELECT vec_id AS doc_id,
+       |      CAST(row_number() OVER (ORDER BY
+       |        CAST(round(${cosExprSql("embedding", "q")} * 1000000) AS BIGINT)
+       |          DESC, vec_id) AS BIGINT) AS sem_rank
+       |    FROM embeddings, qv WHERE vec_id <> 0) WHERE sem_rank <= 50)
+       |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |  coalesce(lex_rank, 0) AS lex_rank,
+       |  coalesce(sem_rank, 0) AS sem_rank,
+       |  (CASE WHEN coalesce(lex_rank, 0) > 0
+       |        THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+       |   + CASE WHEN coalesce(sem_rank, 0) > 0
+       |        THEN 1000000000 // (60 + sem_rank) ELSE 0 END) AS rrf_ppb
+       |FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+       |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "emb_pq_encode" -> embPqEncodeOracle,
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
+    "sim_hybrid_rrf" -> simHybridRrfOracle,
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) + 0.0 AS cos_sim
@@ -2161,6 +2236,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
     "sim_mmr_rerank" -> (simMmrRerank(_, _)),
+    "sim_hybrid_rrf" -> (simHybridRrf(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),

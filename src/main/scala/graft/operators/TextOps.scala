@@ -292,6 +292,70 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** [[txtBm25]] query terms — three mid-frequency corpus words (the
+    * literal query a retrieval benchmark fixes). */
+  private[graft] val Bm25Terms = Seq("spark", "join", "window")
+
+  /** One per-(doc, term) BM25 contribution in integer micro-units —
+    * the SINGLE formula text both engines evaluate (the MdePpm
+    * contract): Lucene-form idf ln(1 + (N−df+0.5)/(df+0.5)) times the
+    * k1 = 1.2, b = 0.75 saturated tf, every operand an exact integer
+    * entering one pinned IEEE double tree, quantized before the
+    * per-doc sum so term-arrival order can't move a score. */
+  private val Bm25ContribQ =
+    """CAST(round(
+      |  ln(1.0 + (CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      |  * ((CAST(tf AS DOUBLE) * 2.2)
+      |     / (CAST(tf AS DOUBLE)
+      |        + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE))
+      |                        / CAST(sdl AS DOUBLE))))
+      |  * 1000000) AS BIGINT)""".stripMargin
+
+  /** BM25 ranked retrieval for the fixed [[Bm25Terms]] query — the
+    * lexical ranking baseline every retrieval/RAG pipeline starts
+    * from (and the lexical half of [[SimilarityOps.simHybridRrf]]):
+    * top-20 docs by Okapi BM25 with Lucene's idf, k1 = 1.2, b = 0.75.
+    *
+    * Determinism: each (doc, term) contribution quantizes to integer
+    * micro-units through ONE shared formula string ([[Bm25ContribQ]]),
+    * the per-doc score is an exact BIGINT sum of those units, and the
+    * top-20 ranks on (score DESC, doc_id). Scale: one token explode →
+    * (doc, term) counts for the |query| terms only (the filter runs
+    * BEFORE the count shuffle, so the aggregate is |docs|·|query|
+    * max); doc lengths are one partial-agg pass; df and the corpus
+    * stats ride in as 1-row/|query|-row broadcasts;
+    * TakeOrderedAndProject caps the output. */
+  /** Un-truncated BM25 scores in micro-units — (doc_id, sq,
+    * n_terms_hit) for every doc matching ≥1 query term; shared by
+    * [[txtBm25]] and the hybrid-retrieval fusion
+    * (SimilarityOps.simHybridRrf) so the lexical ranking cannot drift
+    * between them. */
+  private[operators] def bm25ScoresQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val hits = toks.filter(col("t").isin(Bm25Terms: _*))
+    val tf = hits.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = hits.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("sdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfT), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(Bm25ContribQ).as("cq"))
+      .groupBy("doc_id")
+      .agg(sum("cq").as("sq"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  def txtBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoresQ(spark, dir)
+      .select(col("doc_id"), col("n_terms_hit"),
+        (round(col("sq").cast("double") / lit(1000000.0), 4) + lit(0.0))
+          .as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+
   /** Inverted-index construction over 3-token shingles: term → sorted
     * posting list (the search-index build step; shingle-level because
     * the synthetic corpus has a 31-word vocabulary, so word-level
@@ -1243,7 +1307,36 @@ object TextOps {
     s"len(list_intersect(tk, [$arr])) AS c_$l"
   }.mkString(",\n  ")
 
+  /** The BM25-score CTE chain (ends in `bsq(doc_id, sq,
+    * n_terms_hit)`), shared verbatim by the txt_bm25 oracle and the
+    * sim_hybrid_rrf oracle — one lexical-scoring definition on the
+    * oracle side too. */
+  private[operators] def bm25CtesSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+       |hits AS (SELECT doc_id, t FROM toks WHERE t IN ($terms)),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY 1, 2),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+       |bc AS (
+       |  SELECT tf.doc_id, $Bm25ContribQ AS cq
+       |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN stats),
+       |bsq AS (
+       |  SELECT doc_id, CAST(sum(cq) AS BIGINT) AS sq, count(*) AS n_terms_hit
+       |  FROM bc GROUP BY 1)""".stripMargin
+  }
+
+  private def txtBm25Oracle: String =
+    s"""WITH ${bm25CtesSql}
+       |SELECT doc_id, n_terms_hit,
+       |  round(CAST(sq AS DOUBLE) / 1000000.0, 4) + 0.0 AS bm25
+       |FROM bsq
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "txt_bm25" -> txtBm25Oracle,
     "txt_blocklist" ->
       s"""WITH d AS (
          |  SELECT source,
@@ -1861,6 +1954,7 @@ object TextOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bm25" -> (txtBm25(_, _)),
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),
     "txt_blocklist" -> (txtBlocklist(_, _)),
