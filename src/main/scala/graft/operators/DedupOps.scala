@@ -284,6 +284,73 @@ object DedupOps {
       .select(col("id1"), col("id2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id1", "id2")
 
+  /** Exact set-similarity JOIN via prefix filtering (PPJoin's core
+    * law; Xiao et al., WWW'08) at Jaccard ≥ 2/5 — the EXACT
+    * alternative to MinHash blocking: order every doc's shingle set
+    * by the one global (df ASC, shingle ASC) total order and index
+    * only each set's first |S| − ⌈τ|S|⌉ + 1 elements; two sets with
+    * J ≥ τ MUST share a prefix element (pigeonhole over the ordered
+    * overlap), so candidate generation has NO false negatives —
+    * unlike dedup_minhash_lsh (probabilistic recall) and unlike
+    * dedup_ngram_jaccard's df-cap window (which ignores stop-shingle
+    * overlap by contract). The length filter 5·min ≥ 2·max prunes
+    * size-incompatible pairs before verification; verification is
+    * exact set intersection on the two bounded shingle arrays with
+    * the all-integer threshold test 7·inter ≥ 2·(n1+n2).
+    *
+    * Scale: prefix cells stay small BY the ordering — a globally
+    * common shingle sorts LAST in every doc's order and so almost
+    * never lands in a prefix; the rarest-first prefix is exactly the
+    * low-df end of the index. ⌈2n/5⌉ = (2n+4) div 5 keeps the prefix
+    * length integer-exact in both engines. */
+  /** The PPJoin candidate stage (prefix index → length-filtered
+    * distinct pairs), exposed so ScalingSpec can measure the prefix
+    * filter's pruning fraction directly. */
+  private[graft] def ppjoinCandidates(spark: SparkSession, dir: String): DataFrame =
+    ppjoinCandidatesFrom(ppjoinSets(spark, dir))
+
+  private def ppjoinCandidatesFrom(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    val dfg = ex.groupBy("g").agg(count(lit(1)).as("dfg"))
+    val w = Window.partitionBy("doc_id").orderBy(col("dfg"), col("g"))
+    val prefix = ex.join(dfg, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(2 * n + 4) div 5") + 1)
+      .select(col("g"), col("doc_id"), col("n"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("5 * least(a.n, b.n) >= 2 * greatest(a.n, b.n)"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** One checkpointed shingle-set pass; [[dedupPpjoin]] threads the
+    * same DataFrame into both the candidate stage and verification so
+    * the corpus is shingled once per query. */
+  private def ppjoinSets(spark: SparkSession, dir: String): DataFrame =
+    hashedShingleSets(spark, dir)
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n"))
+      .localCheckpoint()
+
+  def dedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ppjoinSets(spark, dir)
+    val cand = ppjoinCandidatesFrom(sh)
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("hs").as("h1"),
+        col("n").as("n1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("hs").as("h2"),
+        col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        size(expr("array_intersect(h1, h2)")).cast("long").as("inter"))
+      .filter(expr("7 * inter >= 2 * (n1 + n2)"))
+      .select(col("id1"), col("id2"),
+        (round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4)
+          + lit(0.0)).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   /** Asymmetric shingle CONTAINMENT — the subsumption detector Jaccard
     * is structurally blind to: a short document pasted wholly inside a
     * much longer one shares ~all of ITS shingles (containment ≈ 1)
@@ -844,6 +911,32 @@ object DedupOps {
          |WHERE doc_id NOT IN (SELECT doc_id FROM sub)
          |  AND doc_id NOT IN (SELECT doc_id FROM cont)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_ppjoin" ->
+      s"""WITH $shingleSql,
+         |shn AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n FROM hsh),
+         |ex AS (SELECT doc_id, n, unnest(hs) AS g FROM shn),
+         |dfg AS (SELECT g, count(*) AS dfg FROM ex GROUP BY g),
+         |pre AS (
+         |  SELECT g, doc_id, n FROM (
+         |    SELECT ex.g, ex.doc_id, ex.n,
+         |      row_number() OVER (PARTITION BY ex.doc_id
+         |                         ORDER BY dfg.dfg, ex.g) AS rn
+         |    FROM ex JOIN dfg USING (g))
+         |  WHERE rn <= n - (2 * n + 4) // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pre a JOIN pre b
+         |    ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE 5 * least(a.n, b.n) >= 2 * greatest(a.n, b.n)),
+         |v AS (
+         |  SELECT id1, id2, x.n AS n1, y.n AS n2,
+         |    CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter
+         |  FROM cand c JOIN shn x ON c.id1 = x.doc_id
+         |  JOIN shn y ON c.id2 = y.doc_id)
+         |SELECT id1, id2,
+         |  round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) + 0.0 AS jaccard
+         |FROM v WHERE 7 * inter >= 2 * (n1 + n2)
+         |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSql,
          |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
@@ -983,6 +1076,7 @@ object DedupOps {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard(_, _)),
+    "dedup_ppjoin" -> (dedupPpjoin(_, _)),
     "dedup_lsh_recall" -> (dedupLshRecall(_, _)),
     "dedup_subsumed" -> (dedupSubsumed(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),

@@ -77,4 +77,30 @@ class ScalingSpec extends AnyFunSuite {
     assert(f2 <= f1 * 1.5,
       "candidate fraction grew materially with corpus size — bucket blocking not holding")
   }
+
+  test("PPJoin is exact: its pairs contain every df-capped ngram-jaccard pair, and prefix candidates stay sub-quadratic") {
+    // dedup_ngram_jaccard's df-cap UNDERCOUNTS common (stop-shingle
+    // overlap is dropped by contract), so at the same τ its pair set
+    // must be ⊆ PPJoin's exact answer — a cross-algorithm invariant
+    // that catches a drift in either one.
+    val dir = small
+    val exact = DedupOps.dedupPpjoin(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact),
+      s"df-capped pairs not ⊆ exact PPJoin pairs: ${(capped -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    // Prefix-filter pruning evidence at both corpus sizes.
+    def fraction(d: String): (Long, Double) = {
+      val n = Tables(spark, d).documents.count()
+      val cand = DedupOps.ppjoinCandidates(spark, d).count()
+      (n, cand.toDouble / (n.toDouble * (n - 1) / 2))
+    }
+    val (n1, f1) = fraction(small)
+    val (n2, f2) = fraction(large)
+    info(f"ppjoin prefix candidates: n=$n1 -> ${f1 * 100}%.2f%%, n=$n2 -> ${f2 * 100}%.2f%% of all pairs")
+    assert(f1 <= 0.05 && f2 <= 0.05,
+      f"prefix candidates exceed 5%% of the pair space (${f1 * 100}%.2f%% / ${f2 * 100}%.2f%%)")
+  }
 }
