@@ -940,7 +940,11 @@ object SimilarityOps {
     * ORDER BY-built list), and the vector re-quantizes to 1e-9 after
     * every normalize — so both engines carry bit-identical integer
     * state into every round and rounding error cannot compound. */
-  def embTopEigvec(spark: SparkSession, dir: String): DataFrame = {
+  /** The quantized 64×64 covariance of the embedding cloud — the ONE
+    * distributed pass behind [[embTopEigvec]] and [[embPca2]] (exact
+    * co-moment sums → 1e-9-quantized covariance, association mirrored
+    * literally in the oracle cov CTEs). Returns (cq, n). */
+  private def covQ(spark: SparkSession, dir: String): (Array[Array[Long]], Long) = {
     val dims = 64
     // Repartition BEFORE the 2080-products-per-row expansion: a
     // compact embeddings file scans as one partition, and the pair
@@ -976,6 +980,15 @@ object SimilarityOps {
       rnd(((sij((i, j)) / n) / 1e12
         - ((si(i) / n) / 1e6) * ((si(j) / n) / 1e6)) * 1e9)
     }
+    (cq, n)
+  }
+
+  /** [[PowIters]] quantized power-iteration rounds over a 1e-9-unit
+    * matrix from the uniform 1/8 start — the driver arithmetic both
+    * [[embTopEigvec]] and [[embPca2]] run (and both oracles unroll);
+    * returns (vq in 1e-9 units, final norm = the eigenvalue). */
+  private def powerLoop(cq: Array[Array[Long]]): (Array[Long], Double) = {
+    val dims = cq.length
     var vq = Array.fill(dims)(125000000L) // 1/8 per dim (unit vector), 1e-9 units
     var lambda = 0.0
     for (_ <- 1 to PowIters) {
@@ -992,6 +1005,13 @@ object SimilarityOps {
       lambda = nrm
       vq = uq.map(u => rnd((u / 1e9) / nrm * 1e9))
     }
+    (vq, lambda)
+  }
+
+  def embTopEigvec(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val (cq, _) = covQ(spark, dir)
+    val (vq, lambda) = powerLoop(cq)
     val eigval = rnd(lambda * 1e6) / 1e6
     // Explained-variance share λ₁/tr(C): the one-number anisotropy
     // verdict (λ₁ ≈ tr(C)/dims = isotropic; λ₁ → tr(C) = collapsed).
@@ -1101,6 +1121,52 @@ object SimilarityOps {
           .as("proj_cos"),
         coalesce(col("in_exact_top10"), lit(false)).as("in_exact_top10"))
       .orderBy("proj_rank")
+  }
+
+  /** Second principal component via Hotelling DEFLATION — the step
+    * from "is the cloud anisotropic" ([[embTopEigvec]]) to an actual
+    * low-rank basis: subtract λ₁v₁v₁ᵀ from the quantized covariance
+    * and power-iterate the SAME loop on the deflated matrix; the
+    * residual spectrum's top eigenvector is PC2. Output per dim: the
+    * PC2 loading, λ₂, the v₁·v₂ orthogonality readout (≈0 is the
+    * deflation working), and the 2-component cumulative variance
+    * share.
+    *
+    * Deterministic by the [[embTopEigvec]] construction: ONE
+    * distributed covariance pass ([[covQ]] — shared, so the two
+    * queries can never disagree about C), the deflated element
+    * re-quantizes to 1e-9 integers through one pinned double product
+    * (nrm·(v₁ᵢ/1e9)·(v₁ⱼ/1e9)), and both power loops run the same
+    * quantize-every-round arithmetic the oracle unrolls twice.
+    *
+    * Measured on this corpus: ortho ≈ −0.036 at sf0.1 — the
+    * near-isotropic spectrum (λ₁ ≈ λ₂ ≈ tr/64) is power iteration's
+    * worst case, so 12 rounds leave residual mixing; that is exactly
+    * what the ortho column is in the output to expose, and a real
+    * anisotropic corpus (or more rounds) drives it to 0. */
+  def embPca2(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val (cq, _) = covQ(spark, dir)
+    val (v1, l1) = powerLoop(cq)
+    val c2q = Array.tabulate(dims, dims) { (i, j) =>
+      cq(i)(j) - rnd(l1 * (v1(i) / 1e9) * (v1(j) / 1e9) * 1e9)
+    }
+    val (v2, l2) = powerLoop(c2q)
+    var dot = 0.0
+    var k = 0
+    while (k < dims) { dot += (v1(k) / 1e9) * (v2(k) / 1e9); k += 1 }
+    val ortho = rnd(dot * 1e6) / 1e6
+    var trq = 0L
+    var ti = 0
+    while (ti < dims) { trq += cq(ti)(ti); ti += 1 }
+    val cumShare = rnd((l1 + l2) / (trq / 1e9) * 1e6) / 1e6
+    val eig2 = rnd(l2 * 1e6) / 1e6
+    val session = spark
+    import session.implicits._
+    v2.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v / 1e9, eig2, ortho, cumShare) }
+      .toDF("dim", "loading", "eigval2", "ortho", "cum_var_share")
+      .orderBy("dim")
   }
 
   /** Split-half centroid drift — the embedding-STABILITY check run
@@ -1868,6 +1934,61 @@ object SimilarityOps {
        |FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
        |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Shared covariance CTE chain (eq → si/sij → 1e-9-quantized cov →
+    * row-list cr → uniform v0) for the emb_top_eigvec / emb_pca2
+    * oracles — ONE covariance definition on the oracle side too. */
+  private def covCtesSql: String =
+    s"""eq AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |           x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(range(0, 64)) AS i),
+       |nn AS (SELECT count(*) AS n FROM eq),
+       |si AS MATERIALIZED (
+       |  SELECT d.i, sum(e[d.i + 1]::HUGEINT) AS s
+       |  FROM eq CROSS JOIN dims d GROUP BY 1),
+       |sij AS MATERIALIZED (
+       |  SELECT d1.i AS i, d2.i AS j, sum(e[d1.i + 1]::HUGEINT * e[d2.i + 1]) AS s2
+       |  FROM eq CROSS JOIN dims d1 CROSS JOIN dims d2
+       |  WHERE d2.i >= d1.i GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT d1.i AS i, d2.i AS j,
+       |    CAST(round((
+       |      (CAST(s2 AS DOUBLE) / n) / 1000000000000.0
+       |      - ((CAST(a.s AS DOUBLE) / n) / 1000000.0)
+       |        * ((CAST(b.s AS DOUBLE) / n) / 1000000.0)
+       |    ) * 1000000000) AS BIGINT) AS cq
+       |  FROM dims d1 CROSS JOIN dims d2
+       |  JOIN sij ON sij.i = least(d1.i, d2.i) AND sij.j = greatest(d1.i, d2.i)
+       |  JOIN si a ON d1.i = a.i JOIN si b ON d2.i = b.i
+       |  CROSS JOIN nn),
+       |cr AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov GROUP BY i),
+       |v0 AS MATERIALIZED (
+       |  SELECT list_transform(range(0, 64), x -> CAST(125000000 AS BIGINT)) AS v)"""
+      .stripMargin
+
+  /** PowIters unrolled power-iteration rounds over matrix CTE `cr`
+    * starting from vector CTE `v0` — every fold is a list_sum over an
+    * ORDER BY-built list so the summation order matches the Spark
+    * driver's index-ascending loops exactly. `tag` namespaces the
+    * round CTEs so two loops can coexist in one oracle. */
+  private def powRoundsSql(cr: String, v0: String, tag: String): String =
+    (1 to PowIters).map { t =>
+      val prev = if (t == 1) v0 else s"v$tag${t - 1}"
+      s"""u$tag$t AS MATERIALIZED (
+         |  SELECT i, CAST(round(list_sum(list_transform(range(1, 65), k ->
+         |      (c[k] / 1000000000.0) * (v[k] / 1000000000.0))) * 1000000000) AS BIGINT) AS uq
+         |  FROM $cr CROSS JOIN $prev),
+         |nm$tag$t AS MATERIALIZED (
+         |  SELECT sqrt(list_sum(list_transform(list(uq ORDER BY i), x ->
+         |      (x / 1000000000.0) * (x / 1000000000.0)))) AS nrm
+         |  FROM u$tag$t),
+         |v$tag$t AS MATERIALIZED (
+         |  SELECT list(CAST(round((uq / 1000000000.0) / nrm * 1000000000) AS BIGINT)
+         |              ORDER BY i) AS v
+         |  FROM u$tag$t CROSS JOIN nm$tag$t)"""
+    }.mkString(",\n")
+
   private def embRandomProjectionOracle: String = {
     val coords = (0 until RpDims).map(k => rpCoord("eq", k, 1)).mkString(", ")
     val pcq =
@@ -2198,53 +2319,9 @@ object SimilarityOps {
          |SELECT q.qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (qid) ORDER BY qid""".stripMargin,
-    "emb_top_eigvec" -> {
-      // PowIters unrolled power-iteration rounds; every fold is a
-      // list_sum over an ORDER BY-built list so the summation order
-      // matches the Spark driver's index-ascending loops exactly.
-      val iters = (1 to PowIters).map { t =>
-        val prev = if (t == 1) "v0" else s"v${t - 1}"
-        s"""u$t AS MATERIALIZED (
-           |  SELECT i, CAST(round(list_sum(list_transform(range(1, 65), k ->
-           |      (c[k] / 1000000000.0) * (v[k] / 1000000000.0))) * 1000000000) AS BIGINT) AS uq
-           |  FROM cr CROSS JOIN $prev),
-           |nm$t AS MATERIALIZED (
-           |  SELECT sqrt(list_sum(list_transform(list(uq ORDER BY i), x ->
-           |      (x / 1000000000.0) * (x / 1000000000.0)))) AS nrm
-           |  FROM u$t),
-           |v$t AS MATERIALIZED (
-           |  SELECT list(CAST(round((uq / 1000000000.0) / nrm * 1000000000) AS BIGINT)
-           |              ORDER BY i) AS v
-           |  FROM u$t CROSS JOIN nm$t)"""
-      }.mkString(",\n")
-      s"""WITH eq AS MATERIALIZED (
-         |  SELECT list_transform(embedding::DOUBLE[],
-         |           x -> CAST(round(x * 1000000) AS BIGINT)) AS e
-         |  FROM embeddings),
-         |dims AS (SELECT unnest(range(0, 64)) AS i),
-         |nn AS (SELECT count(*) AS n FROM eq),
-         |si AS MATERIALIZED (
-         |  SELECT d.i, sum(e[d.i + 1]::HUGEINT) AS s
-         |  FROM eq CROSS JOIN dims d GROUP BY 1),
-         |sij AS MATERIALIZED (
-         |  SELECT d1.i AS i, d2.i AS j, sum(e[d1.i + 1]::HUGEINT * e[d2.i + 1]) AS s2
-         |  FROM eq CROSS JOIN dims d1 CROSS JOIN dims d2
-         |  WHERE d2.i >= d1.i GROUP BY 1, 2),
-         |cov AS MATERIALIZED (
-         |  SELECT d1.i AS i, d2.i AS j,
-         |    CAST(round((
-         |      (CAST(s2 AS DOUBLE) / n) / 1000000000000.0
-         |      - ((CAST(a.s AS DOUBLE) / n) / 1000000.0)
-         |        * ((CAST(b.s AS DOUBLE) / n) / 1000000.0)
-         |    ) * 1000000000) AS BIGINT) AS cq
-         |  FROM dims d1 CROSS JOIN dims d2
-         |  JOIN sij ON sij.i = least(d1.i, d2.i) AND sij.j = greatest(d1.i, d2.i)
-         |  JOIN si a ON d1.i = a.i JOIN si b ON d2.i = b.i
-         |  CROSS JOIN nn),
-         |cr AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov GROUP BY i),
-         |v0 AS MATERIALIZED (
-         |  SELECT list_transform(range(0, 64), x -> CAST(125000000 AS BIGINT)) AS v),
-         |$iters,
+    "emb_top_eigvec" ->
+      s"""WITH $covCtesSql,
+         |${powRoundsSql("cr", "v0", "")},
          |tr AS (SELECT sum(cq) AS trq FROM cov WHERE i = j)
          |SELECT CAST(d.i AS INTEGER) AS dim,
          |  v[d.i + 1] / 1000000000.0 AS loading,
@@ -2252,8 +2329,37 @@ object SimilarityOps {
          |  CAST(round(nrm / (trq / 1000000000.0) * 1000000) AS BIGINT) / 1000000.0
          |    AS var_share
          |FROM v$PowIters CROSS JOIN nm$PowIters CROSS JOIN tr CROSS JOIN dims d
-         |ORDER BY dim""".stripMargin
-    },
+         |ORDER BY dim""".stripMargin,
+    "emb_pca2" ->
+      s"""WITH $covCtesSql,
+         |${powRoundsSql("cr", "v0", "")},
+         |cov2 AS MATERIALIZED (
+         |  SELECT c.i, c.j,
+         |    c.cq - CAST(round(nrm * (v[c.i + 1] / 1000000000.0)
+         |                  * (v[c.j + 1] / 1000000000.0) * 1000000000) AS BIGINT)
+         |      AS cq
+         |  FROM cov c CROSS JOIN v$PowIters CROSS JOIN nm$PowIters),
+         |cr2 AS MATERIALIZED (SELECT i, list(cq ORDER BY j) AS c FROM cov2 GROUP BY i),
+         |v0b AS MATERIALIZED (
+         |  SELECT list_transform(range(0, 64), x -> CAST(125000000 AS BIGINT)) AS v),
+         |${powRoundsSql("cr2", "v0b", "b")},
+         |ortho AS (
+         |  SELECT CAST(round(list_sum(list_transform(range(1, 65), k ->
+         |      (a.v[k] / 1000000000.0) * (b.v[k] / 1000000000.0))) * 1000000) AS BIGINT)
+         |    AS oq
+         |  FROM v$PowIters a CROSS JOIN vb$PowIters b),
+         |tr AS (SELECT sum(cq) AS trq FROM cov WHERE i = j)
+         |SELECT CAST(d.i AS INTEGER) AS dim,
+         |  v[d.i + 1] / 1000000000.0 AS loading,
+         |  CAST(round(n2.nrm2 * 1000000) AS BIGINT) / 1000000.0 AS eigval2,
+         |  oq / 1000000.0 AS ortho,
+         |  CAST(round((n1.nrm1 + n2.nrm2) / (trq / 1000000000.0) * 1000000) AS BIGINT)
+         |    / 1000000.0 AS cum_var_share
+         |FROM vb$PowIters
+         |CROSS JOIN (SELECT nrm AS nrm1 FROM nm$PowIters) n1
+         |CROSS JOIN (SELECT nrm AS nrm2 FROM nmb$PowIters) n2
+         |CROSS JOIN tr CROSS JOIN ortho CROSS JOIN dims d
+         |ORDER BY dim""".stripMargin,
     "emb_silhouette" ->
       s"""WITH kk AS (
          |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
@@ -2374,6 +2480,7 @@ object SimilarityOps {
     "sim_mmr_rerank" -> (simMmrRerank(_, _)),
     "sim_hybrid_rrf" -> (simHybridRrf(_, _)),
     "emb_random_projection" -> (embRandomProjection(_, _)),
+    "emb_pca2" -> (embPca2(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),
