@@ -990,7 +990,10 @@ object EventOps {
     * rides as a 2-element DOUBLE array because DuckDB's list_reduce
     * requires acc type == element type (the ev_survival init-prepend
     * trick, lifted from scalars to pairs); init is the textbook
-    * l₁ = y₁, b₁ = y₂ − y₁. Every fold step is the same IEEE double
+    * simple start l₁ = y₁, b₁ = y₂ − y₁ and the update runs over
+    * t = 2..T (so y₂ enters both the init and the first update — the
+    * standard simple-init Holt convention). Every fold step is the
+    * same IEEE double
     * tree in both engines (halving is exact, adds correctly rounded —
     * the agg_moments contract), so the fit is bit-stable.
     *
@@ -1016,7 +1019,7 @@ object EventOps {
     ser
       .withColumn("ys", expr("transform(sy, p -> array(p.y, CAST(0 AS DOUBLE)))"))
       .withColumn("st", expr(
-        """aggregate(slice(ys, 3, CAST(size(ys) - 2 AS INT)),
+        """aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),
           |  array(ys[0][0], ys[1][0] - ys[0][0]),
           |  (acc, x) -> array(
           |    0.5D * x[0] + 0.5D * (acc[0] + acc[1]),
@@ -1524,7 +1527,7 @@ object EventOps {
         |fit AS (
         |  SELECT event_type, n_days,
         |    list_reduce(
-        |      list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[3:]),
+        |      list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[2:]),
         |      (acc, x) -> [
         |        0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
         |        0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])

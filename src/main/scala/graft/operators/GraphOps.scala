@@ -45,6 +45,24 @@ object GraphOps {
   /** Fixed-point scale: 1 rank unit = 1e-12. */
   private val Scale = 1000000000000L
 
+  /** Checkpoint bookkeeping shared by EVERY iterative kernel in this
+    * file (pagerank/hits/bfs/closeness/betweenness/kcore/label-prop):
+    * block ownership is identified by diffing getPersistentRDDs
+    * around the materialization, which assumes queries run SERIALLY
+    * per session (true for Verify/Bench/the driver — see the
+    * pagerankRanks NOTE). Hoisted after the 7th copy-pasted local
+    * pair let one site silently drop its free() (the r5 betweenness
+    * leak) — one definition, one place to fix. */
+  private def checkpointed(sc: org.apache.spark.SparkContext,
+      df: DataFrame): (DataFrame, Set[Int]) = {
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def free(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
   /** Iteration cap — the oracle-mirroring bound, not the expected exit
     * (the kmeansLoop/KmMaxIter pattern): DuckDB unrolls exactly this
     * many MATERIALIZED CTE iterations, and because iterating past the
@@ -115,13 +133,9 @@ object GraphOps {
     // interleaving localCheckpoint-ing queries on one session could
     // land a foreign RDD in the diff and have free() unpersist it —
     // scope per-query tracking before going concurrent.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // Edge derivation: the one fact-fact shuffle (orders ⋈ lineitem on
     // orderkey); customer/supplier key columns come free from the fact
     // rows themselves. Checkpointed WITH the out-degree attached: both
@@ -306,13 +320,9 @@ object GraphOps {
       dir: String): (DataFrame, DataFrame, Int) = {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val par = sc.defaultParallelism
     val pairs = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -708,13 +718,9 @@ object GraphOps {
     * checkpoint blocks freed (the pagerank bookkeeping). */
   def graphBfsLayers(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
@@ -773,13 +779,9 @@ object GraphOps {
     * itself is ONE division of two exact BIGINT products. */
   def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
@@ -857,25 +859,28 @@ object GraphOps {
     * early-stop == full-unroll law every iterative kernel here uses). */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
-    val (sym, _) = checkpointed(
+    val (sym, symIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
     val seeds = sym.select(col("src")).distinct()
       .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
       .limit(ClosenessSeeds)
     // Forward: settled(s, v, d, sig) grows by one level per round.
-    var (frontier, _) = checkpointed(
+    // Superseded checkpoint copies (the pre-union settled, the
+    // consumed frontier) are freed each round — the pagerank
+    // bookkeeping; settled and frontier share blocks at init, hence
+    // the id-equality guards.
+    var (frontier, fIds) = checkpointed(
       seeds.select(col("src").as("s"), col("src").as("v"),
         lit(0L).as("d"), lit(1L).as("sig")))
     var settled = frontier
+    var sIds = fIds
     var level = 0L
     var frontierN = 1L
     while (frontierN > 0 && level < BfsMaxIter) {
@@ -883,22 +888,26 @@ object GraphOps {
       val cand = sym.join(broadcast(frontier), col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
         .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
-      val (next, _) = checkpointed(
+      val (next, nIds) = checkpointed(
         cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
       frontierN = next.count()
       if (frontierN > 0) {
-        val (merged, _) = checkpointed(settled.unionByName(next))
-        settled = merged
-        frontier = next
-      }
+        val (merged, mIds) = checkpointed(settled.unionByName(next))
+        free(sIds)
+        if (fIds != sIds) free(fIds)
+        settled = merged; sIds = mIds
+        frontier = next; fIds = nIds
+      } else free(nIds)
     }
+    if (fIds != sIds) free(fIds)
     // Backward: per-level dependency tables, deepest first. deltas(L)
     // holds (s, v, dq) for every settled v at level L.
     val lmax = level - (if (frontierN == 0) 1 else 0)
-    var deltas = checkpointed(
+    var (deltas, dIds) = checkpointed(
       settled.filter(col("d") === lmax)
-        .select(col("s"), col("v"), lit(0L).as("dq")))._1
+        .select(col("s"), col("v"), lit(0L).as("dq")))
     var acc = deltas
+    var aIds = dIds
     var l = lmax - 1
     while (l >= 0) {
       val children = settled.filter(col("d") === l + 1)
@@ -912,14 +921,20 @@ object GraphOps {
         .groupBy(col("s"), col("v"))
         .agg(sum(expr(
           "CAST(sig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
-      val (next, _) = checkpointed(
+      val (next, nIds) = checkpointed(
         parents.select(col("s"), col("v"))
           .join(contrib, Seq("s", "v"), "left")
           .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
-      deltas = next
-      acc = checkpointed(acc.unionByName(next))._1
+      val (acc2, a2Ids) = checkpointed(acc.unionByName(next))
+      free(aIds)
+      if (dIds != aIds) free(dIds)
+      deltas = next; dIds = nIds
+      acc = acc2; aIds = a2Ids
       l -= 1
     }
+    if (dIds != aIds) free(dIds)
+    free(sIds)
+    free(symIds)
     acc.filter(col("v") =!= col("s"))
       .groupBy("v")
       .agg(sum("dq").as("bq"), count(lit(1)).as("n_sources"))
@@ -1025,13 +1040,9 @@ object GraphOps {
       spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
@@ -1141,13 +1152,9 @@ object GraphOps {
       spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      GraphOps.checkpointed(sc, df)
+    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))

@@ -250,7 +250,10 @@ object SimilarityOps {
     * integer micro-units off the bit-identical [[cosExprSpark]] fold;
     * score = 7·relq − 3·maxsimq stays in exact BIGINTs with the
     * (unpicked-first, score DESC, vec_id) total order shared verbatim
-    * by both engines. */
+    * by both engines. The empty-selection max-sim is the cosine
+    * FLOOR −1 (not 0): a uniform shift that leaves the
+    * pure-relevance first pick unchanged while letting later steps
+    * honor negative similarities as the diversity bonus they are. */
   def simMmrRerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -262,8 +265,15 @@ object SimilarityOps {
       .orderBy(desc("relq"), col("vec_id"))
       .limit(MmrPool)
       .localCheckpoint()
+    // maxsimq starts at the COSINE FLOOR (−1 in micro-units), not 0:
+    // cosines straddle 0 on this corpus, and a 0 init would clamp a
+    // genuinely negative max-sim-to-selected (a diversity BONUS) at
+    // zero from step 2 on. For step 1 the floor is a uniform −(−1)
+    // shift across candidates, so the pure-relevance first pick is
+    // unchanged — only the score column carries the +3·1e6 offset,
+    // documented here once.
     var st = pool.select(col("vec_id"), col("embedding"), col("relq"),
-      lit(0L).as("maxsimq"), lit(0).as("picked"), lit(0L).as("pick_score"))
+      lit(-1000000L).as("maxsimq"), lit(0).as("picked"), lit(0L).as("pick_score"))
     for (k <- 1 to MmrK) {
       val w = Window.orderBy(
         when(col("picked") > 0, 1).otherwise(0).asc,
@@ -308,19 +318,24 @@ object SimilarityOps {
   def simHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // Each side cuts to its top-50 with orderBy+limit FIRST
+    // (TakeOrderedAndProject — per-partition heaps, no global sort),
+    // and only the bounded 50-row cut pays the single-partition
+    // row_number window; ranking inside the cut by the same
+    // (score DESC, doc_id) order reproduces the global ranks exactly.
     val lex = graft.operators.TextOps.bm25ScoresQ(spark, dir)
+      .orderBy(desc("sq"), col("doc_id")).limit(50)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(desc("sq"), col("doc_id"))).cast("long"))
-      .filter(col("lex_rank") <= 50)
       .select(col("doc_id"), col("lex_rank"))
     val sem = emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         expr(s"CAST(round(${cosExprSpark("embedding", "qv")} * 1000000) AS BIGINT)")
           .as("relq"))
+      .orderBy(desc("relq"), col("doc_id")).limit(50)
       .withColumn("sem_rank",
         row_number().over(Window.orderBy(desc("relq"), col("doc_id"))).cast("long"))
-      .filter(col("sem_rank") <= 50)
       .select(col("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -1899,7 +1914,7 @@ object SimilarityOps {
        |  FROM embeddings, qv WHERE vec_id <> 0
        |  ORDER BY relq DESC, vec_id LIMIT $MmrPool),
        |s0 AS MATERIALIZED (
-       |  SELECT vec_id, embedding, relq, CAST(0 AS BIGINT) AS maxsimq,
+       |  SELECT vec_id, embedding, relq, CAST(-1000000 AS BIGINT) AS maxsimq,
        |    0 AS picked, CAST(0 AS BIGINT) AS pick_score
        |  FROM pool),
        |${(1 to MmrK).map(mmrStepSql).mkString(",\n")}
