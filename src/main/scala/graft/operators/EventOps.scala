@@ -1000,7 +1000,51 @@ object EventOps {
     * Scale: one (type, day) partial-agg shuffle; the fold runs once
     * per type over a days-long bounded array (series length is
     * calendar time, not corpus size). */
-  def statHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+  /** The gap-filled daily count series per event type as an ordered
+    * [y, 0] pair list — the CTE chain (daily → dense axis → `ser`)
+    * shared by the stat_holt_forecast and stat_forecast_eval
+    * oracles. */
+  private val holtSeriesCtesSql =
+    """daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |axis AS (
+      |  SELECT event_type, unnest(generate_series(d0, d1)) AS d
+      |  FROM types CROSS JOIN span),
+      |full_s AS (
+      |  SELECT a.event_type, a.d,
+      |         CAST(coalesce(cnt, 0) AS DOUBLE) AS y
+      |  FROM axis a LEFT JOIN daily x
+      |    ON a.event_type = x.event_type AND a.d = x.d),
+      |ser AS (
+      |  SELECT event_type, list([y, CAST(0 AS DOUBLE)] ORDER BY d) AS ys,
+      |         count(*) AS n_days
+      |  FROM full_s GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+
+  /** The Holt α=β=½ fold lambda, Spark side (0-based arrays) — ONE
+    * definition shared by [[statHoltForecast]] and
+    * [[statForecastEval]] so the recurrence cannot drift between the
+    * fit and its backtest. */
+  private val HoltFoldSpark =
+    """(acc, x) -> array(
+      |    0.5D * x[0] + 0.5D * (acc[0] + acc[1]),
+      |    0.5D * ((0.5D * x[0] + 0.5D * (acc[0] + acc[1])) - acc[0])
+      |      + 0.5D * acc[1])""".stripMargin
+
+  /** Same lambda, DuckDB side (1-based lists). */
+  private val HoltFoldSql =
+    """(acc, x) -> [
+      |        0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+      |        0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |          + 0.5 * acc[2]]""".stripMargin
+
+  /** The gap-filled daily count series per type as an ordered
+    * [y, 0]-pair array (event_type, ys, n_days) — shared by
+    * [[statHoltForecast]] and [[statForecastEval]]. */
+  private def holtSeries(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
     val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
@@ -1009,22 +1053,22 @@ object EventOps {
     val axis = daily.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("d"))
-    val ser = axis.join(daily, Seq("event_type", "d"), "left")
+    axis.join(daily, Seq("event_type", "d"), "left")
       .select(col("event_type"), col("d"),
         coalesce(col("cnt"), lit(0L)).cast("double").as("y"))
       .groupBy("event_type")
       .agg(expr("sort_array(collect_list(struct(d, y)))").as("sy"),
         count(lit(1)).as("n_days"))
       .filter(col("n_days") >= 2)
-    ser
       .withColumn("ys", expr("transform(sy, p -> array(p.y, CAST(0 AS DOUBLE)))"))
+  }
+
+  def statHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    holtSeries(spark, dir)
       .withColumn("st", expr(
-        """aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),
-          |  array(ys[0][0], ys[1][0] - ys[0][0]),
-          |  (acc, x) -> array(
-          |    0.5D * x[0] + 0.5D * (acc[0] + acc[1]),
-          |    0.5D * ((0.5D * x[0] + 0.5D * (acc[0] + acc[1])) - acc[0])
-          |      + 0.5D * acc[1]))""".stripMargin))
+        s"""aggregate(slice(ys, 2, CAST(size(ys) - 1 AS INT)),
+           |  array(ys[0][0], ys[1][0] - ys[0][0]),
+           |  $HoltFoldSpark)""".stripMargin))
       .select(col("event_type"), col("n_days"),
         (round(expr("st[0]"), 4) + lit(0.0)).as("level"),
         (round(expr("st[1]"), 4) + lit(0.0)).as("trend"),
@@ -1032,6 +1076,47 @@ object EventOps {
         (round(expr("st[0] + 7 * st[1]"), 4) + lit(0.0)).as("fc_7"))
       .orderBy("event_type")
   }
+
+  /** Forecaster BACKTEST head-to-head — Holt ([[statHoltForecast]]'s
+    * exact recurrence via the shared [[HoltFoldSpark]] lambda) vs the
+    * naive-1 "tomorrow == today" baseline, scored by one-step-ahead
+    * MAE over each type's final ≤10 days: the model-selection readout
+    * a metrics pipeline prints before trusting either forecaster
+    * (ev_seasonal_naive's measure-don't-guess law pointed at
+    * stat_holt_forecast itself). Each cut c refits Holt on days 1..c
+    * through the SAME fold text — the fit and its backtest cannot
+    * drift — and forecasts day c+1; each error quantizes to exact
+    * milli-units before the integer MAE, and holt_wins compares the
+    * exact error sums. The prefix refits cost O(window·T) lambda
+    * steps per type — calendar-bounded, corpus-independent (the
+    * ev_survival prefix-product shape). */
+  def statForecastEval(spark: SparkSession, dir: String): DataFrame =
+    holtSeries(spark, dir)
+      .filter(col("n_days") >= 4)
+      .withColumn("he", expr(
+        s"""transform(sequence(CAST(greatest(2, n_days - 10) AS INT),
+           |                   CAST(n_days - 1 AS INT)), c ->
+           |  CAST(round(abs(
+           |    aggregate(slice(ys, 2, c - 1),
+           |      array(ys[0][0], ys[1][0] - ys[0][0]), $HoltFoldSpark)[0]
+           |    + aggregate(slice(ys, 2, c - 1),
+           |      array(ys[0][0], ys[1][0] - ys[0][0]), $HoltFoldSpark)[1]
+           |    - ys[c][0]) * 1000) AS BIGINT))""".stripMargin))
+      .withColumn("ne", expr(
+        """transform(sequence(CAST(greatest(2, n_days - 10) AS INT),
+          |                   CAST(n_days - 1 AS INT)), c ->
+          |  CAST(round(abs(ys[c][0] - ys[c - 1][0]) * 1000) AS BIGINT))"""
+          .stripMargin))
+      .select(col("event_type"),
+        size(col("he")).cast("long").as("n_eval"),
+        expr("aggregate(ne, CAST(0 AS BIGINT), (a, x) -> a + x) div size(ne)")
+          .as("mae_naive_milli"),
+        expr("aggregate(he, CAST(0 AS BIGINT), (a, x) -> a + x) div size(he)")
+          .as("mae_holt_milli"),
+        expr("""aggregate(he, CAST(0 AS BIGINT), (a, x) -> a + x)
+          | < aggregate(ne, CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+          .as("holt_wins"))
+      .orderBy("event_type")
 
   /** Shared MDE formula string (both engines): two-proportion minimum
     * detectable effect at α=0.05 two-sided, 80% power —
@@ -1506,40 +1591,42 @@ object EventOps {
         |FROM det JOIN se USING (hod)
         |GROUP BY hod ORDER BY hod""".stripMargin,
     "stat_holt_forecast" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
-        |types AS (SELECT DISTINCT event_type FROM daily),
-        |axis AS (
-        |  SELECT event_type, unnest(generate_series(d0, d1)) AS d
-        |  FROM types CROSS JOIN span),
-        |full_s AS (
-        |  SELECT a.event_type, a.d,
-        |         CAST(coalesce(cnt, 0) AS DOUBLE) AS y
-        |  FROM axis a LEFT JOIN daily x
-        |    ON a.event_type = x.event_type AND a.d = x.d),
-        |ser AS (
-        |  SELECT event_type, list([y, CAST(0 AS DOUBLE)] ORDER BY d) AS ys,
-        |         count(*) AS n_days
-        |  FROM full_s GROUP BY 1 HAVING count(*) >= 2),
-        |fit AS (
-        |  SELECT event_type, n_days,
-        |    list_reduce(
-        |      list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[2:]),
-        |      (acc, x) -> [
-        |        0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-        |        0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-        |          + 0.5 * acc[2]])
-        |      AS st
-        |  FROM ser)
-        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-        |  round(st[1], 4) + 0.0 AS level,
-        |  round(st[2], 4) + 0.0 AS trend,
-        |  round(st[1] + st[2], 4) + 0.0 AS fc_1,
-        |  round(st[1] + 7 * st[2], 4) + 0.0 AS fc_7
-        |FROM fit ORDER BY event_type""".stripMargin,
+      s"""WITH $holtSeriesCtesSql,
+         |fit AS (
+         |  SELECT event_type, n_days,
+         |    list_reduce(
+         |      list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[2:]),
+         |      $HoltFoldSql)
+         |      AS st
+         |  FROM ser)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  round(st[1], 4) + 0.0 AS level,
+         |  round(st[2], 4) + 0.0 AS trend,
+         |  round(st[1] + st[2], 4) + 0.0 AS fc_1,
+         |  round(st[1] + 7 * st[2], 4) + 0.0 AS fc_7
+         |FROM fit ORDER BY event_type""".stripMargin,
+    "stat_forecast_eval" ->
+      s"""WITH $holtSeriesCtesSql,
+         |ev AS (
+         |  SELECT event_type, n_days,
+         |    list_transform(range(greatest(2, n_days - 10), n_days), c ->
+         |      CAST(round(abs(
+         |        list_reduce(
+         |          list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[2:c]),
+         |          $HoltFoldSql)[1]
+         |        + list_reduce(
+         |          list_concat([[ys[1][1], ys[2][1] - ys[1][1]]], ys[2:c]),
+         |          $HoltFoldSql)[2]
+         |        - ys[c + 1][1]) * 1000) AS BIGINT)) AS he,
+         |    list_transform(range(greatest(2, n_days - 10), n_days), c ->
+         |      CAST(round(abs(ys[c + 1][1] - ys[c][1]) * 1000) AS BIGINT)) AS ne
+         |  FROM ser WHERE n_days >= 4)
+         |SELECT event_type,
+         |  CAST(len(he) AS BIGINT) AS n_eval,
+         |  CAST(list_sum(ne) // len(ne) AS BIGINT) AS mae_naive_milli,
+         |  CAST(list_sum(he) // len(he) AS BIGINT) AS mae_holt_milli,
+         |  list_sum(he) < list_sum(ne) AS holt_wins
+         |FROM ev ORDER BY event_type""".stripMargin,
     "ev_seasonal_naive" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
@@ -2086,6 +2173,7 @@ object EventOps {
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
     "stat_holt_forecast" -> (statHoltForecast(_, _)),
+    "stat_forecast_eval" -> (statForecastEval(_, _)),
     "stat_seasonal_decompose" -> (statSeasonalDecompose(_, _)),
     "ev_user_overlap" -> (evUserOverlap(_, _)),
     "stat_srm_check" -> (statSrmCheck(_, _)),

@@ -826,13 +826,21 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** [[graphBetweenness]] source-panel size — its own knob, smaller
+    * than [[ClosenessSeeds]]: Brandes costs TWO passes per source
+    * with σ/δ state where closeness costs one BFS, so the sampled
+    * estimator trades panel width for wall time here (Brandes–Pich:
+    * the estimate is unbiased at any panel size; variance shrinks
+    * with |S|). */
+  private[graft] val BetweennessSeeds = 4
+
   /** Sampled betweenness centrality — Brandes' algorithm from the
-    * [[ClosenessSeeds]] md5-sampled sources (the Brandes–Pich sampled
-    * estimator: exact betweenness is all-sources Brandes, O(n·E);
-    * a fixed source panel costs |S| two-phase passes at any corpus
-    * size): which vertices do shortest paths FUNNEL through — the
-    * bridge/bottleneck signal degree and closeness both miss. Top-20
-    * by sampled score.
+    * [[BetweennessSeeds]] md5-sampled sources (the Brandes–Pich
+    * sampled estimator: exact betweenness is all-sources Brandes,
+    * O(n·E); a fixed source panel costs |S| two-phase passes at any
+    * corpus size): which vertices do shortest paths FUNNEL through —
+    * the bridge/bottleneck signal degree and closeness both miss.
+    * Top-20 by sampled score.
     *
     * Phase 1 (forward): level-synchronous multi-source BFS keyed by
     * (source, v) — per round, the frontier pushes (dist, path-count σ)
@@ -843,13 +851,19 @@ object GraphOps {
     * empty = done.
     * Phase 2 (backward): Brandes' dependency δ(u) = Σ_children
     * σu/σv·(1 + δ(v)) runs level-by-level from the deepest frontier
-    * back to the sources. The fraction is quantized exactly: δ rides
-    * as integer micro-units and each edge contributes
-    * (σu·(Q + δq(v))) div σv — the product in DECIMAL(38,0)/HUGEINT
-    * (σ can reach deg^L; the hits rescale contract), the integral
-    * division truncating identically in both engines, the per-vertex
-    * sum an exact BIGINT fold. Betweenness(v) = Σ_sources δq(v),
-    * v ≠ source.
+    * back to the sources — over the shortest-path DAG edges
+    * ((u, v) with d(v) = d(u)+1 per source), derived ONCE after the
+    * forward phase and checkpointed pre-partitioned on the
+    * (source, child) join key: each level then joins its DAG slice
+    * against the broadcast vertex-sized δ table with no per-level
+    * scan of the raw edge list (the r5 rework that took the kernel
+    * from ~14 s to single digits at sf0.1). The fraction is
+    * quantized exactly: δ rides as integer micro-units and each edge
+    * contributes (σu·(Q + δq(v))) div σv — the product in
+    * DECIMAL(38,0)/HUGEINT (σ can reach deg^L; the hits rescale
+    * contract), the integral division truncating identically in both
+    * engines, the per-vertex sum an exact BIGINT fold.
+    * Betweenness(v) = Σ_sources δq(v), v ≠ source.
     *
     * Scale: per round ONE frontier⋈edges join (frontier is ≤|S|·n
     * rows — vertex-sized × a constant) + partial-aggregated sums; the
@@ -870,7 +884,7 @@ object GraphOps {
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
     val seeds = sym.select(col("src")).distinct()
       .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
-      .limit(ClosenessSeeds)
+      .limit(BetweennessSeeds)
     // Forward: settled(s, v, d, sig) grows by one level per round.
     // Superseded checkpoint copies (the pre-union settled, the
     // consumed frontier) are freed each round — the pagerank
@@ -901,8 +915,23 @@ object GraphOps {
     }
     if (fIds != sIds) free(fIds)
     // Backward: per-level dependency tables, deepest first. deltas(L)
-    // holds (s, v, dq) for every settled v at level L.
+    // holds (s, v, dq) for every settled v at level L. The
+    // shortest-path DAG edges are derived ONCE (the only further scan
+    // of the raw edge list) and checkpointed partitioned on the
+    // (s, cv) key every level's join uses.
     val lmax = level - (if (frontierN == 0) 1 else 0)
+    val par = sc.defaultParallelism
+    val (tree, treeIds) = checkpointed(
+      settled.select(col("s"), col("v").as("u"), col("d").as("du"),
+          col("sig").as("usig"))
+        .join(sym.select(col("src").as("u"), col("dst").as("cv")), "u")
+        .join(settled.select(col("s"), col("v").as("cv"), col("d").as("dv"),
+          col("sig").as("csig")), Seq("s", "cv"))
+        .filter(col("dv") === col("du") + 1)
+        .select(col("s"), col("u"), col("du"), col("usig"),
+          col("cv"), col("csig"))
+        .repartition(par, col("s"), col("cv")))
+    free(symIds)
     var (deltas, dIds) = checkpointed(
       settled.filter(col("d") === lmax)
         .select(col("s"), col("v"), lit(0L).as("dq")))
@@ -910,19 +939,15 @@ object GraphOps {
     var aIds = dIds
     var l = lmax - 1
     while (l >= 0) {
-      val children = settled.filter(col("d") === l + 1)
-        .join(deltas.select(col("s"), col("v"), col("dq")), Seq("s", "v"))
-        .select(col("s"), col("v").as("cv"), col("sig").as("csig"), col("dq"))
-      val parents = settled.filter(col("d") === l)
-        .select(col("s"), col("v"), col("sig"))
-      val contrib = parents
-        .join(sym.select(col("src").as("v"), col("dst").as("cv")), "v")
-        .join(children, Seq("s", "cv"))
-        .groupBy(col("s"), col("v"))
+      val contrib = tree.filter(col("du") === l)
+        .join(broadcast(deltas.select(col("s"), col("v").as("cv"), col("dq"))),
+          Seq("s", "cv"))
+        .groupBy(col("s"), col("u"))
         .agg(sum(expr(
-          "CAST(sig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
+          "CAST(usig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
+        .select(col("s"), col("u").as("v"), col("dq"))
       val (next, nIds) = checkpointed(
-        parents.select(col("s"), col("v"))
+        settled.filter(col("d") === l).select(col("s"), col("v"))
           .join(contrib, Seq("s", "v"), "left")
           .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
       val (acc2, a2Ids) = checkpointed(acc.unionByName(next))
@@ -934,7 +959,7 @@ object GraphOps {
     }
     if (dIds != aIds) free(dIds)
     free(sIds)
-    free(symIds)
+    free(treeIds)
     acc.filter(col("v") =!= col("s"))
       .groupBy("v")
       .agg(sum("dq").as("bq"), count(lit(1)).as("n_sources"))
@@ -1244,7 +1269,7 @@ object GraphOps {
          |       UNION ALL SELECT p2, p1 FROM pairs),
          |seeds AS (SELECT src FROM (SELECT DISTINCT src FROM sym)
          |          ORDER BY md5(CAST(src AS VARCHAR)), src
-         |          LIMIT $ClosenessSeeds),
+         |          LIMIT $BetweennessSeeds),
          |st0 AS MATERIALIZED (
          |  SELECT CAST(src AS BIGINT) AS s, CAST(src AS BIGINT) AS v,
          |         CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
