@@ -1,4 +1,10 @@
 package graft
+
+/** Ad-hoc isolated-timing harness (dev tool, not a driver surface):
+  * `sbt "runMain graft.TimeG <query> [query ...]"` runs the named
+  * SparkEntry queries at sf0.1 with Bench's teardown between them and
+  * prints one TIME line each — for attributing a single query's cost
+  * without the full 250+-query loop. */
 object TimeG {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "time-g")
