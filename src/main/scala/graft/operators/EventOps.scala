@@ -1269,6 +1269,68 @@ object EventOps {
       .orderBy("source_type")
   }
 
+  /** Linear MULTI-touch attribution — the equal-credit counterpart
+    * of [[evAttribution]]'s last-touch rule: every non-purchase touch
+    * in the 30-min pre-purchase window (the same session boundary)
+    * shares the conversion equally — the model marketing teams run
+    * next to last-touch to see how much credit the last click steals.
+    *
+    * Exactness without FP: credit rides in ppm units and revenue in
+    * cents, both split by integer division with the REMAINDER
+    * assigned to the LATEST touch (deterministic via the
+    * (tus, event_id) order), so per-purchase credit sums to exactly
+    * 1e6 ppm and credited revenue to exactly the purchase's cents —
+    * StatSpec asserts conservation against the direct purchase
+    * totals. Touchless purchases credit 'direct' in full.
+    *
+    * Scale: the pre-purchase window join is the [[evRangeJoin]]
+    * banded-bin shape (touch side replicated 2×, equi-join on
+    * (user, bin) — never a cross of the two streams); the rank/count
+    * windows run per purchase partition (bounded by touches per 30
+    * min); the channel rollup is partial-aggregated on the 5-value
+    * domain. */
+  def evAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 1800000000L
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("tus").as("ptus"), col("vc"))
+      .withColumn("bin", expr(s"ptus div $G"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("channel"), col("tus").as("ttus"))
+      .withColumn("bin", explode(expr(s"array(ttus div $G, ttus div $G + 1)")))
+    val joined = purch.join(touches, Seq("user_id", "bin"))
+      .filter(col("ttus") > col("ptus") - G && col("ttus") < col("ptus"))
+    val wp = Window.partitionBy("user_id", "pid")
+    val credited = joined
+      .withColumn("k", count(lit(1)).over(wp))
+      .withColumn("i",
+        row_number().over(wp.orderBy(col("ttus"), col("tid"))).cast("long"))
+      .select(col("channel"),
+        (expr("1000000 div k") +
+          when(col("i") === col("k"), expr("1000000 % k")).otherwise(lit(0L)))
+          .as("credit_ppm"),
+        (expr("vc div k") +
+          when(col("i") === col("k"), expr("vc % k")).otherwise(lit(0L)))
+          .as("rc"))
+    val direct = purch
+      .join(joined.select(col("user_id"), col("pid")).distinct(),
+        Seq("user_id", "pid"), "left_anti")
+      .select(lit("direct").as("channel"), lit(1000000L).as("credit_ppm"),
+        col("vc").as("rc"))
+    credited.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        sum("credit_ppm").as("credit_ppm"),
+        sum("rc").as("revenue_cents"))
+      .orderBy("channel")
+  }
+
   /** Hourly anomaly detection: per event_type, the hours whose count
     * is ≥2 sample standard deviations from that type's hourly mean —
     * the volume-spike / outage detector every telemetry pipeline runs.
@@ -2060,6 +2122,45 @@ object EventOps {
          |  round((CAST($num AS DOUBLE) / ($den)) / 1000000.0, 4) + 0.0 AS ewma
          |FROM x ORDER BY user_id, event_id""".stripMargin
     },
+    "ev_attribution_multi" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, tus AS ptus, vc,
+        |         tus // 1800000000 AS bin
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS tid, event_type AS channel,
+        |         tus AS ttus,
+        |         unnest([tus // 1800000000, tus // 1800000000 + 1]) AS bin
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, p.pid, p.ptus, p.vc, t.tid, t.channel, t.ttus
+        |  FROM p JOIN t ON p.user_id = t.user_id AND p.bin = t.bin
+        |  WHERE t.ttus > p.ptus - 1800000000 AND t.ttus < p.ptus),
+        |r AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, pid) AS k,
+        |    CAST(row_number() OVER (PARTITION BY user_id, pid
+        |                            ORDER BY ttus, tid) AS BIGINT) AS i
+        |  FROM j),
+        |c AS (
+        |  SELECT channel,
+        |    1000000 // k + CASE WHEN i = k THEN 1000000 % k ELSE 0 END
+        |      AS credit_ppm,
+        |    vc // k + CASE WHEN i = k THEN vc % k ELSE 0 END AS rc
+        |  FROM r),
+        |d AS (
+        |  SELECT 'direct' AS channel, CAST(1000000 AS BIGINT) AS credit_ppm,
+        |         vc AS rc
+        |  FROM p WHERE NOT EXISTS (
+        |    SELECT 1 FROM j WHERE j.user_id = p.user_id AND j.pid = p.pid)),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM d)
+        |SELECT channel, count(*) AS n_credits,
+        |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm,
+        |  CAST(sum(rc) AS BIGINT) AS revenue_cents
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
@@ -2181,6 +2282,7 @@ object EventOps {
     "stat_cusum" -> (statCusum(_, _)),
     "stat_power_mde" -> (statPowerMde(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
+    "ev_attribution_multi" -> (evAttributionMulti(_, _)),
     "ev_cumulative_users" -> (evCumulativeUsers(_, _)),
     "ev_dau_wau" -> (evDauWau(_, _)),
     "ev_user_features" -> (evUserFeatures(_, _)),

@@ -243,4 +243,22 @@ class StatSpec extends AnyFunSuite {
     assert(k >= 2 && n > k, s"k=$k n=$n")
     assert(w >= 0.0 && !w.isNaN && !w.isInfinite, s"w_stat=$w")
   }
+
+  test("multi-touch attribution conserves credit and revenue exactly") {
+    // The remainder-to-latest-touch split must make per-purchase
+    // credit sum to exactly 1e6 ppm and credited revenue to exactly
+    // the purchase's cents — so the channel rollup totals equal the
+    // direct purchase totals bit-for-bit (no FP, no leakage).
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val out = EventOps.evAttributionMulti(spark, sf).collect()
+    val creditSum = out.map(_.getAs[Long]("credit_ppm")).sum
+    val revSum = out.map(_.getAs[Long]("revenue_cents")).sum
+    val p = Tables(spark, sf).events
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)),
+        sum(expr("CAST(round(value * 100) AS BIGINT)"))).first()
+    assert(creditSum == 1000000L * p.getLong(0),
+      s"credit $creditSum != 1e6 * ${p.getLong(0)}")
+    assert(revSum == p.getLong(1), s"revenue $revSum != ${p.getLong(1)}")
+  }
 }
