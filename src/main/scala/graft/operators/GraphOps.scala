@@ -872,19 +872,33 @@ object GraphOps {
     * [[BfsMaxIter]] depth (empty levels are the identity — the
     * early-stop == full-unroll law every iterative kernel here uses). */
   def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Relational.coPurchasePairCounts(spark, dir)
+      .select("p1", "p2")
+      .localCheckpoint()
+    val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val seeds = sym.select(col("src")).distinct()
+      .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
+      .limit(BetweennessSeeds)
+    betweennessFrom(spark, sym, seeds)
+      .orderBy(desc("betweenness"), col("p_partkey"))
+      .limit(20)
+  }
+
+  /** The two-phase Brandes core over a CALLER-SUPPLIED symmetric edge
+    * list and source set — parameterized so GraphSpec can drive it
+    * with an analytic fixture (a path graph's betweenness is known in
+    * closed form; seeding ALL vertices makes the sampled estimator
+    * exact), the triangleCounts testing pattern. Returns one row per
+    * vertex reached by ≥1 source: (p_partkey, n_sources,
+    * betweenness). */
+  private[graft] def betweennessFrom(spark: SparkSession, symIn: DataFrame,
+      seeds: DataFrame): DataFrame = {
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
       GraphOps.checkpointed(sc, df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
-    val edges = Relational.coPurchasePairCounts(spark, dir)
-      .select("p1", "p2")
-      .localCheckpoint()
-    val (sym, symIds) = checkpointed(
-      edges.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
-    val seeds = sym.select(col("src")).distinct()
-      .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
-      .limit(BetweennessSeeds)
+    val (sym, symIds) = checkpointed(symIn)
     // Forward: settled(s, v, d, sig) grows by one level per round.
     // Superseded checkpoint copies (the pre-union settled, the
     // consumed frontier) are freed each round — the pagerank
@@ -966,8 +980,6 @@ object GraphOps {
       .select(col("v").as("p_partkey"), col("n_sources"),
         (round(col("bq").cast("double") / lit(1000000.0), 4) + lit(0.0))
           .as("betweenness"))
-      .orderBy(desc("betweenness"), col("p_partkey"))
-      .limit(20)
   }
 
   /** Coreness iteration cap — the oracle-mirroring bound (BfsMaxIter /

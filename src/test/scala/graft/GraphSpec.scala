@@ -133,4 +133,23 @@ class GraphSpec extends AnyFunSuite {
     val top = GraphOps.graphHits(spark, sf).collect()
     assert(top.length == 20 && top.forall(_.getLong(2) > 0))
   }
+
+  test("Brandes betweenness is exact on an analytic path-graph fixture") {
+    // Path 1—2—3—4—5 with EVERY vertex as a source makes the sampled
+    // estimator exact, and the closed form is hand-checkable:
+    // Σ_s δ_s(v) = 0/6/8/6/0 (ordered-pair dependency; σ ≡ 1 keeps
+    // the micro-unit quantization lossless). Verifies the two-phase
+    // kernel against analysis, independently of the DuckDB mirror.
+    import org.apache.spark.sql.functions.col
+    val session = spark
+    import session.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("p1", "p2")
+    val sym = edges.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+    val seeds = sym.select(col("src")).distinct()
+    val out = GraphOps.betweennessFrom(spark, sym, seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0),
+      s"got $out")
+  }
 }
