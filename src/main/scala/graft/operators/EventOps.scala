@@ -1581,7 +1581,261 @@ object EventOps {
        |      WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + $W24h
        |      GROUP BY 1)""".stripMargin
 
+  /** CUPED derived stats over the exact per-arm / pooled accumulators
+    * — ONE formula chain for both engines (the TtestDerived idiom).
+    * theta = cov(X,Y)/var(X) from pooled sums; adjusted arm means
+    * subtract theta·(arm pre-mean − pooled pre-mean); variance
+    * reduction = ρ² (the CUPED identity var(Y−θX) = var(Y)(1−ρ²)). */
+  private val CupedTheta =
+    """(CAST(n * sxy - sx * sy AS DOUBLE)
+      | / CAST(n * sxx - sx * sx AS DOUBLE))""".stripMargin
+
+  private val CupedDerived = Seq(
+    "n_a", "n_b",
+    "round(theta, 6) + 0.0 AS theta",
+    """round((CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b) / 1000, 4)
+      | + 0.0 AS diff_raw""".stripMargin,
+    """round(((CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b)
+      |  - theta * (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)) / 1000, 4)
+      | + 0.0 AS diff_adj""".stripMargin,
+    """round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      | / CAST(n * sxx - sx * sx AS DOUBLE)
+      | / CAST(n * syy - sy * sy AS DOUBLE), 4)
+      | + 0.0 AS var_reduction""".stripMargin)
+
+  /** CUPED variance reduction (Deng et al. 2013) for the A/B readout:
+    * each user's PRE-period activity (value sum before the corpus
+    * midpoint) is the covariate that soaks up between-user variance in
+    * the POST-period metric — the standard trick that lets an
+    * experiment resolve the same effect with ~(1−ρ²)× the sample.
+    *
+    * Mechanics: one events scan → per-user (pre, post) milli-unit
+    * sums (the split point is the exact integer midpoint of the
+    * corpus's microsecond time range, from a broadcast 1-row min/max
+    * agg); arms from the same md5-nibble hash as ev_ab_test (so the
+    * CUPED readout composes with the rest of the experimentation
+    * family); then ONE conditional aggregation produces pooled
+    * {n, sx, sy, sxx, sxy, syy} and per-arm {n, sx, sy} — all exact
+    * DECIMAL(38,0)/HUGEINT — and theta/adjusted-diff/ρ² derive through
+    * [[CupedDerived]] shared verbatim. Scale: two partial-aggregated
+    * shuffles (user grouping, then the 1-row fold), no window, no
+    * per-user state at the driver. */
+  /** Shared per-user PRE/POST panel behind the ev_cuped / ev_did /
+    * ev_uplift_deciles / ev_capture_recapture family (the
+    * shared-accumulator discipline): ONE events scan → per user the
+    * exact milli-unit value sums (x = pre, y = post), event counts
+    * (ex/ey), the ev_ab_test conversion gate evaluated on the POST
+    * period only, and the md5-nibble arm. The split point is the exact
+    * integer midpoint of the corpus's microsecond range, from a
+    * broadcast 1-row min/max agg. [[PrePostCte]] is the DuckDB twin —
+    * one definition per engine side, every consumer reads from it. */
+  private def prePostUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v"),
+        col("event_type"), col("value"))
+    val lim = ev.agg(min("tus").as("lo"), max("tus").as("hi"))
+    ev.crossJoin(broadcast(lim))
+      .withColumn("mid", expr("lo + (hi - lo) div 2"))
+      .groupBy("user_id")
+      .agg(
+        sum(expr("CASE WHEN tus < mid THEN v ELSE 0 END")).as("x"),
+        sum(expr("CASE WHEN tus >= mid THEN v ELSE 0 END")).as("y"),
+        sum(expr("CASE WHEN tus < mid THEN 1 ELSE 0 END")).as("ex"),
+        sum(expr("CASE WHEN tus >= mid THEN 1 ELSE 0 END")).as("ey"),
+        max(expr("CASE WHEN tus >= mid AND event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END")).as("conv"))
+      .withColumn("arm_b",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
+  }
+
+  /** DuckDB twin of [[prePostUsers]]: CTEs `e`, `lim`, `u`. */
+  private val PrePostCte: String = {
+    val h = (1 to 4)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
+    s"""e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(round(value * 1000) AS BIGINT) AS v, event_type, value
+       |  FROM events),
+       |lim AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN tus < lo + (hi - lo) // 2 THEN v ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN tus >= lo + (hi - lo) // 2 THEN v ELSE 0 END) AS BIGINT) AS y,
+       |    CAST(sum(CASE WHEN tus < lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS ex,
+       |    CAST(sum(CASE WHEN tus >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS ey,
+       |    max(CASE WHEN tus >= lo + (hi - lo) // 2 AND event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+       |    $h % 2 AS arm_b
+       |  FROM e, lim GROUP BY user_id)""".stripMargin
+  }
+
+  def evCuped(spark: SparkSession, dir: String): DataFrame =
+    prePostUsers(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sx_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sy_a"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sx_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sy_b"))
+      .withColumn("theta", expr(CupedTheta))
+      .selectExpr(CupedDerived: _*)
+
+  /** Difference-in-differences derived stats — four arm×period means
+    * plus the DiD estimate, all from the exact per-arm milli-unit
+    * accumulators; ONE formula list for both engines. */
+  private val DidDerived = Seq(
+    "n_c", "n_t",
+    "round(CAST(sx_c AS DOUBLE) / n_c / 1000, 4) + 0.0 AS pre_c",
+    "round(CAST(sy_c AS DOUBLE) / n_c / 1000, 4) + 0.0 AS post_c",
+    "round(CAST(sx_t AS DOUBLE) / n_t / 1000, 4) + 0.0 AS pre_t",
+    "round(CAST(sy_t AS DOUBLE) / n_t / 1000, 4) + 0.0 AS post_t",
+    """round(((CAST(sy_t AS DOUBLE) / n_t - CAST(sx_t AS DOUBLE) / n_t)
+      |  - (CAST(sy_c AS DOUBLE) / n_c - CAST(sx_c AS DOUBLE) / n_c)) / 1000, 4)
+      | + 0.0 AS did""".stripMargin)
+
+  /** Difference-in-differences over the [[prePostUsers]] panel — the
+    * estimator for when assignment ISN'T randomized (a staged rollout,
+    * a geo launch): the control arm's pre→post drift is the
+    * counterfactual subtracted from the treated arm's, so any shared
+    * time trend (seasonality, marketing, the news) cancels instead of
+    * polluting the effect. Here the arms ARE the hash split, which
+    * makes the expected DiD ≈ 0 — the panel's job is the estimator
+    * machinery next to ev_cuped's variance story (CUPED reduces noise
+    * under randomization; DiD removes bias without it). One
+    * conditional fold over the shared panel → six exact accumulators →
+    * [[DidDerived]] verbatim in both engines. */
+  def evDid(spark: SparkSession, dir: String): DataFrame =
+    prePostUsers(spark, dir)
+      .agg(
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_c"),
+        sum(expr("CASE WHEN arm_b = 0 THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sx_c"),
+        sum(expr("CASE WHEN arm_b = 0 THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sy_c"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_t"),
+        sum(expr("CASE WHEN arm_b = 1 THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sx_t"),
+        sum(expr("CASE WHEN arm_b = 1 THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("sy_t"))
+      .selectExpr(DidDerived: _*)
+
+  /** Uplift by pre-activity decile — the heterogeneous-treatment-effect
+    * readout (an average lift of zero can hide "+big on dormant users,
+    * −big on power users"; segmenting by PRE-period behavior is the
+    * standard first cut and, unlike post-period segments, can't be
+    * moved by the treatment itself). Users rank into ntile(10) deciles
+    * of pre-period value (user_id tiebreak — total order, so both
+    * engines assign identical deciles), then per decile the exact
+    * arm×conversion counts and integer-ppm rates with the lift
+    * difference. Scale: the global ntile is a single-ordering window
+    * over USER-sized data — at the scale where that matters, deciles
+    * come from pre-computed quantile bounds (the agg_quantile_bins
+    * posture) instead of a global sort; the per-decile fold is the
+    * usual partial agg. */
+  def evUpliftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("x", "user_id")
+    prePostUsers(spark, dir)
+      .withColumn("d", ntile(10).over(w))
+      .groupBy("d")
+      .agg(
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN CAST(conv AS BIGINT) ELSE 0 END")).as("c_a"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN CAST(conv AS BIGINT) ELSE 0 END")).as("c_b"))
+      .selectExpr("CAST(d AS INT) AS decile", "n_a", "c_a", "n_b", "c_b",
+        "CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END AS conv_a_ppm",
+        "CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END AS conv_b_ppm")
+      .selectExpr("decile", "n_a", "c_a", "n_b", "c_b",
+        "conv_a_ppm", "conv_b_ppm",
+        "conv_b_ppm - conv_a_ppm AS lift_ppm")
+      .orderBy("decile")
+  }
+
+  /** Chapman capture–recapture estimate of the active-user population
+    * from two "capture" windows (pre/post halves of the corpus range)
+    * — the ecology estimator growth teams use when no single window
+    * sees everyone: N̂ = (n1+1)(n2+1)/(m+1) − 1 from the two window
+    * counts and their overlap, all exact integers (truncating div —
+    * `div` vs `//`, the q34 parity note), reported next to the TRUE
+    * distinct-user count the estimator is trying to recover (the
+    * corpus is finite, so the gate is self-validating). One fold over
+    * the shared [[prePostUsers]] panel — presence = per-window event
+    * count > 0. */
+  def evCaptureRecapture(spark: SparkSession, dir: String): DataFrame =
+    prePostUsers(spark, dir)
+      .agg(
+        sum(expr("CASE WHEN ex > 0 THEN 1 ELSE 0 END")).as("n_first"),
+        sum(expr("CASE WHEN ey > 0 THEN 1 ELSE 0 END")).as("n_second"),
+        sum(expr("CASE WHEN ex > 0 AND ey > 0 THEN 1 ELSE 0 END")).as("n_both"),
+        count(lit(1)).as("n_users"))
+      .selectExpr("n_first", "n_second", "n_both", "n_users",
+        "(n_first + 1) * (n_second + 1) div (n_both + 1) - 1 AS chapman_est")
+
   val oracles: Map[String, String] = Map(
+    "ev_cuped" ->
+      s"""WITH $PrePostCte,
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+         |    sum(y::HUGEINT * y) AS syy,
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    sum(CASE WHEN arm_b = 0 THEN x::HUGEINT ELSE 0 END) AS sx_a,
+         |    sum(CASE WHEN arm_b = 0 THEN y::HUGEINT ELSE 0 END) AS sy_a,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    sum(CASE WHEN arm_b = 1 THEN x::HUGEINT ELSE 0 END) AS sx_b,
+         |    sum(CASE WHEN arm_b = 1 THEN y::HUGEINT ELSE 0 END) AS sy_b
+         |  FROM u),
+         |t AS (SELECT *, $CupedTheta AS theta FROM m)
+         |SELECT ${CupedDerived.mkString(",\n")}
+         |FROM t""".stripMargin,
+    "ev_did" ->
+      s"""WITH $PrePostCte,
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |    sum(CASE WHEN arm_b = 0 THEN x::HUGEINT ELSE 0 END) AS sx_c,
+         |    sum(CASE WHEN arm_b = 0 THEN y::HUGEINT ELSE 0 END) AS sy_c,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |    sum(CASE WHEN arm_b = 1 THEN x::HUGEINT ELSE 0 END) AS sx_t,
+         |    sum(CASE WHEN arm_b = 1 THEN y::HUGEINT ELSE 0 END) AS sy_t
+         |  FROM u)
+         |SELECT ${DidDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
+    "ev_uplift_deciles" ->
+      s"""WITH $PrePostCte,
+         |d10 AS (
+         |  SELECT *, ntile(10) OVER (ORDER BY x, user_id) AS d FROM u),
+         |g AS (
+         |  SELECT d,
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM d10 GROUP BY d),
+         |p AS (
+         |  SELECT CAST(d AS INT) AS decile, n_a, c_a, n_b, c_b,
+         |    CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 // n_a END AS conv_a_ppm,
+         |    CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm
+         |  FROM g)
+         |SELECT decile, n_a, c_a, n_b, c_b, conv_a_ppm, conv_b_ppm,
+         |  conv_b_ppm - conv_a_ppm AS lift_ppm
+         |FROM p ORDER BY decile""".stripMargin,
+    "ev_capture_recapture" ->
+      s"""WITH $PrePostCte,
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN ex > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         |    CAST(sum(CASE WHEN ey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+         |    CAST(sum(CASE WHEN ex > 0 AND ey > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(count(*) AS BIGINT) AS n_users
+         |  FROM u)
+         |SELECT n_first, n_second, n_both, n_users,
+         |  (n_first + 1) * (n_second + 1) // (n_both + 1) - 1 AS chapman_est
+         |FROM m""".stripMargin,
     "qc_sequence_check" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -2248,6 +2502,10 @@ object EventOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cuped" -> (evCuped(_, _)),
+    "ev_did" -> (evDid(_, _)),
+    "ev_uplift_deciles" -> (evUpliftDeciles(_, _)),
+    "ev_capture_recapture" -> (evCaptureRecapture(_, _)),
     "ev_range_join" -> (evRangeJoin(_, _)),
     "ev_gap_fill" -> (evGapFill(_, _)),
     "ev_funnel" -> (evFunnel(_, _)),

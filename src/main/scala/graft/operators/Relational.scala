@@ -2583,7 +2583,321 @@ object Relational {
       |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Kendall tau-b derived stats over the exact integer accumulators
+    * (cc/dd = concordant/discordant pair mass, n, and the DOUBLED tie
+    * terms n0_2 = n(n−1), n1_2 = Σcx(cx−1), n2_2 = Σcy(cy−1) — kept
+    * ×2 so no accumulator ever needs a halving division) — ONE formula
+    * string for both engines ([[TtestDerived]] idiom). tau_b =
+    * (C−D)/√((n0−n1)(n0−n2)) = 2(C−D)/√(n0_2−n1_2)/√(n0_2−n2_2). */
+  private val KendallDerived = Seq(
+    "n",
+    "CAST(cc AS BIGINT) AS concordant",
+    "CAST(dd AS BIGINT) AS discordant",
+    """round(CAST(cc - dd AS DOUBLE) * 2
+      | / sqrt(CAST(n0_2 - n1_2 AS DOUBLE))
+      | / sqrt(CAST(n0_2 - n2_2 AS DOUBLE)), 4)
+      | + 0.0 AS tau_b""".stripMargin)
+
+  /** Kendall's tau-b between document length (n_chars) and whitespace
+    * token count — the ordinal-association companion to
+    * [[statSpearman]] (same x/y), robust to the monotone-but-nonlinear
+    * relation and exact under ties.
+    *
+    * Scale design: the naive definition is an O(n²) all-pairs sweep.
+    * Here rows collapse to their VALUE CELLS first (GROUP BY (x,y) —
+    * the [[statMannWhitney]] value-distinct posture), and concordant/
+    * discordant mass is counted over CELL pairs weighted by c1·c2 —
+    * O(cells²) with cells ≪ rows, via one BroadcastNestedLoopJoin over
+    * the broadcast cell table (cells are value-domain-sized; an
+    * unbounded domain would bin first, exactly like agg_histogram).
+    * Tie corrections come from the x/y MARGINALS of the same
+    * checkpointed cell table — one documents scan feeds all four
+    * aggregates. Every accumulator is exact DECIMAL(38,0)/HUGEINT;
+    * tau derives through [[KendallDerived]] shared verbatim. */
+  def statKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(expr("CAST(n_chars AS BIGINT)").as("x"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    val pairs = cells
+      .join(broadcast(b),
+        col("x") < col("x2") || (col("x") === col("x2") && col("y") < col("y2")))
+      .agg(
+        sum(expr("CASE WHEN x < x2 AND y < y2 THEN CAST(c AS DECIMAL(38,0)) * c2 ELSE CAST(0 AS DECIMAL(38,0)) END")).as("cc"),
+        sum(expr("CASE WHEN x < x2 AND y > y2 THEN CAST(c AS DECIMAL(38,0)) * c2 ELSE CAST(0 AS DECIMAL(38,0)) END")).as("dd"))
+    val nRow = cells.agg(sum("c").as("n"))
+    val tx = cells.groupBy("x").agg(sum("c").as("cx"))
+      .agg(sum(expr("CAST(cx AS DECIMAL(38,0)) * (cx - 1)")).as("n1_2"))
+    val ty = cells.groupBy("y").agg(sum("c").as("cy"))
+      .agg(sum(expr("CAST(cy AS DECIMAL(38,0)) * (cy - 1)")).as("n2_2"))
+    pairs.crossJoin(broadcast(nRow)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("n0_2", expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+      .selectExpr(KendallDerived: _*)
+  }
+
+  /** Welch z for one group against the REST of the population, from
+    * the group's exact accumulators (n, s, q) and the rest's
+    * (rn, rs, rq = global minus group) — ONE formula string for both
+    * engines ([[TtestDerived]] idiom). */
+  private val FdrZ =
+    """((CAST(s AS DOUBLE) / n - CAST(rs AS DOUBLE) / rn)
+      | / sqrt(CAST(q * n - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) / n
+      |      + CAST(rq * rn - rs * rs AS DOUBLE) / (CAST(rn AS DOUBLE) * (rn - 1)) / rn))""".stripMargin
+
+  /** Two-sided normal tail probability as a shared QUANTIZED step
+    * table in ppm (p at the lower edge of each half-z band) — table
+    * literals are engine-independent, so the BH machinery downstream
+    * runs on EXACT integers with no float-CDF parity risk. The
+    * quantization is conservative (p rounds UP to its band edge) and
+    * documented as the contract: this op's subject is the
+    * multiple-testing control, not erf precision. */
+  private val FdrPpm =
+    """CAST(CASE WHEN abs(z) >= 4.0 THEN 100
+      | WHEN abs(z) >= 3.5 THEN 500
+      | WHEN abs(z) >= 3.0 THEN 2700
+      | WHEN abs(z) >= 2.5 THEN 12400
+      | WHEN abs(z) >= 2.0 THEN 45500
+      | WHEN abs(z) >= 1.5 THEN 133600
+      | WHEN abs(z) >= 1.0 THEN 317300
+      | WHEN abs(z) >= 0.5 THEN 617100
+      | ELSE 1000000 END AS BIGINT)""".stripMargin
+
+  /** Benjamini–Hochberg FDR control over the per-nation "is this
+    * nation's customer balance off the rest of the book?" test family
+    * — the multiple-comparisons gate every metrics platform needs once
+    * it runs one test per segment (m tests at α=0.05 expect m/20 false
+    * positives uncontrolled; BH caps the FALSE DISCOVERY RATE instead
+    * of Bonferroni's family-wise error, keeping power).
+    *
+    * Mechanics: per-nation Welch z vs the rest (rest accumulators =
+    * broadcast global totals minus the group's — no second scan), p
+    * quantized to the shared [[FdrPpm]] table, then the BH step-up:
+    * rank p ascending (nation key tiebreak — the quantized table makes
+    * ties common and the rank deterministic), k* = max{k : p_k ≤
+    * αk/m} via one full-frame window max, discoveries = ranks ≤ k*.
+    * The BH comparison is exact integer cross-multiplication
+    * (p_ppm·m ≤ 50000·k). Scale: one partial-aggregated scan + m-row
+    * (segment-count-sized) window work — the windows run on 25 rows,
+    * never on the fact table. */
+  def statFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).customer
+      .select(col("c_nationkey").as("g"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("c"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+    val tot = per.agg(sum("n").as("gn"), sum("s").as("gs"), sum("q").as("gq"))
+    val z = per.crossJoin(broadcast(tot))
+      .withColumn("rn", col("gn") - col("n"))
+      .withColumn("rs", col("gs") - col("s"))
+      .withColumn("rq", col("gq") - col("q"))
+      .selectExpr("g", "n",
+        "round(CAST(s AS DOUBLE) / n / 100, 2) + 0.0 AS mean_bal",
+        s"$FdrZ AS z")
+      .selectExpr("g", "n", "mean_bal",
+        "round(z, 4) + 0.0 AS z_stat", s"$FdrPpm AS p_ppm")
+    val wk = Window.orderBy("p_ppm", "g")
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    z.withColumn("k", row_number().over(wk).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("kstar",
+        max(when(expr("p_ppm * m <= 50000 * k"), col("k"))).over(wAll))
+      .selectExpr("g", "n", "mean_bal", "z_stat", "p_ppm", "k",
+        "CAST(CASE WHEN kstar IS NOT NULL AND k <= kstar THEN 1 ELSE 0 END AS INT) AS discovered")
+      .orderBy("k", "g")
+  }
+
+  /** TOST derived stats — the two one-sided Welch z's against a ±δ
+    * equivalence margin, from the same six exact accumulators as
+    * [[TtestDerived]]; ONE formula string for both engines. The
+    * shared SE subterm appears verbatim in both z's (no helper column
+    * — the string IS the single definition). */
+  private val TostDerived = Seq(
+    "n1", "n2",
+    "round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100, 4) + 0.0 AS mean_diff",
+    """round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 + 50000.0)
+      | / sqrt((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |      + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2), 4)
+      | + 0.0 AS z_low""".stripMargin,
+    """round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 - 50000.0)
+      | / sqrt((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |      + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2), 4)
+      | + 0.0 AS z_high""".stripMargin,
+    """CAST(CASE WHEN
+      |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 + 50000.0)
+      | / sqrt((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |      + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) >= 1.645
+      | AND
+      |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 - 50000.0)
+      | / sqrt((CAST(q1 * n1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) / n1
+      |      + (CAST(q2 * n2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))) / n2) <= -1.645
+      | THEN 1 ELSE 0 END AS INT) AS equivalent""".stripMargin)
+
+  /** TOST equivalence test (Schuirmann's two one-sided tests) between
+    * the same two order-value populations as [[statTtest]] — the
+    * question a rollout gate actually asks ("is the new thing NOT
+    * WORSE by more than δ", which no amount of p > 0.05 on a plain
+    * t-test answers: absence of evidence ≠ evidence of equivalence).
+    * Margin δ = $500 (50000 cents, a literal shared by construction).
+    * Equivalence holds iff BOTH one-sided Welch z's clear their 1.645
+    * critical value — i.e. the 90% CI for the difference sits inside
+    * ±δ. Same six exact one-pass accumulators as the t-test; both z's
+    * and the flag derive through [[TostDerived]] shared verbatim (the
+    * flag compares the UNROUNDED z's — identical IEEE chains in both
+    * engines). Scale: identical to stat_ttest — one partial-aggregated
+    * pruned scan, 1-row output. */
+  def statTost(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .agg(
+        sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "1-URGENT",
+          expr("CAST(c AS DECIMAL(38,0))")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s1"),
+        sum(when(col("g") === "1-URGENT",
+          expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q1"),
+        sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "5-LOW",
+          expr("CAST(c AS DECIMAL(38,0))")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("s2"),
+        sum(when(col("g") === "5-LOW",
+          expr("CAST(c AS DECIMAL(38,0)) * c")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("q2"))
+      .selectExpr(TostDerived: _*)
+
+  /** Tukey-fence (1.5·IQR) outlier counts per order priority — the
+    * robust anomaly screen qc dashboards run per segment (means and
+    * stddevs move with the outliers they're hunting; quartiles don't).
+    *
+    * Exactness: quartiles are TYPE-1 (no interpolation) — q1 = the
+    * smallest value whose cumulative count reaches ⌈n/4⌉, q3 at
+    * ⌈3n/4⌉ — so every derived quantity stays integer cents, and the
+    * fence tests cross-multiply the 1.5 away (2c < 2q1 − 3·IQR) — no
+    * float anywhere. Scale: rows collapse to per-(group, value) cells
+    * first (the [[statMannWhitney]] value-distinct posture); the
+    * cumulative window runs over cells, not rows; the checkpointed
+    * cell table feeds both the quartile pass and the fence-count pass
+    * (one fact scan total), with the group-sized quartile table
+    * broadcast back. An unbounded value domain would bin first, like
+    * agg_histogram. */
+  def qcIqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("g", "c").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val wcum = Window.partitionBy("g").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = vals
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+      .groupBy("g").agg(
+        max("n").as("n"),
+        min(when(expr("cum >= (n + 3) div 4"), col("c"))).as("q1"),
+        min(when(expr("cum >= (3 * n + 3) div 4"), col("c"))).as("q3"))
+    vals.join(broadcast(q), "g")
+      .groupBy("g").agg(
+        max("n").as("n"),
+        max("q1").as("q1_cents"),
+        max("q3").as("q3_cents"),
+        sum(when(expr("2 * c < 2 * q1 - 3 * (q3 - q1)"), col("cnt"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(expr("2 * c > 2 * q3 + 3 * (q3 - q1)"), col("cnt"))
+          .otherwise(0L)).as("n_high"))
+      .orderBy("g")
+  }
+
   val oracles: Map[String, String] = Map(
+    "stat_kendall_tau" ->
+      s"""WITH r AS (
+         |  SELECT CAST(n_chars AS BIGINT) AS x,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+         |  FROM documents),
+         |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY x, y),
+         |cd AS (
+         |  SELECT
+         |    sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c::HUGEINT * b.c ELSE 0 END) AS cc,
+         |    sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c::HUGEINT * b.c ELSE 0 END) AS dd
+         |  FROM cells a JOIN cells b
+         |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+         |nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+         |tx AS (SELECT sum(cx::HUGEINT * (cx - 1)) AS n1_2
+         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)),
+         |ty AS (SELECT sum(cy::HUGEINT * (cy - 1)) AS n2_2
+         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y)),
+         |m AS (SELECT CAST(n AS BIGINT) AS n, cc, dd, n1_2, n2_2,
+         |             n * (n - 1) AS n0_2
+         |      FROM cd, nn, tx, ty)
+         |SELECT ${KendallDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
+    "stat_fdr_bh" ->
+      s"""WITH x AS (
+         |  SELECT c_nationkey AS g, CAST(round(c_acctbal * 100) AS BIGINT) AS c
+         |  FROM customer),
+         |per AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    sum(c::HUGEINT) AS s, sum(c::HUGEINT * c) AS q
+         |  FROM x GROUP BY g),
+         |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS gn, sum(s) AS gs, sum(q) AS gq FROM per),
+         |r AS (SELECT g, n, s, q, gn - n AS rn, gs - s AS rs, gq - q AS rq
+         |      FROM per, tot),
+         |z1 AS (SELECT g, n,
+         |         round(CAST(s AS DOUBLE) / n / 100, 2) + 0.0 AS mean_bal,
+         |         $FdrZ AS z
+         |       FROM r),
+         |z2 AS (SELECT g, n, mean_bal, round(z, 4) + 0.0 AS z_stat,
+         |         $FdrPpm AS p_ppm
+         |       FROM z1),
+         |b AS (SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, g) AS BIGINT) AS k,
+         |        count(*) OVER () AS m
+         |      FROM z2),
+         |b2 AS (SELECT *,
+         |        max(CASE WHEN p_ppm * m <= 50000 * k THEN k END) OVER () AS kstar
+         |       FROM b)
+         |SELECT g, n, mean_bal, z_stat, p_ppm, k,
+         |  CAST(CASE WHEN kstar IS NOT NULL AND k <= kstar THEN 1 ELSE 0 END AS INT) AS discovered
+         |FROM b2 ORDER BY k, g""".stripMargin,
+    "qc_iqr_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT g, c, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |q AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= (n + 3) // 4 THEN c END) AS q1,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN c END) AS q3
+        |  FROM w GROUP BY g)
+        |SELECT v.g, CAST(max(q.n) AS BIGINT) AS n,
+        |  CAST(max(q1) AS BIGINT) AS q1_cents,
+        |  CAST(max(q3) AS BIGINT) AS q3_cents,
+        |  CAST(sum(CASE WHEN 2 * c < 2 * q1 - 3 * (q3 - q1) THEN cnt ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * c > 2 * q3 + 3 * (q3 - q1) THEN cnt ELSE 0 END) AS BIGINT) AS n_high
+        |FROM v JOIN q ON v.g = q.g
+        |GROUP BY v.g ORDER BY v.g""".stripMargin,
+    "stat_tost" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    sum(CASE WHEN g = '1-URGENT' THEN c::HUGEINT ELSE 0 END) AS s1,
+         |    sum(CASE WHEN g = '1-URGENT' THEN c::HUGEINT * c ELSE 0 END) AS q1,
+         |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    sum(CASE WHEN g = '5-LOW' THEN c::HUGEINT ELSE 0 END) AS s2,
+         |    sum(CASE WHEN g = '5-LOW' THEN c::HUGEINT * c ELSE 0 END) AS q2
+         |  FROM x)
+         |SELECT ${TostDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "q05_bucketed" -> q05Sql,
     "q18_bucketed" -> q18Sql,
     "q23_volume_shipping" ->
@@ -3772,5 +4086,9 @@ object Relational {
     "agg_gini" -> (aggGini(_, _)),
     "agg_argmax" -> (aggArgmax(_, _)),
     "agg_mode" -> (aggMode(_, _)),
+    "stat_kendall_tau" -> (statKendallTau(_, _)),
+    "stat_fdr_bh" -> (statFdrBh(_, _)),
+    "qc_iqr_outliers" -> (qcIqrOutliers(_, _)),
+    "stat_tost" -> (statTost(_, _)),
   )
 }

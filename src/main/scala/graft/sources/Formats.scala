@@ -647,7 +647,50 @@ object Formats {
       .agg(count(lit(1)).as("n_rows"), sum("delta").as("cents_delta"))
       .orderBy("kind")
 
+  /** Schema EVOLUTION read — the "a column was added mid-history"
+    * reality of any long-lived dataset: an early parquet generation
+    * written WITHOUT c_acctbal (even custkeys) next to a later
+    * generation WITH it (odd custkeys), read back as ONE table via
+    * mergeSchema (the schemas union; missing columns surface as NULL —
+    * never silent truncation to the first file's schema, which is the
+    * default-off failure mode this option exists for). The aggregate
+    * reports per-nation row counts, how many rows PREDATE the column,
+    * and the exact cents sum over the rows that have it — so any
+    * row-to-generation misassignment or NULL-fill error
+    * hash-mismatches against the oracle computed from the original
+    * table. Scale note: mergeSchema reconciles footers at planning
+    * time (a driver-side footer read per generation, not a data pass);
+    * production layouts key generations by a partition column exactly
+    * like the v= directories here. */
+  def srcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir).customer
+    val path = tmp("customer_evolving")
+    customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=1")
+    customer.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/v=1", s"$path/v=2")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_missing_bal"),
+        sum(when(col("c_acctbal").isNotNull,
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)")).otherwise(0L))
+          .as("sum_bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT c_nationkey, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_bal,
+        |  CAST(sum(CASE WHEN c_custkey % 2 = 1
+        |           THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_bal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_compaction" ->
       """SELECT CAST(64 AS BIGINT) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after,
@@ -723,6 +766,7 @@ object Formats {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (srcSchemaEvolution(_, _)),
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
     "src_jsonl_gzip" -> (srcJsonlGzip(_, _)),

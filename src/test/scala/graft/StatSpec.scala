@@ -261,4 +261,127 @@ class StatSpec extends AnyFunSuite {
       s"credit $creditSum != 1e6 * ${p.getLong(0)}")
     assert(revSum == p.getLong(1), s"revenue $revSum != ${p.getLong(1)}")
   }
+
+  test("Kendall tau-b is bounded, sign-agrees with Spearman, and pair mass closes") {
+    val k = Relational.statKendallTau(spark, sf).collect().head
+    val (n, cc, dd, tau) =
+      (k.getLong(0), k.getLong(1), k.getLong(2), k.getDouble(3))
+    assert(tau >= -1.0 && tau <= 1.0, s"tau_b=$tau")
+    // C + D can never exceed the total pair count n(n-1)/2 (ties eat
+    // the remainder) — the cell-join must not double-count a pair.
+    assert(cc + dd <= n * (n - 1) / 2, s"C+D=${cc + dd} > pairs")
+    // chars↔tokens is a strongly increasing relation on any text
+    // corpus: both rank correlations must agree on direction.
+    val rho = Relational.statSpearman(spark, sf).collect().head.getDouble(1)
+    assert(math.signum(tau) == math.signum(rho) && tau > 0,
+      s"tau=$tau rho=$rho")
+  }
+
+  test("BH discoveries form a prefix of the p-ranked list and respect the step-up rule") {
+    val rows = Relational.statFdrBh(spark, sf).collect()
+    val m = rows.length
+    val byK = rows.sortBy(_.getAs[Long]("k"))
+    val disc = byK.map(_.getAs[Int]("discovered"))
+    // Discoveries are exactly ranks 1..k* — never a gap (the step-up
+    // definition rejects ALL hypotheses up to the largest passing rank).
+    val kStar = disc.count(_ == 1)
+    assert(disc.take(kStar).forall(_ == 1) && disc.drop(kStar).forall(_ == 0),
+      s"discoveries not a prefix: ${disc.mkString(",")}")
+    // The boundary rank itself must satisfy p_k*·m <= α·k* (exact
+    // integer form), and every rank past k* must fail it.
+    val pk = byK.map(_.getAs[Long]("p_ppm"))
+    if (kStar > 0)
+      assert(pk(kStar - 1) * m <= 50000L * kStar,
+        s"k*=$kStar violates its own threshold")
+    ((kStar + 1) to m).foreach { j =>
+      assert(pk(j - 1) * m > 50000L * j, s"rank $j passes but undiscovered")
+    }
+  }
+
+  test("IQR fences: quartiles ordered, outliers a strict minority in every group") {
+    val rows = Relational.qcIqrOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q1, q3) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi) = (r.getLong(4), r.getLong(5))
+      assert(q1 <= q3, s"q1=$q1 > q3=$q3")
+      // At least the inter-quartile half of the mass is inside the
+      // fences by construction (fences lie outside [q1, q3]).
+      assert(lo + hi <= n / 2, s"outliers $lo+$hi exceed half of n=$n")
+    }
+  }
+
+  test("CUPED: variance reduction is a valid rho^2 and theta is finite") {
+    val r = EventOps.evCuped(spark, sf).collect().head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (theta, dRaw, dAdj, vr) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(na > 1 && nb > 1)
+    assert(!theta.isNaN && !theta.isInfinite)
+    assert(vr >= 0.0 && vr <= 1.0, s"var_reduction=$vr")
+    assert(!dRaw.isNaN && !dAdj.isNaN)
+  }
+
+  test("TOST: z_low always exceeds z_high and the flag matches both one-sided gates") {
+    val r = Relational.statTost(spark, sf).collect().head
+    val (zl, zh, eq) = (r.getDouble(3), r.getDouble(4), r.getInt(5))
+    // The +δ shift can only raise the statistic: z_low > z_high for any δ > 0.
+    assert(zl > zh, s"z_low=$zl z_high=$zh")
+    assert(eq == 0 || eq == 1)
+    // Away from the rounding boundary the flag must agree with the
+    // reported z's (the flag itself compares the unrounded chain).
+    if (zl > 1.646 && zh < -1.646) assert(eq == 1, s"zl=$zl zh=$zh but eq=0")
+    if (zl < 1.644 || zh > -1.644) assert(eq == 0, s"zl=$zl zh=$zh but eq=1")
+  }
+
+  test("DiD closes its own identity and the arms partition the users") {
+    import org.apache.spark.sql.functions.countDistinct
+    val r = EventOps.evDid(spark, sf).collect().head
+    val (nc, nt) = (r.getLong(0), r.getLong(1))
+    val (preC, postC, preT, postT, did) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(did - ((postT - preT) - (postC - preC))) < 5e-4,
+      s"did=$did vs parts")
+    val users = Tables(spark, sf).events
+      .agg(countDistinct("user_id")).first().getLong(0)
+    assert(nc + nt == users, s"$nc + $nt != $users")
+  }
+
+  test("uplift deciles are balanced, exhaustive, and lift closes exactly") {
+    import org.apache.spark.sql.functions.countDistinct
+    val rows = EventOps.evUpliftDeciles(spark, sf).collect()
+    assert(rows.length == 10)
+    val sizes = rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(sizes.max - sizes.min <= 1, s"ntile imbalance: ${sizes.mkString(",")}")
+    val users = Tables(spark, sf).events
+      .agg(countDistinct("user_id")).first().getLong(0)
+    assert(sizes.sum == users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lift_ppm") ==
+        r.getAs[Long]("conv_b_ppm") - r.getAs[Long]("conv_a_ppm"))
+    }
+  }
+
+  test("capture-recapture: overlap bounded, Chapman estimate sane vs the true count") {
+    val r = EventOps.evCaptureRecapture(spark, sf).collect().head
+    val (n1, n2, m, nTrue, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m <= math.min(n1, n2), s"overlap $m exceeds a window count")
+    assert(n1 <= nTrue && n2 <= nTrue)
+    // Chapman is consistent when captures are independent; on this
+    // dense corpus it must land within a factor of 2 of the truth.
+    assert(est >= nTrue / 2 && est <= nTrue * 2, s"est=$est true=$nTrue")
+  }
+
+  test("schema evolution surfaces the pre-column generation as NULLs, losing no rows") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val rows = graft.sources.Formats.srcSchemaEvolution(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val missing = rows.map(_.getAs[Long]("n_missing_bal")).sum
+    val nCust = Tables(spark, sf).customer.agg(count(lit(1))).first().getLong(0)
+    assert(total == nCust, s"merged read lost rows: $total != $nCust")
+    // Both generations must actually be present for the evolution to
+    // be exercised (even-key rows predate the column).
+    assert(missing > 0 && missing < total, s"missing=$missing total=$total")
+  }
 }
