@@ -1687,6 +1687,79 @@ object EventOps {
       .withColumn("theta", expr(CupedTheta))
       .selectExpr(CupedDerived: _*)
 
+  /** Conditional-Poisson (C-test) z over the two half-window purchase
+    * counts — shared formula string for both engines. Equal exposure
+    * by construction makes the conditional null Binomial(n, 1/2),
+    * whose normal approximation is (n2−n1)/√(n1+n2). */
+  private val RateZ =
+    """round(CAST(n_post - n_pre AS DOUBLE)
+      | / sqrt(CAST(n_post + n_pre AS DOUBLE)), 4) + 0.0 AS z_stat""".stripMargin
+
+  /** Two-window Poisson rate comparison (the C-test): did the purchase
+    * RATE change between the pre and post halves of the corpus range?
+    * Exposure is equal by construction (the exact integer midpoint
+    * split), so conditioning on the total reduces the comparison to a
+    * Binomial(n, ½) sign test — the monitoring question ("did
+    * throughput change?") asked of COUNTS, where the t-family needs
+    * per-unit values. Counts exact; ratio exact integer ppm
+    * (truncating div, the q34 parity note); z through [[RateZ]]
+    * shared verbatim. One partial-aggregated scan, 1-row output. */
+  def statRateTest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(unix_micros(col("ts")).as("tus"), col("event_type"))
+    val lim = ev.agg(min("tus").as("lo"), max("tus").as("hi"))
+    ev.crossJoin(broadcast(lim))
+      .withColumn("mid", expr("lo + (hi - lo) div 2"))
+      .filter(col("event_type") === "purchase")
+      .agg(
+        sum(expr("CASE WHEN tus < mid THEN 1 ELSE 0 END")).as("n_pre"),
+        sum(expr("CASE WHEN tus >= mid THEN 1 ELSE 0 END")).as("n_post"))
+      .selectExpr("n_pre", "n_post",
+        "CASE WHEN n_pre = 0 THEN 0 ELSE n_post * 1000000 div n_pre END AS ratio_ppm",
+        RateZ)
+  }
+
+  /** Dispersion index derived stats — mean and variance of the
+    * per-user count from exact accumulators over the FULL user
+    * population (zeros included via the broadcast global user count);
+    * ONE formula list for both engines. D = var/mean: 1 under
+    * Poisson, > 1 overdispersed. */
+  private val DispersionDerived = Seq(
+    "t AS event_type", "nu AS n_users",
+    "round(CAST(s AS DOUBLE) / nu, 4) + 0.0 AS mean_events",
+    """round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nu) / (nu - 1), 4)
+      | + 0.0 AS var_events""".stripMargin,
+    """round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nu) / (nu - 1))
+      | / (CAST(s AS DOUBLE) / nu), 4) + 0.0 AS dispersion""".stripMargin)
+
+  /** Per-type overdispersion screen: the variance-to-mean ratio of
+    * per-user event counts — the modeling gate before anyone fits a
+    * Poisson to user activity (human behavior is bursty; D ≫ 1 says
+    * use negative-binomial / add a per-user rate, and an SLO alert
+    * sized on Poisson tails will page constantly). Zeros matter: a
+    * user who never clicked still belongs to the click population, so
+    * the moments run over sum/sumsq of the PRESENT users plus the
+    * broadcast global user count (absent users add exactly 0 to both
+    * sums — no users×types expansion is ever materialized). All
+    * accumulators exact DECIMAL/HUGEINT; derived through
+    * [[DispersionDerived]] verbatim. Two partial-aggregated shuffles
+    * ((type,user) then type), type-sized output. */
+  def statDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy(col("event_type").as("t"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val users = Tables(spark, dir).events
+      .agg(countDistinct("user_id").as("nu"))
+    perUser
+      .groupBy("t")
+      .agg(
+        sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+      .crossJoin(broadcast(users))
+      .selectExpr(DispersionDerived: _*)
+      .orderBy("event_type")
+  }
+
   /** Difference-in-differences derived stats — four arm×period means
     * plus the DiD estimate, all from the exact per-arm milli-unit
     * accumulators; ONE formula list for both engines. */
@@ -1792,6 +1865,28 @@ object EventOps {
          |t AS (SELECT *, $CupedTheta AS theta FROM m)
          |SELECT ${CupedDerived.mkString(",\n")}
          |FROM t""".stripMargin,
+    "stat_rate_test" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
+         |lim AS (SELECT min(tus) AS lo, max(tus) AS hi FROM e),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN tus < lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         |    CAST(sum(CASE WHEN tus >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+         |  FROM e, lim WHERE event_type = 'purchase')
+         |SELECT n_pre, n_post,
+         |  CASE WHEN n_pre = 0 THEN 0 ELSE n_post * 1000000 // n_pre END AS ratio_ppm,
+         |  $RateZ
+         |FROM m""".stripMargin,
+    "stat_dispersion" ->
+      s"""WITH pu AS (
+         |  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+         |m AS (
+         |  SELECT t, sum(c::HUGEINT) AS s, sum(c::HUGEINT * c) AS q
+         |  FROM pu GROUP BY t)
+         |SELECT ${DispersionDerived.mkString(",\n")}
+         |FROM m, nu ORDER BY event_type""".stripMargin,
     "ev_did" ->
       s"""WITH $PrePostCte,
          |m AS (
@@ -2504,6 +2599,8 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_cuped" -> (evCuped(_, _)),
     "ev_did" -> (evDid(_, _)),
+    "stat_rate_test" -> (statRateTest(_, _)),
+    "stat_dispersion" -> (statDispersion(_, _)),
     "ev_uplift_deciles" -> (evUpliftDeciles(_, _)),
     "ev_capture_recapture" -> (evCaptureRecapture(_, _)),
     "ev_range_join" -> (evRangeJoin(_, _)),

@@ -1335,7 +1335,59 @@ object TextOps {
        |FROM bsq
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Shared Laplace-mechanism formula: uniform draw u ∈ (0,1) from the
+    * group key's md5 head, inverse-CDF'd to Laplace(b = 2) noise
+    * (ε = 0.5, sensitivity 1 for a count release). One string per
+    * step, both engines verbatim; the ln parity between JVM Math.log
+    * and DuckDB libm is the established txt_tfidf/txt_entropy
+    * contract. */
+  private val DpU = "(CAST(h AS DOUBLE) + 0.5) / 4294967296.0"
+  private val DpNoise =
+    """CASE WHEN u < 0.5 THEN 2.0 * ln(2.0 * u)
+      | ELSE -2.0 * ln(2.0 * (1.0 - u)) END""".stripMargin
+
+  /** Differentially private count release (the Laplace mechanism,
+    * Dwork et al. 2006) over per-language document counts — the shape
+    * a data platform uses to publish corpus composition without
+    * revealing any single document's membership: noise ~ Laplace(Δ/ε)
+    * with Δ = 1 (one document moves one count by one), ε = 0.5.
+    *
+    * Determinism contract (what makes this ORACLE-CHECKABLE, and what
+    * a production release would change): the uniform draw is a keyed
+    * md5 hash of the GROUP LABEL, not a fresh random draw — same
+    * inverse-CDF pipeline, reproducible across engines and runs. A
+    * real release draws fresh randomness per publication (and pays ε
+    * from a privacy ledger per release); swapping the hash for a
+    * seeded RNG is a one-line change. The true count rides along here
+    * because the gate validates the MECHANISM (u → noise → release);
+    * a release would drop it. Scale: one partial-aggregated count +
+    * per-group scalar math — nothing wider than the group-by. */
+  def qcDpCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", expr("CAST(conv(substr(md5(lang), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("u", expr(DpU))
+      .withColumn("noise", expr(DpNoise))
+      .selectExpr("lang", "n",
+        "round(noise, 4) + 0.0 AS noise",
+        "round(n + noise, 4) + 0.0 AS n_noisy")
+      .orderBy("lang")
+
   val oracles: Map[String, String] = Map(
+    "qc_dp_counts" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(lang), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY lang),
+         |hh AS (SELECT lang, n, $h8 AS h FROM g),
+         |uu AS (SELECT lang, n, $DpU AS u FROM hh),
+         |nz AS (SELECT lang, n, $DpNoise AS noise FROM uu)
+         |SELECT lang, n, round(noise, 4) + 0.0 AS noise,
+         |  round(n + noise, 4) + 0.0 AS n_noisy
+         |FROM nz ORDER BY lang""".stripMargin
+    },
     "txt_bm25" -> txtBm25Oracle,
     "txt_blocklist" ->
       s"""WITH d AS (
@@ -1966,6 +2018,7 @@ object TextOps {
     "txt_langid" -> (txtLangid(_, _)),
     "txt_lang_confusion" -> (txtLangConfusion(_, _)),
     "qc_lang_mix" -> (qcLangMix(_, _)),
+    "qc_dp_counts" -> (qcDpCounts(_, _)),
     "txt_fingerprint" -> (txtFingerprint(_, _)),
     "txt_quality_filter" -> (txtQualityFilter(_, _)),
     "mr_wordcount" -> (mrWordcount(_, _)),

@@ -373,6 +373,52 @@ class StatSpec extends AnyFunSuite {
     assert(est >= nTrue / 2 && est <= nTrue * 2, s"est=$est true=$nTrue")
   }
 
+  test("DP release: noise matches an independent JVM Laplace inverse-CDF replay") {
+    val rows = TextOps.qcDpCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, n) = (r.getString(0), r.getLong(1))
+      val (noise, noisy) = (r.getDouble(2), r.getDouble(3))
+      // Reimplement the mechanism from scratch (MessageDigest, not
+      // Spark) — the release must be exactly the keyed inverse CDF.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(lang.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val expect =
+        if (u < 0.5) 2.0 * math.log(2.0 * u)
+        else -2.0 * math.log(2.0 * (1.0 - u))
+      assert(math.abs(noise - expect) < 5e-5, s"$lang: $noise vs $expect")
+      assert(math.abs(noisy - (n + expect)) < 5e-4)
+    }
+    // Keyed draws must differ across groups (a constant noise column
+    // would be a broken hash plumbing, not a mechanism).
+    assert(rows.map(_.getDouble(2)).distinct.length == rows.length)
+  }
+
+  test("rate test: z sign follows the count delta and the ratio is exact integer ppm") {
+    val r = EventOps.statRateTest(spark, sf).collect().head
+    val (n1, n2, ratio, z) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(n1 > 0 && n2 > 0)
+    assert(ratio == n2 * 1000000L / n1)
+    assert(math.signum(z) == math.signum((n2 - n1).toDouble),
+      s"z=$z for $n1 -> $n2")
+  }
+
+  test("dispersion index closes var/mean and user activity is overdispersed") {
+    val rows = EventOps.statDispersion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nu = rows.map(_.getAs[Long]("n_users")).distinct
+    assert(nu.length == 1, "population differs across types")
+    rows.foreach { r =>
+      val (mean, v, d) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mean > 0 && v >= 0)
+      assert(math.abs(d - v / mean) < 2e-3, s"D=$d vs ${v / mean}")
+    }
+  }
+
   test("schema evolution surfaces the pre-column generation as NULLs, losing no rows") {
     import org.apache.spark.sql.functions.{count, lit}
     val rows = graft.sources.Formats.srcSchemaEvolution(spark, sf).collect()
