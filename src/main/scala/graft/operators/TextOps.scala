@@ -809,6 +809,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Data-constrained EPOCH planning (the up-sampling counterpart to
+    * [[mixTokenBudget]]'s downsampler): when the training budget
+    * EXCEEDS the corpus, which sources get repeated, and how many
+    * times? Follows the data-constrained-scaling result (Muennighoff
+    * et al. 2023) that repeating data holds its value for ~4 epochs —
+    * so the plan is a quality-greedy fill with a hard 4-epoch cap:
+    * sources rank by type-token ratio (exact integer ppm — the
+    * cheapest deterministic quality proxy; a model-based scorer plugs
+    * into the same rank column), each takes min(4·tokens, remaining
+    * budget) in rank order, the marginal source takes a fractional
+    * epoch, the tail takes zero. Budget = 3× the corpus (computed, not
+    * a literal — the plan exercises cap, partial, and cutoff at every
+    * scale factor).
+    *
+    * Scale: token totals + distinct-type counts are partial-aggregated
+    * corpus passes; the greedy fill is a cumulative window over the
+    * SOURCE-sized table (bounded — the stratum count, not the corpus),
+    * so the sequential-looking greedy costs nothing distributed.
+    * Everything after the scan is exact BIGINT (`div` vs `//` stays
+    * engine-side, the q34 note). */
+  def mixEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"))
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("toks_total"),
+        countDistinct("w").as("n_types"))
+      .selectExpr("source", "toks_total", "n_types",
+        "n_types * 1000000 div toks_total AS quality_ppm")
+    val budget = per.agg(sum(expr("3 * toks_total")).as("budget"))
+    val w = Window.orderBy(desc("quality_ppm"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.crossJoin(broadcast(budget))
+      .withColumn("cum_before",
+        coalesce(sum(expr("4 * toks_total")).over(w), lit(0L)))
+      .selectExpr("source", "toks_total", "quality_ppm",
+        "least(4 * toks_total, greatest(budget - cum_before, 0)) AS take_tokens")
+      .selectExpr("source", "toks_total", "quality_ppm", "take_tokens",
+        "take_tokens * 1000000 div toks_total AS epochs_ppm")
+      .orderBy(desc("quality_ppm"), col("source"))
+  }
+
   /** mix_temperature's total token budget across all sources. */
   private[graft] val MixTempTokens = 14000L
 
@@ -1653,6 +1695,32 @@ object TextOps {
          |    // sum(ctok) AS BIGINT) AS boiler_ppm
          |FROM c2 LEFT JOIN boiler b USING (h)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mix_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS toks_total,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_types
+        |  FROM t GROUP BY source),
+        |q AS (
+        |  SELECT source, toks_total,
+        |    n_types * 1000000 // toks_total AS quality_ppm
+        |  FROM per),
+        |b AS (SELECT CAST(3 * sum(toks_total) AS BIGINT) AS budget FROM q),
+        |c AS (
+        |  SELECT q.*, budget,
+        |    CAST(coalesce(sum(4 * toks_total) OVER (
+        |      ORDER BY quality_ppm DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM q, b),
+        |f AS (
+        |  SELECT source, toks_total, quality_ppm,
+        |    least(4 * toks_total, greatest(budget - cum_before, 0)) AS take_tokens
+        |  FROM c)
+        |SELECT source, toks_total, quality_ppm, take_tokens,
+        |  take_tokens * 1000000 // toks_total AS epochs_ppm
+        |FROM f ORDER BY quality_ppm DESC, source""".stripMargin,
     "mix_soft_dedup" ->
       """WITH t AS (
         |  SELECT source, md5(text) AS h,
@@ -2040,6 +2108,7 @@ object TextOps {
     "agg_cms_heavy" -> (aggCmsHeavy(_, _)),
     "txt_passage_dedup" -> (txtPassageDedup(_, _)),
     "mix_token_budget" -> (mixTokenBudget(_, _)),
+    "mix_epoch_plan" -> (mixEpochPlan(_, _)),
     "mix_soft_dedup" -> (mixSoftDedup(_, _)),
     "txt_strip_boilerplate" -> (txtStripBoilerplate(_, _)),
     "mix_temperature" -> (mixTemperature(_, _)),

@@ -419,6 +419,24 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch plan: budget conserved exactly, 4-epoch cap, full/partial/zero in rank order") {
+    val rows = TextOps.mixEpochPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = rows.map(_.getAs[Long]("toks_total"))
+    val take = rows.map(_.getAs[Long]("take_tokens"))
+    val epochs = rows.map(_.getAs[Long]("epochs_ppm"))
+    // Budget = 3×corpus < 4×corpus capacity, so the greedy fill must
+    // spend it EXACTLY — no token leaks at the cap/partial boundary.
+    assert(take.sum == 3 * toks.sum, s"${take.sum} != ${3 * toks.sum}")
+    assert(epochs.forall(_ <= 4000000L), "epoch cap violated")
+    // In quality-rank order: a prefix at the full 4 epochs, at most
+    // one partial source, then zeros — the greedy structure itself.
+    val kinds = rows.indices.map { i =>
+      if (take(i) == 4 * toks(i)) 'F' else if (take(i) == 0L) 'Z' else 'P'
+    }.mkString
+    assert("^F*P?Z*$".r.matches(kinds), s"fill pattern broken: $kinds")
+  }
+
   test("schema evolution surfaces the pre-column generation as NULLs, losing no rows") {
     import org.apache.spark.sql.functions.{count, lit}
     val rows = graft.sources.Formats.srcSchemaEvolution(spark, sf).collect()
