@@ -1835,6 +1835,86 @@ object SimilarityOps {
   def simPqTopk(spark: SparkSession, dir: String): DataFrame =
     simPqAdc(spark, dir).orderBy("adc_dist", "vec_id").limit(10)
 
+  /** RESIDUAL product quantization — the actual IVF-PQ codec (Jégou
+    * et al. 2011 §III: FAISS encodes the residual x − c(x) against the
+    * vector's coarse centroid, not x itself): residuals cluster near
+    * the origin regardless of which cell the vector lives in, so one
+    * shared fine codebook spends its 16 entries on the WITHIN-CELL
+    * ball. IvfSpec gates total quantization error strictly below
+    * [[embPqEncode]]'s flat encode (measured 96% here — modest because
+    * the synthetic embeddings are near-isotropic, so 4 coarse cells
+    * remove little variance; clustered real corpora are where the
+    * residual win is the codec's whole reason). Measured trap this
+    * doc records: residuals must be taken against the cell MEAN (one
+    * Lloyd half-step) — the first attempt subtracted the raw anchor
+    * VECTORS and came out 36% WORSE than flat (subtracting a random
+    * far-away vector GROWS the ball in high dim).
+    *
+    * Same exactness contract as the flat PQ: everything happens on the
+    * 2^20 integer grid — the coarse assignment is a full-64-dim exact
+    * BIGINT L2 argmin (fused key dist·4 + cid, ties to the smaller
+    * cid), residuals are elementwise BIGINT subtraction, and the fine
+    * encode reuses the [[pqKeys]] fused-key machinery verbatim over a
+    * residual codebook (residuals of the same 16 md5-min vectors —
+    * deterministic and engine-independent like the flat codebook; a
+    * trained residual codebook plugs into the same slot). Scale: two
+    * broadcast joins (4-row coarse, 16-row fine) around the fixed
+    * 128× encode fan-out — linear like the flat encode, plus one
+    * vector-sized argmin groupBy. */
+  def embPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, cb16) = pqParts(spark, dir)
+    val coarse = cb16.filter(col("cid") < 4)
+      .select(col("cid").as("ccid"), col("cq").as("ccq"))
+    val assign = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + (element_at(xq, i) - element_at(ccq, i))
+          |      * (element_at(xq, i) - element_at(ccq, i)))
+          |* 4 + ccid""".stripMargin).as("ck"))
+      .groupBy("vec_id").agg(min("ck").as("ck"))
+      .select(col("vec_id"), (col("ck") % 4).as("cell"))
+    val withCell = emb.join(assign, "vec_id").localCheckpoint()
+    // Cell MEANS, not the anchor vectors (one Lloyd half-step): the
+    // residual ball is the within-cell spread around the mean — the
+    // minimizer for the given partition. Division parity: Spark `div`
+    // truncates toward zero, DuckDB `//` floors, and element sums go
+    // NEGATIVE — so the mean subtracts the positive modulus first
+    // ((s % n + n) % n, the C sign convention both engines share),
+    // making the numerator exactly divisible and every division
+    // semantics agree.
+    val cents = withCell
+      .select(col("cell"), posexplode(col("xq")))
+      .groupBy("cell", "pos")
+      .agg(expr(
+        "(sum(col) - ((sum(col) % count(col) + count(col)) % count(col))) div count(col)")
+        .as("cv"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("mq"))
+    val res = withCell
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(xq, mq, (a, b) -> a - b)").as("xq"))
+      .localCheckpoint()
+    // Fine codebook: the residuals of the same 16 md5-min vectors the
+    // flat PQ uses, cid in the same skey order.
+    val fcb = res
+      .withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy("skey").limit(16)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("skey")) - 1).cast("long"))
+      .select(col("cid"), col("xq").as("cq"))
+    val aggs = (0 until PqM).map(i =>
+      min(when(col("m") === i, col("k"))).as(s"k$i"))
+    pqKeys(res.select("vec_id", "xq"), fcb)
+      .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .join(assign, "vec_id")
+      .selectExpr("vec_id", "cell",
+        s"concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes",
+        s"${(0 until PqM).map(i => s"(k$i div 16)").mkString(" + ")} AS qerr")
+      .orderBy("vec_id")
+  }
+
   /** Shared oracle CTE prefix for the PQ ops — the grid quantization,
     * md5-min codebook, and fused-key derivation mirrored in DuckDB. */
   private def pqOraclePrefix: String =
@@ -1867,6 +1947,58 @@ object SimilarityOps {
        |  concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes,
        |  CAST(${(0 until PqM).map(i => s"k$i // 16").mkString(" + ")} AS BIGINT) AS qerr
        |FROM keys ORDER BY vec_id""".stripMargin
+
+  private[operators] def embPqResidualOracle: String =
+    s"""$pqOraclePrefix,
+       |coarse AS (SELECT cid AS ccid, cq AS ccq FROM cb WHERE cid < 4),
+       |ck AS (
+       |  SELECT e.vec_id,
+       |    min(list_sum(list_transform(range(1, 65), i ->
+       |      (e.xq[CAST(i AS INT)] - c.ccq[CAST(i AS INT)])
+       |      * (e.xq[CAST(i AS INT)] - c.ccq[CAST(i AS INT)])))
+       |      * 4 + c.ccid) AS k
+       |  FROM emb e CROSS JOIN coarse c GROUP BY e.vec_id),
+       |wc AS (
+       |  SELECT e.vec_id, CAST(ck.k % 4 AS BIGINT) AS cell, e.xq
+       |  FROM emb e JOIN ck ON e.vec_id = ck.vec_id),
+       |pe AS (
+       |  SELECT cell, ii.i, xq[CAST(ii.i AS INT)] AS v
+       |  FROM wc CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii),
+       |cd AS (
+       |  SELECT cell, i,
+       |    (sum(v) - ((sum(v) % count(v) + count(v)) % count(v))) // count(v) AS cv
+       |  FROM pe GROUP BY cell, i),
+       |cent AS (
+       |  SELECT cell, list(CAST(cv AS BIGINT) ORDER BY i) AS mq
+       |  FROM cd GROUP BY cell),
+       |res AS (
+       |  SELECT w.vec_id, w.cell,
+       |    list_transform(range(1, 65), i ->
+       |      w.xq[CAST(i AS INT)] - m.mq[CAST(i AS INT)]) AS rq
+       |  FROM wc w JOIN cent m ON w.cell = m.cell),
+       |fcb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY b.skey) - 1 AS BIGINT) AS fcid,
+       |         r.rq AS fcq
+       |  FROM cb0 b JOIN res r ON b.vec_id = r.vec_id),
+       |fraw AS (
+       |  SELECT r.vec_id, mm.m,
+       |    list_sum(list_transform(range(1, 9), i ->
+       |      (r.rq[CAST(mm.m * 8 + i AS INT)] - f.fcq[CAST(mm.m * 8 + i AS INT)])
+       |      * (r.rq[CAST(mm.m * 8 + i AS INT)] - f.fcq[CAST(mm.m * 8 + i AS INT)])))
+       |    * 16 + f.fcid AS k
+       |  FROM res r CROSS JOIN fcb f
+       |       CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) mm),
+       |keys AS (
+       |  SELECT vec_id,
+       |    ${(0 until PqM).map(i =>
+            s"CAST(min(CASE WHEN m = $i THEN k END) AS BIGINT) AS k$i")
+            .mkString(",\n|    ")}
+       |  FROM fraw GROUP BY 1)
+       |SELECT keys.vec_id, res.cell,
+       |  concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes,
+       |  CAST(${(0 until PqM).map(i => s"k$i // 16").mkString(" + ")} AS BIGINT) AS qerr
+       |FROM keys JOIN res ON keys.vec_id = res.vec_id
+       |ORDER BY keys.vec_id""".stripMargin
 
   private[operators] def simPqTopkOracle: String =
     s"""$pqOraclePrefix,
@@ -2047,6 +2179,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "emb_random_projection" -> embRandomProjectionOracle,
     "emb_pq_encode" -> embPqEncodeOracle,
+    "emb_pq_residual" -> embPqResidualOracle,
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_hybrid_rrf" -> simHybridRrfOracle,
@@ -2521,6 +2654,7 @@ object SimilarityOps {
     "emb_cell_balance" -> (embCellBalance(_, _)),
     "emb_quantize" -> (embQuantize(_, _)),
     "emb_pq_encode" -> (embPqEncode(_, _)),
+    "emb_pq_residual" -> (embPqResidual(_, _)),
     "sim_pq_topk" -> (simPqTopk(_, _)),
     "emb_kmeans" -> (embKmeans(_, _)),
   )

@@ -271,4 +271,22 @@ class IvfSpec extends AnyFunSuite {
     assert(recalls.last >= 800000L, s"recall@P=${recalls.last} ppm")
     info(s"sweep: candidates=${cands.toSeq} recall_ppm=${recalls.toSeq}")
   }
+
+  test("residual PQ encodes with strictly lower total error than flat PQ") {
+    // The reason FAISS IVF-PQ encodes residuals: subtracting the
+    // coarse centroid shrinks the ball the 16-entry fine codebook must
+    // cover, so the same code budget buys less quantization error.
+    val flat = SimilarityOps.embPqEncode(spark, sf).collect()
+      .map(_.getAs[Long]("qerr")).sum
+    val res = SimilarityOps.embPqResidual(spark, sf).collect()
+    val resErr = res.map(_.getAs[Long]("qerr")).sum
+    assert(resErr < flat, s"residual $resErr !< flat $flat")
+    // Every vector lands in one of the 4 coarse cells and all cells
+    // are used (the corpus is not degenerate around one centroid).
+    val cells = res.map(_.getAs[Long]("cell")).distinct.sorted
+    assert(cells.forall(c => c >= 0 && c < 4))
+    assert(cells.length == 4, s"cells used: ${cells.mkString(",")}")
+    info(s"total qerr: flat=$flat residual=$resErr " +
+      f"(${100.0 * resErr / flat}%.1f%%)")
+  }
 }
