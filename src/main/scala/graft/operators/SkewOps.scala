@@ -85,7 +85,76 @@ object SkewOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Pre-join skew PROFILE — the diagnostic read BEFORE reaching for
+    * [[saltedJoin]]: per-key row-count statistics for the join columns
+    * a pipeline is about to shuffle on, one row per audited column.
+    * `top1_ppm` (hot key's share) and `p99_over_p50` locate the skew;
+    * `salt_rec` is the S ≈ hot-rows / avg-rows-per-key rule of thumb
+    * from the [[saltedJoin]] doc, ready to pass as `salts`.
+    *
+    * Exactness: quantiles of the per-key count distribution are
+    * TYPE-1 over the COUNT-OF-COUNTS table (the qc_iqr_outliers
+    * posture — the window runs over |distinct counts| rows, never
+    * |keys|), everything integer, engine division kept per-side.
+    * Scale: one partial-aggregated count per audited column + a
+    * count-histogram window — the profile costs one scan per column,
+    * which is why it ships as a query and not a planning heuristic. */
+  def qcSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.Tables(spark, dir).lineitem
+    def profile(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy("c").agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val q = hist
+        .withColumn("cum", sum("nk").over(w))
+        .withColumn("tot", sum("nk").over(
+          Window.partitionBy(lit(1))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy()
+        .agg(
+          max("tot").as("n_keys"),
+          min(when(expr("cum * 2 >= tot"), col("c"))).as("p50"),
+          min(when(expr("cum * 100 >= tot * 99"), col("c"))).as("p99"))
+      counts.agg(sum("c").as("n_rows"), max("c").as("max_rows"))
+        .crossJoin(broadcast(q))
+        .selectExpr(s"'$keyCol' AS key_col", "n_keys", "n_rows", "max_rows",
+          "max_rows * 1000000 div n_rows AS top1_ppm",
+          "p50", "p99",
+          "p99 * 100 div p50 AS p99_over_p50_pct",
+          "greatest(CAST(1 AS BIGINT), (max_rows * n_keys + n_rows - 1) div n_rows) AS salt_rec")
+    }
+    profile("l_suppkey").unionAll(profile("l_partkey"))
+      .orderBy("key_col")
+  }
+
   val oracles: Map[String, String] = Map(
+    "qc_skew_profile" -> {
+      def side(keyCol: String) =
+        s"""SELECT '$keyCol' AS key_col, n_keys, n_rows, max_rows,
+           |  max_rows * 1000000 // n_rows AS top1_ppm,
+           |  p50, p99, p99 * 100 // p50 AS p99_over_p50_pct,
+           |  greatest(CAST(1 AS BIGINT), (max_rows * n_keys + n_rows - 1) // n_rows) AS salt_rec
+           |FROM (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_rows
+           |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY $keyCol)) a
+           |CROSS JOIN (
+           |  SELECT CAST(max(tot) AS BIGINT) AS n_keys,
+           |    CAST(min(CASE WHEN cum * 2 >= tot THEN c END) AS BIGINT) AS p50,
+           |    CAST(min(CASE WHEN cum * 100 >= tot * 99 THEN c END) AS BIGINT) AS p99
+           |  FROM (
+           |    SELECT c, sum(nk) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum,
+           |           sum(nk) OVER () AS tot
+           |    FROM (SELECT c, count(*) AS nk
+           |          FROM (SELECT count(*) AS c FROM lineitem GROUP BY $keyCol)
+           |          GROUP BY c))) b""".stripMargin
+      s"""SELECT * FROM (${side("l_suppkey")}
+         |UNION ALL
+         |${side("l_partkey")})
+         |ORDER BY key_col""".stripMargin
+    },
     "mr_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 3) AS sum_price
@@ -95,6 +164,7 @@ object SkewOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_salted_join" -> (mrSaltedJoin(_, _)),
+    "qc_skew_profile" -> (qcSkewProfile(_, _)),
   )
 
   /** Synthetic hot-key fixture shared by SkewSpec and the plan-audit

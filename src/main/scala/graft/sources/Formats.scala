@@ -684,7 +684,48 @@ object Formats {
       .orderBy("c_nationkey")
   }
 
+  /** Malformed-CSV ingestion — the PERMISSIVE + corrupt-record-column
+    * contract every production CSV reader runs under (real feeds
+    * carry broken lines; FAILFAST kills the job on row one,
+    * DROPMALFORMED silently loses data — the auditable middle is
+    * PERMISSIVE with the rejects captured): a nation CSV with every
+    * 5th key deliberately corrupted (non-numeric key field), read back
+    * with an explicit schema + `_corrupt_record`, reporting good/bad
+    * counts and the exact key checksum over the CLEAN rows. The oracle
+    * derives the same partition from the corruption rule, so a reader
+    * that dropped, double-counted, or mis-classified any line
+    * hash-mismatches. Scale: parsing is per-line map work; the rejects
+    * land in a column, not a side channel, so the audit rides the
+    * same scan. */
+  def srcCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir).nation
+    val path = tmp("nation_malformed_csv")
+    nation.select(expr(
+      """CASE WHEN n_nationkey % 5 = 0
+        |  THEN concat('x', CAST(n_nationkey AS STRING), ',', n_name, ',',
+        |              CAST(n_regionkey AS STRING))
+        |  ELSE concat(CAST(n_nationkey AS STRING), ',', n_name, ',',
+        |              CAST(n_regionkey AS STRING)) END""".stripMargin)
+      .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, " +
+        "_corrupt_record STRING")
+      .option("mode", "PERMISSIVE").csv(path)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("n_nationkey"))
+          .otherwise(0L)).as("good_key_sum"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "src_csv_malformed" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey ELSE 0 END) AS BIGINT) AS good_key_sum
+        |FROM nation""".stripMargin,
     "src_schema_evolution" ->
       """SELECT c_nationkey, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_bal,
@@ -767,6 +808,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution(_, _)),
+    "src_csv_malformed" -> (srcCsvMalformed(_, _)),
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),
     "src_jsonl_gzip" -> (srcJsonlGzip(_, _)),

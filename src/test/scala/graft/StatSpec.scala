@@ -437,6 +437,31 @@ class StatSpec extends AnyFunSuite {
     assert("^F*P?Z*$".r.matches(kinds), s"fill pattern broken: $kinds")
   }
 
+  test("skew profile: quantiles ordered, hot-key share exact, salt recommendation sane") {
+    val rows = graft.operators.SkewOps.qcSkewProfile(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (nKeys, nRows, maxRows) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (top1, p50, p99, salt) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(8))
+      assert(p50 <= p99 && p99 <= maxRows, s"$p50 <= $p99 <= $maxRows")
+      assert(top1 == maxRows * 1000000L / nRows)
+      // S ≈ hot-rows / avg-rows-per-key, and never below 1.
+      assert(salt >= 1 && salt <= maxRows, s"salt=$salt")
+      assert(nKeys <= nRows)
+    }
+  }
+
+  test("malformed CSV: rejects captured, clean rows conserved, none double-counted") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val r = graft.sources.Formats.srcCsvMalformed(spark, sf).collect().head
+    val (good, bad, keySum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val n = Tables(spark, sf).nation.agg(count(lit(1))).first().getLong(0)
+    assert(bad > 0, "corruption rule produced no rejects")
+    assert(good + bad == n, s"$good + $bad != $n rows")
+    assert(keySum > 0)
+  }
+
   test("schema evolution surfaces the pre-column generation as NULLs, losing no rows") {
     import org.apache.spark.sql.functions.{count, lit}
     val rows = graft.sources.Formats.srcSchemaEvolution(spark, sf).collect()
