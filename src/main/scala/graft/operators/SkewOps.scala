@@ -96,37 +96,41 @@ object SkewOps {
     * TYPE-1 over the COUNT-OF-COUNTS table (the qc_iqr_outliers
     * posture — the window runs over |distinct counts| rows, never
     * |keys|), everything integer, engine division kept per-side.
-    * Scale: one partial-aggregated count per audited column + a
-    * count-histogram window — the profile costs one scan per column,
-    * which is why it ships as a query and not a planning heuristic. */
+    * Scale: ALL audited columns profile from ONE stacked scan keyed by
+    * key_col (the first cut of this query ran two independent
+    * 5-shuffle chains — 10 exchanges; the audit ceiling caught it).
+    * Every downstream stage partitions on key_col, so the histogram
+    * window, its quantile fold, and the per-column row stats reuse one
+    * lattice: 2 data-sized exchanges (stacked key counts, count
+    * histogram) + the key_col-sized rest. */
   def qcSkewProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = graft.Tables(spark, dir).lineitem
-    def profile(keyCol: String): DataFrame = {
-      val counts = li.groupBy(col(keyCol).as("k"))
-        .agg(count(lit(1)).as("c"))
-      val hist = counts.groupBy("c").agg(count(lit(1)).as("nk"))
-      val w = Window.orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val q = hist
-        .withColumn("cum", sum("nk").over(w))
-        .withColumn("tot", sum("nk").over(
-          Window.partitionBy(lit(1))
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .groupBy()
-        .agg(
-          max("tot").as("n_keys"),
-          min(when(expr("cum * 2 >= tot"), col("c"))).as("p50"),
-          min(when(expr("cum * 100 >= tot * 99"), col("c"))).as("p99"))
-      counts.agg(sum("c").as("n_rows"), max("c").as("max_rows"))
-        .crossJoin(broadcast(q))
-        .selectExpr(s"'$keyCol' AS key_col", "n_keys", "n_rows", "max_rows",
-          "max_rows * 1000000 div n_rows AS top1_ppm",
-          "p50", "p99",
-          "p99 * 100 div p50 AS p99_over_p50_pct",
-          "greatest(CAST(1 AS BIGINT), (max_rows * n_keys + n_rows - 1) div n_rows) AS salt_rec")
-    }
-    profile("l_suppkey").unionAll(profile("l_partkey"))
+    val counts = graft.Tables(spark, dir).lineitem
+      .select(expr(
+        "stack(2, 'l_suppkey', l_suppkey, 'l_partkey', l_partkey) AS (key_col, k)"))
+      .groupBy("key_col", "k")
+      .agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy("key_col", "c").agg(count(lit(1)).as("nk"))
+    val w = Window.partitionBy("key_col").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = hist
+      .withColumn("cum", sum("nk").over(w))
+      .withColumn("tot", sum("nk").over(
+        Window.partitionBy("key_col")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("key_col")
+      .agg(
+        max("tot").as("n_keys"),
+        min(when(expr("cum * 2 >= tot"), col("c"))).as("p50"),
+        min(when(expr("cum * 100 >= tot * 99"), col("c"))).as("p99"))
+    counts.groupBy("key_col")
+      .agg(sum("c").as("n_rows"), max("c").as("max_rows"))
+      .join(broadcast(q), "key_col")
+      .selectExpr("key_col", "n_keys", "n_rows", "max_rows",
+        "max_rows * 1000000 div n_rows AS top1_ppm",
+        "p50", "p99",
+        "p99 * 100 div p50 AS p99_over_p50_pct",
+        "greatest(CAST(1 AS BIGINT), (max_rows * n_keys + n_rows - 1) div n_rows) AS salt_rec")
       .orderBy("key_col")
   }
 
