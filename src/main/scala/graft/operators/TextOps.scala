@@ -1349,6 +1349,36 @@ object TextOps {
     s"len(list_intersect(tk, [$arr])) AS c_$l"
   }.mkString(",\n  ")
 
+  /** The langid CTE chain (ends in `p(doc_id, pred_lang)`) — ONE SQL
+    * definition of the marker heuristic shared by every langid-derived
+    * oracle (txt_langid / qc_lang_mix / txt_lang_confusion /
+    * stat_class_metrics / stat_cohens_kappa), so the prediction rule
+    * cannot drift between its consumers. */
+  private lazy val langidSqlCte =
+    s"""d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |c AS (SELECT doc_id,
+       |  $markerSqlCounts
+       |  FROM d),
+       |p AS (SELECT doc_id,
+       |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
+       |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+       |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+       |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
+       |  FROM c)""".stripMargin
+
+  /** The confusion-matrix + marginal CTE extension (`conf`, `tr`,
+    * `pr`), shared by the stat_class_metrics and stat_cohens_kappa
+    * oracles. */
+  private lazy val confusionSqlCte =
+    s"""$langidSqlCte,
+       |conf AS (
+       |  SELECT documents.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM p JOIN documents USING (doc_id) GROUP BY 1, 2),
+       |tr AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_true
+       |       FROM conf GROUP BY 1),
+       |pr AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+       |       FROM conf GROUP BY 1)""".stripMargin
+
   /** The BM25-score CTE chain (ends in `bsq(doc_id, sq,
     * n_terms_hit)`), shared verbatim by the txt_bm25 oracle and the
     * sim_hybrid_rrf oracle — one lexical-scoring definition on the
@@ -1416,7 +1446,258 @@ object TextOps {
         "round(n + noise, 4) + 0.0 AS n_noisy")
       .orderBy("lang")
 
+  /** (doc_id, n_tokens, y) — the txt_quality_filter gate re-expressed
+    * as a 0/1 LABEL with the token count as an integer score, the
+    * shared base of the classifier-evaluation family (stat_auc /
+    * stat_calibration / stat_mcnemar). The predicate text mirrors
+    * txtQualityFilter verbatim (incl. the DOUBLE alpha-ratio form) so
+    * label and filter can never drift. */
+  private def qualityScored(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars"), expr(tokensExpr).as("tk"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
+      .select(col("doc_id"), col("n_chars"), size(col("tk")).as("n_tokens"),
+        col("alpha"))
+      .withColumn("y",
+        when(col("n_chars").between(100, 5000) && col("n_tokens") >= 20 &&
+          expr("CAST(alpha AS DOUBLE) / n_chars") >= 0.6, 1L).otherwise(0L))
+
+  /** The same base as a DuckDB CTE chain ending in `yl(doc_id,
+    * n_tokens, y)` — predicate text mirrors the txt_quality_filter
+    * oracle verbatim. */
+  private val qualityScoredSqlCte =
+    s"""d AS (
+       |  SELECT doc_id, n_chars, CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+       |         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+       |  FROM documents),
+       |yl AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+       |          AND alpha * 1.0 / n_chars >= 0.6 THEN 1 ELSE 0 END AS y
+       |  FROM d)""".stripMargin
+
+  /** AUC derived from the exact integer accumulators (n_pos, n_neg,
+    * r1_2 = 2·rank-sum of the positives with average-rank ties) — ONE
+    * formula string for both engines, the MannWhitneyDerived pattern.
+    * AUC = U₁/(n₊·n₋) = (r1_2 − n₊(n₊+1)) / (2·n₊·n₋). */
+  private val AucDerived = Seq(
+    "n_pos", "n_neg",
+    """round(CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+      | / (2 * CAST(n_pos AS DOUBLE) * n_neg), 6) + 0.0 AS auc""".stripMargin)
+
+  /** Exact ROC AUC of the token-count score predicting the
+    * quality-gate label — the threshold-free ranking metric every
+    * filter/classifier eval starts from, computed EXACTLY via the
+    * rank-sum identity AUC = U/(n₊·n₋) (ties = average ranks, i.e.
+    * the trapezoidal tie convention): no threshold sweep, no
+    * trapezoid summation, no float until the single final division of
+    * two exact integers. StatSpec pins the query against an
+    * independent O(n²) concordant-pair count on the small corpus.
+    *
+    * Scale: the statMannWhitney shape — per-score partial-aggregated
+    * counts first, so the rank window runs over |distinct scores|
+    * rows (bounded by the token-count domain), never |docs|. The
+    * r1_2 accumulator is DECIMAL(38,0)/HUGEINT; its DOUBLE cast in
+    * the last step is the one place resolution drops (>2^53 only
+    * beyond ~10^26 rank-units — not a corpus that exists). */
+  def statAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = qualityScored(spark, dir)
+      .groupBy(col("n_tokens").as("s"))
+      .agg(sum("y").as("c1"), sum(expr("1 - y")).as("c0"))
+      .withColumn("cnt", col("c1") + col("c0"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.withColumn("cum", sum("cnt").over(w))
+      .withColumn("avg2", expr("2 * (cum - cnt) + cnt + 1"))
+      .agg(sum("c1").as("n_pos"), sum("c0").as("n_neg"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * avg2")).as("r1_2"))
+      .selectExpr(AucDerived: _*)
+  }
+
+  /** Reliability (calibration) table for the same score/label pair —
+    * the curve companion to [[statAuc]]'s scalar: fixed-width
+    * token-count bins (width 10, top bin open — the agg_histogram
+    * determinism move: fixed edges, never engine-interpolated
+    * quantile cuts) with per-bin doc counts, positives, and the
+    * empirical pass rate as ONE division of two exact integers. A
+    * well-calibrated score's rate should rise monotonically through
+    * the bins; StatSpec asserts the bin partition is exact (Σn = N).
+    * Scale: one partial-aggregated groupBy on a ≤10-key domain. */
+  private val CalibrationRate =
+    "round(CAST(n_pos AS DOUBLE) / n_docs, 6) + 0.0 AS pass_rate"
+
+  def statCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(spark, dir)
+      .groupBy(expr("least(n_tokens div 10, 9)").as("score_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+      .selectExpr("score_bin", "n_docs", "n_pos", CalibrationRate)
+      .orderBy("score_bin")
+
+  /** Per-class precision / recall / F1 derived from exact integer
+    * (tp, fp, fn) — one formula string for both engines. NULL where
+    * undefined (a class never predicted has no precision; a class
+    * never labeled has no recall). */
+  private val ClassMetricsDerived = Seq(
+    "cls", "tp", "fp", "fn",
+    "round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) + 0.0 AS prec",
+    "round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) + 0.0 AS rec",
+    "round(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0), 6) + 0.0 AS f1")
+
+  /** Per-class precision/recall/F1 of the langid heuristic against
+    * the labeled `lang` column — the metric readout OVER
+    * txt_lang_confusion's matrix (tp/fp/fn are row/column/diagonal
+    * sums of the confusion cells, so the class axis is the UNION of
+    * label and prediction domains: `zh` appears with NULL precision
+    * — never predicted; `unk` with NULL recall — never labeled).
+    * Every metric is one division of exact integers.
+    *
+    * Scale: the matrix is |langs|² cells; everything after the
+    * confusion aggregation is domain-sized. The matrix subtree is
+    * localCheckpoint'ed once and feeds all three marginal sums. */
+  def statClassMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val conf = txtLangConfusion(spark, dir).localCheckpoint()
+    val tr = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("n_true"))
+    val pr = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("n_pred"))
+    val tp = conf.filter(col("lang") === col("pred_lang"))
+      .groupBy(col("lang").as("cls")).agg(sum("n").as("tp0"))
+    tr.join(pr, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .selectExpr("cls",
+        "coalesce(tp0, CAST(0 AS BIGINT)) AS tp",
+        "coalesce(n_pred, CAST(0 AS BIGINT)) - coalesce(tp0, CAST(0 AS BIGINT)) AS fp",
+        "coalesce(n_true, CAST(0 AS BIGINT)) - coalesce(tp0, CAST(0 AS BIGINT)) AS fn")
+      .selectExpr(ClassMetricsDerived: _*)
+      .orderBy("cls")
+  }
+
+  /** Cohen's-kappa derived stats over exact integer accumulators
+    * (n, diag = Σnᵢᵢ, pe_num = Σ nᵢ·n·ᵢ): po = diag/n,
+    * pe = pe_num/n², κ = (n·diag − pe_num)/(n² − pe_num) — each ONE
+    * division of exact integers, shared by both engines. */
+  private val KappaDerived = Seq(
+    "n_docs", "agree",
+    "round(CAST(agree AS DOUBLE) / n_docs, 6) + 0.0 AS po",
+    "round(CAST(pe_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs), 6) + 0.0 AS pe",
+    """round(CAST(CAST(n_docs AS DECIMAL(38,0)) * agree - pe_num AS DOUBLE)
+      | / CAST(CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num AS DOUBLE), 6)
+      | + 0.0 AS kappa""".stripMargin)
+
+  /** Cohen's κ of langid vs the labeled language — the
+    * CHANCE-CORRECTED agreement scalar next to [[statClassMetrics]]'
+    * per-class view (raw accuracy rewards majority-class guessing; κ
+    * subtracts the marginal-product expected agreement). All three
+    * accumulators are exact integers off the same checkpointed
+    * confusion matrix; κ is one division. StatSpec re-derives κ
+    * independently from the txt_lang_confusion rows. */
+  def statCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = txtLangConfusion(spark, dir).localCheckpoint()
+    val tr = conf.groupBy(col("lang").as("cls")).agg(sum("n").as("n_true"))
+    val pr = conf.groupBy(col("pred_lang").as("cls")).agg(sum("n").as("n_pred"))
+    val pe = tr.join(pr, "cls")
+      .agg(sum(expr("CAST(n_true AS DECIMAL(38,0)) * n_pred")).as("pe_num"))
+    conf.agg(
+      sum("n").as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("agree"))
+      .crossJoin(broadcast(pe))
+      .selectExpr(KappaDerived: _*)
+  }
+
+  /** McNemar's paired test between two quality SCREENS on the same
+    * documents — the "is filter B actually different from filter A"
+    * check run before swapping a production gate (an unpaired
+    * comparison of pass rates wastes the pairing; McNemar uses only
+    * the DISCORDANT cells). A = the length band, B = the min-token
+    * rule — the two single-signal halves of the composite
+    * txt_quality_filter gate. χ² = (b−c)²/(b+c) on exact integers
+    * (NULL when no disagreement exists), plus the full 2×2 for the
+    * reader. Scale: one partial-aggregated scan, 1-row output. */
+  private val McnemarChi2 =
+    """round(CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+      | / nullif(a_only + b_only, 0), 6) + 0.0 AS mcnemar_chi2""".stripMargin
+
+  def statMcnemar(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("n_chars"), size(expr(tokensExpr)).as("n_tokens"))
+      .select(
+        when(col("n_chars").between(100, 5000), 1L).otherwise(0L).as("pa"),
+        when(col("n_tokens") >= 20, 1L).otherwise(0L).as("pb"))
+      .agg(
+        sum(expr("pa * pb")).as("both_pass"),
+        sum(expr("pa * (1 - pb)")).as("a_only"),
+        sum(expr("(1 - pa) * pb")).as("b_only"),
+        sum(expr("(1 - pa) * (1 - pb)")).as("neither"))
+      .selectExpr("both_pass", "a_only", "b_only", "neither", McnemarChi2)
+
   val oracles: Map[String, String] = Map(
+    "stat_auc" ->
+      s"""WITH $qualityScoredSqlCte,
+         |v AS (
+         |  SELECT n_tokens AS s, sum(y) AS c1, sum(1 - y) AS c0
+         |  FROM yl GROUP BY 1),
+         |r AS (
+         |  SELECT c1, c0, c1 + c0 AS cnt,
+         |    sum(c1 + c0) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM v),
+         |a AS (SELECT c1, c0, cnt, 2 * (cum - cnt) + cnt + 1 AS avg2 FROM r),
+         |m AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+         |    CAST(sum(c0) AS BIGINT) AS n_neg,
+         |    sum(c1::HUGEINT * avg2) AS r1_2
+         |  FROM a)
+         |SELECT ${AucDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
+    "stat_calibration" ->
+      s"""WITH $qualityScoredSqlCte,
+         |b AS (
+         |  SELECT least(n_tokens // 10, 9) AS score_bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM yl GROUP BY 1)
+         |SELECT score_bin, n_docs, n_pos, $CalibrationRate
+         |FROM b ORDER BY score_bin""".stripMargin,
+    "stat_class_metrics" ->
+      s"""WITH $confusionSqlCte,
+         |tp AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS tp0
+         |       FROM conf WHERE lang = pred_lang GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(tr.cls, pr.cls) AS cls,
+         |    coalesce(tp0, 0) AS tp,
+         |    coalesce(n_pred, 0) - coalesce(tp0, 0) AS fp,
+         |    coalesce(n_true, 0) - coalesce(tp0, 0) AS fn
+         |  FROM tr FULL OUTER JOIN pr ON tr.cls = pr.cls
+         |  LEFT JOIN tp ON coalesce(tr.cls, pr.cls) = tp.cls)
+         |SELECT ${ClassMetricsDerived.mkString(",\n")}
+         |FROM j ORDER BY cls""".stripMargin,
+    "stat_cohens_kappa" ->
+      s"""WITH $confusionSqlCte,
+         |pe AS (
+         |  SELECT CAST(sum(n_true::HUGEINT * n_pred) AS DECIMAL(38,0)) AS pe_num
+         |  FROM tr JOIN pr ON tr.cls = pr.cls),
+         |m AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM conf)
+         |SELECT ${KappaDerived.mkString(",\n")}
+         |FROM m CROSS JOIN pe""".stripMargin,
+    "stat_mcnemar" ->
+      s"""WITH d AS (
+         |  SELECT n_chars, CAST(len($tokensSql) AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |f AS (
+         |  SELECT CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS pa,
+         |         CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS pb
+         |  FROM d),
+         |m AS (
+         |  SELECT CAST(sum(pa * pb) AS BIGINT) AS both_pass,
+         |    CAST(sum(pa * (1 - pb)) AS BIGINT) AS a_only,
+         |    CAST(sum((1 - pa) * pb) AS BIGINT) AS b_only,
+         |    CAST(sum((1 - pa) * (1 - pb)) AS BIGINT) AS neither
+         |  FROM f)
+         |SELECT both_pass, a_only, b_only, neither, $McnemarChi2
+         |FROM m""".stripMargin,
     "qc_dp_counts" -> {
       val h8 = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(lang), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -1584,27 +1865,10 @@ object TextOps {
          |  round(avg(n_chars), 4) AS avg_chars
          |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_langid" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
-         |c AS (SELECT doc_id,
-         |  $markerSqlCounts
-         |  FROM d)
-         |SELECT doc_id,
-         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
-         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
-         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
-         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $langidSqlCte
+         |SELECT doc_id, pred_lang FROM p ORDER BY doc_id""".stripMargin,
     "qc_lang_mix" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
-         |c AS (SELECT doc_id,
-         |  $markerSqlCounts
-         |  FROM d),
-         |p AS (SELECT doc_id,
-         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
-         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
-         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
-         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
-         |  FROM c),
+      s"""WITH $langidSqlCte,
          |mix AS (
          |  SELECT source, pred_lang, count(*) AS n_docs
          |  FROM p JOIN documents USING (doc_id) GROUP BY 1, 2),
@@ -1615,16 +1879,7 @@ object TextOps {
          |FROM mix JOIN tot ON mix.source = tot.source
          |ORDER BY mix.source, pred_lang""".stripMargin,
     "txt_lang_confusion" ->
-      s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
-         |c AS (SELECT doc_id,
-         |  $markerSqlCounts
-         |  FROM d),
-         |p AS (SELECT doc_id,
-         |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unk'
-         |   WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
-         |   WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
-         |   WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS pred_lang
-         |  FROM c)
+      s"""WITH $langidSqlCte
          |SELECT documents.lang, p.pred_lang, count(*) AS n
          |FROM p JOIN documents USING (doc_id)
          |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
@@ -2074,6 +2329,11 @@ object TextOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_auc" -> (statAuc(_, _)),
+    "stat_calibration" -> (statCalibration(_, _)),
+    "stat_class_metrics" -> (statClassMetrics(_, _)),
+    "stat_cohens_kappa" -> (statCohensKappa(_, _)),
+    "stat_mcnemar" -> (statMcnemar(_, _)),
     "txt_bm25" -> (txtBm25(_, _)),
     "txt_stats" -> (txtStats(_, _)),
     "txt_entropy" -> (txtEntropy(_, _)),

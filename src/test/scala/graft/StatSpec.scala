@@ -473,4 +473,96 @@ class StatSpec extends AnyFunSuite {
     // be exercised (even-key rows predate the column).
     assert(missing > 0 && missing < total, s"missing=$missing total=$total")
   }
+
+  test("AUC matches the independent O(n^2) concordant-pair definition") {
+    // AUC = P(score_pos > score_neg) + P(tie)/2 — count pairs directly
+    // from the raw (score, label) rows and compare with the query's
+    // rank-sum form (two formulations agreeing is the stronger check,
+    // the q43_skyline move).
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf).documents
+      .select(col("n_chars"), expr(TextOps.tokensExpr).as("tk"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("alpha"))
+      .select(size(col("tk")).as("s"),
+        when(col("n_chars").between(100, 5000) && size(col("tk")) >= 20 &&
+          expr("CAST(alpha AS DOUBLE) / n_chars") >= 0.6, 1).otherwise(0).as("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val pos = base.filter(_._2 == 1).map(_._1)
+    val neg = base.filter(_._2 == 0).map(_._1)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expected = num / (pos.length.toDouble * neg.length)
+    val r = TextOps.statAuc(spark, sf).collect().head
+    assert(r.getLong(0) == pos.length && r.getLong(1) == neg.length)
+    assert(math.abs(r.getDouble(2) - expected) < 1e-5,
+      s"query auc=${r.getDouble(2)} brute=$expected")
+  }
+
+  test("calibration bins partition the corpus and rates are probabilities") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val rows = TextOps.statCalibration(spark, sf).collect()
+    val n = Tables(spark, sf).documents.agg(count(lit(1))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n, "bins lost docs")
+    rows.foreach { r =>
+      val (nd, np, rate) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("pass_rate"))
+      assert(np >= 0 && np <= nd)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("class metrics marginals reconcile with the confusion matrix") {
+    val conf = TextOps.txtLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val m = TextOps.statClassMetrics(spark, sf).collect()
+    val n = conf.map(_._3).sum
+    // Σ(tp+fn) over classes = N (every labeled doc is in exactly one
+    // class row), and per class tp+fp = column total, tp+fn = row total.
+    assert(m.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum == n)
+    m.foreach { r =>
+      val cls = r.getString(0)
+      val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"))
+      assert(tp + fp == conf.filter(_._2 == cls).map(_._3).sum, s"$cls col")
+      assert(tp + fn == conf.filter(_._1 == cls).map(_._3).sum, s"$cls row")
+      Seq("prec", "rec", "f1").foreach { c =>
+        val v = r.getAs[java.lang.Double](c)
+        if (v != null) assert(v >= 0.0 && v <= 1.0, s"$cls.$c=$v")
+      }
+    }
+  }
+
+  test("Cohen's kappa re-derives from the confusion matrix rows") {
+    val conf = TextOps.txtLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = conf.map(_._3).sum.toDouble
+    val agree = conf.filter(c => c._1 == c._2).map(_._3).sum.toDouble
+    val classes = (conf.map(_._1) ++ conf.map(_._2)).distinct
+    val peNum = classes.map { c =>
+      conf.filter(_._1 == c).map(_._3).sum.toDouble *
+        conf.filter(_._2 == c).map(_._3).sum
+    }.sum
+    val expected = (n * agree - peNum) / (n * n - peNum)
+    val r = TextOps.statCohensKappa(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") == n.toLong)
+    assert(math.abs(r.getAs[Double]("kappa") - expected) < 1e-5,
+      s"query=${r.getAs[Double]("kappa")} direct=$expected")
+    // kappa <= po <= 1 when pe > 0 (chance correction only shrinks).
+    assert(r.getAs[Double]("kappa") <= r.getAs[Double]("po") + 1e-9)
+  }
+
+  test("McNemar 2x2 cells partition the corpus; chi2 uses only discordants") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val r = TextOps.statMcnemar(spark, sf).collect().head
+    val n = Tables(spark, sf).documents.agg(count(lit(1))).first().getLong(0)
+    val (both, a, b, nei) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(both + a + b + nei == n, "cells do not partition")
+    val chi2 = r.getAs[java.lang.Double]("mcnemar_chi2")
+    if (a + b > 0) {
+      val d = a.toDouble - b
+      assert(math.abs(chi2 - d * d / (a + b)) < 1e-4)
+    } else assert(chi2 == null)
+  }
 }
