@@ -1847,7 +1847,119 @@ object EventOps {
       .selectExpr("n_first", "n_second", "n_both", "n_users",
         "(n_first + 1) * (n_second + 1) div (n_both + 1) - 1 AS chapman_est")
 
+  /** Growth accounting: the daily active-user delta decomposed into
+    * NEW (first-ever day), RETAINED (also active the previous day),
+    * RESURRECTED (returning after a gap), and CHURNED (active the
+    * previous day, not today) — the standard MAU/DAU ledger a growth
+    * team reads before any single metric, finishing what
+    * [[evNewVsReturning]] starts (its `returning` bucket is retained +
+    * resurrected merged, and it has no churn side at all). Churn is
+    * attributed to the FIRST inactive day (d+1 of the last active day
+    * before the gap) and right-censored at the corpus max day — a user
+    * whose last activity is the final day has not churned yet.
+    * StatSpec pins the ledger identity churned(d) + retained(d) =
+    * DAU(d−1) for every interior day.
+    *
+    * Scale: one distinct over (user, day) pairs, one user-keyed
+    * lag/lead window, then day-domain aggregates — the
+    * ev_cumulative_users posture (nothing after the distinct is
+    * data-sized; the full-outer merge runs on the ≤span day domain). */
+  def evGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val lagged = du
+      .withColumn("prev_d", lag("d", 1).over(w))
+      .withColumn("next_d", lead("d", 1).over(w))
+      .localCheckpoint()
+    val act = lagged.groupBy("d").agg(
+      sum(when(col("prev_d").isNull, 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("prev_d") === col("d") - 1, 1L).otherwise(0L)).as("retained"),
+      sum(when(col("prev_d").isNotNull && col("prev_d") < col("d") - 1, 1L)
+        .otherwise(0L)).as("resurrected"))
+    val maxd = lagged.agg(max("d").as("maxd"))
+    val churn = lagged.crossJoin(broadcast(maxd))
+      .filter(col("d") < col("maxd") &&
+        (col("next_d").isNull || col("next_d") > col("d") + 1))
+      .select((col("d") + 1).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("churned"))
+    act.join(churn, Seq("d"), "full_outer")
+      .selectExpr("d",
+        "coalesce(new_users, CAST(0 AS BIGINT)) AS new_users",
+        "coalesce(retained, CAST(0 AS BIGINT)) AS retained",
+        "coalesce(resurrected, CAST(0 AS BIGINT)) AS resurrected",
+        "coalesce(churned, CAST(0 AS BIGINT)) AS churned")
+      .orderBy("d")
+  }
+
+  /** Per-user session counts via Spark's BUILT-IN `session_window`
+    * aggregation — the declarative twin of ev_sessionize's lag+cumsum
+    * formulation, and the exact batch shape of the §2.8 streaming
+    * session window (same API, same state semantics). The oracle
+    * deliberately states the OTHER formulation (gap rule over a lag
+    * window) — two independent derivations agreeing is the stronger
+    * gate. Boundary contract: session_window's interval is half-open
+    * [start, last+gap), so a gap of EXACTLY 30 min starts a new
+    * session (`>=`), one tick off ev_sessionize's `>` rule — the twins
+    * are deliberately one boundary apart and both pinned.
+    *
+    * Scale: one user_id-keyed aggregation; Spark plans session_window
+    * as a sort-based merge per user partition — no per-event state. */
+  def evSessionNative(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
+      .orderBy("user_id")
+
   val oracles: Map[String, String] = Map(
+    "ev_growth_accounting" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |l AS (
+        |  SELECT d, user_id,
+        |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+        |    lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        |  FROM du),
+        |act AS (
+        |  SELECT d,
+        |    CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN prev_d = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS retained,
+        |    CAST(sum(CASE WHEN prev_d IS NOT NULL AND prev_d < d - 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM l GROUP BY d),
+        |mx AS (SELECT max(d) AS maxd FROM du),
+        |churn AS (
+        |  SELECT d + 1 AS d, CAST(count(*) AS BIGINT) AS churned
+        |  FROM l CROSS JOIN mx
+        |  WHERE d < maxd AND (next_d IS NULL OR next_d > d + 1)
+        |  GROUP BY d + 1)
+        |SELECT d,
+        |  coalesce(new_users, 0) AS new_users,
+        |  coalesce(retained, 0) AS retained,
+        |  coalesce(resurrected, 0) AS resurrected,
+        |  coalesce(churned, 0) AS churned
+        |FROM act FULL JOIN churn USING (d)
+        |ORDER BY d""".stripMargin,
+    "ev_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT user_id, tus,
+        |    lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM l)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_cuped" ->
       s"""WITH $PrePostCte,
          |m AS (
@@ -2597,6 +2709,8 @@ object EventOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_growth_accounting" -> (evGrowthAccounting(_, _)),
+    "ev_session_native" -> (evSessionNative(_, _)),
     "ev_cuped" -> (evCuped(_, _)),
     "ev_did" -> (evDid(_, _)),
     "stat_rate_test" -> (statRateTest(_, _)),

@@ -723,6 +723,24 @@ object StreamOps {
       }
   }
 
+  /** Session windows via Spark's BUILT-IN `session_window` aggregation
+    * — the declarative state path next to [[sessionize]]'s explicit
+    * mapGroupsWithState one (same 30-min gap; the batch twin is
+    * EventOps.evSessionNative, same API on the same rows). The engine
+    * owns the state: per-(user, open-window) rows that MERGE when late
+    * events bridge two windows, finalize in append mode once the
+    * watermark passes window end, and are evicted — state is O(open
+    * sessions), the only bound that survives an unbounded stream.
+    * Emits one row per CLOSED session; StreamingSpec flushes the
+    * watermark with a sentinel key and proves the closed set equals
+    * the same aggregation run in batch mode on the same rows. */
+  def sessionWindowStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), col("sw.start").as("w_start"),
+        col("sw.end").as("w_end"), col("n_ev"))
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -474,6 +474,28 @@ class StatSpec extends AnyFunSuite {
     assert(missing > 0 && missing < total, s"missing=$missing total=$total")
   }
 
+  test("growth accounting satisfies the ledger identity on every interior day") {
+    // churned(d) + retained(d) = DAU(d-1): everyone active yesterday
+    // either came back (retained today) or did not (churned, attributed
+    // to today). Also new+retained+resurrected = DAU(d).
+    import org.apache.spark.sql.functions._
+    val dau = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct().groupBy("d").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = EventOps.evGrowthAccounting(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val maxd = dau.keys.max
+    rows.foreach { case (d, (nw, ret, res, chu)) =>
+      assert(nw + ret + res == dau.getOrElse(d, 0L), s"day $d DAU split")
+      if (d > dau.keys.min && d <= maxd)
+        assert(chu + ret == dau.getOrElse(d - 1, 0L),
+          s"day $d ledger: churned=$chu retained=$ret dau(d-1)=${dau.get(d - 1)}")
+    }
+    assert(rows.values.map(_._4).sum > 0, "no churn observed — fixture degenerate")
+  }
+
   test("AUC matches the independent O(n^2) concordant-pair definition") {
     // AUC = P(score_pos > score_neg) + P(tie)/2 — count pairs directly
     // from the raw (score, label) rows and compare with the query's

@@ -777,4 +777,56 @@ class StreamingSpec extends AnyFunSuite {
     })
     assert(streamed.size > 10)
   }
+
+  test("built-in session_window stream: closed sessions equal the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvents().sortBy(_.tus)
+    val (first, second) = evs.splitAt(evs.size / 2)
+    // Sentinel key far past the data: advancing the watermark beyond
+    // every real event closes ALL real sessions, so append mode emits
+    // the complete set and the batch comparison is total, not partial.
+    val sentinel = Ev(-1L, evs.last.tus + 10L * 86400000000L, -1L, "flush", 0.0)
+
+    def withTs(ds: org.apache.spark.sql.Dataset[Ev]): org.apache.spark.sql.DataFrame =
+      ds.withColumn("ts", expr("timestamp_micros(tus)"))
+
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionWindowStream(withTs(input.toDS()))
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT user_id, w_start, w_end, n_ev FROM swin WHERE user_id >= 0")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // The SAME transform on the same rows in batch mode (no watermark
+    // needed — batch finalizes everything).
+    val batch = withTs(evs.toDS())
+      .groupBy(col("user_id"), expr("session_window(ts, '30 minutes')").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_ev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, {
+      val diff = (streamed diff batch) ++ (batch diff streamed)
+      s"session sets diverged, e.g. ${diff.take(3)}"
+    })
+    assert(streamed.size > 10)
+    // And the per-user session counts agree with the oracle-gated
+    // batch twin (ev_session_native) — same boundary rule by design.
+    val counts = streamed.groupBy(_._1).map { case (u, ss) =>
+      (u, ss.size.toLong, ss.toSeq.map(_._4).sum)
+    }.toSet
+    val native = graft.operators.EventOps.evSessionNative(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == native)
+  }
 }
