@@ -215,6 +215,45 @@ object TextOps {
         sum("doc_id").as("id_sum"))
       .orderBy("lang", "split")
 
+  /** The training-EXPORT manifest — the artifact a curation run
+    * actually hands to the training job and to replica validation:
+    * quality gate → exact-dup removal (keep the lowest doc_id) →
+    * deterministic 90/5/5 split → per-(split, source) document count,
+    * token total, and an order-independent membership digest. Every
+    * stage is this library's own oracle-gated rule reused verbatim
+    * (txt_quality_filter's gate incl. its n_tokens, txt_pipeline's
+    * canonical-dup pick, mix_split_assign's md5 bucket), so the
+    * manifest IS the composition of the audited pipeline, not a
+    * parallel reimplementation. The digest is the mr_table_checksum
+    * move (15-hex md5 prefix summed exactly) keyed on doc_id — two
+    * exports match iff the SAME documents landed in the same cells,
+    * regardless of partitioning or order.
+    *
+    * Scale: one documents scan feeds the gate + split + digest
+    * columns; the dup-canonical side is one md5 groupBy; the manifest
+    * rollup is |splits × sources|-keyed and partial-aggregated. */
+  def mixExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val keep = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.select("doc_id", "source")
+      .join(txtQualityFilter(spark, dir).select("doc_id", "n_tokens"), "doc_id")
+      .join(keep, "doc_id")
+      .withColumn("bucket",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+      .withColumn("split",
+        expr("CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+      .withColumn("hid",
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(n_tokens AS BIGINT)")).as("n_tokens"),
+        sum(expr("CAST(hid AS DECIMAL(38,0))")).cast("string").as("id_digest"))
+      .orderBy("split", "source")
+  }
+
   /** End-to-end curation pipeline composed from the library's own
     * stages: quality gate → exact-dup removal (keep the lowest doc_id)
     * → per-language counts of surviving docs. One declarative plan —
@@ -1631,6 +1670,40 @@ object TextOps {
       .selectExpr("both_pass", "a_only", "b_only", "neither", McnemarChi2)
 
   val oracles: Map[String, String] = Map(
+    "mix_export_manifest" -> {
+      val h4 = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1) * ${1L << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      val h15 = (1 to 15)
+        .map(i => s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1) * ${1L << (4 * (15 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         |    n_chars
+         |  FROM documents),
+         |pass AS (
+         |  SELECT doc_id, source, n_tokens FROM q
+         |  WHERE n_chars BETWEEN 100 AND 5000 AND n_tokens >= 20
+         |    AND alpha * 1.0 / n_chars >= 0.6),
+         |keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |m AS (
+         |  SELECT source, n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hh
+         |  FROM pass JOIN keep USING (doc_id)),
+         |s AS (
+         |  SELECT source, n_tokens,
+         |    CASE WHEN $h4 % 100 < 90 THEN 'train'
+         |         WHEN $h4 % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |    CAST($h15 AS BIGINT) AS hid
+         |  FROM m)
+         |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(hid::HUGEINT) AS VARCHAR) AS id_digest
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "stat_auc" ->
       s"""WITH $qualityScoredSqlCte,
          |v AS (
@@ -2329,6 +2402,7 @@ object TextOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_export_manifest" -> (mixExportManifest(_, _)),
     "stat_auc" -> (statAuc(_, _)),
     "stat_calibration" -> (statCalibration(_, _)),
     "stat_class_metrics" -> (statClassMetrics(_, _)),
