@@ -808,6 +808,59 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** HLL estimator over per-(p, m) register summaries (present, sp,
+    * n_exact) with m as a COLUMN — [[HllEstExpr]] generalized so one
+    * formula string serves every register count in the sweep; the
+    * small-range linear-counting switch threshold is the standard
+    * 2.5·m. */
+  private val HllSweepDerived = Seq(
+    "p", "mm AS m", "n_exact",
+    """round(CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / mm))
+      |            * mm * mm / (sp + (mm - present)) <= CAST(2.5 AS DOUBLE) * mm
+      |            AND present < mm
+      |      THEN mm * ln(CAST(mm AS DOUBLE) / (mm - present))
+      |      ELSE (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / mm))
+      |            * mm * mm / (sp + (mm - present)) END, 3)
+      | + 0.0 AS est_distinct""".stripMargin)
+
+  /** HLL sketch-SIZING sweep — the tuning curve for the memory knob
+    * (the sim_probe_sweep move applied to the sketch family): the
+    * SAME distinct-key hash stream estimated at p ∈ {4, 6, 8}
+    * (m = 16/64/256 registers) next to the exact count, so the
+    * size-vs-error trade is measured, not guessed, before a 100 TB
+    * deployment commits register budget × key cardinality of state.
+    * One distinct pass; the 3× fan-out replicates the (value-distinct)
+    * hash stream, never the fact table; registers build as
+    * partial-aggregated max per (p, bucket) — the merge-for-free
+    * property the sweep is sizing. StatSpec pins n_exact equality
+    * across rows and a 5-standard-error accuracy band per m.
+    *
+    * The estimator family is deliberately HllEstExpr's (bias constant
+    * + 2.5·m linear-counting switch) at every p — the subject is the
+    * SIZE curve under one estimator, not per-size bias tuning. */
+  def aggHllSweep(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey")).distinct()
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("h"), explode(expr("array(4, 6, 8)")).as("p"))
+      .selectExpr("p",
+        "CAST(CASE p WHEN 4 THEN 16 WHEN 6 THEN 64 ELSE 256 END AS BIGINT) AS mm",
+        "h")
+      .selectExpr("p", "mm",
+        "h div (4294967296 div mm) AS bucket",
+        "h % (4294967296 div mm) AS w")
+      .withColumn("rho",
+        expr("CASE WHEN w = 0 THEN 33 - p ELSE 33 - p - length(bin(w)) END"))
+      .groupBy("p", "mm", "bucket")
+      .agg(max("rho").as("r"), count(lit(1)).as("nk"))
+      .groupBy("p", "mm")
+      .agg(sum("nk").as("n_exact"),
+        count(lit(1)).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -r)")).as("sp"))
+      .selectExpr(HllSweepDerived: _*)
+      .orderBy("p")
+
   /** ANOVA derived stats over the exact (k, n, ssb, ssw) accumulators
     * — one formula string for both engines ([[TtestDerived]] pattern). */
   private val AnovaDerived = Seq(
@@ -3645,6 +3698,33 @@ object Relational {
          |JOIN ex ON ex.l_returnflag = nd.l_returnflag
          |ORDER BY 1""".stripMargin
     },
+    "agg_hll_sweep" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         |h AS (SELECT $h8 AS h FROM d),
+         |f AS (
+         |  SELECT p, CAST(CASE p WHEN 4 THEN 16 WHEN 6 THEN 64 ELSE 256 END
+         |               AS BIGINT) AS mm, h
+         |  FROM h CROSS JOIN (SELECT unnest([4, 6, 8]) AS p)),
+         |b AS (
+         |  SELECT p, mm, h // (4294967296 // mm) AS bucket,
+         |         h % (4294967296 // mm) AS w
+         |  FROM f),
+         |rk AS (SELECT p, mm, bucket,
+         |         CASE WHEN w = 0 THEN 33 - p
+         |              ELSE 33 - p - length(bin(w)) END AS rho
+         |       FROM b),
+         |reg AS (SELECT p, mm, bucket, max(rho) AS r, count(*) AS nk
+         |        FROM rk GROUP BY 1, 2, 3),
+         |g AS (SELECT p, mm, CAST(sum(nk) AS BIGINT) AS n_exact,
+         |        count(*) AS present,
+         |        sum(pow(CAST(2 AS DOUBLE), -r)) AS sp
+         |      FROM reg GROUP BY 1, 2)
+         |SELECT ${HllSweepDerived.mkString(",\n")}
+         |FROM g ORDER BY p""".stripMargin
+    },
     "agg_hll_distinct" -> {
       val h8 = (1 to 8)
         .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
@@ -4034,6 +4114,7 @@ object Relational {
     "q22_idle_customers" -> (q22IdleCustomers(_, _)),
     "agg_kmv_distinct" -> (aggKmvDistinct(_, _)),
     "agg_hll_distinct" -> (aggHllDistinct(_, _)),
+    "agg_hll_sweep" -> (aggHllSweep(_, _)),
     "mr_cogroup" -> (mrCogroup(_, _)),
     "mr_group_concat" -> (mrGroupConcat(_, _)),
     "qc_profile" -> (qcProfile(_, _)),

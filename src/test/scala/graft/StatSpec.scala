@@ -474,6 +474,21 @@ class StatSpec extends AnyFunSuite {
     assert(missing > 0 && missing < total, s"missing=$missing total=$total")
   }
 
+  test("HLL sweep rows share one exact count and sit in the 5-sigma band per m") {
+    val rows = Relational.aggHllSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(4, 6, 8))
+    assert(rows.map(_._3).distinct.length == 1, "exact count differs across p")
+    rows.foreach { case (p, m, exact, est) =>
+      // Standard HLL relative error is ~1.04/sqrt(m); the fixture is
+      // deterministic so this is a fixed property of the hash, not a
+      // flaky statistical assertion.
+      val band = 5.0 * 1.04 / math.sqrt(m.toDouble)
+      assert(math.abs(est / exact - 1.0) <= band,
+        s"p=$p est=$est exact=$exact outside ±$band")
+    }
+  }
+
   test("growth accounting satisfies the ledger identity on every interior day") {
     // churned(d) + retained(d) = DAU(d-1): everyone active yesterday
     // either came back (retained today) or did not (churned, attributed
