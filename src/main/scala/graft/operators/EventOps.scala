@@ -1914,7 +1914,110 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
       .orderBy("user_id")
 
+  /** Behavioral × demographic cut — the clickstream⋈CRM join every
+    * analytics team runs and the library's first CROSS-DATASET
+    * linkage (events.user_id ⊆ customer.c_custkey is the star
+    * schema's implicit FK, asserted by qc_referential's machinery):
+    * per (market segment, event type), distinct users, events, exact
+    * cents of event value, and events-per-user in ppm. The customer
+    * dim broadcasts; the one data-sized shuffle is the per-(user,
+    * type) partial aggregation, after which everything is
+    * segment-domain-sized. */
+  def evSegmentEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perUser = t.events
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_ev"), sum("cents").as("c"))
+    perUser
+      .join(broadcast(t.customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))), "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_ev").as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38,0))")).cast("long").as("value_cents"))
+      .selectExpr("c_mktsegment", "event_type", "n_users", "n_events",
+        "value_cents",
+        "n_events * 1000000 div n_users AS events_per_user_ppm")
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  /** Cross-SYSTEM value reconciliation — qc_referential checks that
+    * KEYS line up across tables; this checks that VALUES do across
+    * SYSTEMS (the clickstream's purchase amounts vs the order system's
+    * revenue for the same customers — the daily finance-vs-telemetry
+    * diff every pipeline owner is asked for): per nation over the
+    * event-active customer population, both sides in exact cents plus
+    * the behavioral/transactional ratio in ppm (one integer division;
+    * a ratio wildly off 1e6 localizes instrumentation drift to a
+    * segment). Both fact sides pre-aggregate per customer BEFORE the
+    * join (user-keyed partial aggregation, the ev_cohort_ltv
+    * posture); the nation rollup is domain-sized and the dim
+    * broadcasts. */
+  def qcCrossSystem(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("ev_c"))
+    val ord = t.orders
+      .select(col("o_custkey").as("user_id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).as("ord_c"))
+    ev.join(ord, Seq("user_id"), "left_outer")
+      .join(broadcast(t.customer.select(col("c_custkey").as("user_id"),
+        col("c_nationkey"))), "user_id")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("ev_c").cast("long").as("event_cents"),
+        sum(expr("coalesce(ord_c, CAST(0 AS DECIMAL(38,0)))")).cast("long")
+          .as("order_cents"))
+      .selectExpr("c_nationkey", "n_customers", "event_cents", "order_cents",
+        """CASE WHEN order_cents = 0 THEN CAST(NULL AS BIGINT)
+          | ELSE event_cents * 1000000 div order_cents END
+          | AS ev_over_ord_ppm""".stripMargin)
+      .orderBy("c_nationkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_segment_engagement" ->
+      """WITH pu AS (
+        |  SELECT user_id, event_type, count(*) AS n_ev,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c_mktsegment, event_type, n_ev, c
+        |  FROM pu JOIN customer ON user_id = c_custkey)
+        |SELECT c_mktsegment, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(c::HUGEINT) AS BIGINT) AS value_cents,
+        |  CAST(sum(n_ev) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS events_per_user_ppm
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "qc_cross_system" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT)::HUGEINT) AS ev_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ord AS (
+        |  SELECT o_custkey AS user_id,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)::HUGEINT) AS ord_c
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_nationkey, ev_c, coalesce(ord_c, 0) AS ord_c
+        |  FROM ev LEFT JOIN ord USING (user_id)
+        |  JOIN customer ON user_id = c_custkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(ev_c) AS BIGINT) AS event_cents,
+        |  CAST(sum(ord_c) AS BIGINT) AS order_cents,
+        |  CASE WHEN CAST(sum(ord_c) AS BIGINT) = 0 THEN CAST(NULL AS BIGINT)
+        |   ELSE CAST(sum(ev_c) AS BIGINT) * 1000000
+        |        // CAST(sum(ord_c) AS BIGINT) END AS ev_over_ord_ppm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_growth_accounting" ->
       """WITH du AS (
         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
@@ -2711,6 +2814,8 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_growth_accounting" -> (evGrowthAccounting(_, _)),
     "ev_session_native" -> (evSessionNative(_, _)),
+    "ev_segment_engagement" -> (evSegmentEngagement(_, _)),
+    "qc_cross_system" -> (qcCrossSystem(_, _)),
     "ev_cuped" -> (evCuped(_, _)),
     "ev_did" -> (evDid(_, _)),
     "stat_rate_test" -> (statRateTest(_, _)),
