@@ -1982,7 +1982,73 @@ object EventOps {
       .orderBy("c_nationkey")
   }
 
+  /** Pareto / concentration CURVE of event volume over users — the
+    * curve companion to agg_gini's scalar (the stat_calibration move:
+    * a scalar inequality number hides WHERE the mass sits; the curve
+    * answers "what share of traffic do the top k% of users drive").
+    * Share held by the top ⌈k·U/10⌉ users at each decile k, all exact
+    * integers: users within one activity level are interchangeable,
+    * so mass at an interior rank is cum_mass − (cum_users − rank)·level
+    * — the counting-selection pick (agg_exact_median) applied to a
+    * cumulative readout.
+    *
+    * Scale: the qc_skew_profile shape — per-user counts collapse to a
+    * COUNT-OF-COUNTS histogram, the window runs over |distinct
+    * activity levels| rows (never |users|), the decile fan-out is a
+    * 10-row broadcast. */
+  def evParetoCurve(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the |levels|-row histogram feeds both the
+    // cumulative window and the totals — without it the whole
+    // events scan + two shuffles replay for the 1-row total side.
+    val hist = Tables(spark, dir).events
+      .groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+      .groupBy("n_ev").agg(count(lit(1)).as("nk"))
+      .withColumn("mass", expr("n_ev * nk"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("n_ev").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_u", sum("nk").over(w))
+      .withColumn("cum_m", sum("mass").over(w))
+    val tot = hist.agg(sum("nk").as("u"), sum("mass").as("e"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_ev"), col("nk"), col("cum_u"), col("cum_m"),
+        col("u"), col("e"),
+        explode(expr("sequence(1, 10)")).as("decile"))
+      .withColumn("rk", expr("(decile * u + 9) div 10"))
+      .filter(col("cum_u") >= col("rk") &&
+        col("cum_u") - col("nk") < col("rk"))
+      .selectExpr("decile", "rk AS top_users",
+        "cum_m - (cum_u - rk) * n_ev AS cum_events",
+        "(cum_m - (cum_u - rk) * n_ev) * 1000000 div e AS share_ppm")
+      .orderBy("decile")
+  }
+
   val oracles: Map[String, String] = Map(
+    "ev_pareto_curve" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY 1),
+        |h AS (SELECT n_ev, CAST(count(*) AS BIGINT) AS nk,
+        |        CAST(n_ev * count(*) AS BIGINT) AS mass
+        |      FROM pu GROUP BY 1),
+        |c AS (
+        |  SELECT n_ev, nk,
+        |    sum(nk) OVER (ORDER BY n_ev DESC ROWS UNBOUNDED PRECEDING) AS cum_u,
+        |    sum(mass) OVER (ORDER BY n_ev DESC ROWS UNBOUNDED PRECEDING) AS cum_m
+        |  FROM h),
+        |t AS (SELECT CAST(sum(nk) AS BIGINT) AS u, CAST(sum(mass) AS BIGINT) AS e
+        |      FROM h),
+        |x AS (
+        |  SELECT decile, n_ev, nk, cum_u, cum_m, u, e,
+        |    (decile * u + 9) // 10 AS rk
+        |  FROM c CROSS JOIN t
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS decile))
+        |SELECT CAST(decile AS INT) AS decile, CAST(rk AS BIGINT) AS top_users,
+        |  CAST(cum_m - (cum_u - rk) * n_ev AS BIGINT) AS cum_events,
+        |  CAST((cum_m - (cum_u - rk) * n_ev) * 1000000 // e AS BIGINT)
+        |    AS share_ppm
+        |FROM x
+        |WHERE cum_u >= rk AND cum_u - nk < rk
+        |ORDER BY decile""".stripMargin,
     "ev_segment_engagement" ->
       """WITH pu AS (
         |  SELECT user_id, event_type, count(*) AS n_ev,
@@ -2816,6 +2882,7 @@ object EventOps {
     "ev_session_native" -> (evSessionNative(_, _)),
     "ev_segment_engagement" -> (evSegmentEngagement(_, _)),
     "qc_cross_system" -> (qcCrossSystem(_, _)),
+    "ev_pareto_curve" -> (evParetoCurve(_, _)),
     "ev_cuped" -> (evCuped(_, _)),
     "ev_did" -> (evDid(_, _)),
     "stat_rate_test" -> (statRateTest(_, _)),
