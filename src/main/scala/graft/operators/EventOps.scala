@@ -485,6 +485,67 @@ object EventOps {
       | / CAST(n * (n * q - s * s) AS DOUBLE), 4)
       | + 0.0 AS r1""".stripMargin)
 
+  /** Partial autocorrelation, lags 1–3, of the daily event-count
+    * series — the AR-order diagnostic next to stat_autocorr's r1 (an
+    * AR(p) process shows PACF cut off after lag p while the ACF
+    * tails): ACF r₁..r₃ from one pass of exact-integer lag
+    * accumulators (the AutocorrDerived estimator generalized — each
+    * lag k keeps its own pair sums over the n−k lagged pairs), then
+    * the Durbin–Levinson recursion unrolled to depth 3 as SHARED
+    * formula text layers, so every intermediate double is bit-equal
+    * across engines before the final round(…, 4).
+    *
+    * Scale: the global window runs over the DAILY series — rows
+    * bounded by the time horizon (decades ≈ 10⁴ rows), not the event
+    * count; the heavy work is the partial-aggregated daily rollup. */
+  def statPacf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("d")
+    val led = series
+      .withColumn("x1", lead("x", 1).over(w))
+      .withColumn("x2", lead("x", 2).over(w))
+      .withColumn("x3", lead("x", 3).over(w))
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q")) ++
+      (1 to 3).flatMap(k => Seq(
+        sum(expr(s"CASE WHEN x$k IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE CAST(x AS DECIMAL(38,0)) * x$k END")).as(s"c$k"),
+        sum(expr(s"CASE WHEN x$k IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE CAST(x AS DECIMAL(38,0)) END")).as(s"sh$k"),
+        sum(expr(s"CASE WHEN x$k IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+          s"ELSE CAST(x$k AS DECIMAL(38,0)) END")).as(s"st$k"),
+        count(col(s"x$k")).as(s"n$k")))
+    PacfLayers.foldLeft(led.agg(aggs.head, aggs.tail: _*)) {
+      (df, layer) => df.selectExpr(layer: _*)
+    }
+  }
+
+  /** Durbin–Levinson unroll as shared select layers (Spark selectExpr
+    * chain == DuckDB CTE chain, identical IEEE trees): raw ACF per
+    * lag (the AutocorrDerived formula with that lag's pair sums),
+    * then φ₂₂, φ₂₁, φ₃₃, then the rounded readout (pacf1 ≡ r1). */
+  private val PacfLayers: Seq[Seq[String]] = Seq(
+    Seq("n") ++ (1 to 3).map(k =>
+      s"""CAST(n * n * c$k - n * s * (sh$k + st$k) + n$k * s * s AS DOUBLE)
+         | / CAST(n * (n * q - s * s) AS DOUBLE) AS r${k}raw""".stripMargin),
+    Seq("*", "(r2raw - r1raw * r1raw) / (1e0 - r1raw * r1raw) AS p2raw"),
+    Seq("*", "r1raw - p2raw * r1raw AS phi21"),
+    Seq("*",
+      """(r3raw - phi21 * r2raw - p2raw * r1raw)
+        | / (1e0 - phi21 * r1raw - p2raw * r2raw) AS p3raw""".stripMargin),
+    Seq("n",
+      "round(r1raw, 4) + 0.0 AS r1",
+      "round(r2raw, 4) + 0.0 AS r2",
+      "round(r3raw, 4) + 0.0 AS r3",
+      "round(r1raw, 4) + 0.0 AS pacf1",
+      "round(p2raw, 4) + 0.0 AS pacf2",
+      "round(p3raw, 4) + 0.0 AS pacf3"))
+
   /** Daily new-vs-returning user split — the growth-accounting view
     * next to ev_cumulative_users' running total and ev_dau_wau's
     * stickiness ratio (is today's activity acquisition or retention?):
@@ -2688,6 +2749,29 @@ object EventOps {
          |  FROM l)
          |SELECT ${AutocorrDerived.mkString(",\n")}
          |FROM m""".stripMargin,
+    "stat_pacf" -> {
+      val lagAccs = (1 to 3).map(k =>
+        s"""sum(CASE WHEN x$k IS NULL THEN 0::HUGEINT ELSE x::HUGEINT * x$k END) AS c$k,
+           |    sum(CASE WHEN x$k IS NULL THEN 0::HUGEINT ELSE x::HUGEINT END) AS sh$k,
+           |    sum(CASE WHEN x$k IS NULL THEN 0::HUGEINT ELSE x$k::HUGEINT END) AS st$k,
+           |    CAST(count(x$k) AS BIGINT) AS n$k""".stripMargin).mkString(",\n    ")
+      s"""WITH series AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |l AS (SELECT x, lead(x, 1) OVER (ORDER BY d) AS x1,
+         |             lead(x, 2) OVER (ORDER BY d) AS x2,
+         |             lead(x, 3) OVER (ORDER BY d) AS x3 FROM series),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(x::HUGEINT) AS s, sum(x::HUGEINT * x) AS q,
+         |    $lagAccs
+         |  FROM l),
+         |t0 AS (SELECT ${PacfLayers(0).mkString(",\n")} FROM m),
+         |t1 AS (SELECT ${PacfLayers(1).mkString(",\n")} FROM t0),
+         |t2 AS (SELECT ${PacfLayers(2).mkString(",\n")} FROM t1),
+         |t3 AS (SELECT ${PacfLayers(3).mkString(",\n")} FROM t2)
+         |SELECT ${PacfLayers(4).mkString(",\n")} FROM t3""".stripMargin
+    },
     "ev_repurchase_gaps" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus
@@ -2901,6 +2985,7 @@ object EventOps {
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "stat_autocorr" -> (statAutocorr(_, _)),
+    "stat_pacf" -> (statPacf(_, _)),
     "ev_ab_test" -> (evAbTest(_, _)),
     "ev_seasonality" -> (evSeasonality(_, _)),
     "stat_theil_sen" -> (statTheilSen(_, _)),

@@ -254,6 +254,57 @@ object TextOps {
       .orderBy("split", "source")
   }
 
+  /** Output shards for [[mixShardPlan]] — at 100 TB this is the
+    * training-job shard count (thousands); small here so sf0.001
+    * still populates every (shard, source) cell. */
+  private[graft] val NShards = 8
+
+  /** EXACT-balance shard assignment — the step between a curated
+    * corpus and the N tfrecord/parquet shards a training job reads:
+    * within each source, documents are ranked by md5(doc_id) and
+    * dealt round-robin `rank % N`, so every shard holds the same
+    * per-source mixture to within one document (a hash-mod
+    * assignment is only balanced in expectation; stragglers in the
+    * last shards skew short training epochs).
+    *
+    * The naive rank is `row_number() OVER (PARTITION BY source)` —
+    * a single task per source holding that source's entire corpus,
+    * the same scale-killer the un-cut Pareto plan had. Here the rank
+    * is TWO-LEVEL: bucket = first 3 md5 nibbles (4096 uniform cells
+    * per source), per-(source, bucket) counts roll into exclusive
+    * prefix offsets (a window over ≤4096 rows per source — bounded
+    * by the CONSTANT bucket count, not the corpus), broadcast back,
+    * and row_number runs per (source, bucket) cell. Bucket order is
+    * the md5-prefix order, so offset + in-bucket rank IS the global
+    * per-source md5 rank — bit-identical to the oracle's flat
+    * window — while the heavy sort runs over ~n/4096-row cells in
+    * parallel. Readout: per (shard, source) doc/char totals + the
+    * id sum, the manifest a shard-writer validates against. */
+  def mixShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("md5(CAST(doc_id AS STRING))").as("k"))
+      .withColumn("b", expr("CAST(conv(substr(k, 1, 3), 16, 10) AS INT)"))
+    val offsets = docs.groupBy("source", "b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        coalesce(
+          sum("c").over(Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "b", "off")
+    docs
+      .join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source", "b").orderBy("k")))
+      .withColumn("shard", expr(s"CAST((off + rn - 1) % $NShards AS INT)"))
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("shard", "source")
+  }
+
   /** End-to-end curation pipeline composed from the library's own
     * stages: quality gate → exact-dup removal (keep the lowest doc_id)
     * → per-language counts of surviving docs. One declarative plan —
@@ -2075,6 +2126,21 @@ object TextOps {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
+    // The flat per-source window the Spark side decomposes: ordering by
+    // the full md5 string equals ordering by (3-nibble bucket, string),
+    // so the two-level rank reproduces these row_numbers exactly.
+    "mix_shard_plan" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rnk
+         |  FROM documents)
+         |SELECT CAST((rnk - 1) % ${NShards} AS INT) AS shard, source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM r GROUP BY 1, 2 ORDER BY shard, source""".stripMargin,
     "mr_weighted_sample" -> {
       // 13-nibble md5 prefix → 52-bit integer, as a strpos sum (DuckDB
       // has no conv()); 16^(13-i) multipliers are exact BIGINT literals.
@@ -2447,6 +2513,7 @@ object TextOps {
     "txt_strip_boilerplate" -> (txtStripBoilerplate(_, _)),
     "mix_temperature" -> (mixTemperature(_, _)),
     "mix_split_assign" -> (mixSplitAssign(_, _)),
+    "mix_shard_plan" -> (mixShardPlan(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),

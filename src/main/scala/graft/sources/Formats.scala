@@ -321,6 +321,85 @@ object Formats {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
       .orderBy("event_type")
 
+  private val manifestCache =
+    scala.collection.mutable.Map.empty[(Int, String), (String, String)]
+
+  /** events written ONCE per (session, dir) range-clustered into
+    * [[FactBuckets]] files on user_id, PLUS a file-level stats
+    * MANIFEST (file → min/max user_id, row count) derived in the same
+    * ingest pass — the Iceberg/Delta planning primitive: at 100 TB a
+    * table is millions of files, and opening every footer (or even
+    * LISTING the directory) to plan one selective query dominates its
+    * runtime; a manifest turns planning into a metadata-table filter
+    * that never touches data files. The manifest is itself parquet
+    * (one tiny file here; a manifest TREE at real scale), written
+    * once like the bucketed layouts. Returns (dataPath, manifestPath). */
+  private[graft] def manifestLayout(spark: SparkSession, dir: String)
+      : (String, String) =
+    manifestCache.synchronized {
+      manifestCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val dataPath = tmp(s"events_manifest_data_$suffix")
+        val manPath = tmp(s"events_manifest_meta_$suffix")
+        Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartitionByRange(FactBuckets, col("user_id"))
+          .sortWithinPartitions("user_id")
+          .write.mode(SaveMode.Overwrite).parquet(dataPath)
+        spark.read.parquet(dataPath)
+          .select(col("_metadata.file_path").as("file"), col("user_id"))
+          .groupBy("file")
+          .agg(min("user_id").as("lo"), max("user_id").as("hi"),
+            count(lit(1)).as("n_rows"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(manPath)
+        (dataPath, manPath)
+      })
+    }
+
+  /** Manifest-driven planning step: the file paths whose [lo, hi]
+    * user range intersects the query band, plus the layout's total
+    * file count (for the FormatsSpec pruning assertion). Reads ONLY
+    * the manifest — collect() here is the planner reading metadata,
+    * sized |files|, never data rows. */
+  private[graft] def manifestSelect(spark: SparkSession, dir: String,
+      lo: Long, hi: Long): (Seq[String], Long) = {
+    val man = spark.read.parquet(manifestLayout(spark, dir)._2)
+    val total = man.count()
+    val files = man.filter(col("hi") >= lo && col("lo") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (files, total)
+  }
+
+  /** User band for [[srcManifestPrune]] — inside every sf's id range
+    * (sf0.001 users span 0–14) and overlapping a strict subset of the
+    * [[FactBuckets]] range files at every scale. */
+  private val ManifestLo = 3L
+  private val ManifestHi = 6L
+
+  /** FILE-LEVEL SKIPPING via a stats manifest, end to end: plan the
+    * user-band query against the manifest (metadata only), then scan
+    * ONLY the surviving range-clustered files — directory listing and
+    * footer IO for pruned files never happen, which is the difference
+    * between O(query) and O(table) planning on a millions-of-files
+    * table. Complements the partition- (src_dpp_scan), page-
+    * (src_zorder_scan), and bucket- (sim_ann_indexed) pruning levers;
+    * the residual in-file filter still pushes down to row groups. The
+    * oracle runs the same band query on the raw table — the layout
+    * and manifest are semantically invisible; FormatsSpec asserts the
+    * plan touched strictly fewer files than the layout holds. */
+  def srcManifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (files, _) = manifestSelect(spark, dir, ManifestLo, ManifestHi)
+    spark.read.parquet(files: _*)
+      .filter(col("user_id").between(ManifestLo, ManifestHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** events written ONCE per (session, dir) as a catalog table
     * HIVE-PARTITIONED by event_type — the partition-pruning layout for
     * type-selective workloads (the complement of [[bucketedEvents]],
@@ -792,6 +871,12 @@ object Formats {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_manifest_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 6
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "src_dpp_scan" ->
       """WITH dim AS (
         |  SELECT DISTINCT event_type,
@@ -808,6 +893,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution(_, _)),
+    "src_manifest_prune" -> (srcManifestPrune(_, _)),
     "src_csv_malformed" -> (srcCsvMalformed(_, _)),
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),

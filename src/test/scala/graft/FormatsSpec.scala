@@ -292,4 +292,22 @@ class FormatsSpec extends AnyFunSuite {
     assert(zScanned * 4 <= total,
       s"z-order read $zScanned of $total rows — pruning not engaging")
   }
+
+  test("manifest prunes files before the scan and stays result-identical") {
+    val dir = "/root/testdata/sf0.01"
+    val (files, total) = Formats.manifestSelect(spark, dir, 3L, 6L)
+    // Planning must skip most of the range-clustered layout: the [3, 6]
+    // user band sits inside one range file at sf0.01 (150 users / 8
+    // files), and at minimum must exclude SOMETHING at any scale.
+    assert(files.nonEmpty && files.length < total,
+      s"manifest selected ${files.length} of $total files — no skipping")
+    // The pruned read is semantically invisible: same rows as the full
+    // layout under the same predicate.
+    val (dataPath, _) = Formats.manifestLayout(spark, dir)
+    val full = spark.read.parquet(dataPath)
+      .filter(col("user_id").between(3, 6)).count()
+    val pruned = spark.read.parquet(files: _*)
+      .filter(col("user_id").between(3, 6)).count()
+    assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+  }
 }

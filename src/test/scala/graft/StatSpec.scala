@@ -602,4 +602,31 @@ class StatSpec extends AnyFunSuite {
       assert(math.abs(chi2 - d * d / (a + b)) < 1e-4)
     } else assert(chi2 == null)
   }
+
+  test("shard plan deals every source round-robin to within one document") {
+    val rows = TextOps.mixShardPlan(spark, sf).collect()
+    // Exact balance is the op's contract (hash-mod only promises it in
+    // expectation): within each source, per-shard doc counts differ by
+    // at most 1, and they sum back to the source's corpus.
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val docs = Tables(spark, sf).documents
+    val srcTotals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, cells) =>
+      val counts = cells.map(_.getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1,
+        s"$src shard counts ${counts.mkString(",")} not balanced")
+      assert(counts.sum == srcTotals(src),
+        s"$src shards hold ${counts.sum} of ${srcTotals(src)} docs")
+    }
+  }
+
+  test("PACF: lag-1 partial equals r1 and all lags are valid correlations") {
+    val r = EventOps.statPacf(spark, sf).collect().head
+    val (r1, p1, p2, p3) = (r.getAs[Double]("r1"), r.getAs[Double]("pacf1"),
+      r.getAs[Double]("pacf2"), r.getAs[Double]("pacf3"))
+    assert(p1 == r1, s"pacf1=$p1 != r1=$r1")
+    Seq(p1, p2, p3).foreach(p =>
+      assert(p >= -1.0 && p <= 1.0 && !p.isNaN, s"pacf out of range: $p"))
+  }
 }
