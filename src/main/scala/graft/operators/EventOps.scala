@@ -1427,6 +1427,89 @@ object EventOps {
       .orderBy("event_type", "epoch_hour")
   }
 
+  /** Robust hourly anomaly flags — the median/MAD twin of
+    * [[evAnomaly]]: the z² test's mean and variance are themselves
+    * moved by the anomalies it hunts (one 10× spike inflates σ enough
+    * to mask a 3× spike — masking), while median and MAD have a 50%
+    * breakdown point, so a burst can't hide its siblings. Rule:
+    * |cnt − median| > 3·MAD, every term an exact integer (lower
+    * median of integer counts by rank selection — never the
+    * interpolated midpoint, which would demand float parity), so the
+    * flag set is bit-stable across engines and partitionings.
+    *
+    * Scale: both rank selections run on the horizon-bounded hourly
+    * table (types × hours — the evAnomaly posture); the heavy work is
+    * the partial-aggregated hourly rollup underneath. */
+  def evAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, dir).events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("cnt"))
+    // Lower median by rank selection: value at row (n+1) div 2 of the
+    // sorted column (tie order can't move the value AT a rank).
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+      df.withColumn("rn",
+          row_number().over(
+            Window.partitionBy("event_type").orderBy(col(valueCol), col("h"))))
+        .withColumn("nn",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    val med = lowerMedian(hourly, "cnt", "med")
+    val withMed = hourly.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("cnt") - col("med")))
+    val mad = lowerMedian(withMed, "ad", "mad")
+    withMed.join(broadcast(mad), "event_type")
+      .filter(col("ad") > col("mad") * 3)
+      .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+        col("med"), col("mad"))
+      .orderBy("event_type", "epoch_hour")
+  }
+
+  /** Single most-significant changepoint of the daily event-count
+    * series by BINARY SEGMENTATION — the localization companion to
+    * stat_cusum (CUSUM says "a drift exists"; this names the day it
+    * happened): the split k maximizing the between-segment
+    * sum-of-squares gain L²/k + (S−L)²/(n−k) − S²/n, i.e. the one
+    * 2-segment model that explains the most variance. The gain's
+    * numerator over the common denominator k(n−k)n is assembled in
+    * exact DECIMAL(38,0) products (headroom: Σcounts ≤ ~1e13 at n ≤
+    * 1e4 days stays under 38 digits), so both engines divide the SAME
+    * two integers — argmax ties break on the earlier day in both.
+    *
+    * Scale: the candidate-split scan is the horizon-bounded daily
+    * series (one cumulative window + a 1-row totals broadcast), then
+    * TakeOrderedAndProject picks the winner — no per-event work
+    * beyond the daily rollup. */
+  def statChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("d")
+    val tot = series.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"))
+    series
+      .withColumn("k", row_number().over(w))
+      .withColumn("l", sum(expr("CAST(x AS DECIMAL(38,0))")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("k") < col("n"))
+      .selectExpr("d", "k", "n - k AS nr", "l", "s - l AS r", "n", "s")
+      .selectExpr("d", "k", "nr",
+        """CAST(l * l * nr * n + r * r * k * n - s * s * k * nr AS DOUBLE)
+          | / CAST(CAST(k AS DECIMAL(38,0)) * nr * n AS DOUBLE) AS gain""".stripMargin,
+        "l * 1000000 div k AS mean_left_ppm",
+        "r * 1000000 div nr AS mean_right_ppm")
+      .orderBy(col("gain").desc, col("d").asc)
+      .limit(1)
+      .selectExpr("d AS split_day", "CAST(k AS BIGINT) AS n_left",
+        "CAST(nr AS BIGINT) AS n_right",
+        "CAST(mean_left_ppm AS BIGINT) AS mean_left_ppm",
+        "CAST(mean_right_ppm AS BIGINT) AS mean_right_ppm",
+        "round(gain, 4) + 0.0 AS gain")
+  }
+
   /** Per-user behavioral feature assembly — the feature-engineering
     * step a churn/LTV model trains on, one row per user: activity
     * volume (events, active days, span), diversity (distinct types +
@@ -2909,6 +2992,49 @@ object EventOps {
         |WHERE n >= 2 AND n*ss - s*s > 0
         |  AND (n*cnt - s)*(n*cnt - s)*(n - 1) >= 4*n*(n*ss - s*s)
         |ORDER BY event_type, epoch_hour""".stripMargin,
+    "ev_anomaly_mad" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cr AS (SELECT event_type, h, cnt,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cnt, h) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nn
+        |       FROM hourly),
+        |med AS (SELECT event_type, cnt AS med FROM cr WHERE rn = (nn + 1) // 2),
+        |wm AS (SELECT hourly.event_type, h, cnt, med, abs(cnt - med) AS ad
+        |       FROM hourly JOIN med USING (event_type)),
+        |ar AS (SELECT event_type, ad,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY ad, h) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nn
+        |       FROM wm),
+        |mad AS (SELECT event_type, ad AS mad FROM ar WHERE rn = (nn + 1) // 2)
+        |SELECT wm.event_type, h AS epoch_hour, cnt, med, mad
+        |FROM wm JOIN mad USING (event_type)
+        |WHERE ad > mad * 3
+        |ORDER BY event_type, epoch_hour""".stripMargin,
+    "stat_changepoint" ->
+      """WITH series AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x::HUGEINT) AS s
+        |        FROM series),
+        |c AS (SELECT d, row_number() OVER (ORDER BY d) AS k,
+        |        sum(x::HUGEINT) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS l
+        |      FROM series),
+        |g AS (SELECT d, k, n - k AS nr, l, s - l AS r, n, s
+        |      FROM c CROSS JOIN tot WHERE k < n),
+        |e AS (SELECT d, k, nr,
+        |        CAST(l * l * nr * n + r * r * k * n - s * s * k * nr AS DOUBLE)
+        |          / CAST(k * nr * n AS DOUBLE) AS gain,
+        |        l * 1000000 // k AS mean_left_ppm,
+        |        r * 1000000 // nr AS mean_right_ppm
+        |      FROM g)
+        |SELECT d AS split_day, CAST(k AS BIGINT) AS n_left,
+        |  CAST(nr AS BIGINT) AS n_right,
+        |  CAST(mean_left_ppm AS BIGINT) AS mean_left_ppm,
+        |  CAST(mean_right_ppm AS BIGINT) AS mean_right_ppm,
+        |  round(gain, 4) + 0.0 AS gain
+        |FROM e ORDER BY gain DESC, d ASC LIMIT 1""".stripMargin,
     "ev_gap_fill" ->
       """WITH hrs AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -2979,6 +3105,8 @@ object EventOps {
     "ev_retention" -> (evRetention(_, _)),
     "ev_moving_stats" -> (evMovingStats(_, _)),
     "ev_anomaly" -> (evAnomaly(_, _)),
+    "ev_anomaly_mad" -> (evAnomalyMad(_, _)),
+    "stat_changepoint" -> (statChangepoint(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),
     "ev_top_paths" -> (evTopPaths(_, _)),

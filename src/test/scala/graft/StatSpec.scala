@@ -621,6 +621,48 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD anomaly flags match an independent median/MAD recomputation") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val hourly = Tables(spark, sf).events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.toSeq.filter(r => math.abs(r._3 - med) > 3 * mad)
+        .map(r => (t, r._2, r._3, med, mad))
+    }.toSet
+    val got = EventOps.evAnomalyMad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"flag sets differ: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("changepoint maximizes the between-segment gain over all splits") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val xs = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = xs.length.toLong
+    val s = xs.map(_._2).sum.toDouble
+    val best = (1L until n).map { k =>
+      val l = xs.take(k.toInt).map(_._2).sum.toDouble
+      val r = s - l
+      (xs(k.toInt - 1)._1, l * l / k + r * r / (n - k) - s * s / n)
+    }.maxBy { case (d, g) => (g, -d) }
+    val row = EventOps.statChangepoint(spark, sf).collect().head
+    assert(row.getLong(0) == best._1,
+      s"split day ${row.getLong(0)} != brute-force ${best._1}")
+    // The query's exact-integer gain and the float brute force agree
+    // to float tolerance.
+    assert(math.abs(row.getDouble(5) - best._2) < 1e-2 * math.max(1.0, best._2),
+      s"gain ${row.getDouble(5)} vs brute ${best._2}")
+  }
+
   test("PACF: lag-1 partial equals r1 and all lags are valid correlations") {
     val r = EventOps.statPacf(spark, sf).collect().head
     val (r1, p1, p2, p3) = (r.getAs[Double]("r1"), r.getAs[Double]("pacf1"),
