@@ -1510,6 +1510,46 @@ object EventOps {
         "round(gain, 4) + 0.0 AS gain")
   }
 
+  /** Rolling 7-day distinct-user estimate by MERGING DAILY HLL
+    * SKETCHES — the sketch-rollup pattern that makes windowed distinct
+    * counts tractable at scale: exact rolling distinct rescans every
+    * window (O(window × data) — ev_dau_wau's posture, fine until the
+    * window or cardinality grows), while mergeable daily registers
+    * reduce the rolling step to a register-wise max over 64-value
+    * sketches — O(days × 64) after one (day, user)-distinct data pass,
+    * and the same daily sketch table serves 7-day, 28-day, and
+    * all-time readouts without touching data again. Registers are the
+    * oracle-gated agg_hll_distinct layout (32-bit md5, p=6, rank by
+    * integer bin-length; max IS the merge), the estimator is the
+    * shared [[Relational.HllEstExpr]], and the day×bucket grid is
+    * DENSE so a bucket silent today still carries yesterday's
+    * contribution into today's window. */
+  def evRollingHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct()
+    val regs = du
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .select(col("d"), expr("h div 67108864").as("bucket"),
+        expr("h % 67108864").as("w"))
+      .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
+      .groupBy("d", "bucket").agg(max("rho").as("r"))
+    val grid = du.select("d").distinct()
+      .select(col("d"), explode(expr("sequence(0L, 63L)")).as("bucket"))
+    grid.join(regs, Seq("d", "bucket"), "left")
+      .withColumn("rr", max("r").over(
+        Window.partitionBy("bucket").orderBy("d").rangeBetween(-6, 0)))
+      .groupBy("d")
+      .agg(count(col("rr")).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -rr)")).as("sp"))
+      .select(col("d").as("day"),
+        round(expr(Relational.HllEstExpr), 3).as("est_users_7d"),
+        col("present"))
+      .orderBy("day")
+  }
+
   /** Per-user behavioral feature assembly — the feature-engineering
     * step a churn/LTV model trains on, one row per user: activity
     * volume (events, active days, span), diversity (distinct types +
@@ -2992,6 +3032,33 @@ object EventOps {
         |WHERE n >= 2 AND n*ss - s*s > 0
         |  AND (n*cnt - s)*(n*cnt - s)*(n - 1) >= 4*n*(n*ss - s*s)
         |ORDER BY event_type, epoch_hour""".stripMargin,
+    "ev_rolling_hll" -> {
+      val h8 = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH du AS (
+         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+         |h AS (SELECT d, $h8 AS h FROM du),
+         |b AS (SELECT d, h // 67108864 AS bucket, h % 67108864 AS w FROM h),
+         |rk AS (SELECT d, bucket,
+         |         CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END AS rho
+         |       FROM b),
+         |reg AS (SELECT d, bucket, max(rho) AS r FROM rk GROUP BY 1, 2),
+         |grid AS (SELECT d, unnest(range(0, 64)) AS bucket
+         |         FROM (SELECT DISTINCT d FROM du)),
+         |rolled AS (
+         |  SELECT g.d, g.bucket,
+         |    max(r) OVER (PARTITION BY g.bucket ORDER BY g.d
+         |                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rr
+         |  FROM grid g LEFT JOIN reg ON reg.d = g.d AND reg.bucket = g.bucket),
+         |gday AS (SELECT d, CAST(count(rr) AS BIGINT) AS present,
+         |           sum(pow(CAST(2 AS DOUBLE), -rr)) AS sp
+         |         FROM rolled GROUP BY 1)
+         |SELECT d AS day,
+         |  round(${graft.operators.Relational.HllEstExpr}, 3) AS est_users_7d,
+         |  present
+         |FROM gday ORDER BY day""".stripMargin
+    },
     "ev_anomaly_mad" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
@@ -3106,6 +3173,7 @@ object EventOps {
     "ev_moving_stats" -> (evMovingStats(_, _)),
     "ev_anomaly" -> (evAnomaly(_, _)),
     "ev_anomaly_mad" -> (evAnomalyMad(_, _)),
+    "ev_rolling_hll" -> (evRollingHll(_, _)),
     "stat_changepoint" -> (statChangepoint(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),

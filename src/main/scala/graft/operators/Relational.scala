@@ -779,7 +779,7 @@ object Relational {
     * by [[aggHllDistinct]] and [[aggHllOverlap]], mirrored verbatim in
     * both oracles (every term is either an exact dyadic sum or a
     * pinned-association double, so the estimate is bit-stable). */
-  private val HllEstExpr =
+  private[operators] val HllEstExpr =
     """CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
       |       AND present < 64
       |     THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))

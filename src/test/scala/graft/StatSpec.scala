@@ -663,6 +663,29 @@ class StatSpec extends AnyFunSuite {
       s"gain ${row.getDouble(5)} vs brute ${best._2}")
   }
 
+  test("rolling HLL tracks the exact 7-day distinct within sketch error") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val pairs = Tables(spark, sf).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._1).distinct.sorted
+    val exact = days.map(d =>
+      d -> pairs.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).distinct.length)
+      .toMap
+    val got = EventOps.evRollingHll(spark, sf).collect()
+    assert(got.length == days.length, "one row per active day")
+    got.foreach { r =>
+      val (d, est, present) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+      assert(present >= 1 && present <= 64, s"present=$present")
+      val ex = exact(d)
+      // m=64 gives ~13% standard error; small daily cardinalities sit
+      // mostly in the bias-corrected linear-counting branch, so allow a
+      // generous but still-informative envelope.
+      assert(est > 0.4 * ex && est < 1.6 * ex,
+        s"day $d: est $est vs exact $ex out of envelope")
+    }
+  }
+
   test("PACF: lag-1 partial equals r1 and all lags are valid correlations") {
     val r = EventOps.statPacf(spark, sf).collect().head
     val (r1, p1, p2, p3) = (r.getAs[Double]("r1"), r.getAs[Double]("pacf1"),
