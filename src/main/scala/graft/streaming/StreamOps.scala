@@ -114,6 +114,33 @@ object StreamOps {
     * CAST-to-DOUBLE alpha, same small-range ln branch, same HALF_UP
     * 3-decimal round), so StreamingSpec can assert exact equality with
     * the batch oracle-gated answer after any batch split. */
+  /** The register fold shared by the HLL twins: batch rho =
+    * 27 - length(bin(w)); length(bin(w)) = 64 - nlz(w). */
+  private def foldHllHashes(regs: Array[Int], it: Iterator[KeyedHash]): Unit =
+    it.foreach { r =>
+      val bucket = (r.h >> 26).toInt           // top 6 of 32 bits
+      val w = r.h & ((1L << 26) - 1)           // remaining 26 bits
+      val rho =
+        if (w == 0L) 27
+        else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+
+  /** The batch estimator (HllEstExpr) in JVM arithmetic — one
+    * definition for the streaming emit AND spec-side window folds. */
+  private[graft] def hllEstimate(regs: Array[Int]): (Double, Int) = {
+    val present = regs.count(_ > 0)
+    var sp = 0.0
+    regs.foreach(r => if (r > 0) sp += math.pow(2.0, -r))
+    val alpha = 0.7213 / (1 + 1.079 / 64)
+    val raw = alpha * 4096 / (sp + (64 - present))
+    val est =
+      if (raw <= 160 && present < 64) 64 * math.log(64.0 / (64 - present))
+      else raw
+    (BigDecimal(est).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      present)
+  }
+
   def hllDistinctStream(rows: Dataset[KeyedHash]): Dataset[GroupDistinct] = {
     import rows.sparkSession.implicits._
     rows
@@ -121,27 +148,40 @@ object StreamOps {
       .mapGroupsWithState[HllState, GroupDistinct] {
         (g: String, it: Iterator[KeyedHash], state: GroupState[HllState]) =>
           val regs = state.getOption.map(_.registers).getOrElse(new Array[Int](64))
-          it.foreach { r =>
-            val bucket = (r.h >> 26).toInt           // top 6 of 32 bits
-            val w = r.h & ((1L << 26) - 1)           // remaining 26 bits
-            // batch rho = 27 - length(bin(w)); length(bin(w)) = 64 - nlz(w)
-            val rho =
-              if (w == 0L) 27
-              else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-            if (rho > regs(bucket)) regs(bucket) = rho
-          }
+          foldHllHashes(regs, it)
           state.update(HllState(regs))
-          val present = regs.count(_ > 0)
-          var sp = 0.0
-          regs.foreach(r => if (r > 0) sp += math.pow(2.0, -r))
-          val alpha = 0.7213 / (1 + 1.079 / 64)
-          val raw = alpha * 4096 / (sp + (64 - present))
-          val est =
-            if (raw <= 160 && present < 64) 64 * math.log(64.0 / (64 - present))
-            else raw
-          GroupDistinct(g,
-            BigDecimal(est).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            present)
+          val (est, present) = hllEstimate(regs)
+          GroupDistinct(g, est, present)
+      }
+  }
+
+  /** Per-group raw register vector (the daily sketch TABLE a
+    * production pipeline persists). */
+  final case class GroupRegisters(group: String, registers: Seq[Int])
+
+  /** Streaming DAILY HLL sketch table — the streaming twin of
+    * ev_rolling_hll's ingest half: keyed by day, each micro-batch
+    * folds its user hashes into that day's 64 registers with
+    * register-wise max (a join-semilattice — replays, reordering, and
+    * duplicate delivery re-assert and never corrupt), and the CURRENT
+    * register vector is emitted so any downstream window (7-day,
+    * 28-day, all-time) derives by merging emitted vectors — the
+    * rolling readout is a FOLD OVER STATE, not a second data pass,
+    * exactly the batch op's O(days × 64) claim carried to streams.
+    * State O(days × 64 ints); days are bounded by the horizon, and a
+    * retention policy would evict days past the largest window.
+    * StreamingSpec folds the final vectors into 7-day windows and
+    * pins the estimates to the oracle-gated batch query. */
+  def dailyHllStream(rows: Dataset[KeyedHash]): Dataset[GroupRegisters] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .mapGroupsWithState[HllState, GroupRegisters] {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.registers).getOrElse(new Array[Int](64))
+          foldHllHashes(regs, it)
+          state.update(HllState(regs))
+          GroupRegisters(g, regs.toSeq)
       }
   }
 

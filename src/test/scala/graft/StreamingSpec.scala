@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Relational
+import graft.operators.{EventOps, Relational}
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.Ev
 
@@ -126,6 +126,52 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(streamed == batch,
       s"streaming HLL diverged from batch: $streamed vs $batch")
+  }
+
+  test("streaming daily HLL sketches fold into the batch rolling estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same (day, user-hash) rows the batch query's register build
+    // hashes, keyed by day — delivered UNSORTED across three
+    // micro-batches with a full replayed batch.
+    val rows = Tables(spark, sf).events
+      .selectExpr("unix_micros(ts) div 86400000000 AS d", "user_id").distinct()
+      .selectExpr("CAST(d AS STRING) AS d",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS h")
+      .collect().map(r => StreamOps.KeyedHash(r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_.h)                                // unsorted in day order
+    val (a, rest) = rows.splitAt(rows.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[StreamOps.KeyedHash]
+    val q = StreamOps.dailyHllStream(input.toDS())
+      .writeStream.format("memory").queryName("dailyhll")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b ++ a); q.processAllAvailable() // full replay of a
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val finalRegs = spark.sql(
+      """SELECT group, registers FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY group ORDER BY rid DESC) rn
+        |  FROM (SELECT *, monotonically_increasing_id() rid FROM dailyhll))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0).toLong,
+        r.getSeq[Int](1).toArray)).toMap
+    // The rolling readout is a fold over the emitted state: merge each
+    // day's trailing-7 register vectors (max) and estimate with the
+    // shared batch arithmetic.
+    val streamed = finalRegs.keys.toSeq.sorted.map { d =>
+      val merged = new Array[Int](64)
+      (d - 6 to d).foreach(dd => finalRegs.get(dd).foreach(regs =>
+        (0 until 64).foreach(i => merged(i) = math.max(merged(i), regs(i)))))
+      val (est, present) = StreamOps.hllEstimate(merged)
+      (d, est, present.toLong)
+    }.toSet
+    val batch = EventOps.evRollingHll(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"rolled stream sketches diverged: ${streamed -- batch} vs ${batch -- streamed}")
   }
 
   test("streaming top-k equals the batch rank after any batch split, with replay") {
