@@ -107,7 +107,24 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
+  /** Archive (TAR shard) classification via the native graft_tar_meta
+    * ustar walker — the WebDataset-shard ingest primitive (list a
+    * shard's members without extracting). Same contract as
+    * [[mmImageMeta]]: corpus payloads are text bytes, so the oracle
+    * pins that NOTHING misparses as an archive; the positive paths
+    * (member walk, checksum, lying-size and truncation rejection) are
+    * pinned by handcrafted tar bytes in MultimodalSpec. */
+  def mmArchiveMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(expr("coalesce(graft_tar_meta(payload).format, 'unknown')").as("format"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("format")
+
   val oracles: Map[String, String] = Map(
+    "mm_archive_meta" ->
+      "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_video_meta" ->
       "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_audio_meta" ->
@@ -126,6 +143,7 @@ object MultimodalOps {
     "mm_image_meta" -> (mmImageMeta(_, _)),
     "mm_audio_meta" -> (mmAudioMeta(_, _)),
     "mm_video_meta" -> (mmVideoMeta(_, _)),
+    "mm_archive_meta" -> (mmArchiveMeta(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.

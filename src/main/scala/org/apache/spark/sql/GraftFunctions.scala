@@ -3,7 +3,7 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AudioMeta, CosineSim, ImageMeta, JaroWinklerSim, MinhashBands, ShingleHashes, VideoMeta, WinnowFps}
+import graft.functions.{AudioMeta, CosineSim, ImageMeta, JaroWinklerSim, MinhashBands, ShingleHashes, TarMeta, VideoMeta, WinnowFps}
 
 /** Registers graft's native Catalyst expressions into a session's
   * function registry so they are usable inside SQL fragments and
@@ -39,6 +39,7 @@ object GraftFunctions {
     "graft_image_meta" -> checked("graft_image_meta", 1)(c => ImageMeta(c(0))),
     "graft_audio_meta" -> checked("graft_audio_meta", 1)(c => AudioMeta(c(0))),
     "graft_video_meta" -> checked("graft_video_meta", 1)(c => VideoMeta(c(0))),
+    "graft_tar_meta" -> checked("graft_tar_meta", 1)(c => TarMeta(c(0))),
     "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {

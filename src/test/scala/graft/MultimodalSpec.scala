@@ -157,4 +157,69 @@ class MultimodalSpec extends AnyFunSuite {
       ("junk", None, "", -1, -1, -1L),
       ("truncated", None, "", -1, -1, -1L)), rows.toString)
   }
+
+  test("graft_tar_meta walks ustar archives and rejects malformed ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A real ustar header: name, octal size, typeflag, "ustar" magic,
+    // and the unsigned-sum checksum computed over the block with the
+    // checksum field as spaces — exactly what tar(1) writes.
+    def header(name: String, size: Long, typeflag: Byte): Array[Byte] = {
+      val h = new Array[Byte](512)
+      name.getBytes("UTF-8").copyToArray(h, 0)
+      "0000644\u0000".getBytes.copyToArray(h, 100)        // mode
+      "0000000\u0000".getBytes.copyToArray(h, 108)        // uid
+      "0000000\u0000".getBytes.copyToArray(h, 116)        // gid
+      ("%011o".format(size) + "\u0000").getBytes.copyToArray(h, 124)
+      "00000000000\u0000".getBytes.copyToArray(h, 136)    // mtime
+      h(156) = typeflag
+      "ustar\u000000".getBytes.copyToArray(h, 257)        // magic+version
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.map(_ & 0xff).sum
+      ("%06o".format(sum) + "\u0000 ").getBytes.copyToArray(h, 148)
+      h
+    }
+    def member(name: String, data: Array[Byte]): Array[Byte] = {
+      val padded = new Array[Byte](((data.length + 511) / 512) * 512)
+      data.copyToArray(padded)
+      header(name, data.length.toLong, '0'.toByte) ++ padded
+    }
+    val good = member("a/0001.jpg", Array.fill[Byte](600)(7)) ++
+      member("a/0001.txt", "caption".getBytes) ++
+      header("a/", 0L, '5'.toByte) ++                     // directory entry
+      new Array[Byte](1024)                               // end-of-archive
+    val lyingSize = {
+      val t = member("x.bin", "abc".getBytes)
+      // corrupt the size field to claim 1 GiB but keep the checksum
+      // valid for the corrupted bytes — the walk must detect truncation
+      val h = header("x.bin", 1L << 30, '0'.toByte)
+      h ++ t.drop(512)
+    }
+    val badChecksum = {
+      val t = member("y.bin", "abc".getBytes)
+      t(130) = '7'.toByte // flip a size digit without re-checksumming
+      t
+    }
+    val rows = Seq(
+      ("good", good),
+      ("lying", lyingSize),
+      ("badsum", badChecksum),
+      ("junk", "not an archive".getBytes),
+      ("zeros", new Array[Byte](1024)))
+      .toDF("name", "payload")
+      .select(col("name"), expr("graft_tar_meta(payload)").as("m"))
+      .select(col("name"), col("m.format"), col("m.n_members"),
+        col("m.n_files"), col("m.data_bytes"), col("m.first_name"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) "" else r.getString(5))).toSet
+    assert(rows == Set(
+      ("good", Some("tar"), 3, 2, 607L, "a/0001.jpg"),
+      ("lying", None, -1, -1, -1L, ""),
+      ("badsum", None, -1, -1, -1L, ""),
+      ("junk", None, -1, -1, -1L, ""),
+      ("zeros", None, -1, -1, -1L, "")), rows.toString)
+  }
 }
