@@ -848,6 +848,44 @@ object EventOps {
       |    / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
       |        * (n_a + n_b - c_a - c_b) AS DOUBLE) END, 4) + 0.0 AS z2""".stripMargin
 
+  /** Wilson 95% confidence interval per experiment arm — the
+    * uncertainty readout missing between ev_ab_test's point z² and
+    * stat_power_mde's design-time sizing (a dashboard shows the arm
+    * rates WITH intervals; the normal-approximation ±z√(pq/n) breaks
+    * down exactly where experiments live, small p and small n, while
+    * Wilson stays inside [0,1] and centers correctly): both arms from
+    * the SAME shared accumulators as ev_ab_test (one definition of
+    * arm and conversion), the interval from shared formula-text layers
+    * over the exact (n, c) integers — p, z²/n, center, half-width each
+    * bit-equal across engines before the final round. z is pinned at
+    * 1.96 / z² at 3.8416 as exact decimal literals. */
+  def statWilsonCi(spark: SparkSession, dir: String): DataFrame =
+    WilsonLayers.foldLeft(
+      abArmAccumulators(spark, dir)
+        .selectExpr(
+          "stack(2, 'A', n_a, c_a, 'B', n_b, c_b) AS (arm, n_users, n_conv)")
+        .selectExpr("arm", "CAST(n_users AS BIGINT) AS n_users",
+          "CAST(n_conv AS BIGINT) AS n_conv",
+          "CAST(CASE WHEN n_users = 0 THEN 0 " +
+            "ELSE n_conv * 1000000 div n_users END AS BIGINT) AS rate_ppm")) {
+      (df, layer) => df.selectExpr(layer: _*)
+    }.orderBy("arm")
+
+  /** Wilson interval as shared select layers (the PacfLayers idiom):
+    * p and z²/n, then center and half-width, then the rounded bounds. */
+  private val WilsonLayers: Seq[Seq[String]] = Seq(
+    Seq("*",
+      "CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p",
+      "CAST(3.8416 AS DOUBLE) / CAST(n_users AS DOUBLE) AS zzn"),
+    Seq("*",
+      "(p + zzn / 2) / (1e0 + zzn) AS center",
+      """CAST(1.96 AS DOUBLE) / (1e0 + zzn)
+        | * sqrt(p * (1e0 - p) / CAST(n_users AS DOUBLE)
+        |        + zzn / (4e0 * CAST(n_users AS DOUBLE))) AS hw""".stripMargin),
+    Seq("arm", "n_users", "n_conv", "rate_ppm",
+      "round(center - hw, 4) + 0.0 AS wilson_lo",
+      "round(center + hw, 4) + 0.0 AS wilson_hi"))
+
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions
     * from the ev_sessionize 30-min-gap rule, each exploded to the
@@ -2858,6 +2896,21 @@ object EventOps {
          |  CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm,
          |  $AbTestZ2
          |FROM m""".stripMargin,
+    "stat_wilson_ci" ->
+      s"""WITH $AbAccumSql,
+         |arms AS (
+         |  SELECT 'A' AS arm, n_a AS n_users, c_a AS n_conv FROM m
+         |  UNION ALL
+         |  SELECT 'B' AS arm, n_b AS n_users, c_b AS n_conv FROM m),
+         |t0 AS (SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+         |         CAST(n_conv AS BIGINT) AS n_conv,
+         |         CAST(CASE WHEN n_users = 0 THEN 0
+         |              ELSE n_conv * 1000000 // n_users END AS BIGINT) AS rate_ppm
+         |       FROM arms),
+         |t1 AS (SELECT ${WilsonLayers(0).mkString(",\n")} FROM t0),
+         |t2 AS (SELECT ${WilsonLayers(1).mkString(",\n")} FROM t1)
+         |SELECT ${WilsonLayers(2).mkString(",\n")} FROM t2
+         |ORDER BY arm""".stripMargin,
     "stat_autocorr" ->
       s"""WITH series AS (
          |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
@@ -3183,6 +3236,7 @@ object EventOps {
     "stat_autocorr" -> (statAutocorr(_, _)),
     "stat_pacf" -> (statPacf(_, _)),
     "ev_ab_test" -> (evAbTest(_, _)),
+    "stat_wilson_ci" -> (statWilsonCi(_, _)),
     "ev_seasonality" -> (evSeasonality(_, _)),
     "stat_theil_sen" -> (statTheilSen(_, _)),
     "ev_new_vs_returning" -> (evNewVsReturning(_, _)),

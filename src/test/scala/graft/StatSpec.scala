@@ -663,6 +663,21 @@ class StatSpec extends AnyFunSuite {
       s"gain ${row.getDouble(5)} vs brute ${best._2}")
   }
 
+  test("Wilson intervals bracket each arm's rate inside [0, 1]") {
+    val rows = EventOps.statWilsonCi(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("A", "B"))
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      val p = c.toDouble / n
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi, s"bounds [$lo, $hi]")
+      // The Wilson interval always contains the point estimate.
+      assert(lo <= p && p <= hi, s"p=$p outside [$lo, $hi]")
+      // And it is informative: strictly narrower than the trivial [0,1].
+      assert(hi - lo < 1.0, s"width ${hi - lo}")
+    }
+  }
+
   test("rolling HLL tracks the exact 7-day distinct within sketch error") {
     import org.apache.spark.sql.functions.{col, expr}
     val pairs = Tables(spark, sf).events
