@@ -1480,10 +1480,16 @@ object EventOps {
     * the partial-aggregated hourly rollup underneath. */
   def evAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Checkpointed: types × hours rows feeding TWO consumers each
+    // (median selection + the deviation join; then the deviation table
+    // feeds the MAD selection + the final filter) — without the cuts
+    // each branch re-derives the rollup from a fresh events scan (the
+    // qcDrift lesson; 1 corpus pass is the floor).
     val hourly = Tables(spark, dir).events
       .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
       .groupBy("event_type", "h")
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // Lower median by rank selection: value at row (n+1) div 2 of the
     // sorted column (tie order can't move the value AT a rank).
     def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
@@ -1497,6 +1503,7 @@ object EventOps {
     val med = lowerMedian(hourly, "cnt", "med")
     val withMed = hourly.join(broadcast(med), "event_type")
       .withColumn("ad", abs(col("cnt") - col("med")))
+      .localCheckpoint()
     val mad = lowerMedian(withMed, "ad", "mad")
     withMed.join(broadcast(mad), "event_type")
       .filter(col("ad") > col("mad") * 3)
@@ -1522,9 +1529,12 @@ object EventOps {
     * beyond the daily rollup. */
   def statChangepoint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Checkpointed: the horizon-bounded daily series feeds BOTH the
+    // totals row and the cumulative scan — one events pass, not two.
     val series = Tables(spark, dir).events
       .select(expr("unix_micros(ts) div 86400000000").as("d"))
       .groupBy("d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
     val w = Window.orderBy("d")
     val tot = series.agg(count(lit(1)).as("n"),
       sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"))
@@ -1567,6 +1577,10 @@ object EventOps {
     val du = Tables(spark, dir).events
       .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
       .distinct()
+    // Checkpointed: days × ≤64 rows, and the ONLY consumer of the
+    // corpus-sized distinct — the day grid below re-derives its day set
+    // from these registers (a day is present iff it had a user), so
+    // events is scanned exactly once.
     val regs = du
       .withColumn("h",
         expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
@@ -1574,7 +1588,8 @@ object EventOps {
         expr("h % 67108864").as("w"))
       .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
       .groupBy("d", "bucket").agg(max("rho").as("r"))
-    val grid = du.select("d").distinct()
+      .localCheckpoint()
+    val grid = regs.select("d").distinct()
       .select(col("d"), explode(expr("sequence(0L, 63L)")).as("bucket"))
     grid.join(regs, Seq("d", "bucket"), "left")
       .withColumn("rr", max("r").over(
