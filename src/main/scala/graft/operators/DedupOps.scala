@@ -43,7 +43,15 @@ object DedupOps {
     * see graft.functions.ShingleHashes for the exact SQL pipeline it is
     * byte-identical to). */
   private[graft] def hashedShingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSetsWhere(spark, dir, lit(true))
+
+  /** [[hashedShingleSets]] restricted by a documents predicate (the
+    * corpus/batch split of the incremental op) — the filter runs
+    * BEFORE tokenization so neither side pays for the other's text. */
+  private def shingleSetsWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
     Tables(spark, dir).documents
+      .filter(pred)
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), expr("graft_shingle_hashes(tk)").as("hs"))
@@ -438,6 +446,71 @@ object DedupOps {
       .groupBy("h")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_batch_copies"))
       .orderBy("h")
+  }
+
+  /** Corpus-side (src0) MinHash catalogs, written ONCE per (session,
+    * dir) — the near-dup analogue of [[graft.sources.Formats.fingerprintCatalog]]:
+    * (1) band signatures as a table bucketed+sorted by (j, mh), the
+    * exact key the incremental band-probe joins on, and (2) the shingle
+    * sets bucketed by doc_id for exchange-free verification attach.
+    * Together they make recurring near-dup cost O(increment): the
+    * corpus is re-shingled exactly never. */
+  private def minhashCatalogs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.sources.Formats
+    val corpus = col("source") === "src0"
+    val bands = Formats.sessionTable(spark, dir, "graft_mh_band_") { tbl =>
+      shingleSetsWhere(spark, dir, corpus)
+        .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
+        .select(col("pos").as("j"), col("col").as("mh"), col("doc_id"))
+        .repartition(Formats.FactBuckets, col("j"), col("mh"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(Formats.FactBuckets, "j", "mh").sortBy("j", "mh")
+        .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
+    }
+    val shingles = Formats.sessionTable(spark, dir, "graft_mh_sh_") { tbl =>
+      shingleSetsWhere(spark, dir, corpus)
+        .repartition(Formats.FactBuckets, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(Formats.FactBuckets, "doc_id").sortBy("doc_id")
+        .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
+    }
+    (bands, shingles)
+  }
+
+  /** Incremental NEAR-dup — [[dedupIncremental]]'s contract lifted from
+    * exact hashes to MinHash similarity (the production daily-delta
+    * near-dedup): the new batch's band signatures probe the PERSISTED
+    * corpus band catalog (bucketed by (j, mh), so only the batch
+    * shuffles — into the catalog's bucket lattice), candidates verify
+    * by exact Jaccard against the PERSISTED shingle catalog (bucketed
+    * by doc_id, same property), and the corpus is never re-shingled.
+    * Recurring cost is O(batch + collisions), independent of corpus
+    * size — the claim FormatsSpec pins on the plan. Readout: verified
+    * (batch doc, corpus doc) pairs at Jaccard ≥ 0.5 — what a delta-load
+    * quarantines before appending. Within-batch dups are
+    * dedup_minhash_lsh's job on the (small) batch itself. */
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (bands, shingles) = minhashCatalogs(spark, dir)
+    val batch = shingleSetsWhere(spark, dir, col("source") =!= "src0")
+      .localCheckpoint()
+    val bsig = batch
+      .select(col("doc_id").as("batch_id"),
+        posexplode(expr("graft_minhash_bands(hs)")))
+      .select(col("batch_id"), col("pos").as("j"), col("col").as("mh"))
+    val cand = bsig.join(bands, Seq("j", "mh"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(shingles.select(col("doc_id").as("corpus_id"), col("hs").as("s2")),
+        "corpus_id")
+      .join(batch.select(col("doc_id").as("batch_id"), col("hs").as("s1")),
+        "batch_id")
+      .withColumn("jac", expr(
+        "CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
+      .filter(col("jac") >= 0.5)
+      .select(col("batch_id"), col("corpus_id"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("batch_id", "corpus_id")
   }
 
   /** Edit-distance (fuzzy) near-dup pairs — the dedup family between
@@ -855,6 +928,25 @@ object DedupOps {
          |FROM cand c JOIN hsh x ON c.id1 = x.doc_id JOIN hsh y ON c.id2 = y.doc_id
          |WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5
          |ORDER BY id1, id2""".stripMargin,
+    // Layout-free reformulation of the catalog probe: the same banded
+    // candidates restricted to batch×corpus, verified by exact Jaccard.
+    "dedup_minhash_incremental" ->
+      s"""WITH $shingleSql,
+         |$minhashCandSql,
+         |src AS (SELECT doc_id, source FROM documents),
+         |cc AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN sa.source <> 'src0' THEN c.id1 ELSE c.id2 END AS batch_id,
+         |    CASE WHEN sa.source <> 'src0' THEN c.id2 ELSE c.id1 END AS corpus_id
+         |  FROM cand c
+         |  JOIN src sa ON sa.doc_id = c.id1
+         |  JOIN src sb ON sb.doc_id = c.id2
+         |  WHERE (sa.source <> 'src0') <> (sb.source <> 'src0'))
+         |SELECT c.batch_id, c.corpus_id,
+         |  round(len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)), 4) AS jaccard
+         |FROM cc c JOIN hsh x ON c.batch_id = x.doc_id JOIN hsh y ON c.corpus_id = y.doc_id
+         |WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     "dedup_pipeline" ->
       s"""WITH $shingleSql,
          |$minhashCandSql,
@@ -1082,6 +1174,7 @@ object DedupOps {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_edit_near" -> (dedupEditNear(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "dedup_name_match" -> (dedupNameMatch(_, _)),

@@ -183,6 +183,12 @@ object Formats {
     * time — the cost a warehouse pays once per corpus version, exactly
     * like [[bucketedFacts]] — never per batch. Built through
     * [[sessionTable]], so [[dropSessionTables]] reclaims it. */
+  /** Backing-file location for a session-keyed bucketed table — for
+    * catalog builders living outside this object (e.g. DedupOps'
+    * MinHash catalogs). */
+  private[graft] def bucketedPath(tbl: String): String =
+    s"$tmpRoot/graft_bucketed/$tbl"
+
   def fingerprintCatalog(spark: SparkSession, dir: String): DataFrame =
     sessionTable(spark, dir, "graft_fp_b_") { tbl =>
       Tables(spark, dir).documents

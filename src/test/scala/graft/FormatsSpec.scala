@@ -159,6 +159,56 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("minhash catalogs: the incremental near-dup probe is exchange-free on both catalog sides") {
+    import graft.operators.DedupOps
+    // At 100 TB neither side broadcasts — pin the shuffle-join path so
+    // the bucketed layouts (not broadcasts) are what kill the exchanges.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = DedupOps.dedupMinhashIncremental(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // BOTH catalog scans (band signatures keyed (j, mh); shingle sets
+      // keyed doc_id) arrive pre-partitioned from their bucket lattices.
+      val nBucketed = "Bucketed: true".r.findAllIn(plan).length
+      assert(nBucketed >= 2, s"expected 2 bucketed catalog scans:\n$plan")
+      // Every hash exchange in the plan moves BATCH-sized data (band
+      // probe into the (j, mh) lattice, candidate distinct, the two
+      // verification re-keys, the checkpointed batch side) — none may
+      // sit on a catalog scan. The corpus moves zero bytes at query
+      // time; that is the O(increment) claim.
+      val nHash = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nHash <= 6, s"expected <= 6 batch-side hash exchanges, got $nHash:\n$plan")
+      assert(!plan.matches("(?s).*Exchange hashpartitioning[^\\n]*\\n[^\\n]*graft_mh_(band|sh)_.*"),
+        s"exchange directly above a catalog scan:\n$plan")
+      // The catalog formulation computes exactly what a from-scratch
+      // cross-restricted LSH run does.
+      val sh = DedupOps.hashedShingleSets(spark, sf)
+        .join(Tables(spark, sf).documents.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+      val sig = sh.select(col("doc_id"), col("source"),
+          org.apache.spark.sql.functions.posexplode(expr("graft_minhash_bands(hs)")))
+        .select(col("doc_id"), col("source"), col("pos").as("j"), col("col").as("mh"))
+      val expected = sig.filter(col("source") =!= "src0").as("a")
+        .join(sig.filter(col("source") === "src0").as("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh"))
+        .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+        .distinct()
+        .join(sh.select(col("doc_id").as("corpus_id"), col("hs").as("s2")), "corpus_id")
+        .join(sh.select(col("doc_id").as("batch_id"), col("hs").as("s1")), "batch_id")
+        .withColumn("jac", expr(
+          "CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
+        .filter(col("jac") >= 0.5)
+        .select(col("batch_id"), col("corpus_id"),
+          org.apache.spark.sql.functions.round(col("jac"), 4).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+      assert(df.collect().toSeq == expected.collect().toSeq,
+        "catalog-backed incremental near-dup diverged from the recompute formulation")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("schema evolution: mergeSchema unions column sets, old files null-fill") {
     // The production lifecycle: a pipeline adds a column (v2 writes
     // carry `score`), history stays as-is, and readers see the union
