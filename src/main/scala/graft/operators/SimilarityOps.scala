@@ -133,10 +133,7 @@ object SimilarityOps {
       withRank: Boolean = false): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
-    val probeExpr =
-      s"""slice(transform(sort_array(transform(arr,
-         |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
-         |  s -> s.aid), 1, $IvfP)""".stripMargin
+    val probeExpr = probeExprStr
     val base = emb.crossJoin(broadcast(anchorsArr(emb, k, anchors)))
     // withRank keeps the probe ORDER (1 = best anchor) — the
     // [[simProbeSweep]] axis; the default path is unchanged.
@@ -149,6 +146,14 @@ object SimilarityOps {
       base.select(col("vec_id"), col("embedding"),
         explode(expr(probeExpr)).as("aid"))
   }
+
+  /** Top-P cell selection as one expression over the broadcast anchor
+    * array `arr` — shared by [[ivfCells]] and the incremental insert's
+    * delta assignment (one definition of the assignment rule). */
+  private def probeExprStr: String =
+    s"""slice(transform(sort_array(transform(arr,
+       |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
+       |  s -> s.aid), 1, $IvfP)""".stripMargin
 
   /** DuckDB twin of [[ivfCells]]: same K formula, same md5-ranked anchor
     * sample, same (cos desc, aid asc) probe order, same NaN→-1 guard. */
@@ -1357,6 +1362,52 @@ object SimilarityOps {
       .limit(10)
   }
 
+  /** Incremental IVF index MAINTENANCE — the serving-side question
+    * [[simAnnIndexed]] leaves open: vectors arrive daily; rebuilding a
+    * 100 TB index per delta is the dedup_incremental anti-pattern in
+    * ANN clothing. Here the index is built ONCE over the base corpus
+    * (vec_id % 10 ≠ 7) with base-derived anchors, and the delta
+    * (vec_id % 10 = 7) is APPENDED: assigned to the EXISTING anchors
+    * map-side (broadcast anchor array, the shared [[probeExprStr]]
+    * rule) and written as NEW bucket files into the same (aid) lattice
+    * — the base's files are never read or rewritten, so maintenance
+    * cost is O(delta). Probes bucket-prune across both file
+    * generations (IvfSpec asserts SelectedBucketsCount post-append).
+    * Anchors intentionally stay the base's — the production tradeoff
+    * (drift is monitored by emb_drift; re-anchoring is a rebuild,
+    * taken when cell balance decays, not per delta). Both writes run
+    * inside the one-per-(session, dir) build so replays are
+    * idempotent. The oracle assigns ALL vectors to the base-derived
+    * anchors — layout-free semantics of build+insert. */
+  def simIvfInsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Formats
+    val emb = Tables(spark, dir).embeddings
+    val isDelta = col("vec_id") % 10 === 7
+    val idx = Formats.sessionTable(spark, dir, "graft_ivf_incr_") { tbl =>
+      val base = emb.filter(!isDelta)
+      val arr = anchorsArr(base, ivfK(base.count()), SampleAnchors)
+        .localCheckpoint()
+      def cellsOf(vs: DataFrame): DataFrame =
+        vs.crossJoin(broadcast(arr))
+          .select(col("vec_id"), col("embedding"),
+            explode(expr(probeExprStr)).as("aid"))
+      Formats.writeBucketed(cellsOf(base), tbl, "aid", IvfIndexBuckets)
+      cellsOf(emb.filter(isDelta))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(IvfIndexBuckets, "aid").sortBy("aid")
+        .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
+    }
+    val qCellIds = idx.filter(col("vec_id") === 0)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
+      .dropDuplicates("vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   /** ANN over an INT8-QUANTIZED persisted IVF index — the 4× index-IO
     * lever a 100 TB ANN deployment takes first: the index stores each
     * vector as 64 int8 codes + one double scale (~68 bytes vs 256 for
@@ -2199,6 +2250,29 @@ object SimilarityOps {
     "sim_ann_kmeans" ->
       s"""WITH $ivfCellsKmeansSql,
          |$annProbeTailSql""".stripMargin,
+    // Layout-free semantics of build+insert: K and the anchor sample
+    // come from the BASE subset only (vec_id % 10 <> 7), assignment
+    // covers ALL vectors — base assigned at build, delta at append,
+    // same rule either way.
+    "sim_ivf_insert" ->
+      s"""WITH kk AS (
+         |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |anch AS (
+         |  SELECT rnk.vec_id AS aid, rnk.embedding AS av FROM (
+         |    SELECT vec_id, embedding,
+         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings WHERE vec_id % 10 <> 7) rnk, kk WHERE rnk.rn <= kk.k),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, a.aid,
+         |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.av")}) THEN -1.0
+         |              ELSE ${cosExprSql("e.embedding", "a.av")} END AS c
+         |  FROM embeddings e CROSS JOIN anch a),
+         |cells AS (
+         |  SELECT vec_id, embedding, aid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+         |    FROM asn) WHERE rn <= $IvfP),
+         |$annProbeTailSql""".stripMargin,
     // Primary-cell (rn = 1) cluster labeling: reuses ivfCellsSql's asn
     // CTE (the per-(vec, anchor) cosine table) and re-ranks it to the
     // single best anchor; the unused `cells` CTE is pruned by DuckDB.
@@ -2632,6 +2706,7 @@ object SimilarityOps {
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),
+    "sim_ivf_insert" -> (simIvfInsert(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
     "sim_cluster_terms" -> (simClusterTerms(_, _)),

@@ -289,4 +289,41 @@ class IvfSpec extends AnyFunSuite {
     info(s"total qerr: flat=$flat residual=$resErr " +
       f"(${100.0 * resErr / flat}%.1f%%)")
   }
+
+  test("incremental IVF insert: delta appended, probe still bucket-prunes, both generations served") {
+    import org.apache.spark.sql.functions.col
+    val probe = SimilarityOps.simIvfInsert(spark, sf)
+    val plan = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { probe.explain("formatted") }
+      bos.toString
+    }
+    // Pruning must survive the append: buckets now hold files from two
+    // write generations, and the aid IN (...) scan still skips cells.
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in post-append probe plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe read all ${m.get.group(2)} buckets after append")
+    // The index holds BOTH generations: base rows and appended delta
+    // rows (vec_id % 10 == 7), in one queryable table.
+    val tbl = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_ivf_incr_"))
+      .collect().head.name
+    val gens = spark.table(tbl)
+      .selectExpr("CASE WHEN vec_id % 10 = 7 THEN 'delta' ELSE 'base' END AS g")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gens.getOrElse("base", 0L) > 0 && gens.getOrElse("delta", 0L) > 0,
+      s"missing a generation: $gens")
+    // And a delta vector is actually REACHABLE through a probe: every
+    // delta vec must sit in at least one cell shared with base vectors
+    // (the append assigned it into the live lattice, not a side table).
+    val deltaCells = spark.table(tbl).filter(col("vec_id") % 10 === 7)
+      .select("aid").distinct().collect().map(_.getLong(0)).toSet
+    val baseCells = spark.table(tbl).filter(col("vec_id") % 10 =!= 7)
+      .select("aid").distinct().collect().map(_.getLong(0)).toSet
+    assert(deltaCells.subsetOf(baseCells),
+      s"delta landed in anchors the base never used: ${deltaCells -- baseCells}")
+  }
 }
