@@ -1308,6 +1308,75 @@ object TextOps {
       .orderBy(desc("cnt"), col("pair"))
       .limit(30)
 
+  /** Rounds for [[txtBpeTrain]] — mirrored in the oracle's unroll. */
+  private[graft] val BpeRounds = 6
+
+  /** Iterative BPE tokenizer TRAINING — [[txtBpeMerge]] is one scan of
+    * the kernel; this runs the actual train loop: R rounds of
+    * (count adjacent symbol pairs → adopt the top pair as a merge →
+    * rewrite), emitting the learned merge table (round, merge_left,
+    * merge_right, pair_count) a tokenizer ships with.
+    *
+    * Scale design, in order of importance: (1) the corpus is scanned
+    * ONCE — training operates on the collapsed (word, count) frequency
+    * table (vocabulary-sized, not corpus-sized; this is how real BPE
+    * trainers work), so every iteration is a job over thousands of
+    * rows regardless of corpus bytes; (2) the chosen merge is ONE
+    * driver-side row per round re-entering as literals (the kmeansLoop
+    * posture); (3) the rewritten vocab is checkpointed per round so
+    * round r never replays rounds 1..r-1's rewrites.
+    *
+    * Symbol mechanics shared with the oracle: a word's symbol string
+    * is '_'-prefixed per symbol ("the" → "_t_h_e"); applying merge
+    * (a, b) is the plain string replace "_a_b" → "_ab", which is
+    * greedy-left-to-right in BOTH engines (the overlapping-pair
+    * convention of standard BPE), and '_' can never occur inside a
+    * symbol (tokens are [a-z0-9]+). Ties on pair count break on the
+    * pair string ascending in both engines. The oracle unrolls R
+    * MATERIALIZED rounds with scalar-subquery merge selection. */
+  def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    var vocab = Tables(spark, dir).documents
+      .select(explode(expr(tokensExpr)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .select(expr("regexp_replace(t, '(.)', '_$1')").as("repr"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val best = vocab
+        .select(col("cnt"), expr(
+          "filter(split(repr, '_'), x -> x != '')").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
+        .groupBy("pr").agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), col("pr"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val Array(l, rt) = best.head.getString(0).split(" ", 2)
+        val c = best.head.getLong(1)
+        merges += ((r, l, rt, c))
+        // literal-pattern rewrite of the vocab (never the corpus);
+        // plain replace() — same greedy left-to-right non-overlap
+        // semantics in both engines, no regex metacharacter risk
+        // (symbols are [a-z0-9]+ concatenations)
+        vocab = vocab
+          .withColumn("repr", expr(s"replace(repr, '_${l}_$rt', '_$l$rt')"))
+          .localCheckpoint()
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("merge_left", StringType, nullable = false),
+      StructField("merge_right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map(m => Row(m._1, m._2, m._3, m._4)), 1),
+      schema).orderBy("round")
+  }
+
   /** txt_chunk_pack's context-window token budget. Docs average ~54
     * whitespace tokens, so 512 packs ~9 docs per window — a real
     * packing ratio at every test scale (each of the 20 sources fills
@@ -2126,6 +2195,42 @@ object TextOps {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
+    // R unrolled MATERIALIZED rounds over the word-frequency table;
+    // per round: pair counts → scalar-subquery top-1 merge → literal
+    // replace rewrite. Same '_'-interleaved symbol mechanics and the
+    // same greedy left-to-right replace as the Spark loop.
+    "txt_bpe_train" -> {
+      def roundCtes(r: Int): String = {
+        val prev = if (r == 1) "wf0" else s"wf${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+           |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+           |    FROM (SELECT cnt,
+           |            list_filter(string_split(repr, '_'), x -> x <> '') AS sy
+           |          FROM $prev))
+           |  GROUP BY pr),
+           |m$r AS MATERIALIZED (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
+           |wf$r AS MATERIALIZED (
+           |  SELECT replace(repr,
+           |      '_' || replace((SELECT pr FROM m$r), ' ', '_'),
+           |      '_' || replace((SELECT pr FROM m$r), ' ', '')) AS repr, cnt
+           |  FROM $prev)""".stripMargin
+      }
+      val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+      val readout = (1 to BpeRounds).map(r =>
+        s"""SELECT $r AS round, split_part(pr, ' ', 1) AS merge_left,
+           |  split_part(pr, ' ', 2) AS merge_right, c AS pair_count FROM m$r""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH wf0 AS MATERIALIZED (
+         |  SELECT regexp_replace(t, '(.)', '_\\1', 'g') AS repr,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokensSql) AS t FROM documents)
+         |  GROUP BY 1),
+         |$rounds
+         |$readout
+         |ORDER BY round""".stripMargin
+    },
     // The flat per-source window the Spark side decomposes: ordering by
     // the full md5 string equals ordering by (3-nibble bucket, string),
     // so the two-level rank reproduces these row_numbers exactly.
@@ -2514,6 +2619,7 @@ object TextOps {
     "mix_temperature" -> (mixTemperature(_, _)),
     "mix_split_assign" -> (mixSplitAssign(_, _)),
     "mix_shard_plan" -> (mixShardPlan(_, _)),
+    "txt_bpe_train" -> (txtBpeTrain(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),

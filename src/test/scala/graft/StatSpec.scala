@@ -663,6 +663,24 @@ class StatSpec extends AnyFunSuite {
       s"gain ${row.getDouble(5)} vs brute ${best._2}")
   }
 
+  test("BPE train: round 1 equals the single-step kernel's top pair; merges stay distinct") {
+    val merges = TextOps.txtBpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 6, s"expected 6 rounds, got ${merges.length}")
+    assert(merges.map(m => (m._2, m._3)).distinct.length == merges.length,
+      "a pair was merged twice")
+    // Round 1 is definitionally the char-pair kernel's argmax: the
+    // standalone txt_bpe_merge top row must agree (same count, and the
+    // pair concatenation matches).
+    val kernelTop = TextOps.txtBpeMerge(spark, sf).collect().head
+    val r1 = merges.head
+    assert(r1._2 + r1._3 == kernelTop.getString(0) && r1._4 == kernelTop.getLong(1),
+      s"round 1 ${r1} != kernel top ${kernelTop}")
+    // Counts are positive and round 1 is the global maximum (later
+    // rounds can only see counts <= the first argmax).
+    assert(merges.forall(_._4 > 0) && merges.forall(_._4 <= r1._4))
+  }
+
   test("Wilson intervals bracket each arm's rate inside [0, 1]") {
     val rows = EventOps.statWilsonCi(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("A", "B"))
