@@ -1334,38 +1334,80 @@ object TextOps {
     * symbol (tokens are [a-z0-9]+). Ties on pair count break on the
     * pair string ascending in both engines. The oracle unrolls R
     * MATERIALIZED rounds with scalar-subquery merge selection. */
+  /** The BPE train chain in DuckDB — wf0 (word → interleaved repr ×
+    * count, the word IDENTITY carried so the apply oracle can join the
+    * final reprs back) and [[BpeRounds]] unrolled MATERIALIZED rounds:
+    * p$r pair counts, m$r scalar top-1 merge, wf$r the rewrite. Shared
+    * by the train and apply oracles. */
+  private def bpeChainSql: String = {
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "wf0" else s"wf${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(repr, '_'), x -> x <> '') AS sy
+         |          FROM $prev))
+         |  GROUP BY pr),
+         |m$r AS MATERIALIZED (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
+         |wf$r AS MATERIALIZED (
+         |  SELECT t, replace(repr,
+         |      '_' || replace((SELECT pr FROM m$r), ' ', '_'),
+         |      '_' || replace((SELECT pr FROM m$r), ' ', '')) AS repr, cnt
+         |  FROM $prev)""".stripMargin
+    }
+    s"""wf0 AS MATERIALIZED (
+       |  SELECT t, regexp_replace(t, '(.)', '_\\1', 'g') AS repr,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($tokensSql) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |${(1 to BpeRounds).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMemo = scala.collection.mutable.Map
+    .empty[(Int, String), Seq[(Int, String, String, Long)]]
+
+  /** The train loop behind [[txtBpeTrain]] and [[txtBpeApply]],
+    * memoized per (session, dir) so the apply op never re-trains. */
+  private def learnedBpeMerges(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = bpeMemo.synchronized {
+    bpeMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      var vocab = Tables(spark, dir).documents
+        .select(explode(expr(tokensExpr)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .select(expr("regexp_replace(t, '(.)', '_$1')").as("repr"), col("cnt"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      (1 to BpeRounds).foreach { r =>
+        val best = vocab
+          .select(col("cnt"), expr(
+            "filter(split(repr, '_'), x -> x != '')").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
+          .groupBy("pr").agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), col("pr"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val Array(l, rt) = best.head.getString(0).split(" ", 2)
+          merges += ((r, l, rt, best.head.getLong(1)))
+          // literal-pattern rewrite of the vocab (never the corpus);
+          // plain replace() — same greedy left-to-right non-overlap
+          // semantics in both engines, no regex metacharacter risk
+          // (symbols are [a-z0-9]+ concatenations)
+          vocab = vocab
+            .withColumn("repr", expr(s"replace(repr, '_${l}_$rt', '_$l$rt')"))
+            .localCheckpoint()
+        }
+      }
+      merges.result()
+    })
+  }
+
   def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    var vocab = Tables(spark, dir).documents
-      .select(explode(expr(tokensExpr)).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("cnt"))
-      .select(expr("regexp_replace(t, '(.)', '_$1')").as("repr"), col("cnt"))
-      .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    (1 to BpeRounds).foreach { r =>
-      val best = vocab
-        .select(col("cnt"), expr(
-          "filter(split(repr, '_'), x -> x != '')").as("sy"))
-        .filter(size(col("sy")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
-        .groupBy("pr").agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), col("pr"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val Array(l, rt) = best.head.getString(0).split(" ", 2)
-        val c = best.head.getLong(1)
-        merges += ((r, l, rt, c))
-        // literal-pattern rewrite of the vocab (never the corpus);
-        // plain replace() — same greedy left-to-right non-overlap
-        // semantics in both engines, no regex metacharacter risk
-        // (symbols are [a-z0-9]+ concatenations)
-        vocab = vocab
-          .withColumn("repr", expr(s"replace(repr, '_${l}_$rt', '_$l$rt')"))
-          .localCheckpoint()
-      }
-    }
     val schema = StructType(Seq(
       StructField("round", IntegerType, nullable = false),
       StructField("merge_left", StringType, nullable = false),
@@ -1373,8 +1415,37 @@ object TextOps {
       StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        merges.result().map(m => Row(m._1, m._2, m._3, m._4)), 1),
+        learnedBpeMerges(spark, dir).map(m => Row(m._1, m._2, m._3, m._4)), 1),
       schema).orderBy("round")
+  }
+
+  /** APPLY the learned merges — the tokenizer-eval half of
+    * [[txtBpeTrain]] (a merge table is only as good as the
+    * compression it buys): every word re-tokenizes under the 6 learned
+    * merges (the same literal-replace chain, applied as 6 chained
+    * expressions in ONE codegen'd projection — no joins, no shuffle
+    * beyond the word-frequency rollup), reported per language as
+    * char-tokens before vs BPE-tokens after with the exact-ppm
+    * compression ratio. The merges re-enter as literals from the
+    * memoized train (never re-learned), so this op prices the
+    * tokenizer on the corpus the way a data team decides vocab size. */
+  def txtBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = learnedBpeMerges(spark, dir)
+    val reprExpr = merges.foldLeft("regexp_replace(t, '(.)', '_$1')") {
+      case (e, (_, l, r, _)) => s"replace($e, '_${l}_$r', '_$l$r')"
+    }
+    Tables(spark, dir).documents
+      .select(col("lang"), explode(expr(tokensExpr)).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"), length(col("t")).as("chars"),
+        size(expr(s"filter(split($reprExpr, '_'), x -> x != '')")).as("toks"))
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_words"),
+        sum(expr("chars * cnt")).as("n_char_tokens"),
+        sum(expr("toks * cnt")).as("n_bpe_tokens"))
+      .withColumn("compression_ppm",
+        expr("n_bpe_tokens * 1000000 div n_char_tokens"))
+      .orderBy("lang")
   }
 
   /** txt_chunk_pack's context-window token budget. Docs average ~54
@@ -2200,37 +2271,32 @@ object TextOps {
     // replace rewrite. Same '_'-interleaved symbol mechanics and the
     // same greedy left-to-right replace as the Spark loop.
     "txt_bpe_train" -> {
-      def roundCtes(r: Int): String = {
-        val prev = if (r == 1) "wf0" else s"wf${r - 1}"
-        s"""p$r AS MATERIALIZED (
-           |  SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
-           |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
-           |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
-           |    FROM (SELECT cnt,
-           |            list_filter(string_split(repr, '_'), x -> x <> '') AS sy
-           |          FROM $prev))
-           |  GROUP BY pr),
-           |m$r AS MATERIALIZED (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
-           |wf$r AS MATERIALIZED (
-           |  SELECT replace(repr,
-           |      '_' || replace((SELECT pr FROM m$r), ' ', '_'),
-           |      '_' || replace((SELECT pr FROM m$r), ' ', '')) AS repr, cnt
-           |  FROM $prev)""".stripMargin
-      }
-      val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
       val readout = (1 to BpeRounds).map(r =>
         s"""SELECT $r AS round, split_part(pr, ' ', 1) AS merge_left,
            |  split_part(pr, ' ', 2) AS merge_right, c AS pair_count FROM m$r""".stripMargin)
         .mkString("\nUNION ALL\n")
-      s"""WITH wf0 AS MATERIALIZED (
-         |  SELECT regexp_replace(t, '(.)', '_\\1', 'g') AS repr,
-         |         CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest($tokensSql) AS t FROM documents)
-         |  GROUP BY 1),
-         |$rounds
+      s"""WITH $bpeChainSql
          |$readout
          |ORDER BY round""".stripMargin
     },
+    // Rides the SAME unrolled chain (words carry their identity
+    // through wf0..wf6), then joins the per-language word frequencies
+    // against the final reprs for the compression readout.
+    "txt_bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         |lw AS (
+         |  SELECT lang, t, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT lang, unnest($tokensSql) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT lang, lw.cnt, length(lw.t) AS chars,
+         |         len(list_filter(string_split(repr, '_'), x -> x <> '')) AS toks
+         |  FROM lw JOIN wf$BpeRounds USING (t))
+         |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(chars * cnt) AS BIGINT) AS n_char_tokens,
+         |  CAST(sum(toks * cnt) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(toks * cnt) * 1000000 // sum(chars * cnt) AS BIGINT) AS compression_ppm
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // The flat per-source window the Spark side decomposes: ordering by
     // the full md5 string equals ordering by (3-nibble bucket, string),
     // so the two-level rank reproduces these row_numbers exactly.
@@ -2620,6 +2686,7 @@ object TextOps {
     "mix_split_assign" -> (mixSplitAssign(_, _)),
     "mix_shard_plan" -> (mixShardPlan(_, _)),
     "txt_bpe_train" -> (txtBpeTrain(_, _)),
+    "txt_bpe_apply" -> (txtBpeApply(_, _)),
     "txt_ngram_novelty" -> (txtNgramNovelty(_, _)),
     "qc_drift" -> (qcDrift(_, _)),
     "txt_collocations" -> (txtCollocations(_, _)),
