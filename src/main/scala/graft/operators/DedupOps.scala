@@ -458,9 +458,13 @@ object DedupOps {
   private def minhashCatalogs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import graft.sources.Formats
-    val corpus = col("source") === "src0"
+    // ONE corpus tokenize+shingle pass feeds both catalog writes (the
+    // r5 "1 corpus pass is the floor" discipline); lazy so a session
+    // whose catalogs already exist never runs it at all.
+    lazy val corpusSh =
+      shingleSetsWhere(spark, dir, col("source") === "src0").localCheckpoint()
     val bands = Formats.sessionTable(spark, dir, "graft_mh_band_") { tbl =>
-      shingleSetsWhere(spark, dir, corpus)
+      corpusSh
         .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
         .select(col("pos").as("j"), col("col").as("mh"), col("doc_id"))
         .repartition(Formats.FactBuckets, col("j"), col("mh"))
@@ -469,7 +473,7 @@ object DedupOps {
         .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
     }
     val shingles = Formats.sessionTable(spark, dir, "graft_mh_sh_") { tbl =>
-      shingleSetsWhere(spark, dir, corpus)
+      corpusSh
         .repartition(Formats.FactBuckets, col("doc_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(Formats.FactBuckets, "doc_id").sortBy("doc_id")

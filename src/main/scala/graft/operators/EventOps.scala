@@ -882,9 +882,13 @@ object EventOps {
       """CAST(1.96 AS DOUBLE) / (1e0 + zzn)
         | * sqrt(p * (1e0 - p) / CAST(n_users AS DOUBLE)
         |        + zzn / (4e0 * CAST(n_users AS DOUBLE))) AS hw""".stripMargin),
+    // n_users = 0 guard: the divisions above give NaN on an empty arm
+    // (double division in both engines), but pinning the bounds to the
+    // defined [0, 1] envelope keeps the output engine-identical and
+    // meaningful (an empty arm constrains nothing).
     Seq("arm", "n_users", "n_conv", "rate_ppm",
-      "round(center - hw, 4) + 0.0 AS wilson_lo",
-      "round(center + hw, 4) + 0.0 AS wilson_hi"))
+      "round(CASE WHEN n_users = 0 THEN 0e0 ELSE center - hw END, 4) + 0.0 AS wilson_lo",
+      "round(CASE WHEN n_users = 0 THEN 1e0 ELSE center + hw END, 4) + 0.0 AS wilson_hi"))
 
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions

@@ -1348,9 +1348,17 @@ object SimilarityOps {
       tbl => graft.sources.Formats.writeBucketed(
         ivfCells(spark, dir), tbl, "aid", IvfIndexBuckets)
     }
-    // The probe's cells come from the INDEX (pushed-down vec_id = 0
-    // scan, P rows to the driver) — a fresh probe never recomputes the
-    // assignment pipeline.
+    probeIndexTail(emb, idx)
+  }
+
+  /** The float-index probe readout, ONE definition for
+    * [[simAnnIndexed]] and [[simIvfInsert]] (the int8 variant
+    * dequantizes and stays separate): the probe's cells come from the
+    * INDEX (pushed-down vec_id = 0 scan, P rows to the driver — a
+    * fresh probe never recomputes the assignment pipeline), candidates
+    * dedup across multi-probed cells, and the query vector rides in as
+    * a broadcast single-row join. */
+  private def probeIndexTail(emb: DataFrame, idx: DataFrame): DataFrame = {
     val qCellIds = idx.filter(col("vec_id") === 0)
       .select("aid").collect().map(_.getLong(0)).toSeq
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -1397,15 +1405,7 @@ object SimilarityOps {
         .bucketBy(IvfIndexBuckets, "aid").sortBy("aid")
         .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
     }
-    val qCellIds = idx.filter(col("vec_id") === 0)
-      .select("aid").collect().map(_.getLong(0)).toSeq
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
-      .dropDuplicates("vec_id")
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+    probeIndexTail(emb, idx)
   }
 
   /** ANN over an INT8-QUANTIZED persisted IVF index — the 4× index-IO

@@ -1327,11 +1327,18 @@ object TextOps {
     * round r never replays rounds 1..r-1's rewrites.
     *
     * Symbol mechanics shared with the oracle: a word's symbol string
-    * is '_'-prefixed per symbol ("the" → "_t_h_e"); applying merge
-    * (a, b) is the plain string replace "_a_b" → "_ab", which is
+    * BRACKETS every symbol as "_x." ("the" → "_t._h._e."), so a
+    * merge (a, b) is the plain string replace "_a._b." → "_ab.",
     * greedy-left-to-right in BOTH engines (the overlapping-pair
-    * convention of standard BPE), and '_' can never occur inside a
-    * symbol (tokens are [a-z0-9]+). Ties on pair count break on the
+    * convention of standard BPE). The two-sided bracket is load-
+    * bearing twice over: the trailing '.' right-bounds the pattern
+    * (a learned (n, t) must NOT fire on "_n._th." just because 'th'
+    * starts with 't'), and because adjacent pairs share no
+    * characters, a replacement never consumes the next match's
+    * leading bracket ("_e._r._e._r." under (e, r) correctly yields
+    * "_er._er.", where a shared-delimiter encoding drops the second
+    * merge). Neither bracket char can occur inside a symbol (tokens
+    * are [a-z0-9]+). Ties on pair count break on the
     * pair string ascending in both engines. The oracle unrolls R
     * MATERIALIZED rounds with scalar-subquery merge selection. */
   /** The BPE train chain in DuckDB — wf0 (word → interleaved repr ×
@@ -1347,18 +1354,18 @@ object TextOps {
          |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
          |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
          |    FROM (SELECT cnt,
-         |            list_filter(string_split(repr, '_'), x -> x <> '') AS sy
+         |            list_filter(string_split(replace(repr, '.', ''), '_'), x -> x <> '') AS sy
          |          FROM $prev))
          |  GROUP BY pr),
          |m$r AS MATERIALIZED (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
          |wf$r AS MATERIALIZED (
          |  SELECT t, replace(repr,
-         |      '_' || replace((SELECT pr FROM m$r), ' ', '_'),
-         |      '_' || replace((SELECT pr FROM m$r), ' ', '')) AS repr, cnt
+         |      '_' || replace((SELECT pr FROM m$r), ' ', '._') || '.',
+         |      '_' || replace((SELECT pr FROM m$r), ' ', '') || '.') AS repr, cnt
          |  FROM $prev)""".stripMargin
     }
     s"""wf0 AS MATERIALIZED (
-       |  SELECT t, regexp_replace(t, '(.)', '_\\1', 'g') AS repr,
+       |  SELECT t, regexp_replace(t, '(.)', '_\\1.', 'g') AS repr,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest($tokensSql) AS t FROM documents)
        |  GROUP BY 1, 2),
@@ -1376,13 +1383,13 @@ object TextOps {
       var vocab = Tables(spark, dir).documents
         .select(explode(expr(tokensExpr)).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cnt"))
-        .select(expr("regexp_replace(t, '(.)', '_$1')").as("repr"), col("cnt"))
+        .select(expr("regexp_replace(t, '(.)', '_$1.')").as("repr"), col("cnt"))
         .localCheckpoint()
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       (1 to BpeRounds).foreach { r =>
         val best = vocab
           .select(col("cnt"), expr(
-            "filter(split(repr, '_'), x -> x != '')").as("sy"))
+            "filter(split(replace(repr, '.', ''), '_'), x -> x != '')").as("sy"))
           .filter(size(col("sy")) >= 2)
           .select(col("cnt"), explode(expr(
             "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))")).as("pr"))
@@ -1397,7 +1404,7 @@ object TextOps {
           // semantics in both engines, no regex metacharacter risk
           // (symbols are [a-z0-9]+ concatenations)
           vocab = vocab
-            .withColumn("repr", expr(s"replace(repr, '_${l}_$rt', '_$l$rt')"))
+            .withColumn("repr", expr(s"replace(repr, '_$l._$rt.', '_$l$rt.')"))
             .localCheckpoint()
         }
       }
@@ -1431,14 +1438,15 @@ object TextOps {
     * tokenizer on the corpus the way a data team decides vocab size. */
   def txtBpeApply(spark: SparkSession, dir: String): DataFrame = {
     val merges = learnedBpeMerges(spark, dir)
-    val reprExpr = merges.foldLeft("regexp_replace(t, '(.)', '_$1')") {
-      case (e, (_, l, r, _)) => s"replace($e, '_${l}_$r', '_$l$r')"
-    }
+    val reprExpr =
+      merges.foldLeft("regexp_replace(t, '(.)', '_$1.')") {
+        case (e, (_, l, r, _)) => s"replace($e, '_$l._$r.', '_$l$r.')"
+      }
     Tables(spark, dir).documents
       .select(col("lang"), explode(expr(tokensExpr)).as("t"))
       .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
       .select(col("lang"), col("cnt"), length(col("t")).as("chars"),
-        size(expr(s"filter(split($reprExpr, '_'), x -> x != '')")).as("toks"))
+        size(expr(s"filter(split(replace($reprExpr, '.', ''), '_'), x -> x != '')")).as("toks"))
       .groupBy("lang")
       .agg(sum("cnt").as("n_words"),
         sum(expr("chars * cnt")).as("n_char_tokens"),
@@ -2290,7 +2298,7 @@ object TextOps {
          |  GROUP BY 1, 2),
          |j AS (
          |  SELECT lang, lw.cnt, length(lw.t) AS chars,
-         |         len(list_filter(string_split(repr, '_'), x -> x <> '')) AS toks
+         |         len(list_filter(string_split(replace(repr, '.', ''), '_'), x -> x <> '')) AS toks
          |  FROM lw JOIN wf$BpeRounds USING (t))
          |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
          |  CAST(sum(chars * cnt) AS BIGINT) AS n_char_tokens,

@@ -40,6 +40,13 @@ object Formats {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Backing-file location for a session-keyed bucketed table — ONE
+    * definition of the layout root shared by every catalog writer and
+    * by [[dropBucketedTable]]'s delete path (and by catalog builders
+    * living outside this object, e.g. DedupOps' MinHash catalogs). */
+  private[graft] def bucketedPath(tbl: String): String =
+    s"$tmpRoot/graft_bucketed/$tbl"
+
   /** Bucketed catalog-table sink: the write-side half of the 100 TB
     * co-located-join posture. Two tables bucketed+sorted on the same
     * join key join with ZERO exchanges and zero sorts (asserted in
@@ -50,7 +57,7 @@ object Formats {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
-      .option("path", s"$tmpRoot/graft_bucketed/$table")
+      .option("path", bucketedPath(table))
       .saveAsTable(table)
 
   /** Drop a bucketed catalog table AND its backing files. Tables
@@ -61,7 +68,7 @@ object Formats {
     * created. */
   def dropBucketedTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val dir = java.nio.file.Paths.get(s"$tmpRoot/graft_bucketed/$table")
+    val dir = java.nio.file.Paths.get(bucketedPath(table))
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
       // Files.walk holds directory handles until closed (the API's
@@ -161,11 +168,11 @@ object Formats {
         t.orders.repartition(FactBuckets, col("o_orderkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(FactBuckets, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$tmpRoot/graft_bucketed/$ot").saveAsTable(ot)
+          .option("path", bucketedPath(ot)).saveAsTable(ot)
         t.lineitem.repartition(FactBuckets, col("l_orderkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$tmpRoot/graft_bucketed/$lt").saveAsTable(lt)
+          .option("path", bucketedPath(lt)).saveAsTable(lt)
         factCache((System.identityHashCode(spark), dir)) = (ot, lt)
       }
     }
@@ -183,12 +190,6 @@ object Formats {
     * time — the cost a warehouse pays once per corpus version, exactly
     * like [[bucketedFacts]] — never per batch. Built through
     * [[sessionTable]], so [[dropSessionTables]] reclaims it. */
-  /** Backing-file location for a session-keyed bucketed table — for
-    * catalog builders living outside this object (e.g. DedupOps'
-    * MinHash catalogs). */
-  private[graft] def bucketedPath(tbl: String): String =
-    s"$tmpRoot/graft_bucketed/$tbl"
-
   def fingerprintCatalog(spark: SparkSession, dir: String): DataFrame =
     sessionTable(spark, dir, "graft_fp_b_") { tbl =>
       Tables(spark, dir).documents
@@ -201,7 +202,7 @@ object Formats {
         .repartition(FactBuckets, col("h"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(FactBuckets, "h").sortBy("h")
-        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+        .option("path", bucketedPath(tbl)).saveAsTable(tbl)
     }
 
   private val eventsCache =
@@ -227,7 +228,7 @@ object Formats {
           .write.mode(SaveMode.Overwrite)
           .bucketBy(FactBuckets, "user_id")
           .sortBy("user_id", "tus", "event_id")
-          .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+          .option("path", bucketedPath(tbl)).saveAsTable(tbl)
         eventsCache((System.identityHashCode(spark), dir)) = tbl
       }
     }
@@ -398,7 +399,14 @@ object Formats {
     * plan touched strictly fewer files than the layout holds. */
   def srcManifestPrune(spark: SparkSession, dir: String): DataFrame = {
     val (files, _) = manifestSelect(spark, dir, ManifestLo, ManifestHi)
-    spark.read.parquet(files: _*)
+    // Zero surviving files is a legal planning outcome (a band outside
+    // the corpus's id range) — parquet() with no paths would throw
+    // instead of producing the oracle's empty result, so fall back to
+    // the full layout and let the (now row-free) pushdown do the work.
+    val src =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(manifestLayout(spark, dir)._1)
+    src
       .filter(col("user_id").between(ManifestLo, ManifestHi))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -420,7 +428,7 @@ object Formats {
           col("event_type"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("event_type")
-        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+        .option("path", bucketedPath(tbl)).saveAsTable(tbl)
     }
 
   /** Tiny event-type dimension (type → category) persisted as its own
@@ -439,7 +447,7 @@ object Formats {
             "THEN 'conversion' ELSE 'engagement' END"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite)
-        .option("path", s"$tmpRoot/graft_bucketed/$tbl").saveAsTable(tbl)
+        .option("path", bucketedPath(tbl)).saveAsTable(tbl)
     }
 
   /** DYNAMIC PARTITION PRUNING end to end — the other half of the

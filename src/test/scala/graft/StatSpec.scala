@@ -679,6 +679,32 @@ class StatSpec extends AnyFunSuite {
     // Counts are positive and round 1 is the global maximum (later
     // rounds can only see counts <= the first argmax).
     assert(merges.forall(_._4 > 0) && merges.forall(_._4 <= r1._4))
+    // EVERY round re-derived by an independent LIST-based BPE reference
+    // (symbol arrays + greedy left-to-right scan — not string replace),
+    // so a rewrite-mechanics bug shared by both engines' replace()
+    // formulations cannot hide behind oracle parity.
+    def applyMerge(sy: List[String], a: String, b: String): List[String] =
+      sy match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    var vocab = Tables(spark, sf).documents
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(TextOps.tokensExpr)).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0).split("").toList, r.getLong(1)))
+    merges.foreach { case (round, l, rt, c) =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sy, n) =>
+        sy.zip(sy.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, s"$a $b") }
+      assert((best._1._1, best._1._2, best._2) == ((l, rt, c)),
+        s"round $round: op chose ($l, $rt, $c), reference says $best")
+      vocab = vocab.map { case (sy, n) => (applyMerge(sy, l, rt), n) }
+    }
   }
 
   test("Wilson intervals bracket each arm's rate inside [0, 1]") {
