@@ -103,4 +103,25 @@ class ScalingSpec extends AnyFunSuite {
     assert(f1 <= 0.05 && f2 <= 0.05,
       f"prefix candidates exceed 5%% of the pair space (${f1 * 100}%.2f%% / ${f2 * 100}%.2f%%)")
   }
+
+  test("BPE train iterates over a vocabulary that grows far slower than the corpus") {
+    // txt_bpe_train's scale claim: one corpus pass builds the
+    // word-frequency table, then every round is a job over VOCAB rows.
+    // Heaps'-law evidence: corpus tokens grow ~10x across the shipped
+    // sizes while distinct words grow by a much smaller factor, so the
+    // per-round cost is decoupled from corpus bytes by construction.
+    def measure(dir: String): (Long, Long) = {
+      val toks = Tables(spark, dir).documents
+        .select(explode(expr(graft.operators.TextOps.tokensExpr)).as("t"))
+      (toks.count(), toks.distinct().count())
+    }
+    val (tok1, voc1) = measure(small)
+    val (tok2, voc2) = measure(large)
+    val tokRatio = tok2.toDouble / tok1
+    val vocRatio = voc2.toDouble / voc1
+    info(f"corpus tokens x$tokRatio%.1f -> vocabulary x$vocRatio%.2f")
+    assert(tok2 > tok1, "corpus sizes equal — spec vacuous")
+    assert(vocRatio * 2 <= tokRatio,
+      f"vocabulary grew x$vocRatio%.2f vs corpus x$tokRatio%.1f — iteration cost not decoupled")
+  }
 }
