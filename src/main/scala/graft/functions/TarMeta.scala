@@ -61,6 +61,39 @@ case class TarMeta(child: Expression) extends UnaryExpression {
 }
 
 object TarMeta {
+
+  /** Build a valid ustar archive from (name, bytes) members — the
+    * WRITE side of the shard lifecycle ([[parse]] is the read side):
+    * POSIX headers with correct octal size fields and the
+    * spaces-for-checksum unsigned sum, 512-padded member data, and the
+    * two-zero-block end marker. Member order is the caller's (sort for
+    * determinism). Used by mm_shard_roundtrip; MultimodalSpec pins
+    * [[parse]] against its own INDEPENDENT handcrafted bytes so the
+    * pair cannot co-drift. */
+  def write(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      name.getBytes("UTF-8").copyToArray(h, 0)
+      "0000644\u0000".getBytes.copyToArray(h, 100)
+      "0000000\u0000".getBytes.copyToArray(h, 108)
+      "0000000\u0000".getBytes.copyToArray(h, 116)
+      ("%011o".format(data.length) + "\u0000").getBytes.copyToArray(h, 124)
+      "00000000000\u0000".getBytes.copyToArray(h, 136)
+      h(156) = '0'.toByte
+      "ustar\u000000".getBytes.copyToArray(h, 257)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.map(_ & 0xff).sum
+      ("%06o".format(sum) + "\u0000 ").getBytes.copyToArray(h, 148)
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
   /** Octal ASCII field at [i, i+len): digits until NUL or space.
     * Returns -1 for empty or non-octal content (malformed header). */
   private def octal(b: Array[Byte], i: Int, len: Int): Long = {

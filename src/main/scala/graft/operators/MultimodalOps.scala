@@ -122,7 +122,50 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
+  /** WebDataset-style shard ROUND-TRIP: pack documents into real ustar
+    * shard payloads ([[graft.functions.TarMeta.write]] — 64 docs per
+    * shard, members "doc<id>.txt" in doc_id order), then walk the
+    * bytes back with the native graft_tar_meta parser and report per
+    * shard. The walker validates magic + checksum on every header, so
+    * a writer defect surfaces as a null format, a wrong member count,
+    * or a byte-total mismatch against the oracle, which derives the
+    * expected metadata straight from the documents table (shard
+    * grouping + text byte lengths) without ever seeing tar bytes.
+    *
+    * Shape: one groupByKey(shard) mapGroups builds each payload —
+    * the documented imperative-constructor exception (the
+    * mm_decode_stub posture, writer-side); per-shard memory is bounded
+    * by the fixed shard capacity, exactly how a real shard writer
+    * sizes itself (WebDataset targets fixed members-per-shard). */
+  def mmShardRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), expr("doc_id div 64").as("shard"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (shard, it) =>
+        val members = it.toSeq.sortBy(_._1)
+          .map { case (id, text, _) => (s"doc$id.txt", text.getBytes("UTF-8")) }
+        (shard, graft.functions.TarMeta.write(members))
+      }
+      .toDF("shard", "payload")
+    payloads
+      .select(col("shard"), expr("graft_tar_meta(payload)").as("m"))
+      .select(col("shard"), col("m.format").as("format"),
+        col("m.n_members").as("n_members"), col("m.n_files").as("n_files"),
+        col("m.data_bytes").as("data_bytes"),
+        col("m.first_name").as("first_name"))
+      .orderBy("shard")
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_shard_roundtrip" ->
+      """SELECT doc_id // 64 AS shard, 'tar' AS format,
+        |  CAST(count(*) AS INTEGER) AS n_members,
+        |  CAST(count(*) AS INTEGER) AS n_files,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS data_bytes,
+        |  'doc' || CAST(min(doc_id) AS VARCHAR) || '.txt' AS first_name
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "mm_archive_meta" ->
       "SELECT 'unknown' AS format, count(*) AS n FROM documents",
     "mm_video_meta" ->
@@ -144,6 +187,7 @@ object MultimodalOps {
     "mm_audio_meta" -> (mmAudioMeta(_, _)),
     "mm_video_meta" -> (mmVideoMeta(_, _)),
     "mm_archive_meta" -> (mmArchiveMeta(_, _)),
+    "mm_shard_roundtrip" -> (mmShardRoundtrip(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.

@@ -158,6 +158,25 @@ class MultimodalSpec extends AnyFunSuite {
       ("truncated", None, "", -1, -1, -1L)), rows.toString)
   }
 
+  test("TarMeta.write emits archives GNU tar itself can list") {
+    // The writer's strongest check is an INDEPENDENT implementation:
+    // /usr/bin/tar must list exactly the members we packed, in order.
+    val bytes = graft.functions.TarMeta.write(Seq(
+      ("a/0001.jpg", Array.fill[Byte](700)(3)),
+      ("a/0001.txt", "caption text".getBytes("UTF-8"))))
+    val f = java.io.File.createTempFile("graft_tar_spec", ".tar")
+    try {
+      java.nio.file.Files.write(f.toPath, bytes)
+      val out = new StringBuilder
+      val p = new ProcessBuilder("tar", "-tf", f.getAbsolutePath)
+        .redirectErrorStream(true).start()
+      scala.io.Source.fromInputStream(p.getInputStream).getLines()
+        .foreach(l => out.append(l).append('\n'))
+      assert(p.waitFor() == 0, s"tar -tf failed:\n$out")
+      assert(out.toString == "a/0001.jpg\na/0001.txt\n", out.toString)
+    } finally f.delete()
+  }
+
   test("graft_tar_meta walks ustar archives and rejects malformed ones") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
