@@ -209,6 +209,35 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("ANALYZE TABLE feeds the cost-based optimizer real row and column stats") {
+    // The warehouse-stats lifecycle a 100 TB deployment runs at ingest:
+    // ANALYZE writes table + column statistics into the catalog, and
+    // with CBO on the optimizer sees exact row counts and per-column
+    // NDV/min/max — what join reordering and broadcast decisions feed
+    // on when size-in-bytes guesses are off by orders of magnitude.
+    val (orders, _) = Formats.bucketedFacts(spark, "/root/testdata/sf0.001")
+    val tbl = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_orders_b_"))
+      .collect().head.name
+    val cboKey = "spark.sql.cbo.enabled"
+    val prev = spark.conf.get(cboKey)
+    spark.conf.set(cboKey, "true")
+    try {
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus")
+      val stats = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(orders.count())),
+        s"rowCount ${stats.rowCount} != ${orders.count()}")
+      val colStats = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val ndv = colStats.get("o_orderkey").flatMap(_.distinctCount)
+      assert(ndv.exists(_.toLong > 0), s"no NDV for o_orderkey: $colStats")
+      // Status is a 3-value enum — the NDV must reflect that, which is
+      // exactly the signal CBO selectivity estimates ride on.
+      val statusNdv = colStats.get("o_orderstatus").flatMap(_.distinctCount)
+      assert(statusNdv.exists(n => n.toLong >= 1 && n.toLong <= 5),
+        s"o_orderstatus NDV off: $statusNdv")
+    } finally spark.conf.set(cboKey, prev)
+  }
+
   test("schema evolution: mergeSchema unions column sets, old files null-fill") {
     // The production lifecycle: a pipeline adds a column (v2 writes
     // carry `score`), history stays as-is, and readers see the union
