@@ -517,6 +517,122 @@ object DedupOps {
       .orderBy("batch_id", "corpus_id")
   }
 
+  private val JacVerifyExpr =
+    "CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"
+
+  /** Corpus component catalogs, built ONCE per (session, dir) on top of
+    * [[minhashCatalogs]]: (doc_id → component label) bucketed by doc_id
+    * for O(1)-ish endpoint lookups, and (label → member count) bucketed
+    * by label for the contracted-graph weights. The corpus CC loop runs
+    * HERE, at ingest time — the cost a warehouse pays once per corpus
+    * version — and the band self-join that feeds it is CO-LOCATED (both
+    * sides the same (j, mh)-bucketed table), so even the build moves no
+    * corpus bytes through an exchange. */
+  private def componentCatalogs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.sources.Formats
+    lazy val all = {
+      val (bands, shingles) = minhashCatalogs(spark, dir)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val pairs = cand
+        .join(shingles.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+        .join(shingles.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+        .filter(expr(JacVerifyExpr) >= 0.5)
+        .select("id1", "id2")
+      val touched = minLabelComponents(spark, pairs)
+      val corpusDocs = Tables(spark, dir).documents
+        .filter(col("source") === "src0").select(col("doc_id").as("id"))
+      touched.unionByName(
+        corpusDocs.join(touched.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label")))
+        .localCheckpoint()
+    }
+    val labelCat = Formats.sessionTable(spark, dir, "graft_cc_lab_") { tbl =>
+      all.select(col("id").as("doc_id"), col("label"))
+        .repartition(Formats.FactBuckets, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(Formats.FactBuckets, "doc_id").sortBy("doc_id")
+        .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
+    }
+    val sizeCat = Formats.sessionTable(spark, dir, "graft_cc_sz_") { tbl =>
+      all.groupBy("label").agg(count(lit(1)).as("n_members"))
+        .repartition(Formats.FactBuckets, col("label"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(Formats.FactBuckets, "label").sortBy("label")
+        .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
+    }
+    (labelCat, sizeCat)
+  }
+
+  /** Incremental CONNECTED COMPONENTS — the third leg of the
+    * incremental-dedup trilogy (exact hashes → [[dedupIncremental]],
+    * near-dup pairs → [[dedupMinhashIncremental]], and now the
+    * clustering stage): when a batch arrives, the near-dup components
+    * it creates or changes are recomputed WITHOUT touching untouched
+    * corpus components, by GRAPH CONTRACTION — every existing corpus
+    * component is one node (its label, with its member count as the
+    * node weight, both from the persisted catalogs), so the iterative
+    * CC loop runs on the DELTA-SIZED contracted graph: batch docs,
+    * batch↔batch verified pairs, and batch↔corpus pairs whose corpus
+    * endpoint is collapsed to its component label. Contraction is
+    * sound because an existing component is internally connected —
+    * merging through any member merges through all.
+    *
+    * Readout: the CHANGED component set (every component holding ≥1
+    * batch doc, including batch singletons) with FULL member counts —
+    * the CDC output a production pipeline appends, O(delta) rows. The
+    * component id stays the global min doc_id (a corpus label IS its
+    * component's min member, so min over the contracted node ids is
+    * the true min). The oracle recomputes components over the WHOLE
+    * corpus from scratch and restricts to batch-touched ones — full
+    * semantic equality, no layout visible. */
+  def dedupComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (bands, shingles) = minhashCatalogs(spark, dir)
+    val (labelCat, sizeCat) = componentCatalogs(spark, dir)
+    val batch = shingleSetsWhere(spark, dir, col("source") =!= "src0")
+      .localCheckpoint()
+    val bsig = batch
+      .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
+    val bb = bsig.as("a")
+      .join(bsig.as("b"),
+        col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .join(batch.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(batch.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+      .filter(expr(JacVerifyExpr) >= 0.5)
+      .select("id1", "id2")
+    val bc = bsig.join(bands.withColumnRenamed("doc_id", "cid"), Seq("j", "mh"))
+      .select(col("doc_id").as("id1"), col("cid"))
+      .distinct()
+      .join(shingles.select(col("doc_id").as("cid"), col("hs").as("s2")), "cid")
+      .join(batch.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .filter(expr(JacVerifyExpr) >= 0.5)
+      .join(labelCat.select(col("doc_id").as("cid"), col("label")), "cid")
+      .select(col("id1"), col("label").as("id2"))
+      .distinct()
+    val contracted = bb.unionByName(bc).localCheckpoint()
+    val labels = minLabelComponents(spark, contracted)
+    val connected = labels
+      .join(sizeCat.select(col("label").as("id"), col("n_members").as("w")),
+        Seq("id"), "left")
+      .select(col("label"), coalesce(col("w"), lit(1L)).as("w"))
+      .groupBy(col("label").as("component"))
+      .agg(sum("w").as("n_members"))
+    val singles = Tables(spark, dir).documents
+      .filter(col("source") =!= "src0").select(col("doc_id").as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id").as("component"), lit(1L).as("n_members"))
+    connected.unionByName(singles).orderBy("component")
+  }
+
   /** Edit-distance (fuzzy) near-dup pairs — the dedup family between
     * exact-hash and token-set similarity: SimHash buckets propose
     * candidates, exact Levenshtein over a bounded 400-char prefix
@@ -731,13 +847,6 @@ object DedupOps {
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    // localCheckpoint with bookkeeping: track which persistent RDDs each
-    // checkpoint added so superseded iterations are freed as the loop
-    // advances — without this a long-diameter graph (or a long-lived
-    // session running many dedups) accumulates one block set per round.
-    // Ownership is a getPersistentRDDs diff, which assumes queries run
-    // SERIALLY per session (Verify/Bench/driver do) — see the
-    // GraphOps.pagerankRanks note before using sessions concurrently.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
@@ -749,29 +858,55 @@ object DedupOps {
     // pair pipeline twice, and without the cut both branches would run
     // the whole IVF + cell-join + cosine subtree (the r2 knn diamond).
     val (pairs, edgeIds) = checkpointed(dedupEmbedding(spark, dir).select("id1", "id2"))
+    val labels = minLabelComponents(spark, pairs)
+    free(edgeIds)
+    val vertices = Tables(spark, dir).embeddings.select(col("vec_id").as("id"))
+    val singletons = vertices
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
+  /** Iterative min-label propagation to the fixpoint — ONE definition
+    * for [[dedupComponents]] and the incremental-components contracted
+    * graph. `pairs` is the unsymmetrized (id1, id2) edge list; returns
+    * (id, label) for every EDGE-TOUCHED vertex, checkpointed (isolated
+    * vertices are already fixed points — callers rejoin them as
+    * singletons). Each round is one shuffle join + partial-agg min with
+    * `localCheckpoint` cutting the lineage, plus bookkeeping that frees
+    * superseded rounds' blocks (ownership is a getPersistentRDDs diff,
+    * which assumes queries run SERIALLY per session — Verify/Bench/the
+    * driver do; see the GraphOps.pagerankRanks note before using
+    * sessions concurrently). Labels only ever decrease, so sum(label)
+    * is a strictly-decreasing convergence measure — one cheap agg per
+    * round instead of a change-detection join; two propagation hops per
+    * checkpointed round halve the rounds (same fixpoint; propagation is
+    * monotone; measured at sf0.1: 2 hops/round beats 4, 8.5 s vs
+    * 10.0 s). */
+  private[graft] def minLabelComponents(spark: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    val vertices = Tables(spark, dir).embeddings.select(col("vec_id"))
-    // Iterate ONLY over edge-touched vertices: isolated vertices are
-    // already fixed points and rejoin as singleton components at the
-    // end. At scale the loop's working set is |near-dup graph|, not
-    // |corpus|.
     var (labels, labelIds) = checkpointed(
-      edges.select(col("id1").as("vec_id")).distinct()
-        .select(col("vec_id"), col("vec_id").as("label")))
-    // Labels only ever decrease, so sum(label) is a strictly-decreasing
-    // convergence measure — one cheap agg per round instead of a
-    // change-detection join. Two propagation hops per checkpointed
-    // round halve the rounds (same fixpoint; propagation is monotone).
-    // Measured at sf0.1: 2 hops/round beats 4 (8.5 s vs 10.0 s) — the
-    // deeper per-round plan costs more than the rounds it saves, so the
-    // loop is NOT round-count-bound at this scale.
+      edges.select(col("id1").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     def step(ls: DataFrame): DataFrame = {
       val prop = edges
-        .join(ls, edges("id1") === ls("vec_id"))
-        .select(col("id2").as("vec_id"), col("label"))
-      ls.select(col("vec_id"), col("label")).unionByName(prop)
-        .groupBy("vec_id").agg(min("label").as("label"))
+        .join(ls, edges("id1") === ls("id"))
+        .select(col("id2").as("id"), col("label"))
+      ls.select(col("id"), col("label")).unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
     }
     // sum over an EMPTY labels set is SQL NULL (a clean corpus with no
     // near-dup pairs — ADVICE r2); treat it as 0 so the loop converges
@@ -789,14 +924,7 @@ object DedupOps {
       converged = s == prevSum
       prevSum = s
     }
-    free(edgeIds)
-    val singletons = vertices
-      .join(labels.select("vec_id"), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("vec_id").as("label"))
-    labels.unionByName(singletons)
-      .groupBy(col("label").as("component"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("component")
+    labels
   }
 
   /** Per-document duplicated-passage coverage (the RefinedWeb/"dedup the
@@ -951,6 +1079,32 @@ object DedupOps {
          |FROM cc c JOIN hsh x ON c.batch_id = x.doc_id JOIN hsh y ON c.corpus_id = y.doc_id
          |WHERE len(list_intersect(x.hs, y.hs)) * 1.0 / len(list_distinct(x.hs || y.hs)) >= 0.5
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    // Full-recompute semantics of the contracted incremental update:
+    // components over the WHOLE corpus's verified near-dup graph,
+    // restricted to those containing at least one batch document.
+    "dedup_components_incremental" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |$minhashCandSql,
+         |vp AS (
+         |  SELECT c.id1, c.id2
+         |  FROM cand c JOIN hsh x ON c.id1 = x.doc_id
+         |              JOIN hsh y ON c.id2 = y.doc_id
+         |  WHERE len(list_intersect(x.hs, y.hs)) * 1.0
+         |          / len(list_distinct(x.hs || y.hs)) >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM vp
+         |      UNION ALL SELECT id2, id1 FROM vp),
+         |walk(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, walk.l FROM walk JOIN e ON walk.v = e.a),
+         |lab AS (SELECT v AS doc_id, min(l) AS label FROM walk GROUP BY v),
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM lab GROUP BY label),
+         |ch AS (SELECT DISTINCT label
+         |       FROM lab JOIN documents USING (doc_id)
+         |       WHERE source <> 'src0')
+         |SELECT label AS component, n_members
+         |FROM sz JOIN ch USING (label) ORDER BY component""".stripMargin,
     "dedup_pipeline" ->
       s"""WITH $shingleSql,
          |$minhashCandSql,
@@ -1179,6 +1333,7 @@ object DedupOps {
     "dedup_edit_near" -> (dedupEditNear(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental(_, _)),
+    "dedup_components_incremental" -> (dedupComponentsIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "dedup_name_match" -> (dedupNameMatch(_, _)),

@@ -209,6 +209,46 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("incremental components: contracted delta graph equals the full recompute") {
+    import graft.operators.DedupOps
+    val df = DedupOps.dedupComponentsIncremental(spark, sf)
+    // Both catalog reads (doc→label, label→size) arrive from bucket
+    // lattices; the iterative loop runs on the contracted delta graph.
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Bucketed: true".r.findAllIn(plan).length >= 1,
+      s"no bucketed catalog scan in the readout plan:\n$plan")
+    // Full recompute in Spark: components over ALL documents' verified
+    // minhash pairs, restricted to components holding a batch doc.
+    val sh = DedupOps.hashedShingleSets(spark, sf).localCheckpoint()
+    val sig = sh.select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(expr("graft_minhash_bands(hs)")))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
+    val pairs = sig.as("a")
+      .join(sig.as("b"),
+        col("a.j") === col("b.j") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+      .join(sh.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+      .filter(expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))") >= 0.5)
+      .select("id1", "id2")
+    val touched = DedupOps.minLabelComponents(spark, pairs)
+    val docs = Tables(spark, sf).documents.select(col("doc_id").as("id"), col("source"))
+    val allLabels = touched.join(docs, Seq("id"))
+      .unionByName(
+        docs.join(touched.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label"), col("source")))
+    val expected = allLabels
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("nb"))
+      .filter(col("nb") > 0)
+      .select(col("label").as("component"), col("n_members"))
+      .orderBy("component")
+    assert(df.collect().toSeq == expected.collect().toSeq,
+      "contracted incremental components diverged from the full recompute")
+  }
+
   test("ANALYZE TABLE feeds the cost-based optimizer real row and column stats") {
     // The warehouse-stats lifecycle a 100 TB deployment runs at ingest:
     // ANALYZE writes table + column statistics into the catalog, and
