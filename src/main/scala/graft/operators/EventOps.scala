@@ -890,6 +890,59 @@ object EventOps {
       "round(CASE WHEN n_users = 0 THEN 0e0 ELSE center - hw END, 4) + 0.0 AS wilson_lo",
       "round(CASE WHEN n_users = 0 THEN 1e0 ELSE center + hw END, 4) + 0.0 AS wilson_hi"))
 
+  /** SPRT design constants, shared by the Spark op and its oracle.
+    * H0: conversion = 30%; H1: = 45%; α = β = 0.05. The log terms are
+    * computed ONCE here in JVM math and embedded as shortest-round-trip
+    * DOUBLE LITERALS in both engines (the kmeans literal-centroid move
+    * applied to constants) — ln() never runs inside either engine, so
+    * libm rounding differences cannot exist. */
+  private val SprtL1 = math.log(0.45 / 0.30)
+  private val SprtL2 = math.log(0.55 / 0.70)
+  private val SprtHi = math.log(0.95 / 0.05)
+  private val SprtLo = math.log(0.05 / 0.95)
+
+  /** Wald's SEQUENTIAL probability ratio test over the experiment
+    * stream — the monitoring companion to the fixed-horizon panel
+    * (ev_ab_test decides at the end; stat_power_mde sizes upfront;
+    * SPRT is how a live experiment STOPS EARLY with α/β still
+    * controlled — peeking at a z-test daily inflates false positives,
+    * peeking at the SPRT boundary is the test): per arm and day, users
+    * enter on their first-ever active day (the md5-parity arm and the
+    * purchase-conversion gate are the shared ev_ab_test definitions),
+    * the cumulative log-likelihood ratio c·ln(p1/p0) +
+    * (n−c)·ln((1−p1)/(1−p0)) updates, and the decision row reads
+    * continue / accept_h0 / accept_h1 against the Wald bounds
+    * ln((1−β)/α), ln(β/(1−α)). Every LLR is (exact BIGINT counts) ×
+    * (identical literal doubles) — bit-equal across engines; the
+    * decision compares the RAW llr, the display rounds. The cumulative
+    * window runs over the horizon-bounded (arm × day) table. */
+  def statSprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+        .otherwise(0L)).as("conv"),
+        min("d").as("d0"))
+      .withColumn("arm",
+        expr("CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2 = 0 " +
+          "THEN 'A' ELSE 'B' END"))
+    val w = Window.partitionBy("arm").orderBy("d0")
+    u.groupBy("arm", "d0")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .withColumn("n_users", sum("n").over(w))
+      .withColumn("n_conv", sum("c").over(w))
+      .selectExpr("arm", "d0 AS day", "n_users", "n_conv",
+        s"n_conv * CAST($SprtL1 AS DOUBLE) + (n_users - n_conv) * CAST($SprtL2 AS DOUBLE) AS llr_raw")
+      .selectExpr("arm", "day", "n_users", "n_conv",
+        "round(llr_raw, 4) + 0.0 AS llr",
+        s"""CASE WHEN llr_raw >= CAST($SprtHi AS DOUBLE) THEN 'accept_h1'
+           |     WHEN llr_raw <= CAST($SprtLo AS DOUBLE) THEN 'accept_h0'
+           |     ELSE 'continue' END AS decision""".stripMargin)
+      .orderBy("arm", "day")
+  }
+
   /** Hourly session concurrency — the capacity-planning curve ops
     * teams read (how many sessions are live in each hour): sessions
     * from the ev_sessionize 30-min-gap rule, each exploded to the
@@ -2915,6 +2968,37 @@ object EventOps {
          |  CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm,
          |  $AbTestZ2
          |FROM m""".stripMargin,
+    "stat_sprt" -> {
+      val h = (1 to 4)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         |    min(epoch_us(ts) // 86400000000) AS d0,
+         |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM events GROUP BY user_id),
+         |daily AS (
+         |  SELECT arm, d0, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+         |  FROM u GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT arm, d0 AS day,
+         |    sum(n) OVER (PARTITION BY arm ORDER BY d0 ROWS UNBOUNDED PRECEDING) AS n_users,
+         |    sum(c) OVER (PARTITION BY arm ORDER BY d0 ROWS UNBOUNDED PRECEDING) AS n_conv
+         |  FROM daily),
+         |l AS (
+         |  SELECT arm, day, n_users, n_conv,
+         |    n_conv * CAST($SprtL1 AS DOUBLE)
+         |      + (n_users - n_conv) * CAST($SprtL2 AS DOUBLE) AS llr_raw
+         |  FROM cum)
+         |SELECT arm, day, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_conv AS BIGINT) AS n_conv,
+         |  round(llr_raw, 4) + 0.0 AS llr,
+         |  CASE WHEN llr_raw >= CAST($SprtHi AS DOUBLE) THEN 'accept_h1'
+         |       WHEN llr_raw <= CAST($SprtLo AS DOUBLE) THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM l ORDER BY arm, day""".stripMargin
+    },
     "stat_wilson_ci" ->
       s"""WITH $AbAccumSql,
          |arms AS (
@@ -3256,6 +3340,7 @@ object EventOps {
     "stat_pacf" -> (statPacf(_, _)),
     "ev_ab_test" -> (evAbTest(_, _)),
     "stat_wilson_ci" -> (statWilsonCi(_, _)),
+    "stat_sprt" -> (statSprt(_, _)),
     "ev_seasonality" -> (evSeasonality(_, _)),
     "stat_theil_sen" -> (statTheilSen(_, _)),
     "ev_new_vs_returning" -> (evNewVsReturning(_, _)),

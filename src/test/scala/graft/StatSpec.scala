@@ -707,6 +707,28 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("SPRT: cumulative counts are monotone and decisions match the Wald bounds") {
+    val rows = EventOps.statSprt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    assert(rows.map(_._1).toSet == Set("A", "B"))
+    val (l1, l2) = (math.log(0.45 / 0.30), math.log(0.55 / 0.70))
+    val (hi, lo) = (math.log(0.95 / 0.05), math.log(0.05 / 0.95))
+    rows.groupBy(_._1).foreach { case (_, arm) =>
+      val byDay = arm.sortBy(_._2)
+      // cumulative users/conversions never decrease
+      assert(byDay.map(_._3).sameElements(byDay.map(_._3).sorted))
+      assert(byDay.map(_._4).sameElements(byDay.map(_._4).sorted))
+      byDay.foreach { case (_, _, n, c, llr, decision) =>
+        val raw = c * l1 + (n - c) * l2
+        assert(math.abs(llr - raw) < 1e-3, s"llr $llr vs recomputed $raw")
+        val expect =
+          if (raw >= hi) "accept_h1" else if (raw <= lo) "accept_h0" else "continue"
+        assert(decision == expect, s"decision $decision vs $expect at llr $raw")
+      }
+    }
+  }
+
   test("Wilson intervals bracket each arm's rate inside [0, 1]") {
     val rows = EventOps.statWilsonCi(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSet == Set("A", "B"))
