@@ -60,6 +60,42 @@ case class TarMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-member listing of a TAR payload: `array<struct<name string,
+  * offset bigint, size bigint>>` with `offset` pointing at the member's
+  * DATA (not its header) — the random-access index a WebDataset-style
+  * serving layer builds once so a trainer can range-read single samples
+  * out of a multi-GB shard without streaming it. Same strictness
+  * contract as [[TarMeta]]: malformed input ⇒ null, never a partial
+  * index (an index with a wrong offset corrupts silently at read time —
+  * the worst failure mode a serving path has). */
+case class TarMembers(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tar_members"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TarMeta.members(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TarMeta.members($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TarMembers =
+    copy(child = newChild)
+}
+
 object TarMeta {
 
   /** Build a valid ustar archive from (name, bytes) members — the
@@ -138,6 +174,36 @@ object TarMeta {
       b(i + 259) == 't'.toByte && b(i + 260) == 'a'.toByte &&
       b(i + 261) == 'r'.toByte &&
       (b(i + 262) == 0 || b(i + 262) == ' '.toByte)
+
+  /** Member index (regular files only): (name, data offset, size) per
+    * member, or null for payloads that are not a clean tar archive —
+    * the [[TarMembers]] walker, sharing [[parse]]'s validation. */
+  def members(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b.length < 512 || !magicOk(b, 0) || !checksumOk(b, 0)) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0L
+    var ended = false
+    while (!ended && i + 512 <= b.length) {
+      val h = i.toInt
+      if (isZeroBlock(b, h)) { ended = true }
+      else {
+        if (!magicOk(b, h) || !checksumOk(b, h)) return null
+        val size = octal(b, h + 124, 12)
+        if (size < 0) return null
+        val tf = b(h + 156)
+        if (tf == 0 || tf == '0'.toByte) {
+          var e = h
+          while (e < h + 100 && b(e) != 0) e += 1
+          out += new GenericInternalRow(Array[Any](
+            UTF8String.fromString(new String(b, h, e - h, "UTF-8")),
+            i + 512L, size))
+        }
+        i = i + 512L + ((size + 511L) / 512L) * 512L
+        if (i > b.length) return null
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 
   /** Returns null for payloads that are not a clean tar archive. */
   def parse(b: Array[Byte]): InternalRow = {

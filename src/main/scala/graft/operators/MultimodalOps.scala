@@ -122,24 +122,17 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("format")
 
-  /** WebDataset-style shard ROUND-TRIP: pack documents into real ustar
-    * shard payloads ([[graft.functions.TarMeta.write]] — 64 docs per
-    * shard, members "doc<id>.txt" in doc_id order), then walk the
-    * bytes back with the native graft_tar_meta parser and report per
-    * shard. The walker validates magic + checksum on every header, so
-    * a writer defect surfaces as a null format, a wrong member count,
-    * or a byte-total mismatch against the oracle, which derives the
-    * expected metadata straight from the documents table (shard
-    * grouping + text byte lengths) without ever seeing tar bytes.
-    *
-    * Shape: one groupByKey(shard) mapGroups builds each payload —
-    * the documented imperative-constructor exception (the
-    * mm_decode_stub posture, writer-side); per-shard memory is bounded
-    * by the fixed shard capacity, exactly how a real shard writer
-    * sizes itself (WebDataset targets fixed members-per-shard). */
-  def mmShardRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** The shard payload table shared by [[mmShardRoundtrip]] and
+    * [[mmShardIndex]]: 64 docs per shard, members "doc<id>.txt" in
+    * doc_id order, real ustar bytes via TarMeta.write. One
+    * groupByKey(shard) mapGroups builds each payload — the documented
+    * imperative-constructor exception (the mm_decode_stub posture,
+    * writer-side); per-shard memory is bounded by the fixed shard
+    * capacity, exactly how a real shard writer sizes itself
+    * (WebDataset targets fixed members-per-shard). */
+  private[graft] def shardPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables(spark, dir).documents
+    Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), expr("doc_id div 64").as("shard"))
       .as[(Long, String, Long)]
       .groupByKey(_._3)
@@ -149,16 +142,57 @@ object MultimodalOps {
         (shard, graft.functions.TarMeta.write(members))
       }
       .toDF("shard", "payload")
-    payloads
+  }
+
+  /** WebDataset-style shard ROUND-TRIP: pack documents into real ustar
+    * shard payloads, then walk the bytes back with the native
+    * graft_tar_meta parser and report per shard. The walker validates
+    * magic + checksum on every header, so a writer defect surfaces as
+    * a null format, a wrong member count, or a byte-total mismatch
+    * against the oracle, which derives the expected metadata straight
+    * from the documents table (shard grouping + text byte lengths)
+    * without ever seeing tar bytes. */
+  def mmShardRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    shardPayloads(spark, dir)
       .select(col("shard"), expr("graft_tar_meta(payload)").as("m"))
       .select(col("shard"), col("m.format").as("format"),
         col("m.n_members").as("n_members"), col("m.n_files").as("n_files"),
         col("m.data_bytes").as("data_bytes"),
         col("m.first_name").as("first_name"))
       .orderBy("shard")
-  }
+
+  /** Shard RANDOM-ACCESS index — the per-member (name, data offset,
+    * size) table a WebDataset serving layer derives once so training
+    * workers range-read single samples out of multi-GB shards instead
+    * of streaming them: the native graft_tar_members walker lists each
+    * written shard's members from the actual bytes, while the oracle
+    * computes every offset ARITHMETICALLY from the documents table
+    * (512-byte header + 512-aligned data, cumulative per shard in
+    * doc_id order) — so a one-byte drift anywhere in the writer's
+    * layout breaks the gate. */
+  def mmShardIndex(spark: SparkSession, dir: String): DataFrame =
+    shardPayloads(spark, dir)
+      .select(col("shard"), explode(expr("graft_tar_members(payload)")).as("m"))
+      .select(col("shard"), col("m.name").as("name"),
+        col("m.offset").as("offset"), col("m.size").as("size"))
+      .orderBy("shard", "offset")
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_index" ->
+      """WITH d AS (
+        |  SELECT doc_id // 64 AS shard, doc_id,
+        |         octet_length(encode(text)) AS size,
+        |         'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, name, size,
+        |    512 + coalesce(sum(512 + ((size + 511) // 512) * 512) OVER
+        |      (PARTITION BY shard ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        |  FROM d)
+        |SELECT shard, name, CAST("offset" AS BIGINT) AS "offset",
+        |  CAST(size AS BIGINT) AS size
+        |FROM o ORDER BY shard, "offset"""".stripMargin,
     "mm_shard_roundtrip" ->
       """SELECT doc_id // 64 AS shard, 'tar' AS format,
         |  CAST(count(*) AS INTEGER) AS n_members,
@@ -188,6 +222,7 @@ object MultimodalOps {
     "mm_video_meta" -> (mmVideoMeta(_, _)),
     "mm_archive_meta" -> (mmArchiveMeta(_, _)),
     "mm_shard_roundtrip" -> (mmShardRoundtrip(_, _)),
+    "mm_shard_index" -> (mmShardIndex(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.

@@ -40,6 +40,7 @@ object GraftFunctions {
     "graft_audio_meta" -> checked("graft_audio_meta", 1)(c => AudioMeta(c(0))),
     "graft_video_meta" -> checked("graft_video_meta", 1)(c => VideoMeta(c(0))),
     "graft_tar_meta" -> checked("graft_tar_meta", 1)(c => TarMeta(c(0))),
+    "graft_tar_members" -> checked("graft_tar_members", 1)(c => graft.functions.TarMembers(c(0))),
     "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))))
 
   def register(spark: SparkSession): Unit = {

@@ -241,4 +241,27 @@ class MultimodalSpec extends AnyFunSuite {
       ("junk", None, -1, -1, -1L, ""),
       ("zeros", None, -1, -1, -1L, "")), rows.toString)
   }
+
+  test("shard index offsets range-read back the original member bytes") {
+    import org.apache.spark.sql.functions.col
+    // The serving-path loop closed: slice each indexed (offset, size)
+    // span out of the raw shard bytes and require the ORIGINAL document
+    // text back — the read a training worker performs with the index.
+    val dir = TestSpark.sf
+    val shard = graft.operators.MultimodalOps.shardPayloads(spark, dir)
+      .orderBy("shard").collect().head
+    val bytes = shard.getAs[Array[Byte]]("payload")
+    val idx = graft.operators.MultimodalOps.mmShardIndex(spark, dir)
+      .filter(col("shard") === shard.getAs[Long]("shard")).collect()
+    val texts = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => s"doc${r.getLong(0)}.txt" -> r.getString(1)).toMap
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val (name, off, size) =
+        (r.getString(1), r.getLong(2).toInt, r.getLong(3).toInt)
+      val got = new String(bytes, off, size, "UTF-8")
+      assert(got == texts(name), s"range read of $name diverged")
+    }
+  }
 }
