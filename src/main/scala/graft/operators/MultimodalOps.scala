@@ -177,7 +177,25 @@ object MultimodalOps {
         col("m.offset").as("offset"), col("m.size").as("size"))
       .orderBy("shard", "offset")
 
+  /** Shard member EXTRACTION as pure expressions — the read-back that
+    * completes the shard lifecycle (write → walk → index → extract):
+    * each member's text is sliced straight out of the shard binary
+    * with substring(payload, offset+1, size) and decoded — codegen'd
+    * column operations, no imperative reader — and the doc id parses
+    * back out of the member name. The oracle is simply the documents
+    * table: every byte of the corpus must survive
+    * tar-write → member-index → binary-slice → UTF-8-decode exactly. */
+  def mmShardExtract(spark: SparkSession, dir: String): DataFrame =
+    shardPayloads(spark, dir)
+      .select(col("payload"), explode(expr("graft_tar_members(payload)")).as("m"))
+      .select(
+        expr("CAST(substr(m.name, 4, length(m.name) - 7) AS BIGINT)").as("doc_id"),
+        expr("decode(substring(payload, CAST(m.offset + 1 AS INT), CAST(m.size AS INT)), 'UTF-8')").as("text"))
+      .orderBy("doc_id")
+
   val oracles: Map[String, String] = Map(
+    "mm_shard_extract" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "mm_shard_index" ->
       """WITH d AS (
         |  SELECT doc_id // 64 AS shard, doc_id,
@@ -223,6 +241,7 @@ object MultimodalOps {
     "mm_archive_meta" -> (mmArchiveMeta(_, _)),
     "mm_shard_roundtrip" -> (mmShardRoundtrip(_, _)),
     "mm_shard_index" -> (mmShardIndex(_, _)),
+    "mm_shard_extract" -> (mmShardExtract(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the
     // driver records the weaker rows-only check; MultimodalSpec asserts
     // determinism and batch shape.
