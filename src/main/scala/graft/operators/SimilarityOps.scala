@@ -1344,11 +1344,42 @@ object SimilarityOps {
     // session-keyed name means every session over a corpus owns one
     // table — call [[dropIvfIndexes]] on session close (Bench does) or
     // the warehouse accumulates a table per session (ADVICE r4).
-    val idx = graft.sources.Formats.sessionTable(spark, dir, "graft_ivf_index_") {
+    probeIndexTail(emb, floatIndex(spark, dir))
+  }
+
+  /** The persisted float IVF index table, shared by [[simAnnIndexed]]
+    * and [[simIvfDelete]] (one build per (session, dir) regardless of
+    * which op touches it first). */
+  private def floatIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Formats.sessionTable(spark, dir, "graft_ivf_index_") {
       tbl => graft.sources.Formats.writeBucketed(
         ivfCells(spark, dir), tbl, "aid", IvfIndexBuckets)
     }
-    probeIndexTail(emb, idx)
+
+  /** ANN DELETE — the other half of index maintenance next to
+    * [[simIvfInsert]]: deletions never rewrite a 100 TB index; they
+    * land in a tiny TOMBSTONE set that every probe anti-joins
+    * (broadcast) before ranking, and a periodic compaction (a rebuild)
+    * reclaims the space when the tombstone fraction grows. Here the
+    * tombstones are the deterministic ~1% (vec_id % 100 = 13) and the
+    * probe is [[simAnnIndexed]]'s bucket-pruned scan with the mask
+    * applied to candidates; the oracle masks the same ids in the
+    * layout-free formulation. The query vector and the anchors are
+    * untouched — deletes mask reads, they do not move the lattice. */
+  def simIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val idx = floatIndex(spark, dir)
+    val tombstones = emb.filter(col("vec_id") % 100 === 13).select("vec_id")
+    val qCellIds = idx.filter(col("vec_id") === 0)
+      .select("aid").collect().map(_.getLong(0)).toSeq
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
+      .dropDuplicates("vec_id")
+      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
   }
 
   /** The float-index probe readout, ONE definition for
@@ -2254,6 +2285,18 @@ object SimilarityOps {
     // come from the BASE subset only (vec_id % 10 <> 7), assignment
     // covers ALL vectors — base assigned at build, delta at append,
     // same rule either way.
+    // simAnnIndexed's layout-free probe with the tombstone mask on the
+    // candidate set (query vector and anchors untouched).
+    "sim_ivf_delete" ->
+      s"""WITH $ivfCellsSql,
+         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  WHERE c.vec_id <> 0 AND c.vec_id % 100 <> 13)
+         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
+         |FROM cand JOIN embeddings e USING (vec_id), qv
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ivf_insert" ->
       s"""WITH kk AS (
          |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
@@ -2707,6 +2750,7 @@ object SimilarityOps {
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ivf_insert" -> (simIvfInsert(_, _)),
+    "sim_ivf_delete" -> (simIvfDelete(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
     "sim_cluster_terms" -> (simClusterTerms(_, _)),
