@@ -414,6 +414,80 @@ object Formats {
       .orderBy("event_type")
   }
 
+  private val bloomManCache =
+    scala.collection.mutable.Map.empty[(Int, String), String]
+
+  /** Per-file BLOOM manifest over the range-clustered layout's
+    * event_id column — the file-skipping lever for point lookups on a
+    * column the clustering does NOT order: every file spans nearly the
+    * full event_id range, so the min/max manifest ([[manifestSelect]])
+    * can never prune an event_id probe, while a per-file bloom
+    * (md5-positional k=4 bits in a 65536-position space — the
+    * agg_bloom_filter scheme widened; size the space ∝ keys-per-file
+    * at scale) skips every file that cannot contain the key. Stored as
+    * (file, bit) rows — the relational form of the bitmap an Iceberg
+    * puffin/deletion-vector sidecar would hold. Derived once per
+    * (session, dir) in the same ingest pass family as the manifest. */
+  private[graft] def bloomManifest(spark: SparkSession, dir: String): String =
+    bloomManCache.synchronized {
+      bloomManCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val manPath = tmp(s"events_bloom_meta_$suffix")
+        spark.read.parquet(manifestLayout(spark, dir)._1)
+          .select(col("_metadata.file_path").as("file"),
+            md5(col("event_id").cast("string")).as("h"))
+          .select(col("file"), explode(expr(
+            "transform(sequence(0, 3), j -> " +
+              "CAST(conv(substr(h, j * 4 + 1, 4), 16, 10) AS INT))")).as("b"))
+          .distinct()
+          .write.mode(SaveMode.Overwrite).parquet(manPath)
+        manPath
+      })
+    }
+
+  /** The 4 bloom positions of a key, in JVM math — byte-identical to
+    * the SQL chain above (same md5 hex, same 4-nibble slices). */
+  private[graft] def bloomPositions(key: Long): Seq[Int] = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 to 3).map(j => Integer.parseInt(h.substring(j * 4, j * 4 + 4), 16))
+  }
+
+  /** Probe keys for [[srcBloomPrune]]: three present at every sf
+    * (event_id is dense from 0) and two absent. */
+  private[graft] val BloomProbes = Seq(7L, 123L, 500L, 1000000007L, 1000000013L)
+
+  /** Point lookups through BLOOM file-skipping, end to end: for each
+    * probe key, planning reads ONLY the bloom manifest (metadata), the
+    * scan opens only files whose bloom contains all 4 key positions
+    * (for an absent key: usually none), and the residual exact filter
+    * runs inside the survivors. The oracle answers the same point
+    * queries on the raw table — the manifest is semantically invisible
+    * (a bloom false positive costs one extra file scan, never a wrong
+    * row); FormatsSpec asserts absent keys open zero files while the
+    * min/max manifest could not have pruned them at all. */
+  def srcBloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val man = spark.read.parquet(bloomManifest(spark, dir)).localCheckpoint()
+    val (dataPath, _) = manifestLayout(spark, dir)
+    val perProbe = BloomProbes.map { k =>
+      val pos = bloomPositions(k)
+      val files = man.filter(col("b").isin(pos: _*))
+        .groupBy("file").agg(countDistinct("b").as("nb"))
+        .filter(col("nb") === pos.distinct.length)
+        .select("file").collect().map(_.getString(0)).toSeq
+      val src =
+        if (files.nonEmpty) spark.read.parquet(files: _*)
+        else spark.read.parquet(dataPath).filter(lit(false))
+      src.filter(col("event_id") === k)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr("CAST(round(value * 100) AS BIGINT)")), lit(0L))
+            .as("value_cents"))
+        .select(lit(k).as("probe_key"), col("n_rows"), col("value_cents"))
+    }
+    perProbe.reduce(_ unionByName _).orderBy("probe_key")
+  }
+
   /** events written ONCE per (session, dir) as a catalog table
     * HIVE-PARTITIONED by event_type — the partition-pruning layout for
     * type-selective workloads (the complement of [[bucketedEvents]],
@@ -885,6 +959,16 @@ object Formats {
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_bloom_prune" -> {
+      val probes = Seq(7L, 123L, 500L, 1000000007L, 1000000013L)
+        .map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS probe_key,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS value_cents
+             |FROM events WHERE event_id = $k""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"$probes\nORDER BY probe_key"
+    },
     "src_manifest_prune" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
@@ -908,6 +992,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution(_, _)),
     "src_manifest_prune" -> (srcManifestPrune(_, _)),
+    "src_bloom_prune" -> (srcBloomPrune(_, _)),
     "src_csv_malformed" -> (srcCsvMalformed(_, _)),
     "src_csv_roundtrip" -> (srcCsvRoundtrip(_, _)),
     "src_jsonl_roundtrip" -> (srcJsonlRoundtrip(_, _)),

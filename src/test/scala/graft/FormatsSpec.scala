@@ -209,6 +209,30 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bloom manifest: absent keys open zero files, present keys stay findable") {
+    val dir = "/root/testdata/sf0.01"
+    val man = spark.read.parquet(Formats.bloomManifest(spark, dir))
+      .localCheckpoint()
+    def survivors(k: Long): Long = {
+      val pos = Formats.bloomPositions(k)
+      man.filter(col("b").isin(pos: _*))
+        .groupBy("file").agg(countDistinct("b").as("nb"))
+        .filter(col("nb") === pos.distinct.length).count()
+    }
+    val total = spark.read.parquet(Formats.manifestLayout(spark, dir)._1)
+      .select("_metadata.file_path").distinct().count()
+    // Absent keys: the bloom must exclude every file (the space is
+    // sized so the false-positive rate is negligible at this scale).
+    Seq(1000000007L, 1000000013L).foreach(k =>
+      assert(survivors(k) == 0, s"absent key $k matched ${survivors(k)} files"))
+    // Present keys: at least the containing file survives, and the
+    // probe is selective (a point key lives in exactly one range file).
+    Seq(7L, 123L, 500L).foreach { k =>
+      val s = survivors(k)
+      assert(s >= 1 && s < total, s"present key $k: $s of $total files")
+    }
+  }
+
   test("incremental components: contracted delta graph equals the full recompute") {
     import graft.operators.DedupOps
     val df = DedupOps.dedupComponentsIncremental(spark, sf)
