@@ -109,8 +109,16 @@ object TarMeta {
   def write(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     members.foreach { case (name, data) =>
+      val nameBytes = name.getBytes("UTF-8")
+      // The classic ustar name field is 100 bytes; silently truncating
+      // (what a naive copy does) can collide two members' names and
+      // corrupt every index built over the shard — fail loudly instead
+      // (the prefix-field extension is deliberately not implemented;
+      // shard member names are writer-controlled and short).
+      require(nameBytes.length <= 100,
+        s"tar member name exceeds 100 bytes: $name")
       val h = new Array[Byte](512)
-      name.getBytes("UTF-8").copyToArray(h, 0)
+      nameBytes.copyToArray(h, 0)
       "0000644\u0000".getBytes.copyToArray(h, 100)
       "0000000\u0000".getBytes.copyToArray(h, 108)
       "0000000\u0000".getBytes.copyToArray(h, 116)

@@ -495,30 +495,63 @@ object DedupOps {
     * quarantines before appending. Within-batch dups are
     * dedup_minhash_lsh's job on the (small) batch itself. */
   def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (bands, shingles) = minhashCatalogs(spark, dir)
+    // batch stays checkpointed-but-live: the result is LAZY (the plan
+    // must stay inspectable — FormatsSpec reads its exchanges), so its
+    // blocks are reclaimed by the per-query cleanup the Verify/Bench
+    // loops run, the same contract as every lazy checkpointing op.
     val batch = shingleSetsWhere(spark, dir, col("source") =!= "src0")
       .localCheckpoint()
-    val bsig = batch
-      .select(col("doc_id").as("batch_id"),
-        posexplode(expr("graft_minhash_bands(hs)")))
-      .select(col("batch_id"), col("pos").as("j"), col("col").as("mh"))
-    val cand = bsig.join(bands, Seq("j", "mh"))
-      .select(col("batch_id"), col("doc_id").as("corpus_id"))
-      .distinct()
-    cand
-      .join(shingles.select(col("doc_id").as("corpus_id"), col("hs").as("s2")),
-        "corpus_id")
-      .join(batch.select(col("doc_id").as("batch_id"), col("hs").as("s1")),
-        "batch_id")
-      .withColumn("jac", expr(
-        "CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
-      .filter(col("jac") >= 0.5)
+    batchCorpusNearDups(spark, dir, batch)
       .select(col("batch_id"), col("corpus_id"), round(col("jac"), 4).as("jaccard"))
       .orderBy("batch_id", "corpus_id")
   }
 
   private val JacVerifyExpr =
     "CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"
+
+  /** localCheckpoint with block bookkeeping — the shared pair behind
+    * every iterative/multi-consumer dedup op: [[trackCheckpoint]]
+    * returns the checkpointed frame plus the persistent-RDD ids it
+    * created, [[freeBlocks]] releases them once superseded. Ownership
+    * is a getPersistentRDDs diff, which assumes queries run SERIALLY
+    * per session (Verify/Bench/the driver do — see the
+    * GraphOps.pagerankRanks note before using sessions concurrently). */
+  private[graft] def trackCheckpoint(spark: SparkSession,
+      df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+  private[graft] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+
+  /** Verified (batch doc, corpus doc) near-dup pairs through the
+    * persisted catalogs — ONE definition of the band probe + Jaccard
+    * verification, shared by [[dedupMinhashIncremental]]'s readout and
+    * [[dedupComponentsIncremental]]'s cross edges. `batch` must be the
+    * checkpointed batch shingle table; output columns (batch_id,
+    * corpus_id, jac). */
+  private def batchCorpusNearDups(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val (bands, shingles) = minhashCatalogs(spark, dir)
+    batch
+      .select(col("doc_id").as("batch_id"),
+        posexplode(expr("graft_minhash_bands(hs)")))
+      .select(col("batch_id"), col("pos").as("j"), col("col").as("mh"))
+      .join(bands.withColumnRenamed("doc_id", "cid"), Seq("j", "mh"))
+      .select(col("batch_id"), col("cid").as("corpus_id"))
+      .distinct()
+      .join(shingles.select(col("doc_id").as("corpus_id"), col("hs").as("s2")),
+        "corpus_id")
+      .join(batch.select(col("doc_id").as("batch_id"), col("hs").as("s1")),
+        "batch_id")
+      .withColumn("jac", expr(JacVerifyExpr))
+      .filter(col("jac") >= 0.5)
+      .select("batch_id", "corpus_id", "jac")
+  }
 
   /** Corpus component catalogs, built ONCE per (session, dir) on top of
     * [[minhashCatalogs]]: (doc_id → component label) bucketed by doc_id
@@ -531,6 +564,7 @@ object DedupOps {
   private def componentCatalogs(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     import graft.sources.Formats
+    var allIds = Set.empty[Int]
     lazy val all = {
       val (bands, shingles) = minhashCatalogs(spark, dir)
       val cand = bands.as("a")
@@ -539,18 +573,24 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
-      val pairs = cand
+      // Checkpointed before the loop: minLabelComponents references its
+      // edge list ~4x per propagation round, and without the cut each
+      // reference re-runs the whole band self-join + Jaccard-verify
+      // subtree (the dedupComponents pairs discipline).
+      val (pairs, pairIds) = trackCheckpoint(spark, cand
         .join(shingles.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
         .join(shingles.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
         .filter(expr(JacVerifyExpr) >= 0.5)
-        .select("id1", "id2")
+        .select("id1", "id2"))
       val touched = minLabelComponents(spark, pairs)
+      freeBlocks(spark, pairIds)
       val corpusDocs = Tables(spark, dir).documents
         .filter(col("source") === "src0").select(col("doc_id").as("id"))
-      touched.unionByName(
+      val (a, ids) = trackCheckpoint(spark, touched.unionByName(
         corpusDocs.join(touched.select("id"), Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("label")))
-        .localCheckpoint()
+          .select(col("id"), col("id").as("label"))))
+      allIds = ids
+      a
     }
     val labelCat = Formats.sessionTable(spark, dir, "graft_cc_lab_") { tbl =>
       all.select(col("id").as("doc_id"), col("label"))
@@ -566,6 +606,9 @@ object DedupOps {
         .bucketBy(Formats.FactBuckets, "label").sortBy("label")
         .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
     }
+    // Both writes landed (or the memo hit and `all` never ran — then
+    // allIds is empty); the build's blocks are no longer needed.
+    freeBlocks(spark, allIds)
     (labelCat, sizeCat)
   }
 
@@ -592,10 +635,9 @@ object DedupOps {
     * corpus from scratch and restricts to batch-touched ones — full
     * semantic equality, no layout visible. */
   def dedupComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (bands, shingles) = minhashCatalogs(spark, dir)
     val (labelCat, sizeCat) = componentCatalogs(spark, dir)
-    val batch = shingleSetsWhere(spark, dir, col("source") =!= "src0")
-      .localCheckpoint()
+    val (batch, batchIds) = trackCheckpoint(spark,
+      shingleSetsWhere(spark, dir, col("source") =!= "src0"))
     val bsig = batch
       .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
       .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
@@ -609,17 +651,18 @@ object DedupOps {
       .join(batch.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .filter(expr(JacVerifyExpr) >= 0.5)
       .select("id1", "id2")
-    val bc = bsig.join(bands.withColumnRenamed("doc_id", "cid"), Seq("j", "mh"))
-      .select(col("doc_id").as("id1"), col("cid"))
+    // cross edges ride the SAME probe+verify definition as
+    // dedup_minhash_incremental, then contract the corpus endpoint.
+    val bc = batchCorpusNearDups(spark, dir, batch)
+      .join(labelCat.select(col("doc_id").as("corpus_id"), col("label")),
+        "corpus_id")
+      .select(col("batch_id").as("id1"), col("label").as("id2"))
       .distinct()
-      .join(shingles.select(col("doc_id").as("cid"), col("hs").as("s2")), "cid")
-      .join(batch.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-      .filter(expr(JacVerifyExpr) >= 0.5)
-      .join(labelCat.select(col("doc_id").as("cid"), col("label")), "cid")
-      .select(col("id1"), col("label").as("id2"))
-      .distinct()
-    val contracted = bb.unionByName(bc).localCheckpoint()
+    val (contracted, contractedIds) =
+      trackCheckpoint(spark, bb.unionByName(bc))
+    freeBlocks(spark, batchIds)
     val labels = minLabelComponents(spark, contracted)
+    freeBlocks(spark, contractedIds)
     val connected = labels
       .join(sizeCat.select(col("label").as("id"), col("n_members").as("w")),
         Seq("id"), "left")
@@ -846,20 +889,13 @@ object DedupOps {
     * fixpoint with a recursive CTE — an entirely independent algorithm.
     */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // Checkpoint the pairs BEFORE symmetrizing: the union references the
     // pair pipeline twice, and without the cut both branches would run
     // the whole IVF + cell-join + cosine subtree (the r2 knn diamond).
-    val (pairs, edgeIds) = checkpointed(dedupEmbedding(spark, dir).select("id1", "id2"))
+    val (pairs, edgeIds) = trackCheckpoint(spark,
+      dedupEmbedding(spark, dir).select("id1", "id2"))
     val labels = minLabelComponents(spark, pairs)
-    free(edgeIds)
+    freeBlocks(spark, edgeIds)
     val vertices = Tables(spark, dir).embeddings.select(col("vec_id").as("id"))
     val singletons = vertices
       .join(labels.select("id"), Seq("id"), "left_anti")
@@ -888,14 +924,9 @@ object DedupOps {
     * 10.0 s). */
   private[graft] def minLabelComponents(spark: SparkSession,
       pairs: DataFrame): DataFrame = {
-    val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
+      trackCheckpoint(spark, df)
+    def free(ids: Set[Int]): Unit = freeBlocks(spark, ids)
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     var (labels, labelIds) = checkpointed(

@@ -793,13 +793,28 @@ object EventOps {
     * copy would let an edit to the conversion threshold silently
     * decouple the two (review-caught). Mirrored by [[AbAccumSql]] on
     * the oracle side. */
+  /** ONE definition of the experiment's two rules, shared by every
+    * A/B op (ev_ab_test, stat_power_mde, stat_wilson_ci, stat_sprt) in
+    * BOTH engines where the text allows: the conversion gate is
+    * engine-identical SQL; the arm hash needs a per-engine spelling
+    * (Spark conv() vs DuckDB strpos-arithmetic) of the same md5-nibble
+    * parity. An edit to either rule now reaches every consumer. */
+  private[graft] val AbConvGate = "event_type = 'purchase' AND value > 150"
+  private[graft] val AbHashExpr =
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"
+  private[graft] val AbArmSql =
+    s"CASE WHEN $AbHashExpr = 0 THEN 'A' ELSE 'B' END"
+  private[graft] val AbHashSqlDuck = (1 to 4)
+    .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+    .mkString("(", " + ", ")") + " % 2"
+  private[graft] val AbArmSqlDuck =
+    s"CASE WHEN $AbHashSqlDuck = 0 THEN 'A' ELSE 'B' END"
+
   private def abArmAccumulators(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
-        .otherwise(0L)).as("conv"))
-      .withColumn("arm_b",
-        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2"))
+      .agg(max(when(expr(AbConvGate), 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm_b", expr(AbHashExpr))
       .agg(
         sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
         sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
@@ -808,14 +823,11 @@ object EventOps {
 
   /** DuckDB twin of [[abArmAccumulators]]: CTEs `u` (per-user conv +
     * arm) and `m` (the 4 accumulators). */
-  private val AbAccumSql = {
-    val h = (1 to 4)
-      .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString("(", " + ", ")")
+  private val AbAccumSql =
     s"""u AS (
        |  SELECT user_id,
-       |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
-       |    $h % 2 AS arm_b
+       |    max(CASE WHEN $AbConvGate THEN 1 ELSE 0 END) AS conv,
+       |    $AbHashSqlDuck AS arm_b
        |  FROM events GROUP BY user_id),
        |m AS (
        |  SELECT CAST(sum(CASE WHEN arm_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -823,7 +835,6 @@ object EventOps {
        |    CAST(sum(CASE WHEN arm_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
        |    CAST(sum(CASE WHEN arm_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
        |  FROM u)""".stripMargin
-  }
 
   def evAbTest(spark: SparkSession, dir: String): DataFrame =
     abArmAccumulators(spark, dir)
@@ -906,34 +917,42 @@ object EventOps {
     * (ev_ab_test decides at the end; stat_power_mde sizes upfront;
     * SPRT is how a live experiment STOPS EARLY with α/β still
     * controlled — peeking at a z-test daily inflates false positives,
-    * peeking at the SPRT boundary is the test): per arm and day, users
-    * enter on their first-ever active day (the md5-parity arm and the
-    * purchase-conversion gate are the shared ev_ab_test definitions),
-    * the cumulative log-likelihood ratio c·ln(p1/p0) +
-    * (n−c)·ln((1−p1)/(1−p0)) updates, and the decision row reads
-    * continue / accept_h0 / accept_h1 against the Wald bounds
-    * ln((1−β)/α), ln(β/(1−α)). Every LLR is (exact BIGINT counts) ×
-    * (identical literal doubles) — bit-equal across engines; the
-    * decision compares the RAW llr, the display rounds. The cumulative
-    * window runs over the horizon-bounded (arm × day) table. */
+    * peeking at the SPRT boundary is the test). Sequential accounting
+    * is the load-bearing part (the r5 review caught a lookahead
+    * version crediting a day-30 conversion to the day-1 statistic —
+    * both engines shared it, so only review could): a user ENTERS the
+    * denominator on their first active day, and their conversion
+    * enters the numerator on the day of their first QUALIFYING
+    * purchase — day d's LLR sees exactly what was observable by day
+    * d. Arm hash and conversion gate are [[AbArmSql]]/[[AbConvGate]]
+    * (the ev_ab_test definitions, now shared constants). LLR =
+    * c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) against the Wald bounds —
+    * exact BIGINT counts × identical literal doubles, bit-equal
+    * across engines; decisions compare the RAW llr, the display
+    * rounds. Windows run over the horizon-bounded (arm × day) grid. */
   def statSprt(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = Tables(spark, dir).events
+    val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts) div 86400000000").as("d"))
-      .groupBy("user_id")
-      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
-        .otherwise(0L)).as("conv"),
-        min("d").as("d0"))
-      .withColumn("arm",
-        expr("CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS INT) % 2 = 0 " +
-          "THEN 'A' ELSE 'B' END"))
-    val w = Window.partitionBy("arm").orderBy("d0")
-    u.groupBy("arm", "d0")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-      .withColumn("n_users", sum("n").over(w))
-      .withColumn("n_conv", sum("c").over(w))
-      .selectExpr("arm", "d0 AS day", "n_users", "n_conv",
+    val u = ev.groupBy("user_id")
+      .agg(min("d").as("d0"),
+        min(when(expr(AbConvGate), col("d"))).as("dc"))
+      .withColumn("arm", expr(AbArmSql))
+    val entries = u.groupBy("arm", "d0").agg(count(lit(1)).as("n"))
+      .select(col("arm"), col("d0").as("day"), col("n"))
+    val convs = u.filter(col("dc").isNotNull)
+      .groupBy("arm", "dc").agg(count(lit(1)).as("c"))
+      .select(col("arm"), col("dc").as("day"), col("c"))
+    val grid = entries.select("arm", "day")
+      .unionByName(convs.select("arm", "day")).distinct()
+    val w = Window.partitionBy("arm").orderBy("day")
+    grid
+      .join(entries, Seq("arm", "day"), "left")
+      .join(convs, Seq("arm", "day"), "left")
+      .withColumn("n_users", sum(coalesce(col("n"), lit(0L))).over(w))
+      .withColumn("n_conv", sum(coalesce(col("c"), lit(0L))).over(w))
+      .selectExpr("arm", "day", "n_users", "n_conv",
         s"n_conv * CAST($SprtL1 AS DOUBLE) + (n_users - n_conv) * CAST($SprtL2 AS DOUBLE) AS llr_raw")
       .selectExpr("arm", "day", "n_users", "n_conv",
         "round(llr_raw, 4) + 0.0 AS llr",
@@ -2968,24 +2987,35 @@ object EventOps {
          |  CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 // n_b END AS conv_b_ppm,
          |  $AbTestZ2
          |FROM m""".stripMargin,
-    "stat_sprt" -> {
-      val h = (1 to 4)
-        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-        .mkString("(", " + ", ")")
-      s"""WITH u AS (
+    // Sequential accounting: entries on the first active day,
+    // conversions on the day of the first QUALIFYING purchase — day
+    // d's llr sees exactly what was observable by day d.
+    "stat_sprt" ->
+      s"""WITH uu AS (
          |  SELECT user_id,
-         |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
          |    min(epoch_us(ts) // 86400000000) AS d0,
-         |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |    min(CASE WHEN $AbConvGate
+         |        THEN epoch_us(ts) // 86400000000 END) AS dc,
+         |    $AbArmSqlDuck AS arm
          |  FROM events GROUP BY user_id),
-         |daily AS (
-         |  SELECT arm, d0, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
-         |  FROM u GROUP BY 1, 2),
+         |entries AS (
+         |  SELECT arm, d0 AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM uu GROUP BY 1, 2),
+         |convs AS (
+         |  SELECT arm, dc AS day, CAST(count(*) AS BIGINT) AS c
+         |  FROM uu WHERE dc IS NOT NULL GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT arm, day FROM entries
+         |  UNION SELECT arm, day FROM convs),
          |cum AS (
-         |  SELECT arm, d0 AS day,
-         |    sum(n) OVER (PARTITION BY arm ORDER BY d0 ROWS UNBOUNDED PRECEDING) AS n_users,
-         |    sum(c) OVER (PARTITION BY arm ORDER BY d0 ROWS UNBOUNDED PRECEDING) AS n_conv
-         |  FROM daily),
+         |  SELECT g.arm, g.day,
+         |    sum(coalesce(n, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+         |      ROWS UNBOUNDED PRECEDING) AS n_users,
+         |    sum(coalesce(c, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+         |      ROWS UNBOUNDED PRECEDING) AS n_conv
+         |  FROM grid g
+         |  LEFT JOIN entries e ON e.arm = g.arm AND e.day = g.day
+         |  LEFT JOIN convs cv ON cv.arm = g.arm AND cv.day = g.day),
          |l AS (
          |  SELECT arm, day, n_users, n_conv,
          |    n_conv * CAST($SprtL1 AS DOUBLE)
@@ -2997,8 +3027,7 @@ object EventOps {
          |  CASE WHEN llr_raw >= CAST($SprtHi AS DOUBLE) THEN 'accept_h1'
          |       WHEN llr_raw <= CAST($SprtLo AS DOUBLE) THEN 'accept_h0'
          |       ELSE 'continue' END AS decision
-         |FROM l ORDER BY arm, day""".stripMargin
-    },
+         |FROM l ORDER BY arm, day""".stripMargin,
     "stat_wilson_ci" ->
       s"""WITH $AbAccumSql,
          |arms AS (

@@ -1368,18 +1368,9 @@ object SimilarityOps {
     * untouched — deletes mask reads, they do not move the lattice. */
   def simIvfDelete(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val idx = floatIndex(spark, dir)
     val tombstones = emb.filter(col("vec_id") % 100 === 13).select("vec_id")
-    val qCellIds = idx.filter(col("vec_id") === 0)
-      .select("aid").collect().map(_.getLong(0)).toSeq
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
-      .dropDuplicates("vec_id")
-      .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+    probeIndexTail(emb, floatIndex(spark, dir),
+      _.join(broadcast(tombstones), Seq("vec_id"), "left_anti"))
   }
 
   /** The float-index probe readout, ONE definition for
@@ -1389,12 +1380,14 @@ object SimilarityOps {
     * fresh probe never recomputes the assignment pipeline), candidates
     * dedup across multi-probed cells, and the query vector rides in as
     * a broadcast single-row join. */
-  private def probeIndexTail(emb: DataFrame, idx: DataFrame): DataFrame = {
+  private def probeIndexTail(emb: DataFrame, idx: DataFrame,
+      mask: DataFrame => DataFrame = identity): DataFrame = {
     val qCellIds = idx.filter(col("vec_id") === 0)
       .select("aid").collect().map(_.getLong(0)).toSeq
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
-      .dropDuplicates("vec_id") // multi-probe: a candidate may sit in 2+ probed cells
+    mask(
+      idx.filter(col("aid").isin(qCellIds: _*) && col("vec_id") =!= 0)
+        .dropDuplicates("vec_id")) // multi-probe: a candidate may sit in 2+ probed cells
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))

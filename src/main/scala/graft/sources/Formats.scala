@@ -468,7 +468,10 @@ object Formats {
     * row); FormatsSpec asserts absent keys open zero files while the
     * min/max manifest could not have pruned them at all. */
   def srcBloomPrune(spark: SparkSession, dir: String): DataFrame = {
-    val man = spark.read.parquet(bloomManifest(spark, dir)).localCheckpoint()
+    // The manifest parquet is already at rest — read it per probe
+    // without a checkpoint (5 metadata-sized scans beat leaving
+    // storage blocks behind; the planner loop is the only consumer).
+    val man = spark.read.parquet(bloomManifest(spark, dir))
     val (dataPath, _) = manifestLayout(spark, dir)
     val perProbe = BloomProbes.map { k =>
       val pos = bloomPositions(k)
@@ -960,7 +963,7 @@ object Formats {
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "src_bloom_prune" -> {
-      val probes = Seq(7L, 123L, 500L, 1000000007L, 1000000013L)
+      val probes = BloomProbes
         .map(k =>
           s"""SELECT CAST($k AS BIGINT) AS probe_key,
              |  CAST(count(*) AS BIGINT) AS n_rows,

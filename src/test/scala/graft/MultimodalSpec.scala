@@ -177,6 +177,19 @@ class MultimodalSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("TarMeta.write refuses names the 100-byte ustar field cannot hold") {
+    // Silent truncation would collide two long names into one index
+    // entry — the serving-path corruption the writer must fail on.
+    val long = "a" * 101 + ".txt"
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.TarMeta.write(Seq((long, "x".getBytes)))
+    }
+    assert(e.getMessage.contains("100 bytes"))
+    // Exactly 100 bytes is legal.
+    val ok = graft.functions.TarMeta.write(Seq(("b" * 100, "x".getBytes)))
+    assert(graft.functions.TarMeta.parse(ok) != null)
+  }
+
   test("graft_tar_meta walks ustar archives and rejects malformed ones") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -707,25 +707,45 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
-  test("SPRT: cumulative counts are monotone and decisions match the Wald bounds") {
+  test("SPRT: day-d statistic sees only what was observable by day d") {
+    import org.apache.spark.sql.functions.{col, expr}
     val rows = EventOps.statSprt(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getString(5)))
     assert(rows.map(_._1).toSet == Set("A", "B"))
+    // Independent sequential reference: per user, entry day and the day
+    // of the first qualifying purchase; day-d counts accumulate ONLY
+    // events at or before d (the lookahead the r5 review caught would
+    // fail this on any user converting after their entry day).
+    val evs = Tables(spark, sf).events
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    def arm(uid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (Integer.parseInt(h.substring(0, 4), 16) % 2 == 0) "A" else "B"
+    }
+    val perUser = evs.groupBy(_._1).map { case (uid, es) =>
+      val d0 = es.map(_._4).min
+      val dc = es.filter(e => e._2 == "purchase" && e._3 > 150).map(_._4)
+        .sorted.headOption
+      (arm(uid), d0, dc)
+    }.toSeq
     val (l1, l2) = (math.log(0.45 / 0.30), math.log(0.55 / 0.70))
     val (hi, lo) = (math.log(0.95 / 0.05), math.log(0.05 / 0.95))
-    rows.groupBy(_._1).foreach { case (_, arm) =>
-      val byDay = arm.sortBy(_._2)
-      // cumulative users/conversions never decrease
-      assert(byDay.map(_._3).sameElements(byDay.map(_._3).sorted))
-      assert(byDay.map(_._4).sameElements(byDay.map(_._4).sorted))
-      byDay.foreach { case (_, _, n, c, llr, decision) =>
-        val raw = c * l1 + (n - c) * l2
-        assert(math.abs(llr - raw) < 1e-3, s"llr $llr vs recomputed $raw")
-        val expect =
-          if (raw >= hi) "accept_h1" else if (raw <= lo) "accept_h0" else "continue"
-        assert(decision == expect, s"decision $decision vs $expect at llr $raw")
-      }
+    rows.foreach { case (a, day, n, c, llr, decision) =>
+      val users = perUser.filter(_._1 == a)
+      val expN = users.count(_._2 <= day).toLong
+      val expC = users.count(_._3.exists(_ <= day)).toLong
+      assert((n, c) == ((expN, expC)),
+        s"arm $a day $day: counts ($n, $c) vs observable ($expN, $expC)")
+      val raw = c * l1 + (n - c) * l2
+      assert(math.abs(llr - raw) < 1e-3, s"llr $llr vs recomputed $raw")
+      val expect =
+        if (raw >= hi) "accept_h1" else if (raw <= lo) "accept_h0" else "continue"
+      assert(decision == expect, s"decision $decision vs $expect at llr $raw")
     }
   }
 
