@@ -48,7 +48,7 @@ object DedupOps {
   /** [[hashedShingleSets]] restricted by a documents predicate (the
     * corpus/batch split of the incremental op) — the filter runs
     * BEFORE tokenization so neither side pays for the other's text. */
-  private def shingleSetsWhere(spark: SparkSession, dir: String,
+  private[graft] def shingleSetsWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): DataFrame =
     Tables(spark, dir).documents
       .filter(pred)
@@ -534,7 +534,7 @@ object DedupOps {
     * [[dedupComponentsIncremental]]'s cross edges. `batch` must be the
     * checkpointed batch shingle table; output columns (batch_id,
     * corpus_id, jac). */
-  private def batchCorpusNearDups(spark: SparkSession, dir: String,
+  private[graft] def batchCorpusNearDups(spark: SparkSession, dir: String,
       batch: DataFrame): DataFrame = {
     val (bands, shingles) = minhashCatalogs(spark, dir)
     batch

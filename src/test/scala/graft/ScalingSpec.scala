@@ -104,6 +104,29 @@ class ScalingSpec extends AnyFunSuite {
       f"prefix candidates exceed 5%% of the pair space (${f1 * 100}%.2f%% / ${f2 * 100}%.2f%%)")
   }
 
+  test("incremental near-dup probe cost tracks the batch, not the corpus") {
+    import org.apache.spark.sql.functions.col
+    // The catalogs fix the corpus side; the recurring cost claim is
+    // O(batch + collisions). Shrink the BATCH 10x against the SAME
+    // corpus catalogs and the verified-pair volume (the probe's true
+    // work product) must shrink roughly with it — if the probe secretly
+    // rescanned the corpus, a 10x-smaller batch would barely move it.
+    val dir = "/root/testdata/sf0.1"
+    def probePairs(pred: org.apache.spark.sql.Column): Long = {
+      val batch = DedupOps.shingleSetsWhere(spark, dir, pred).localCheckpoint()
+      DedupOps.batchCorpusNearDups(spark, dir, batch).count()
+    }
+    val full = probePairs(col("source") =!= "src0")           // 19 sources
+    val small = probePairs(col("source").isin("src1", "src2")) // 2 sources
+    info(s"verified cross pairs: full batch $full, 2-source batch $small")
+    assert(full > 0, "no cross near-dups at sf0.1 — spec vacuous")
+    // ~10x smaller batch → pair volume must drop by at least 2x (true
+    // near-dup density isn't uniform across sources, so we assert a
+    // conservative bound rather than exact proportionality).
+    assert(small * 2 <= full,
+      s"2/19-source batch still produced $small of $full pairs — probe not batch-bound")
+  }
+
   test("BPE train iterates over a vocabulary that grows far slower than the corpus") {
     // txt_bpe_train's scale claim: one corpus pass builds the
     // word-frequency table, then every round is a job over VOCAB rows.
