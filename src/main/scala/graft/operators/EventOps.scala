@@ -2073,6 +2073,45 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Negative-binomial method-of-moments fit per event type — the
+    * modeling step stat_dispersion's screen points at (D ≫ 1 ⇒ the
+    * Poisson is wrong; THIS is the distribution you fit instead, the
+    * one an SLO alert or a capacity model should draw tails from):
+    * from the same zeros-included per-user count accumulators, the
+    * moment equations give r = m²/(v − m) and p = r/(r + m); a type
+    * with v ≤ m keeps a 'poisson_like' verdict and null parameters
+    * (the MoM fit does not exist there). Shared formula layers, exact
+    * integer accumulators, one division path per double. */
+  def statNbFit(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy(col("event_type").as("t"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val users = Tables(spark, dir).events
+      .agg(countDistinct("user_id").as("nu"))
+    NbFitLayers.foldLeft(
+      perUser.groupBy("t")
+        .agg(
+          sum(expr("CAST(c AS DECIMAL(38,0))")).as("s"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("q"))
+        .crossJoin(broadcast(users))) {
+      (df, layer) => df.selectExpr(layer: _*)
+    }.orderBy("event_type")
+  }
+
+  /** Method-of-moments layers shared by both engines (population
+    * moments over ALL nu users — absent users are exact zeros). */
+  private val NbFitLayers: Seq[Seq[String]] = Seq(
+    Seq("t AS event_type", "nu",
+      "CAST(s AS DOUBLE) / nu AS m",
+      "CAST(q AS DOUBLE) / nu - (CAST(s AS DOUBLE) / nu) * (CAST(s AS DOUBLE) / nu) AS v"),
+    Seq("*", "CASE WHEN v > m THEN m * m / (v - m) END AS r_raw"),
+    Seq("event_type", "CAST(nu AS BIGINT) AS n_users",
+      "round(m, 4) + 0.0 AS mean_per_user",
+      "round(v, 4) + 0.0 AS var_per_user",
+      "CASE WHEN v > m THEN 'negative_binomial' ELSE 'poisson_like' END AS fit",
+      "round(r_raw, 4) + 0.0 AS nb_r",
+      "round(r_raw / (r_raw + m), 4) + 0.0 AS nb_p"))
+
   /** Difference-in-differences derived stats — four arm×period means
     * plus the DiD estimate, all from the exact per-arm milli-unit
     * accumulators; ONE formula list for both engines. */
@@ -2481,6 +2520,18 @@ object EventOps {
          |  FROM pu GROUP BY t)
          |SELECT ${DispersionDerived.mkString(",\n")}
          |FROM m, nu ORDER BY event_type""".stripMargin,
+    "stat_nb_fit" ->
+      s"""WITH pu AS (
+         |  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+         |acc AS (
+         |  SELECT t, sum(c::HUGEINT) AS s, sum(c::HUGEINT * c) AS q
+         |  FROM pu GROUP BY t),
+         |t0 AS (SELECT ${NbFitLayers(0).mkString(",\n")} FROM acc, nu),
+         |t1 AS (SELECT ${NbFitLayers(1).mkString(",\n")} FROM t0)
+         |SELECT ${NbFitLayers(2).mkString(",\n")} FROM t1
+         |ORDER BY event_type""".stripMargin,
     "ev_did" ->
       s"""WITH $PrePostCte,
          |m AS (
@@ -3349,6 +3400,7 @@ object EventOps {
     "ev_did" -> (evDid(_, _)),
     "stat_rate_test" -> (statRateTest(_, _)),
     "stat_dispersion" -> (statDispersion(_, _)),
+    "stat_nb_fit" -> (statNbFit(_, _)),
     "ev_uplift_deciles" -> (evUpliftDeciles(_, _)),
     "ev_capture_recapture" -> (evCaptureRecapture(_, _)),
     "ev_range_join" -> (evRangeJoin(_, _)),
