@@ -935,23 +935,25 @@ object EventOps {
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts) div 86400000000").as("d"))
+    // Entry and conversion events STACK into one (arm, day) rollup —
+    // no day grid, no joins (a user contributes an n-row at d0 and, if
+    // converting, a c-row at dc; days carrying only conversions appear
+    // naturally): one per-user shuffle, one (arm, day) shuffle, one
+    // per-arm window.
     val u = ev.groupBy("user_id")
       .agg(min("d").as("d0"),
         min(when(expr(AbConvGate), col("d"))).as("dc"))
       .withColumn("arm", expr(AbArmSql))
-    val entries = u.groupBy("arm", "d0").agg(count(lit(1)).as("n"))
-      .select(col("arm"), col("d0").as("day"), col("n"))
-    val convs = u.filter(col("dc").isNotNull)
-      .groupBy("arm", "dc").agg(count(lit(1)).as("c"))
-      .select(col("arm"), col("dc").as("day"), col("c"))
-    val grid = entries.select("arm", "day")
-      .unionByName(convs.select("arm", "day")).distinct()
+    val daily = u
+      .select(col("arm"), explode(expr(
+        "filter(array(struct(d0 AS day, 1L AS n, 0L AS c), " +
+          "struct(dc AS day, 0L AS n, 1L AS c)), x -> x.day IS NOT NULL)")).as("e"))
+      .groupBy(col("arm"), col("e.day").as("day"))
+      .agg(sum("e.n").as("n"), sum("e.c").as("c"))
     val w = Window.partitionBy("arm").orderBy("day")
-    grid
-      .join(entries, Seq("arm", "day"), "left")
-      .join(convs, Seq("arm", "day"), "left")
-      .withColumn("n_users", sum(coalesce(col("n"), lit(0L))).over(w))
-      .withColumn("n_conv", sum(coalesce(col("c"), lit(0L))).over(w))
+    daily
+      .withColumn("n_users", sum("n").over(w))
+      .withColumn("n_conv", sum("c").over(w))
       .selectExpr("arm", "day", "n_users", "n_conv",
         s"n_conv * CAST($SprtL1 AS DOUBLE) + (n_users - n_conv) * CAST($SprtL2 AS DOUBLE) AS llr_raw")
       .selectExpr("arm", "day", "n_users", "n_conv",
@@ -3049,24 +3051,20 @@ object EventOps {
          |        THEN epoch_us(ts) // 86400000000 END) AS dc,
          |    $AbArmSqlDuck AS arm
          |  FROM events GROUP BY user_id),
-         |entries AS (
-         |  SELECT arm, d0 AS day, CAST(count(*) AS BIGINT) AS n
-         |  FROM uu GROUP BY 1, 2),
-         |convs AS (
-         |  SELECT arm, dc AS day, CAST(count(*) AS BIGINT) AS c
-         |  FROM uu WHERE dc IS NOT NULL GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT arm, day FROM entries
-         |  UNION SELECT arm, day FROM convs),
+         |stacked AS (
+         |  SELECT arm, d0 AS day, 1 AS n, 0 AS c FROM uu
+         |  UNION ALL
+         |  SELECT arm, dc AS day, 0 AS n, 1 AS c FROM uu WHERE dc IS NOT NULL),
+         |daily AS (
+         |  SELECT arm, day, CAST(sum(n) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS c
+         |  FROM stacked GROUP BY 1, 2),
          |cum AS (
-         |  SELECT g.arm, g.day,
-         |    sum(coalesce(n, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+         |  SELECT arm, day,
+         |    sum(n) OVER (PARTITION BY arm ORDER BY day
          |      ROWS UNBOUNDED PRECEDING) AS n_users,
-         |    sum(coalesce(c, 0)) OVER (PARTITION BY g.arm ORDER BY g.day
+         |    sum(c) OVER (PARTITION BY arm ORDER BY day
          |      ROWS UNBOUNDED PRECEDING) AS n_conv
-         |  FROM grid g
-         |  LEFT JOIN entries e ON e.arm = g.arm AND e.day = g.day
-         |  LEFT JOIN convs cv ON cv.arm = g.arm AND cv.day = g.day),
+         |  FROM daily),
          |l AS (
          |  SELECT arm, day, n_users, n_conv,
          |    n_conv * CAST($SprtL1 AS DOUBLE)
