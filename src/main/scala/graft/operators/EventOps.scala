@@ -1348,6 +1348,34 @@ object EventOps {
     * ingest would already be partitioned by. first()/last() would be
     * nondeterministic under parallel scan order; the row_number gate
     * is the deterministic equivalent. */
+  /** Maximum drawdown of the daily purchase-revenue level series — the
+    * risk readout next to the OHLC/forecast family (how far below the
+    * best day ever did revenue sink, and when — the decline metric a
+    * revenue-ops dashboard alarms on; a CUMULATIVE total never falls,
+    * so drawdown applies to the level series, like a price): running
+    * max over the horizon-bounded daily series, drawdown = peak −
+    * today per day, TakeOrderedAndProject picks the deepest day (ties
+    * → earliest). All exact BIGINT cents — the peak/drawdown
+    * comparisons cannot drift between engines.
+    *
+    * Scale: one partial-aggregated daily rollup; the window runs over
+    * the days-bounded series (the statAutocorr posture). */
+  def evDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("rev_cents"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("peak_cents", max(col("rev_cents")).over(w))
+      .withColumn("drawdown_cents", col("peak_cents") - col("rev_cents"))
+      .orderBy(desc("drawdown_cents"), col("d"))
+      .limit(1)
+      .select(col("d").as("worst_day"), col("rev_cents"), col("peak_cents"),
+        col("drawdown_cents"))
+  }
+
   def evOhlcBars(spark: SparkSession, dir: String): DataFrame = {
     val barUs = 14400000000L // 4 h in microseconds
     val w = Window.partitionBy("event_type", "bar").orderBy("tus", "event_id")
@@ -2522,6 +2550,18 @@ object EventOps {
          |  FROM pu GROUP BY t)
          |SELECT ${DispersionDerived.mkString(",\n")}
          |FROM m, nu ORDER BY event_type""".stripMargin,
+    "ev_drawdown" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |dd AS (
+        |  SELECT d, rev_cents,
+        |    max(rev_cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak_cents
+        |  FROM daily)
+        |SELECT d AS worst_day, rev_cents, peak_cents,
+        |  peak_cents - rev_cents AS drawdown_cents
+        |FROM dd ORDER BY drawdown_cents DESC, d LIMIT 1""".stripMargin,
     "stat_nb_fit" ->
       s"""WITH pu AS (
          |  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS c
@@ -3431,6 +3471,7 @@ object EventOps {
     "ev_funnel_time" -> (evFunnelTime(_, _)),
     "ev_ewma" -> (evEwma(_, _)),
     "ev_ohlc_bars" -> (evOhlcBars(_, _)),
+    "ev_drawdown" -> (evDrawdown(_, _)),
     "ev_seasonal_naive" -> (evSeasonalNaive(_, _)),
     "stat_holt_forecast" -> (statHoltForecast(_, _)),
     "stat_forecast_eval" -> (statForecastEval(_, _)),
