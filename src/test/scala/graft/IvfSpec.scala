@@ -290,6 +290,22 @@ class IvfSpec extends AnyFunSuite {
       f"(${100.0 * resErr / flat}%.1f%%)")
   }
 
+  test("tombstone-masked delete: no deleted id served, survivors match the unmasked probe") {
+    val deleted = SimilarityOps.simIvfDelete(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(deleted.length == 10)
+    assert(deleted.forall(_._1 % 100 != 13),
+      s"a tombstoned id was served: ${deleted.filter(_._1 % 100 == 13).mkString(",")}")
+    // The masked ranking is the unmasked ranking with tombstoned ids
+    // dropped and the tail refilled: every unmasked survivor must
+    // appear, in order, as a prefix of the masked result.
+    val unmasked = SimilarityOps.simAnnIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val survivors = unmasked.filter(_._1 % 100 != 13)
+    assert(deleted.take(survivors.length).sameElements(survivors),
+      "masked probe reordered the surviving candidates")
+  }
+
   test("incremental IVF insert: delta appended, probe still bucket-prunes, both generations served") {
     import org.apache.spark.sql.functions.col
     val probe = SimilarityOps.simIvfInsert(spark, sf)

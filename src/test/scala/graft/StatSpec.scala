@@ -707,6 +707,47 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("NB fit parameters invert back to the measured moments") {
+    val rows = EventOps.statNbFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, v) = (r.getDouble(2), r.getDouble(3))
+      val fit = r.getString(4)
+      if (fit == "negative_binomial") {
+        val (nr, np) = (r.getDouble(5), r.getDouble(6))
+        // NB(r, p) with p = r/(r+m): mean = r(1-p)/p and
+        // var = mean + mean^2/r — the moment equations must invert.
+        val meanBack = nr * (1 - np) / np
+        assert(math.abs(meanBack - m) < 1e-2, s"mean $meanBack vs $m")
+        val varBack = m + m * m / nr
+        assert(math.abs(varBack - v) < 1e-2, s"var $varBack vs $v")
+        assert(v > m, "negative_binomial verdict requires overdispersion")
+      } else {
+        assert(fit == "poisson_like" && r.isNullAt(5) && r.isNullAt(6))
+        assert(v <= m + 1e-9, s"poisson_like verdict with v=$v > m=$m")
+      }
+    }
+  }
+
+  test("drawdown row equals the brute-force running-peak recomputation") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val daily = Tables(spark, sf).events
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(org.apache.spark.sql.functions.sum(
+        expr("CAST(round(value * 100) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var peak = Long.MinValue
+    var best = (0L, 0L, 0L, -1L)
+    daily.foreach { case (d, rev) =>
+      peak = math.max(peak, rev)
+      if (peak - rev > best._4) best = (d, rev, peak, peak - rev)
+    }
+    val got = EventOps.evDrawdown(spark, sf).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) == best,
+      s"op ${got.mkString(",")} vs brute $best")
+  }
+
   test("SPRT: day-d statistic sees only what was observable by day d") {
     import org.apache.spark.sql.functions.{col, expr}
     val rows = EventOps.statSprt(spark, sf).collect()
