@@ -460,9 +460,18 @@ object DedupOps {
     import graft.sources.Formats
     // ONE corpus tokenize+shingle pass feeds both catalog writes (the
     // r5 "1 corpus pass is the floor" discipline); lazy so a session
-    // whose catalogs already exist never runs it at all.
-    lazy val corpusSh =
-      shingleSetsWhere(spark, dir, col("source") === "src0").localCheckpoint()
+    // whose catalogs already exist never runs it at all. Blocks are
+    // tracked and freed after both writes land (the componentCatalogs
+    // discipline — without it the corpus-sized shingle blocks stayed
+    // persisted for the rest of the session after the one-time build).
+    var shIds = Set.empty[Int]
+    var built = false
+    lazy val corpusSh = {
+      val (df, ids) = trackCheckpoint(spark,
+        shingleSetsWhere(spark, dir, col("source") === "src0"))
+      shIds = ids; built = true
+      df
+    }
     val bands = Formats.sessionTable(spark, dir, "graft_mh_band_") { tbl =>
       corpusSh
         .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
@@ -479,6 +488,9 @@ object DedupOps {
         .bucketBy(Formats.FactBuckets, "doc_id").sortBy("doc_id")
         .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
     }
+    // free only if the lazy build actually ran (the memo-hit path
+    // evaluates nothing and there is nothing to free)
+    if (built) freeBlocks(spark, shIds)
     (bands, shingles)
   }
 

@@ -3375,7 +3375,11 @@ object EventOps {
         |  CAST(mean_left_ppm AS BIGINT) AS mean_left_ppm,
         |  CAST(mean_right_ppm AS BIGINT) AS mean_right_ppm,
         |  round(gain, 4) + 0.0 AS gain
-        |FROM e ORDER BY gain DESC, d ASC LIMIT 1""".stripMargin,
+        |-- argmax on the RAW gain inside the subquery (ORDER BY in the
+        |-- outer select would bind to the rounded output alias — SQL
+        |-- resolves ORDER BY against select aliases first — while the
+        |-- Spark op orders on the unrounded gain before limit(1))
+        |FROM (SELECT * FROM e ORDER BY gain DESC, d ASC LIMIT 1)""".stripMargin,
     "ev_gap_fill" ->
       """WITH hrs AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt

@@ -1345,7 +1345,12 @@ object TextOps {
     * count, the word IDENTITY carried so the apply oracle can join the
     * final reprs back) and [[BpeRounds]] unrolled MATERIALIZED rounds:
     * p$r pair counts, m$r scalar top-1 merge, wf$r the rewrite. Shared
-    * by the train and apply oracles. */
+    * by the train and apply oracles. If a round has no pairs (m$r
+    * empty — degenerate/tiny corpora), the scalar subquery coalesces
+    * to '' so the replace pattern becomes '_.'— unmatchable, since
+    * symbols are nonempty — keeping the rewrite a no-op exactly like
+    * the Spark loop's empty-round skip (a raw NULL would null every
+    * repr and corrupt all later rounds). */
   private def bpeChainSql: String = {
     def roundCtes(r: Int): String = {
       val prev = if (r == 1) "wf0" else s"wf${r - 1}"
@@ -1360,8 +1365,8 @@ object TextOps {
          |m$r AS MATERIALIZED (SELECT pr, c FROM p$r ORDER BY c DESC, pr LIMIT 1),
          |wf$r AS MATERIALIZED (
          |  SELECT t, replace(repr,
-         |      '_' || replace((SELECT pr FROM m$r), ' ', '._') || '.',
-         |      '_' || replace((SELECT pr FROM m$r), ' ', '') || '.') AS repr, cnt
+         |      '_' || replace(coalesce((SELECT pr FROM m$r), ''), ' ', '._') || '.',
+         |      '_' || replace(coalesce((SELECT pr FROM m$r), ''), ' ', '') || '.') AS repr, cnt
          |  FROM $prev)""".stripMargin
     }
     s"""wf0 AS MATERIALIZED (
