@@ -546,6 +546,176 @@ object EventOps {
       "round(p2raw, 4) + 0.0 AS pacf2",
       "round(p3raw, 4) + 0.0 AS pacf3"))
 
+  /** Chatterjee ξ derived readout over the exact integer fold (n days,
+    * a_sum = Σ|r_{i+1} − r_i| over the day order, b_sum = Σ lᵢ(n−lᵢ))
+    * — ONE formula text for both engines; the only division is the
+    * final one. A constant series has b_sum = 0 and no defined ξ. */
+  private val XiDerived = Seq(
+    "CAST(n AS BIGINT) AS n",
+    "CAST(a_sum AS BIGINT) AS rank_jumps",
+    "CAST(b_sum AS BIGINT) AS tie_mass",
+    """CASE WHEN b_sum = 0 THEN NULL
+      | ELSE round(1 - CAST(n AS DOUBLE) * a_sum / (2 * CAST(b_sum AS DOUBLE)), 4) + 0.0
+      | END AS xi""".stripMargin)
+
+  /** Chatterjee's ξ rank correlation (2021) of the daily event-count
+    * series against time — the DEPENDENCE screen the classical pair
+    * misses: Pearson (stat_linreg) sees linear signal and Spearman
+    * monotone signal, while ξ → 1 whenever y is ANY measurable
+    * function of x (a U-shape, a seasonal cycle) and ξ ≈ 0 under
+    * independence. The tie-general estimator
+    * ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ lᵢ(n−lᵢ)) runs on exact
+    * integers end to end: rᵢ = #{y_j ≤ y_i} and lᵢ = #{y_j ≥ y_i}
+    * come from ONE cumulative pass over the value-distinct histogram
+    * (no arbitrary tie-break ever enters — the counting definition is
+    * total), the |Δrank| sum from a lead window over the day order,
+    * and the single division happens in [[XiDerived]] shared verbatim.
+    *
+    * Scale: the series is the horizon-bounded daily rollup (the
+    * statAutocorr posture); histogram, ranks, and both windows run
+    * over that bounded table, and the heavy work is the one
+    * partial-aggregated daily count. */
+  def statXiCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Checkpointed: the bounded daily series feeds the value histogram,
+    // the totals row, AND the day-ordered join — one events pass.
+    val series = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val tot = series.agg(count(lit(1)).as("n"))
+    val wv = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = series.groupBy("x").agg(count(lit(1)).as("cx"))
+      .withColumn("cum", sum("cx").over(wv))
+    val wd = Window.orderBy("d")
+    series.join(broadcast(ranks), "x")
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("cum").as("r"),
+        expr("n - (cum - cx) AS l"), col("n"))
+      .withColumn("rn", lead("r", 1).over(wd))
+      .agg(
+        max("n").as("n"),
+        sum(expr("CASE WHEN rn IS NULL THEN 0 ELSE abs(rn - r) END")).as("a_sum"),
+        sum(expr("l * (n - l)")).as("b_sum"))
+      .selectExpr(XiDerived: _*)
+  }
+
+  private[operators] def statXiCorrOracle: String =
+    s"""WITH series AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+       |hv AS (SELECT x, CAST(count(*) AS BIGINT) AS cx FROM series GROUP BY 1),
+       |rk AS (
+       |  SELECT x, cx,
+       |    sum(cx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hv),
+       |j AS (
+       |  SELECT series.d, rk.cum AS r, t.n - (rk.cum - rk.cx) AS l, t.n
+       |  FROM series JOIN rk USING (x) CROSS JOIN t),
+       |led AS (SELECT *, lead(r) OVER (ORDER BY d) AS rn FROM j),
+       |m AS (
+       |  SELECT max(n) AS n,
+       |    sum(CASE WHEN rn IS NULL THEN 0 ELSE abs(rn - r) END) AS a_sum,
+       |    sum(l * (n - l)) AS b_sum
+       |  FROM led)
+       |SELECT ${XiDerived.mkString(",\n")}
+       |FROM m""".stripMargin
+
+  /** Decision-stump purity layer — ONE text for both engines: for a
+    * candidate split (left = pre-activity ≤ threshold), the
+    * class-purity mass Σ_side Σ_class count²/n_side, each term one
+    * double multiply-then-divide of exact integers combined in a FIXED
+    * four-term expression tree (never an aggregation) — bit-equal
+    * cross-engine, so the argmax ordering agrees without any rounding
+    * contract. Maximizing purity minimizes weighted Gini impurity:
+    * gini_split = 1 − purity/n. */
+  private val StumpPurity =
+    """CAST(pl AS DOUBLE) * pl / nl + CAST(nl - pl AS DOUBLE) * (nl - pl) / nl
+      | + CAST(pr AS DOUBLE) * pr / nr + CAST(nr - pr AS DOUBLE) * (nr - pr) / nr
+      | AS purity""".stripMargin
+
+  /** Decision-stump readout over (threshold, nl, pl, nr, pr, n, pos,
+    * purity) — shared verbatim; root and split Gini plus the gain. */
+  private val StumpDerived = Seq(
+    "threshold",
+    "CAST(n AS BIGINT) AS n",
+    "CAST(nl AS BIGINT) AS n_left",
+    "CAST(nr AS BIGINT) AS n_right",
+    "CAST(pl AS BIGINT) AS pos_left",
+    "CAST(pr AS BIGINT) AS pos_right",
+    """round(1 - (CAST(pos AS DOUBLE) * pos + CAST(n - pos AS DOUBLE) * (n - pos))
+      | / (CAST(n AS DOUBLE) * n), 4) + 0.0 AS gini_root""".stripMargin,
+    "round(1 - purity / n, 4) + 0.0 AS gini_split",
+    """round((1 - (CAST(pos AS DOUBLE) * pos + CAST(n - pos AS DOUBLE) * (n - pos))
+      | / (CAST(n AS DOUBLE) * n)) - (1 - purity / n), 4) + 0.0 AS gain""".stripMargin)
+
+  /** Best single decision-stump split of post-period conversion by
+    * pre-period activity — the 1-level decision tree that answers "at
+    * WHAT activity level do users start converting?", the feature-
+    * screening primitive behind tree ensembles and behind targeting
+    * rules (ev_uplift_deciles slices by fixed deciles; this LEARNS the
+    * cut). Candidates are the distinct pre-period event counts from
+    * the shared [[prePostUsers]] panel (so the stump composes with the
+    * experimentation family's definitions); for each, left/right
+    * class counts come from ONE cumulative window over the
+    * value-distinct histogram, the class-purity objective evaluates
+    * through [[StumpPurity]] shared verbatim (exact integers, fixed
+    * four-term IEEE tree — the stat_changepoint argmax contract), and
+    * TakeOrderedAndProject picks the winner with ties on the smaller
+    * threshold in both engines.
+    *
+    * Scale: one user-keyed partial-aggregated shuffle (the panel), one
+    * histogram over the bounded activity domain, one window over that
+    * domain, a 1-row totals broadcast, and a k=1 top-k — no per-user
+    * window, nothing quadratic. An unbounded activity domain would bin
+    * first, exactly like agg_histogram. */
+  def statBestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = prePostUsers(spark, dir)
+      .select(col("ex"), col("conv"))
+    val h = users.groupBy("ex")
+      .agg(count(lit(1)).as("cnt"), sum("conv").as("pos"))
+      .localCheckpoint()
+    val tot = h.agg(sum("cnt").as("n"), sum("pos").as("pos_tot"))
+    val w = Window.orderBy("ex")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("nl", sum("cnt").over(w))
+      .withColumn("pl", sum("pos").over(w))
+      .drop("pos")
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n"))
+      .selectExpr("ex AS threshold", "nl", "pl", "n", "pos_tot AS pos",
+        "n - nl AS nr", "pos_tot - pl AS pr")
+      .selectExpr("threshold", "nl", "pl", "nr", "pr", "n", "pos", StumpPurity)
+      .orderBy(col("purity").desc, col("threshold").asc)
+      .limit(1)
+      .selectExpr(StumpDerived: _*)
+  }
+
+  private[operators] def statBestSplitOracle: String =
+    s"""WITH $PrePostCte,
+       |h AS (
+       |  SELECT ex, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(conv) AS BIGINT) AS pos
+       |  FROM u GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos FROM h),
+       |cw AS (
+       |  SELECT ex,
+       |    sum(cnt) OVER (ORDER BY ex ROWS UNBOUNDED PRECEDING) AS nl,
+       |    sum(pos) OVER (ORDER BY ex ROWS UNBOUNDED PRECEDING) AS pl
+       |  FROM h),
+       |cand AS (
+       |  SELECT ex AS threshold, nl, pl, n, pos, n - nl AS nr, pos - pl AS pr
+       |  FROM cw CROSS JOIN tot WHERE nl < n),
+       |pur AS (
+       |  SELECT threshold, nl, pl, nr, pr, n, pos, $StumpPurity
+       |  FROM cand),
+       |win AS (
+       |  SELECT * FROM pur ORDER BY purity DESC, threshold ASC LIMIT 1)
+       |SELECT ${StumpDerived.mkString(",\n")}
+       |FROM win""".stripMargin
+
   /** Daily new-vs-returning user split — the growth-accounting view
     * next to ev_cumulative_users' running total and ev_dau_wau's
     * stickiness ratio (is today's activity acquisition or retention?):
@@ -3132,6 +3302,8 @@ object EventOps {
          |t2 AS (SELECT ${WilsonLayers(1).mkString(",\n")} FROM t1)
          |SELECT ${WilsonLayers(2).mkString(",\n")} FROM t2
          |ORDER BY arm""".stripMargin,
+    "stat_xi_corr" -> statXiCorrOracle,
+    "stat_best_split" -> statBestSplitOracle,
     "stat_autocorr" ->
       s"""WITH series AS (
          |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
@@ -3460,6 +3632,8 @@ object EventOps {
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "stat_autocorr" -> (statAutocorr(_, _)),
+    "stat_xi_corr" -> (statXiCorr(_, _)),
+    "stat_best_split" -> (statBestSplit(_, _)),
     "stat_pacf" -> (statPacf(_, _)),
     "ev_ab_test" -> (evAbTest(_, _)),
     "stat_wilson_ci" -> (statWilsonCi(_, _)),

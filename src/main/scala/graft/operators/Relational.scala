@@ -1156,6 +1156,166 @@ object Relational {
       .selectExpr(KsDerived: _*)
   }
 
+  /** Jarque–Bera derived stats over the unrounded MomStage4 shape
+    * moments — the last two formula layers shared verbatim with the
+    * oracle (the [[MomStage2]]..[[MomStage4]] chain runs first, so the
+    * skewness/kurtosis doubles entering here are bit-equal
+    * cross-engine). The χ²(2) 5% critical value 5.991464547107979 is a
+    * LITERAL (the stat_sprt move — no quantile function ever runs in
+    * either engine), so the boolean verdict compares bit-equal doubles
+    * against the same constant. */
+  private val JbDerived = Seq(
+    "round(skewness, 4) + 0.0 AS skew",
+    "round(kurtosis_excess, 4) + 0.0 AS kurt_excess",
+    """round(CAST(n AS DOUBLE) * (skewness * skewness / 6
+      | + kurtosis_excess * kurtosis_excess / 24), 4) + 0.0 AS jb""".stripMargin,
+    """CAST(n AS DOUBLE) * (skewness * skewness / 6
+      | + kurtosis_excess * kurtosis_excess / 24)
+      | <= 5.991464547107979 AS is_normal""".stripMargin)
+
+  /** Jarque–Bera normality screen per order priority — the gate that
+    * decides whether the parametric members of the testing family
+    * (stat_ttest / stat_anova) read out on safe ground or the
+    * rank-based twins (stat_mann_whitney / stat_kruskal_wallis) should
+    * carry the decision: JB = n·(S²/6 + K²/24) over population
+    * skewness S and excess kurtosis K, flagged against the χ²(2) 5%
+    * critical value. Moments ride the [[aggMoments]] machinery — ONE
+    * partial-aggregated scan accumulates Σc..Σc⁴ as exact
+    * DECIMAL(38,0)/HUGEINT integers (order-independent; cents⁴ ≈ 1e31
+    * per row leaves ~1e7-rows-per-group headroom at this price domain,
+    * beyond which the accumulators shift to group-mean-centered form),
+    * and every downstream double derives through the SAME MomStage +
+    * JbDerived formula text in both engines — identical IEEE trees,
+    * bit-equal JB before the round. Scale: one shuffle onto the
+    * 5-value priority domain; everything after is per-group rows. */
+  def statJarqueBera(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .selectExpr("o_orderpriority AS priority",
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS c")
+      .selectExpr("priority", "c", "c * c AS c2")
+      .selectExpr("priority", "c", "c2", "c2 * c AS c3", "c2 * c2 AS c4")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"), sum("c2").as("s2"),
+        sum("c3").as("s3"), sum("c4").as("s4"))
+      .selectExpr("priority" +: "n" +: MomStage2: _*)
+      .selectExpr("priority" +: "n" +: "m1" +: MomStage3: _*)
+      .selectExpr("priority" +: "n" +: MomStage4: _*)
+      .selectExpr("priority" +: "n" +: JbDerived: _*)
+      .orderBy("priority")
+
+  private[operators] def statJarqueBeraOracle: String =
+    s"""WITH p AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS c
+       |  FROM orders),
+       |pw AS (SELECT priority, c, c * c AS c2 FROM p),
+       |pw2 AS (SELECT priority, c, c2, c2 * c AS c3, c2 * c2 AS c4 FROM pw),
+       |s AS (
+       |  SELECT priority, count(*) AS n, sum(c) AS s1, sum(c2) AS s2,
+       |    sum(c3) AS s3, sum(c4) AS s4
+       |  FROM pw2 GROUP BY 1),
+       |m AS (SELECT priority, n, ${MomStage2.mkString(", ")} FROM s),
+       |cm AS (SELECT priority, n, m1, ${MomStage3.mkString(", ")} FROM m),
+       |m4 AS (SELECT priority, n, ${MomStage4.mkString(", ")} FROM cm)
+       |SELECT priority, n, ${JbDerived.mkString(",\n")}
+       |FROM m4 ORDER BY priority""".stripMargin
+
+  /** The five-value order-priority domain (the q16_pivot list) — ONE
+    * definition for every operator that fans a statistic across the
+    * fixed priority groups. */
+  private[operators] val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Kruskal–Wallis accumulator layer — ONE text for both engines
+    * (it is pure arithmetic over the folded integers, so no div/`//`
+    * dialect split is needed): n = Σnⱼ, k = #nonempty groups, and
+    * S = Σⱼ Rⱼ²/nⱼ evaluated per group as ONE double
+    * multiply-then-divide of exact integers summed in a FIXED
+    * five-term expression tree (never an aggregation) — bit-equal
+    * cross-engine, no accumulation-order dependence. Rⱼ carries 2·rank
+    * units, so S is 4× the textbook Σ Rⱼ²/nⱼ and the H formula below
+    * compensates with 3/(n(n+1)) in place of 12/(n(n+1)). */
+  private val KwAccLayer = Seq(
+    "CAST(" + (1 to 5).map(i => s"n$i").mkString(" + ") + " AS BIGINT) AS n",
+    "CAST(" + (1 to 5).map(i => s"CASE WHEN n$i > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ") + " AS BIGINT) AS k",
+    (1 to 5).map(i =>
+      s"CASE WHEN n$i > 0 THEN CAST(r$i AS DOUBLE) * r$i / n$i ELSE 0 END")
+      .mkString(" + ") + " AS s_acc",
+    "tiesum")
+
+  /** Kruskal–Wallis derived stats over (n, k, s_acc, tiesum): H in
+    * 2·rank units (see [[KwAccLayer]]) plus the tie-corrected H/C with
+    * C = 1 − Σ(t³−t)/(n³−n) — ONE formula text for both engines. */
+  private val KruskalDerived = Seq(
+    "n", "k",
+    """round(s_acc * 3 / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1), 4)
+      | + 0.0 AS h_stat""".stripMargin,
+    """round((s_acc * 3 / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1))
+      | / (1 - CAST(tiesum AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 4)
+      | + 0.0 AS h_tie""".stripMargin)
+
+  /** Kruskal–Wallis rank-sum omnibus across ALL FIVE order-priority
+    * populations — the nonparametric twin of stat_anova exactly as
+    * stat_mann_whitney is of stat_ttest (k groups instead of 2; the
+    * omnibus an experimentation platform runs on skewed revenue before
+    * pairwise drill-downs). Ranks stay integer as 2·average-rank over
+    * the VALUE-DISTINCT histogram (the statMannWhitney posture: the
+    * rank table is |distinct values|, not |rows|), per-group rank sums
+    * Rⱼ accumulate as exact DECIMAL(38,0)/HUGEINT integers, and H plus
+    * its tie correction derive through the shared [[KwAccLayer]] +
+    * [[KruskalDerived]] texts — bit-equal cross-engine. Scale: one
+    * partial-aggregated histogram shuffle + one window over the
+    * domain-bounded value table + a 1-row fold; an unbounded value
+    * domain would bin first, exactly like agg_histogram. */
+  def statKruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val condCounts = Priorities.zipWithIndex.map { case (p, i) =>
+      sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c${i + 1}") }
+    val v = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("c")
+      .agg(condCounts.head, condCounts.tail: _*)
+      .withColumn("cnt", expr((1 to 5).map(i => s"c$i").mkString(" + ")))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folds =
+      (1 to 5).map(i => sum(col(s"c$i")).as(s"n$i")) ++
+      (1 to 5).map(i =>
+        sum(expr(s"CAST(c$i AS DECIMAL(38,0)) * avg2")).as(s"r$i")) :+
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tiesum")
+    v.withColumn("cum", sum("cnt").over(w))
+      .withColumn("avg2", expr("2 * (cum - cnt) + cnt + 1"))
+      .agg(folds.head, folds.tail: _*)
+      .selectExpr(KwAccLayer: _*)
+      .selectExpr(KruskalDerived: _*)
+  }
+
+  private[operators] def statKruskalWallisOracle: String = {
+    val conds = Priorities.zipWithIndex.map { case (p, i) =>
+      s"sum(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS c${i + 1}" }
+    val folds =
+      (1 to 5).map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i") ++
+      (1 to 5).map(i => s"sum(c$i::HUGEINT * avg2) AS r$i") :+
+      "sum(cnt::HUGEINT * cnt * cnt - cnt) AS tiesum"
+    s"""WITH x AS (
+       |  SELECT o_orderpriority AS g,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+       |  FROM orders),
+       |v AS (
+       |  SELECT c, ${conds.mkString(", ")}
+       |  FROM x GROUP BY c),
+       |vc AS (SELECT *, c1 + c2 + c3 + c4 + c5 AS cnt FROM v),
+       |r AS (
+       |  SELECT *, sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM vc),
+       |a AS (SELECT *, 2 * (cum - cnt) + cnt + 1 AS avg2 FROM r),
+       |m AS (SELECT ${folds.mkString(", ")} FROM a),
+       |acc AS (SELECT ${KwAccLayer.mkString(", ")} FROM m)
+       |SELECT ${KruskalDerived.mkString(",\n")}
+       |FROM acc""".stripMargin
+  }
+
   /** OLS derived stats over the exact integer accumulators (n, sx, sy,
     * sxx, sxy, syy — count, value sums, squared sums, cross sum): ONE
     * formula string for both engines, like [[TtestDerived]]. The r²
@@ -3879,6 +4039,8 @@ object Relational {
         |g AS (SELECT max(mt) AS gm FROM p)
         |SELECT event_type, n_rows, (gm - mt) // 60000000 AS lag_minutes
         |FROM p CROSS JOIN g ORDER BY event_type""".stripMargin,
+    "stat_jarque_bera" -> statJarqueBeraOracle,
+    "stat_kruskal_wallis" -> statKruskalWallisOracle,
     "stat_anova" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -4148,6 +4310,8 @@ object Relational {
     "stat_spearman" -> (statSpearman(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
+    "stat_jarque_bera" -> (statJarqueBera(_, _)),
+    "stat_kruskal_wallis" -> (statKruskalWallis(_, _)),
     "qc_benford" -> (qcBenford(_, _)),
     "stat_anova" -> (statAnova(_, _)),
     "stat_levene" -> (statLevene(_, _)),
