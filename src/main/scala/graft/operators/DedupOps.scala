@@ -970,6 +970,134 @@ object DedupOps {
     labels
   }
 
+  /** Deterministic Luby priority for [[dedupMis]]: a 28-bit md5 prefix
+    * packed above the unique vertex id (prio < 2^60 — BIGINT-safe) —
+    * collision-free, partition-independent, and identical in both
+    * engines (the mix_split_assign keyed-hash contract: at 100 TB a
+    * tie-break is a HASH of the unit key, never a random draw). */
+  private val MisPrioExpr =
+    "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 7), 16, 10) AS BIGINT)" +
+      " * 4294967296 + id"
+
+  /** Luby round cap — matches the oracle's unroll depth; past the
+    * fixpoint a round maps an empty active set to itself, so Spark's
+    * early stop and the oracle's fixed unroll agree (the emb_kmeans
+    * contract). On near-dup graphs (small cliques and short chains)
+    * Luby empties the active set in 2–3 rounds; a cap hit on BOTH
+    * sides still compares equal — it would surface as a maximality
+    * violation in the spec, never as an oracle mismatch. */
+  private val MisMaxRounds = 6
+
+  /** Maximal-independent-set keep-list over the near-dup graph — the
+    * OTHER dedup keep-policy next to [[dedupComponents]]' one-per-
+    * component representative: component-canonical over-deletes when
+    * transitive chains connect dissimilar documents through
+    * intermediates (a–b and b–c similar, a–c not — the component keeps
+    * ONE of three), while a maximal independent set keeps the most
+    * documents such that NO TWO KEPT ones are near-dups (a and c both
+    * survive, only b drops). Classic deterministic Luby: each round,
+    * an active vertex whose md5-keyed priority beats every ACTIVE
+    * neighbor joins the MIS, then it and its neighbors retire;
+    * priorities are pure functions of the vertex id, so the result is
+    * one fixed set — partition- and engine-independent.
+    *
+    * Scale: the verified pair set is the ONE checkpointed IVF-blocked
+    * pass shared with dedup_components; each Luby round is a
+    * both-ends-active join + a partial-aggregated min on the ACTIVE
+    * subgraph only, which shrinks geometrically in expectation
+    * (Luby 1986) — [[MisMaxRounds]] rounds at a handful of shuffles
+    * each, with superseded round state freed (the minLabelComponents
+    * block discipline). Output = kept vectors: MIS members
+    * (was_contested) plus every vertex the pair graph never touched. */
+  def dedupMis(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, pairIds) = trackCheckpoint(spark,
+      dedupEmbedding(spark, dir).select("id1", "id2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var (active, activeIds) = trackCheckpoint(spark,
+      edges.select(col("id1").as("id")).distinct()
+        .withColumn("prio", expr(MisPrioExpr)))
+    var mis: Option[DataFrame] = None
+    var misIds = Set.empty[Int]
+    var rounds = 0
+    var nActive = active.count()
+    while (nActive > 0 && rounds < MisMaxRounds) {
+      val a1 = active.select(col("id").as("id1"), col("prio").as("p1"))
+      val a2 = active.select(col("id").as("id2"), col("prio").as("p2"))
+      val eAct = edges.join(a1, "id1").join(a2, "id2")
+      val minnb = eAct.groupBy("id1").agg(min("p2").as("mn"))
+        .withColumnRenamed("id1", "id")
+      val misR = active.join(minnb, Seq("id"), "left")
+        .filter(col("mn").isNull || col("prio") < col("mn"))
+        .select("id", "prio")
+      val nbrs = eAct
+        .join(misR.select(col("id").as("id1")), "id1")
+        .select(col("id2").as("id")).distinct()
+      val (nextActive, nextIds) = trackCheckpoint(spark,
+        active.join(misR.select("id"), Seq("id"), "left_anti")
+          .join(nbrs, Seq("id"), "left_anti"))
+      val (misAcc, accIds) = trackCheckpoint(spark,
+        mis.fold(misR)(_.unionByName(misR)))
+      // Both consumers of the old round state are materialized above;
+      // free the superseded blocks (the minLabelComponents discipline).
+      freeBlocks(spark, activeIds)
+      freeBlocks(spark, misIds)
+      active = nextActive; activeIds = nextIds
+      mis = Some(misAcc); misIds = accIds
+      nActive = active.count()
+      rounds += 1
+    }
+    // Materialize the touched-vertex list before releasing the pair
+    // blocks — the singleton anti-join below must not re-run the IVF.
+    val (touched, tIds) = trackCheckpoint(spark,
+      edges.select(col("id1").as("vec_id")).distinct())
+    freeBlocks(spark, pairIds)
+    freeBlocks(spark, activeIds)
+    val misKept = mis
+      .fold(spark.range(0).select(col("id")))(_.select(col("id")))
+      .select(col("id").as("vec_id"), lit(true).as("was_contested"))
+    val singles = Tables(spark, dir).embeddings.select(col("vec_id"))
+      .join(touched, Seq("vec_id"), "left_anti")
+      .withColumn("was_contested", lit(false))
+    misKept.unionByName(singles).orderBy("vec_id")
+  }
+
+  private[operators] def dedupMisOracle: String = {
+    val h7 = (1 to 7)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (7 - i))}")
+      .mkString("(", " + ", ")")
+    val rounds = (0 until MisMaxRounds).map { r =>
+      s"""mis$r AS MATERIALIZED (
+         |  SELECT a.id FROM act$r a LEFT JOIN (
+         |    SELECT e.a AS id, min(c.prio) AS mn
+         |    FROM ed e JOIN act$r b ON e.a = b.id JOIN act$r c ON e.b = c.id
+         |    GROUP BY e.a) m USING (id)
+         |  WHERE m.mn IS NULL OR a.prio < m.mn),
+         |act${r + 1} AS MATERIALIZED (
+         |  SELECT * FROM act$r
+         |  WHERE id NOT IN (SELECT id FROM mis$r)
+         |    AND id NOT IN (SELECT e.b FROM ed e JOIN mis$r ON e.a = mis$r.id))""".stripMargin
+    }.mkString(",\n")
+    val misall = (0 until MisMaxRounds)
+      .map(r => s"SELECT id FROM mis$r").mkString(" UNION ALL ")
+    s"""WITH ${SimilarityOps.ivfCellsSql},
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+       |  FROM cells a JOIN cells b2 ON a.aid = b2.aid AND a.vec_id < b2.vec_id
+       |  WHERE ${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")} >= 0.4),
+       |ed AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+       |act0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS id, $h7 * 4294967296 + a AS prio FROM ed),
+       |$rounds,
+       |misall AS ($misall)
+       |SELECT vec_id, was_contested FROM (
+       |  SELECT id AS vec_id, TRUE AS was_contested FROM misall
+       |  UNION ALL
+       |  SELECT vec_id, FALSE AS was_contested FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT a FROM ed)) k
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Per-document duplicated-passage coverage (the RefinedWeb/"dedup the
     * training set" diagnostic): what fraction of each document's distinct
     * 3-token shingles also appear in at least one OTHER document. High
@@ -1299,6 +1427,7 @@ object DedupOps {
          |lab AS (SELECT v AS vec_id, min(l) AS label FROM walk GROUP BY v)
          |SELECT label AS component, count(*) AS n_members
          |FROM lab GROUP BY label ORDER BY component""".stripMargin,
+    "dedup_mis" -> dedupMisOracle,
     "dedup_doc_overlap" ->
       s"""WITH $shingleSql,
          |ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS g FROM hsh),
@@ -1383,6 +1512,7 @@ object DedupOps {
     "dedup_name_blocked" -> (dedupNameBlocked(_, _)),
     "qc_dup_rate" -> (qcDupRate(_, _)),
     "dedup_components" -> (dedupComponents(_, _)),
+    "dedup_mis" -> (dedupMis(_, _)),
     "dedup_doc_overlap" -> (dedupDocOverlap(_, _)),
     "dedup_pipeline" -> (dedupPipeline(_, _)),
     "dedup_pipeline_v2" -> (dedupPipelineV2(_, _)),

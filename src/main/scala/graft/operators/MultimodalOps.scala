@@ -193,7 +193,112 @@ object MultimodalOps {
         expr("decode(substring(payload, CAST(m.offset + 1 AS INT), CAST(m.size AS INT)), 'UTF-8')").as("text"))
       .orderBy("doc_id")
 
+  /** One 16-bit dHash band (band i covers sample-grid rows 2i, 2i+1)
+    * over the text-byte payload — ONE Scala builder emitting both
+    * engines' SQL (only the integer-division token differs, the q34
+    * div-vs-`//` note): cell (r, c) of the 8×9 grid samples the byte
+    * at 1 + (cell·(n−1)) div 71 — the fixed-grid sampling that plays
+    * the "resize to 9×8" role of a real image dHash — and bit j is the
+    * horizontal gradient sign px(r,c) < px(r,c+1). All integer/CASE
+    * arithmetic, identical in both engines. */
+  private def phashBandSql(i: Int, idiv: String): String =
+    (0 until 16).map { j =>
+      val r = 2 * i + j / 8
+      val c = j % 8
+      val cell = r * 9 + c
+      s"(CASE WHEN ascii(substr(text, 1 + ($cell * (n - 1)) $idiv 71, 1))" +
+        s" < ascii(substr(text, 1 + (${cell + 1} * (n - 1)) $idiv 71, 1))" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Hamming distance between two 4×16-bit band signatures — the xor
+    * spelling is the one engine-dialect split (Spark `^`, DuckDB
+    * `xor()`), so the template takes it as a parameter. */
+  private def phashHammingSql(xor: (String, String) => String): String =
+    (0 until 4).map(i => s"bit_count(${xor(s"a$i", s"c$i")})").mkString(" + ")
+
+  /** Perceptual-hash near-dup detection over the binary payloads — the
+    * §2.6 → §2.4 bridge: the image-dedup pipeline shape (decode →
+    * resize → dHash → Hamming-band LSH → verify) with the decode an
+    * honest identity over the text bytes (the mm_decode_stub posture:
+    * no image libs in this container, so the 8×9 sampling grid IS the
+    * resize and the byte value IS the pixel). The 64-bit gradient hash
+    * is built directly as FOUR 16-bit band integers, which makes the
+    * LSH structural: candidates share at least one exact band, and
+    * verification is four bit_count(xor) terms. The shortlist keeps
+    * candidates at Hamming ≤ 24 of 64 — 2σ below the independent-bits
+    * mean of 32 (σ = 4), i.e. structurally similar rather than
+    * band-lucky; exact byte duplicates land at 0 (sf0.1 has some) and
+    * the decision threshold belongs downstream, the
+    * dedup_threshold_sweep posture.
+    *
+    * Scale: the band table is one codegen'd projection checkpointed
+    * once (three consumers — both join sides and verification, the
+    * dedupMinhashLsh discipline); the band join keys distribute
+    * uniformly (16 random-ish bits), pair volume is collision-bounded;
+    * everything downstream is integer ops on 4 small ints per pair. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = (0 until 4).map(i =>
+      expr(phashBandSql(i, "div")).as(s"b$i"))
+    val h = Tables(spark, dir).documents
+      .filter(length(col("text")) >= 72)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .select(col("doc_id") +: bands: _*)
+      .localCheckpoint()
+    val sig = h.select(col("doc_id"),
+      posexplode(array((0 until 4).map(i => col(s"b$i")): _*)))
+      .select(col("doc_id"), col("pos").as("j"), col("col").as("bv"))
+    val cand = sig.as("a")
+      .join(sig.as("b"),
+        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val left = h.select(col("doc_id").as("id1") +:
+      (0 until 4).map(i => col(s"b$i").as(s"a$i")): _*)
+    val right = h.select(col("doc_id").as("id2") +:
+      (0 until 4).map(i => col(s"b$i").as(s"c$i")): _*)
+    cand.join(left, "id1").join(right, "id2")
+      .withColumn("hamming",
+        expr(phashHammingSql((x, y) => s"$x ^ $y")).cast("long"))
+      .filter(col("hamming") <= 24)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  private[operators] def mmPhashDedupOracle: String = {
+    val bandCols = (0 until 4)
+      .map(i => s"${phashBandSql(i, "//")} AS b$i").mkString(",\n    ")
+    val sigRows = (0 until 4)
+      .map(i => s"SELECT doc_id, $i AS j, b$i AS bv FROM h")
+      .mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) >= 72),
+       |h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM d),
+       |sig AS ($sigRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sig a JOIN sig b ON a.j = b.j AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT id1, id2,
+       |    CAST(${phashHammingSql((x, y) => s"xor($x, $y)")} AS BIGINT) AS hamming
+       |  FROM cand
+       |  JOIN (SELECT doc_id, b0 AS a0, b1 AS a1, b2 AS a2, b3 AS a3 FROM h) x
+       |    ON cand.id1 = x.doc_id
+       |  JOIN (SELECT doc_id, b0 AS c0, b1 AS c1, b2 AS c2, b3 AS c3 FROM h) y
+       |    ON cand.id2 = y.doc_id)
+       |SELECT id1, id2, hamming FROM v WHERE hamming <= 24
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mmPhashDedupOracle,
     "mm_shard_extract" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "mm_shard_index" ->
@@ -240,6 +345,7 @@ object MultimodalOps {
     "mm_video_meta" -> (mmVideoMeta(_, _)),
     "mm_archive_meta" -> (mmArchiveMeta(_, _)),
     "mm_shard_roundtrip" -> (mmShardRoundtrip(_, _)),
+    "mm_phash_dedup" -> (mmPhashDedup(_, _)),
     "mm_shard_index" -> (mmShardIndex(_, _)),
     "mm_shard_extract" -> (mmShardExtract(_, _)),
     // No oracle entry: the stubbed decode isn't SQL-expressible, so the

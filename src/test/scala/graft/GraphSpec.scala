@@ -152,4 +152,38 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0),
       s"got $out")
   }
+
+  test("dedup_mis keep-set is independent AND maximal on the near-dup graph") {
+    import org.apache.spark.sql.functions._
+    // Independence: no near-dup edge joins two kept vectors (the whole
+    // point of the keep-policy). Maximality: every dropped contested
+    // vertex has a kept neighbor — which also PROVES the Luby loop
+    // reached its fixpoint inside the round cap (a capped-out run
+    // would leave an active vertex with no kept neighbor).
+    val kept = operators.DedupOps.dedupMis(spark, sf).localCheckpoint()
+    val pairs = operators.DedupOps.dedupEmbedding(spark, sf)
+      .select("id1", "id2").localCheckpoint()
+    val keptIds = kept.select(col("vec_id").as("id"))
+    val bothKept = pairs
+      .join(keptIds.withColumnRenamed("id", "id1"), "id1")
+      .join(keptIds.withColumnRenamed("id", "id2"), "id2")
+      .count()
+    assert(bothKept == 0, s"$bothKept near-dup edges between kept vectors")
+    val contested = pairs.select(col("id1").as("id"))
+      .unionByName(pairs.select(col("id2").as("id"))).distinct()
+    val dropped = contested.join(keptIds, Seq("id"), "left_anti")
+    val edges = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val covered = dropped
+      .join(edges.withColumnRenamed("id1", "id"), Seq("id"))
+      .join(keptIds.withColumnRenamed("id", "id2"), Seq("id2"))
+      .select("id").distinct()
+    val nDropped = dropped.count()
+    val nCovered = covered.count()
+    info(s"contested=${contested.count()} dropped=$nDropped covered=$nCovered")
+    assert(nDropped > 0, "fixture has no near-dup conflicts — test is vacuous")
+    assert(nCovered == nDropped,
+      s"${nDropped - nCovered} dropped vertices have NO kept neighbor " +
+        "(not maximal — Luby hit the round cap before the fixpoint)")
+  }
 }
