@@ -1418,17 +1418,27 @@ object Relational {
       .selectExpr(SpearmanDerived: _*)
   }
 
-  /** Poisson(1) inverse-CDF on a uniform [0,1) draw — the weight a row
-    * gets in one bootstrap replicate. Shared verbatim by both engines
-    * (the breakpoint literals parse to identical doubles). */
-  private val PoissonWExpr =
-    """CASE WHEN u < 0.36787944117144233 THEN 0
-      |     WHEN u < 0.7357588823428847 THEN 1
-      |     WHEN u < 0.9196986029286058 THEN 2
-      |     WHEN u < 0.9810118431238462 THEN 3
-      |     WHEN u < 0.9963401531726563 THEN 4
-      |     WHEN u < 0.9994058151824183 THEN 5
-      |     WHEN u < 0.9999167588507119 THEN 6
+  /** Poisson(1) inverse-CDF on a 16-bit uniform draw carried as FOUR
+    * lowercase hex chars (`u4`) — the weight a row gets in one
+    * bootstrap replicate. Fixed-width lowercase hex compares bytewise
+    * exactly like the integer it encodes, so the CASE is pure string
+    * comparison: no conv(), no doubles, and one md5 feeds EIGHT draws
+    * (128 bits / 16). The thresholds are floor(F_Poisson(k)·65536) in
+    * hex — a ≤2⁻¹⁶ CDF quantization that both engines share verbatim.
+    * Chosen over the former 32-bit conv() draw after profiling: the
+    * md5+conv per-(row, replicate) loop was the suite's heaviest
+    * per-row scalar stage, and whenever the JIT hadn't compiled its
+    * codegen'd method yet it ran interpreted at ~50× cost (43.7 s in
+    * the official r5 loop vs 0.6 s warm) — less per-row work is the
+    * only fix that holds regardless of compile scheduling. */
+  private val PoissonW16Expr =
+    """CASE WHEN u4 < '5e2d' THEN 0
+      |     WHEN u4 < 'bc5a' THEN 1
+      |     WHEN u4 < 'eb71' THEN 2
+      |     WHEN u4 < 'fb23' THEN 3
+      |     WHEN u4 < 'ff10' THEN 4
+      |     WHEN u4 < 'ffd9' THEN 5
+      |     WHEN u4 < 'fffa' THEN 6
       |     ELSE 7 END""".stripMargin
 
   /** Bootstrap confidence interval for mean order value via the
@@ -1439,29 +1449,40 @@ object Relational {
     * how production experimentation platforms bootstrap shuffled
     * data). All B=50 replicates ride one scan: the replicate id
     * explodes map-side, weights come from a deterministic md5 draw
-    * (row key × replicate), and the shuffle is 50 keys of exact
-    * (Σw·cents, Σw) pairs. The CI is nearest-rank over the 50
-    * replicate means (5th/95th pct at ranks 3/48); means are exact
-    * integer ratios so ordering is deterministic. */
+    * (row key × replicate group — each md5 feeds 8 draws via
+    * [[PoissonW16Expr]]'s hex-substring trick), and the shuffle is 50
+    * keys of exact (Σw·cents, Σw) pairs. The CI is nearest-rank over
+    * the 50 replicate means (5th/95th pct at ranks 3/48); means are
+    * exact integer ratios so ordering is deterministic. */
   def statBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val B = 50
     val base = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
     // The replicate explode multiplies every input row by B, so the
-    // per-row draw work (md5 + Poisson inverse-CDF)×B runs INSIDE the
-    // scan's partitioning — and a compact orders file arrives as 1-2
-    // partitions, single-threading 50× the corpus. The explicit
-    // repartition spreads the expansion over every core BEFORE it
-    // happens (a cheap row-count-sized shuffle; measured 13.5 → ~2 s
-    // at sf0.1 / local[32]).
+    // per-row draw work runs INSIDE the scan's partitioning — and a
+    // compact orders file arrives as 1-2 partitions, single-threading
+    // 50× the corpus. The explicit repartition spreads the expansion
+    // over every core BEFORE it happens (a cheap row-count-sized
+    // shuffle; measured 13.5 → ~2 s at sf0.1 / local[32]).
+    val groups = (B + 7) / 8
     val reps = base
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("o_orderkey"), col("c"),
-        explode(expr(s"sequence(0, ${B - 1})")).as("b"))
-      .withColumn("u",
-        expr("CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '_', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
-      .withColumn("w", expr(PoissonWExpr))
+        explode(expr(s"sequence(0, ${groups - 1})")).as("g"))
+      .withColumn("h",
+        expr("md5(concat(CAST(o_orderkey AS STRING), '_', CAST(g AS STRING)))"))
+      // Plain explode + filter, NOT filter(transform(...)) lambdas: a
+      // higher-order function is CodegenFallback — this stage then runs
+      // every row through the interpreted evaluator with per-row struct
+      // allocation, and measured 4–27 s at sf0.1 where the codegen'd
+      // shape below holds ~1 s.
+      .select(col("c"), col("h"), col("g"),
+        explode(expr("sequence(0, 7)")).as("i"))
+      .where(expr(s"g * 8 + i < $B"))
+      .select(col("c"), expr("g * 8 + i").as("b"),
+        expr("substr(h, i * 4 + 1, 4)").as("u4"))
+      .withColumn("w", expr(PoissonW16Expr))
       .groupBy("b")
       .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * c")).as("swc"),
         sum(col("w").cast("long")).as("sw"))
@@ -4100,19 +4121,19 @@ object Relational {
          |  FROM a)
          |SELECT ${MannWhitneyDerived.mkString(",\n")}
          |FROM m""".stripMargin,
-    "stat_bootstrap_ci" -> {
-      val h8 = (1 to 8)
-        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
-        .mkString("(", " + ", ")")
+    "stat_bootstrap_ci" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
          |  FROM orders),
          |x AS (
-         |  SELECT c, b,
-         |    md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)) AS h
-         |  FROM base, (SELECT unnest(range(0, 50)) AS b)),
-         |uu AS (SELECT c, b, $h8 / 4294967296.0 AS u FROM x),
-         |ww AS (SELECT c, b, $PoissonWExpr AS w FROM uu),
+         |  SELECT c, g,
+         |    md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(g AS VARCHAR)) AS h
+         |  FROM base, (SELECT unnest(range(0, 7)) AS g)),
+         |uu AS (
+         |  SELECT c, g * 8 + i AS b, substr(h, CAST(i * 4 + 1 AS INTEGER), 4) AS u4
+         |  FROM x, (SELECT unnest(range(0, 8)) AS i)
+         |  WHERE g * 8 + i < 50),
+         |ww AS (SELECT c, b, $PoissonW16Expr AS w FROM uu),
          |reps AS (
          |  SELECT b, (CAST(sum(w::HUGEINT * c) AS DOUBLE) / CAST(sum(w) AS BIGINT)) / 100 AS mean_b
          |  FROM ww GROUP BY b),
@@ -4125,8 +4146,7 @@ object Relational {
          |  round(max(CASE WHEN rk = 48 THEN mean_b END), 4) + 0.0 AS ci_hi,
          |  CAST(50 AS INTEGER) AS n_boot
          |FROM rk CROSS JOIN full_m
-         |GROUP BY mean_full""".stripMargin
-    },
+         |GROUP BY mean_full""".stripMargin,
     "q41_excess_stock" ->
       """WITH pairs AS (
         |  SELECT l_partkey, l_suppkey,
