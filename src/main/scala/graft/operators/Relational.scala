@@ -2359,14 +2359,18 @@ object Relational {
       .localCheckpoint()
     // bits feeds both the membership join and the popcount — one pass.
     // The md5 is hoisted into its own column before the position
-    // transform: Spark does not lift loop-invariant expressions out of
+    // derivation: Spark does not lift loop-invariant expressions out of
     // higher-order-function lambdas, so the inline form hashed every
     // key FOUR times (k× the corpus's md5 cost for the one digest).
+    // And the positions come from a plain explode + substr, NOT
+    // transform(sequence(...), j -> ...): a higher-order function is
+    // CodegenFallback, which runs the whole corpus-sized stage through
+    // the interpreted evaluator (the stat_bootstrap_ci lesson).
     val bits = keys
       .withColumn("h", md5(col("l_orderkey").cast("string")))
-      .select(col("flag"), explode(expr(
-        "transform(sequence(0, 3), j -> " +
-          "CAST(conv(substr(h, j * 8 + 7, 2), 16, 10) AS INT))")).as("b"))
+      .select(col("flag"), col("h"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("flag"),
+        expr("CAST(conv(substr(h, j * 8 + 7, 2), 16, 10) AS INT)").as("b"))
       .distinct()
       .localCheckpoint()
     val nbits = bits.groupBy("flag").agg(count(lit(1)).as("n_bits_set"))
