@@ -550,6 +550,76 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** Distributed FOOTER-ONLY walk of a parquet file list: one row per
+    * (table, file, row group) with the group's row count and the
+    * key column's min/max statistics, read via parquet-hadoop's
+    * `ParquetFileReader` without touching a single data page. This is
+    * the metadata pass a 100 TB planner runs to build manifests and
+    * prune scans — at scale the file list is millions of entries, so
+    * the walk itself is a Spark job (each task opens its files, reads
+    * the ~KB footer, emits stats rows), never a driver loop.
+    *
+    * Statistics-less chunks surface as null min/max rather than a
+    * throw: a file written without stats must degrade to "cannot
+    * prune", not fail planning. */
+  private[graft] def footerRowGroups(spark: SparkSession,
+      files: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(files)
+      .repartition(files.size)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { case (tbl, path, key) =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            // Materialize before close: the iterator must not outlive
+            // the reader it reads footers through.
+            r.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+              case (b, i) =>
+                val cm = b.getColumns.asScala
+                  .find(_.getPath.toDotString == key)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"column $key absent in $path"))
+                val st = cm.getStatistics
+                val (mn, mx) =
+                  if (st == null || !st.hasNonNullValue) (None, None)
+                  else (Some(st.genericGetMin.asInstanceOf[Number].longValue),
+                    Some(st.genericGetMax.asInstanceOf[Number].longValue))
+                (tbl, p.getName, i.toLong, b.getRowCount, mn, mx)
+            }
+          } finally r.close()
+        }
+      }
+      .toDF("tbl", "file", "row_group", "n_rows", "min_key", "max_key")
+  }
+
+  /** §2.7 src_footer_stats — the planner's metadata-only read as a
+    * gated query: per-table row counts and key ranges derived purely
+    * from parquet FOOTERS ([[footerRowGroups]]), compared against the
+    * oracle's full-data aggregates. The gate is the statement every
+    * skipping layer (min/max manifest, partition pruning, CBO stats)
+    * silently relies on: footers must tell the truth — a writer that
+    * drifted one row or one key breaks the hash match. Row-group
+    * granularity (per-group counts, ordered non-overlapping ranges on
+    * a sorted file) is pinned in FormatsSpec over a deliberately
+    * multi-row-group write, since the SQL oracle cannot see group
+    * structure through a table view. */
+  def srcFooterStats(spark: SparkSession, dir: String): DataFrame = {
+    val specs = Seq(
+      ("customer", "c_custkey"), ("documents", "doc_id"),
+      ("events", "event_id"), ("lineitem", "l_orderkey"),
+      ("orders", "o_orderkey"))
+    val files = specs.map { case (t, k) => (t, s"$dir/$t.parquet", k) }
+    footerRowGroups(spark, files)
+      .groupBy("tbl")
+      .agg(sum("n_rows").as("n_rows"), min("min_key").as("min_key"),
+        max("max_key").as("max_key"))
+      .orderBy("tbl")
+  }
+
   // Per-JVM unique scratch root: fixed /tmp paths collided when two
   // runs (driver verify + a local bench, say) raced the same directory.
   private lazy val tmpRoot: String =
@@ -990,6 +1060,16 @@ object Formats {
         |FROM events e JOIN dim USING (event_type)
         |WHERE category = 'conversion'
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
+    "src_footer_stats" -> Seq(
+      ("customer", "c_custkey"), ("documents", "doc_id"),
+      ("events", "event_id"), ("lineitem", "l_orderkey"),
+      ("orders", "o_orderkey"))
+      .map { case (t, k) =>
+        s"""SELECT '$t' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min($k) AS BIGINT) AS min_key,
+           |  CAST(max($k) AS BIGINT) AS max_key FROM $t""".stripMargin
+      }
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY tbl"),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,6 +1087,7 @@ object Formats {
     "src_json_nested" -> (srcJsonNested(_, _)),
     "src_zorder_scan" -> (srcZorderScan(_, _)),
     "src_dpp_scan" -> (srcDppScan(_, _)),
+    "src_footer_stats" -> (srcFooterStats(_, _)),
     "src_merge_upsert" -> (srcMergeUpsert(_, _)),
     "src_compaction" -> (srcCompaction(_, _)),
     "src_snapshot_diff" -> (srcSnapshotDiff(_, _)),

@@ -453,4 +453,38 @@ class FormatsSpec extends AnyFunSuite {
       .filter(col("user_id").between(3, 6)).count()
     assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
   }
+
+  test("footer walk sees row-group structure: counts close, sorted ranges disjoint") {
+    // Force a multi-row-group file: tiny block size over a doc_id-sorted
+    // single file, so group key ranges must come out ordered and
+    // non-overlapping — exactly the structure min/max skipping needs.
+    val path = tmp("documents_rowgroups")
+    val docs = Tables(spark, sf).documents
+    docs.repartition(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(path)
+    val file = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val groups = Formats
+      .footerRowGroups(spark, Seq(("documents", file, "doc_id")))
+      .orderBy("row_group").collect()
+    assert(groups.length >= 2,
+      s"expected multiple row groups, got ${groups.length}")
+    assert(groups.map(_.getLong(3)).sum == docs.count(),
+      "per-group row counts do not sum to the table count")
+    // Footer stats must be truthful AND, on a sorted file, disjoint
+    // and ordered across groups.
+    val ranges = groups.map(r => (r.getLong(4), r.getLong(5)))
+    ranges.foreach { case (mn, mx) => assert(mn <= mx) }
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping group ranges: $aMax >= $bMin")
+      case _ =>
+    }
+    val (gMin, gMax) = (ranges.map(_._1).min, ranges.map(_._2).max)
+    val Array(dMin, dMax) = docs
+      .agg(min("doc_id"), max("doc_id")).collect().head.toSeq.toArray
+    assert(gMin == dMin && gMax == dMax,
+      s"footer range [$gMin,$gMax] != data range [$dMin,$dMax]")
+  }
 }
