@@ -266,6 +266,77 @@ object EventOps {
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(20)
 
+  /** The generator's closed event-type domain. ev_markov_stationary's
+    * one-row matrix unroll needs a FIXED column naming; EventOpsSpec
+    * pins that the live domain equals this list, so a drifted
+    * generator fails loudly instead of silently dropping a type. */
+  private[graft] val MarkovTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Rounds of the fixed power-iteration unroll — identical in both
+    * engines; past the quantized mixing point extra rounds barely move
+    * the ppm ranks, and the CONTRACT is the fixed unroll, not a
+    * convergence claim (the chain mixes in a handful of rounds at this
+    * type-domain size). */
+  private val MarkovRounds = 12
+
+  /** One power-iteration layer: r'_j = Σ_i (r_i · p_ij) div 1e6, as
+    * formula TEXT shared verbatim by both engines (`divTok` is the
+    * only dialect split — Spark `div`, DuckDB `//`). Everything is
+    * BIGINT: p is the row-normalized matrix in ppm (≤1e6) and ranks
+    * stay ~1e6-scale, so terms are bounded ~1e12 forever — corpus size
+    * never enters the iteration. */
+  private def markovLayer(divTok: String): Seq[String] =
+    MarkovTypes.map { j =>
+      MarkovTypes
+        .map(i => s"((r_$i * p_${i}_$j) $divTok 1000000)")
+        .mkString("(", " + ", s") AS r_$j")
+    }
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * model UNDER ev_top_transitions' raw counts: where does a user's
+    * attention settle if the observed session-local dynamics run
+    * forever? The analytics answer to "which surface ultimately owns
+    * the traffic", read next to the raw transition table.
+    *
+    * Scale shape: the ONLY corpus-sized work is the shared
+    * [[evTransitionCounts]] pass (one user_id window shuffle + a
+    * ≤|types|² partial agg). The 5×5 matrix then collapses to ONE ROW
+    * by conditional aggregation, row-normalizes to exact ppm, and the
+    * power iteration unrolls as [[MarkovRounds]] chained select
+    * layers over that single row (the stat_pacf trick applied to a
+    * matrix recurrence) — zero joins, zero extra exchanges, and the
+    * DuckDB oracle walks the IDENTICAL formula text so every
+    * truncating division lands on the same BIGINTs. Readout unpivots
+    * to (event_type, stationary_ppm, n_out) with the final
+    * renormalization a single shared integer division. */
+  def evMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = evTransitionCounts(spark, dir)
+    val matCols = (for {
+      i <- MarkovTypes; j <- MarkovTypes
+    } yield sum(when(col("from_type") === i && col("to_type") === j,
+      col("n")).otherwise(0L)).as(s"n_${i}_$j")) ++
+      MarkovTypes.map(i => sum(when(col("from_type") === i, col("n"))
+        .otherwise(0L)).as(s"tot_$i"))
+    val mrow = pairs.agg(matCols.head, matCols.tail: _*)
+    val pCols = (for {
+      i <- MarkovTypes; j <- MarkovTypes
+    } yield s"(n_${i}_$j * 1000000) div tot_$i AS p_${i}_$j") ++
+      MarkovTypes.map(i => s"tot_$i")
+    val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")
+    val carry = pCols.map(_.split(" AS ").last) // p_*, tot_* pass through
+    var it = mrow.selectExpr(pCols: _*).selectExpr(r0 ++ carry: _*)
+    for (_ <- 1 to MarkovRounds)
+      it = it.selectExpr(markovLayer("div") ++ carry: _*)
+    val totalR = MarkovTypes.map(i => s"r_$i").mkString(" + ")
+    val stackArgs = MarkovTypes
+      .map(i => s"'$i', (r_$i * 1000000) div ($totalR), tot_$i")
+      .mkString(", ")
+    it.selectExpr(
+      s"stack(${MarkovTypes.size}, $stackArgs) AS (event_type, stationary_ppm, n_out)")
+      .orderBy("event_type")
+  }
+
   /** Top 3-step paths — [[evTopTransitions]] widened to trigrams: the
     * most common (step1 → step2 → step3) sequences where BOTH hops
     * stay inside the 30-min session gap (a path never crosses a
@@ -3070,6 +3141,44 @@ object EventOps {
         |  make_timestamp((slot + 2) * 1800000000) AS wend,
         |  event_type, count(*) AS cnt
         |FROM x GROUP BY 1, 2, 3 ORDER BY wstart, event_type""".stripMargin,
+    "ev_markov_stationary" -> {
+      val matCols = (for {
+        i <- MarkovTypes; j <- MarkovTypes
+      } yield s"CAST(sum(CASE WHEN from_type = '$i' AND to_type = '$j' " +
+        s"THEN n ELSE 0 END) AS BIGINT) AS n_${i}_$j") ++
+        MarkovTypes.map(i => s"CAST(sum(CASE WHEN from_type = '$i' " +
+          s"THEN n ELSE 0 END) AS BIGINT) AS tot_$i")
+      val pCols = (for {
+        i <- MarkovTypes; j <- MarkovTypes
+      } yield s"(n_${i}_$j * 1000000) // tot_$i AS p_${i}_$j") ++
+        MarkovTypes.map(i => s"tot_$i")
+      val carry = pCols.map(_.split(" AS ").last)
+      val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")
+      val layers = (1 to MarkovRounds).map { k =>
+        s"r$k AS MATERIALIZED (SELECT ${(markovLayer("//") ++ carry).mkString(", ")} FROM r${k - 1})"
+      }.mkString(",\n")
+      val totalR = MarkovTypes.map(i => s"r_$i").mkString(" + ")
+      val outs = MarkovTypes.map { i =>
+        s"SELECT '$i' AS event_type, CAST((r_$i * 1000000) // ($totalR) AS BIGINT) " +
+          s"AS stationary_ppm, tot_$i AS n_out FROM r$MarkovRounds"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+         |x AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type,
+         |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap
+         |  FROM e),
+         |pairs AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000 GROUP BY 1, 2),
+         |mrow AS MATERIALIZED (SELECT ${matCols.mkString(", ")} FROM pairs),
+         |r0 AS MATERIALIZED (
+         |  SELECT ${(r0 ++ carry).mkString(", ")}
+         |  FROM (SELECT ${pCols.mkString(", ")} FROM mrow)),
+         |$layers
+         |SELECT * FROM ($outs) ORDER BY event_type""".stripMargin
+    },
     "ev_top_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
@@ -3628,6 +3737,7 @@ object EventOps {
     "stat_changepoint" -> (statChangepoint(_, _)),
     "ev_sliding_window" -> (evSlidingWindow(_, _)),
     "ev_top_transitions" -> (evTopTransitions(_, _)),
+    "ev_markov_stationary" -> (evMarkovStationary(_, _)),
     "ev_top_paths" -> (evTopPaths(_, _)),
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),

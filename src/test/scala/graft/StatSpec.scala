@@ -828,6 +828,32 @@ class StatSpec extends AnyFunSuite {
     }
   }
 
+  test("Markov stationary: type domain matches, shares close to a distribution, near-fixpoint") {
+    import org.apache.spark.sql.functions.{col => c}
+    // The one-row unroll names columns from MarkovTypes — a generator
+    // that grew or renamed a type must fail HERE, not silently drop
+    // its transitions from the matrix.
+    val live = Tables(spark, sf).events
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(live.toSeq == EventOps.MarkovTypes,
+      s"event-type domain drifted: ${live.mkString(",")}")
+    val rows = EventOps.evMarkovStationary(spark, sf).collect()
+    assert(rows.length == EventOps.MarkovTypes.size)
+    val shares = rows.map(_.getLong(1))
+    shares.foreach(s => assert(s >= 0 && s <= 1000000L, s"share $s"))
+    // Renormalized integer shares can only lose sub-ppm mass to the
+    // five truncating divisions.
+    assert(shares.sum >= 1000000L - 5 && shares.sum <= 1000000L,
+      s"shares sum ${shares.sum}")
+    // Near-fixpoint: a dominant type exists (the chain is not the
+    // uniform init any more) and every type retains some mass on this
+    // strongly-connected domain.
+    assert(shares.max > 1000000L / EventOps.MarkovTypes.size)
+    assert(shares.min > 0, "a type lost all stationary mass")
+    val touched = rows.map(_.getLong(2)).sum
+    assert(touched > 0, "no transitions counted")
+  }
+
   test("PACF: lag-1 partial equals r1 and all lags are valid correlations") {
     val r = EventOps.statPacf(spark, sf).collect().head
     val (r1, p1, p2, p3) = (r.getAs[Double]("r1"), r.getAs[Double]("pacf1"),
