@@ -215,6 +215,46 @@ object SimilarityOps {
        |FROM cand JOIN embeddings e USING (vec_id), qv
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** [[annProbeTailSql]] with the ~1% tombstone mask on the candidate
+    * set — shared by sim_ivf_delete (mask applied at READ over the
+    * intact index) and sim_ivf_compact (mask baked into the rewritten
+    * layout): compaction moves WHERE the mask is enforced, never what
+    * it means, so both reuse one probe text. */
+  private def maskedProbeTailSql: String =
+    s"""qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+       |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+       |  WHERE c.vec_id <> 0 AND c.vec_id % 100 <> 13)
+       |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
+       |FROM cand JOIN embeddings e USING (vec_id), qv
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Layout-free cells of the INCREMENTAL index (CTE chain ending in
+    * `cells`): K and the md5-ranked anchor sample come from the BASE
+    * subset only (vec_id % 10 <> 7) while assignment covers ALL
+    * vectors — base assigned at build, delta at append, same rule
+    * either way. Shared by the sim_ivf_insert and sim_ivf_compact
+    * oracles. */
+  private def ivfCellsIncrSql: String =
+    s"""kk AS (
+       |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
+       |  FROM embeddings WHERE vec_id % 10 <> 7),
+       |anch AS (
+       |  SELECT rnk.vec_id AS aid, rnk.embedding AS av FROM (
+       |    SELECT vec_id, embedding,
+       |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings WHERE vec_id % 10 <> 7) rnk, kk WHERE rnk.rn <= kk.k),
+       |asn AS (
+       |  SELECT e.vec_id, e.embedding, a.aid,
+       |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.av")}) THEN -1.0
+       |              ELSE ${cosExprSql("e.embedding", "a.av")} END AS c
+       |  FROM embeddings e CROSS JOIN anch a),
+       |cells AS (
+       |  SELECT vec_id, embedding, aid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+       |    FROM asn) WHERE rn <= $IvfP)""".stripMargin
+
   /** Brute-force cosine top-k against the vec_id=0 query vector. The
     * query vector rides in as a broadcast single-row join (no collect). */
   def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -1411,11 +1451,18 @@ object SimilarityOps {
     * inside the one-per-(session, dir) build so replays are
     * idempotent. The oracle assigns ALL vectors to the base-derived
     * anchors — layout-free semantics of build+insert. */
-  def simIvfInsert(spark: SparkSession, dir: String): DataFrame = {
+  def simIvfInsert(spark: SparkSession, dir: String): DataFrame =
+    probeIndexTail(Tables(spark, dir).embeddings, incrIndex(spark, dir))
+
+  /** The fragmented incremental index table (base build + appended
+    * delta files in the same (aid) lattice) — one build per
+    * (session, dir), shared by [[simIvfInsert]] (probes it as-is) and
+    * [[simIvfCompact]] (rewrites it minus tombstones). */
+  private def incrIndex(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Formats
     val emb = Tables(spark, dir).embeddings
     val isDelta = col("vec_id") % 10 === 7
-    val idx = Formats.sessionTable(spark, dir, "graft_ivf_incr_") { tbl =>
+    Formats.sessionTable(spark, dir, "graft_ivf_incr_") { tbl =>
       val base = emb.filter(!isDelta)
       val arr = anchorsArr(base, ivfK(base.count()), SampleAnchors)
         .localCheckpoint()
@@ -1429,7 +1476,35 @@ object SimilarityOps {
         .bucketBy(IvfIndexBuckets, "aid").sortBy("aid")
         .option("path", Formats.bucketedPath(tbl)).saveAsTable(tbl)
     }
-    probeIndexTail(emb, idx)
+  }
+
+  /** Index COMPACTION — the maintenance step [[simIvfInsert]] and
+    * [[simIvfDelete]] both point at: appends fragment the buckets
+    * (files accumulate per delta) and tombstones make every probe pay
+    * an anti-join, so when either cost grows the index is REWRITTEN —
+    * read the fragmented table, drop tombstoned rows, write fresh
+    * one-file-per-bucket into a new (aid)-bucketed table. The raw
+    * corpus is never re-read and the anchors never move (compaction
+    * reorganizes bytes, it does not re-index); cost is O(index), run
+    * at the cadence the fragment/tombstone growth chooses, exactly
+    * like a RocksDB level or Iceberg rewrite-data-files pass. After
+    * compaction the probe needs NO mask — the layout IS the mask —
+    * and the oracle mirrors that as the incremental cells minus
+    * tombstones. IvfSpec pins the lifecycle mechanics: fewer files
+    * than the fragmented table, exactly one per bucket, tombstones
+    * physically gone, bucket pruning intact, and result equality with
+    * a masked probe of the fragmented index. */
+  def simIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Formats
+    val emb = Tables(spark, dir).embeddings
+    val tombstones = emb.filter(col("vec_id") % 100 === 13).select("vec_id")
+    val compacted = Formats.sessionTable(spark, dir, "graft_ivf_cmp_") { tbl =>
+      Formats.writeBucketed(
+        incrIndex(spark, dir)
+          .join(broadcast(tombstones), Seq("vec_id"), "left_anti"),
+        tbl, "aid", IvfIndexBuckets)
+    }
+    probeIndexTail(emb, compacted)
   }
 
   /** ANN over an INT8-QUANTIZED persisted IVF index — the 4× index-IO
@@ -2282,33 +2357,16 @@ object SimilarityOps {
     // candidate set (query vector and anchors untouched).
     "sim_ivf_delete" ->
       s"""WITH $ivfCellsSql,
-         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
-         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-         |cand AS (
-         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
-         |  WHERE c.vec_id <> 0 AND c.vec_id % 100 <> 13)
-         |SELECT e.vec_id, round(${cosExprSql("e.embedding", "q")}, 4) + 0.0 AS cos_sim
-         |FROM cand JOIN embeddings e USING (vec_id), qv
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+         |$maskedProbeTailSql""".stripMargin,
     "sim_ivf_insert" ->
-      s"""WITH kk AS (
-         |  SELECT GREATEST($IvfKFloor, CAST(ceil(sqrt(count(*) / ${IvfP}.0)) AS BIGINT)) AS k
-         |  FROM embeddings WHERE vec_id % 10 <> 7),
-         |anch AS (
-         |  SELECT rnk.vec_id AS aid, rnk.embedding AS av FROM (
-         |    SELECT vec_id, embedding,
-         |           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM embeddings WHERE vec_id % 10 <> 7) rnk, kk WHERE rnk.rn <= kk.k),
-         |asn AS (
-         |  SELECT e.vec_id, e.embedding, a.aid,
-         |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.av")}) THEN -1.0
-         |              ELSE ${cosExprSql("e.embedding", "a.av")} END AS c
-         |  FROM embeddings e CROSS JOIN anch a),
-         |cells AS (
-         |  SELECT vec_id, embedding, aid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
-         |    FROM asn) WHERE rn <= $IvfP),
+      s"""WITH $ivfCellsIncrSql,
          |$annProbeTailSql""".stripMargin,
+    // The incremental index's cells with the tombstone mask enforced by
+    // the rewrite — compaction is a layout change over insert+delete's
+    // combined semantics, so the oracle composes their two texts.
+    "sim_ivf_compact" ->
+      s"""WITH $ivfCellsIncrSql,
+         |$maskedProbeTailSql""".stripMargin,
     // Primary-cell (rn = 1) cluster labeling: reuses ivfCellsSql's asn
     // CTE (the per-(vec, anchor) cosine table) and re-ranks it to the
     // single best anchor; the unused `cells` CTE is pruned by DuckDB.
@@ -2744,6 +2802,7 @@ object SimilarityOps {
     "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ivf_insert" -> (simIvfInsert(_, _)),
     "sim_ivf_delete" -> (simIvfDelete(_, _)),
+    "sim_ivf_compact" -> (simIvfCompact(_, _)),
     "sim_ann_kmeans" -> (simAnnKmeans(_, _)),
     "sim_ann_kmeans_par" -> (simAnnKmeansPar(_, _)),
     "sim_cluster_terms" -> (simClusterTerms(_, _)),

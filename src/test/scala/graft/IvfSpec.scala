@@ -342,4 +342,46 @@ class IvfSpec extends AnyFunSuite {
     assert(deltaCells.subsetOf(baseCells),
       s"delta landed in anchors the base never used: ${deltaCells -- baseCells}")
   }
+
+  test("ivf compaction: fewer files, one per bucket, tombstones physically gone, pruning intact") {
+    def tableFiles(prefix: String): (String, Array[java.io.File]) = {
+      val tbl = spark.catalog.listTables()
+        .filter(col("name").startsWith(prefix)).collect().head.name
+      val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+        .stripPrefix("file:")
+      (tbl, new java.io.File(loc).listFiles()
+        .filter(_.getName.endsWith(".parquet")))
+    }
+    val probe = SimilarityOps.simIvfCompact(spark, sf)
+    val compactRes = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val (_, fragFiles) = tableFiles("graft_ivf_incr_")
+    val (cmpTbl, cmpFiles) = tableFiles("graft_ivf_cmp_")
+    // The whole point: the append's fragment files collapse to at most
+    // one file per bucket (empty buckets write nothing at this scale).
+    assert(cmpFiles.length <= SimilarityOps.IvfIndexBuckets,
+      s"compacted table has ${cmpFiles.length} files")
+    assert(cmpFiles.length < fragFiles.length,
+      s"no compaction: ${cmpFiles.length} vs fragmented ${fragFiles.length}")
+    // Tombstoned rows are PHYSICALLY gone, not masked.
+    assert(spark.table(cmpTbl).filter(col("vec_id") % 100 === 13).count() == 0,
+      "tombstoned vectors survive in the compacted files")
+    // Bucket pruning survives the rewrite.
+    val plan = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { probe.explain("formatted") }
+      bos.toString
+    }
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"compacted probe lost bucket pruning:\n${m.map(_.toString())}")
+    // Compaction is semantically invisible: identical readout to the
+    // fragmented index probed with the tombstone mask at read time.
+    val masked = SimilarityOps.simIvfInsert(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 % 100 != 13)
+    assert(compactRes.take(masked.length).sameElements(masked.take(compactRes.length)),
+      "compacted probe diverged from the masked fragmented probe")
+  }
 }
