@@ -1023,11 +1023,18 @@ object SimilarityOps {
       .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
     // Symmetric matrix: only the j ≥ i triangle is summed (2080 keys
     // instead of 4096 — half the explode volume and shuffle), mirrored
-    // below and in the oracle's least/greatest lookup.
-    val sijT = eq.select(explode(expr(
-        "flatten(transform(eq, (x, i) -> transform(slice(eq, i + 1, 64 - i), (y, k) -> struct(i AS i, i + k AS j, x * y AS p))))"))
-        .as("t"))
-      .select(col("t.i"), col("t.j"), col("t.p"))
+    // below and in the oracle's least/greatest lookup. TWO chained
+    // posexplodes, not nested transform(...) lambdas: a higher-order
+    // function is CodegenFallback, and this pass allocated 2080
+    // interpreted structs per vector (the stat_bootstrap_ci lesson —
+    // measured ~2-2.7 s per co-moment stage at sf0.1, codegen'd form
+    // runs in a fraction).
+    val sijT = eq
+      .select(col("eq"), posexplode(col("eq")))
+      .select(col("pos").as("i"), col("col").as("x"),
+        posexplode(expr("slice(eq, pos + 1, 64 - pos)")))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
+        (col("x") * col("col")).as("p"))
       .groupBy("i", "j")
       .agg(sum(expr("CAST(p AS DECIMAL(38,0))")).as("sij"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
@@ -1317,14 +1324,17 @@ object SimilarityOps {
         sum((col("v") * col("v")).cast("decimal(38,0)")).as("sxx"))
       .withColumn("den", col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
       .filter(col("den") > 0)
-    val d = 64
+    // Strict i<j triangle via two chained posexplodes — codegen'd end
+    // to end, where the former nested transform(...) lambdas ran the
+    // 2016-pairs-per-row pass through the interpreted evaluator (the
+    // covQ/stat_bootstrap_ci lesson).
     val pairs = q
-      .select(explode(expr(
-        s"flatten(transform(sequence(1, $d - 1), i -> " +
-          s"transform(sequence(i + 1, $d), j -> " +
-          "named_struct('i', i, 'j', j, " +
-          "'xy', element_at(q, i) * element_at(q, j)))))")).as("p"))
-      .select(col("p.i").as("dim_i"), col("p.j").as("dim_j"), col("p.xy"))
+      .select(col("q"), posexplode(col("q")))
+      .select(col("pos").as("i0"), col("col").as("x"),
+        posexplode(expr("slice(q, pos + 2, 63 - pos)")))
+      .select((col("i0") + 1).as("dim_i"),
+        (col("i0") + col("pos") + 2).as("dim_j"),
+        (col("x") * col("col")).as("xy"))
       .groupBy("dim_i", "dim_j")
       .agg(sum(col("xy").cast("decimal(38,0)")).as("sxy"))
     pairs
