@@ -1236,6 +1236,128 @@ object SimilarityOps {
       .orderBy("dim")
   }
 
+  /** Whitening block size: the transform fits on the leading 8 dims.
+    * The FIT is the gated part — Cholesky and the triangular inverse
+    * unroll as shared formula layers, and an 8×8 factorization is 18
+    * tractable layers in both engines, while 64×64 would be ~260k
+    * expressions of SQL. At production scale the factorization of the
+    * (always tiny, d×d) covariance runs driver-side and W broadcasts
+    * as literals — the kmeans literal-centroid move — which the oracle
+    * gate cannot express; the 8-dim block keeps the WHOLE pipeline
+    * (fit → factor → invert → apply → verify) inside the gate. */
+  private val WhDims = 8
+
+  private def covName(i: Int, j: Int): String =
+    s"c_${math.min(i, j)}_${math.max(i, j)}"
+
+  /** The 1-row whitening-fit layer chain, shared verbatim by both
+    * engines (Spark selectExpr chain == DuckDB MATERIALIZED CTE chain
+    * — the stat_pacf Durbin–Levinson move at matrix scale):
+    * covariance from the exact integer co-moments, then Cholesky
+    * column by column (layer j's off-diagonal entries repeat the
+    * sqrt(diag) subexpression rather than referencing the same-layer
+    * l_jj — identical IEEE either way), then W = L⁻¹ by forward
+    * substitution row by row. sqrt and / are IEEE-correctly-rounded
+    * in both engines (unlike exp/ln, which stay banned), so the
+    * double-valued chain is bit-identical given the bit-identical
+    * integer inputs. */
+  private val WhitenLayers: Seq[Seq[String]] = {
+    val cov = Seq("n") ++ (for { i <- 1 to WhDims; j <- i to WhDims } yield
+      s"CAST(n * m_${i}_$j - s_$i * s_$j AS DOUBLE) / CAST(n AS DOUBLE)" +
+        s" / CAST(n AS DOUBLE) / 1e12 AS c_${i}_$j")
+    val chol = (1 to WhDims).map { j =>
+      val diagSub = (1 until j)
+        .map(k => s"l_${j}_$k * l_${j}_$k")
+        .foldLeft(covName(j, j))((a, b) => s"$a - $b")
+      val own = s"sqrt($diagSub) AS l_${j}_$j"
+      val below = (j + 1 to WhDims).map { i =>
+        val sub = (1 until j)
+          .map(k => s"l_${i}_$k * l_${j}_$k")
+          .foldLeft(covName(i, j))((a, b) => s"$a - $b")
+        s"($sub) / sqrt($diagSub) AS l_${i}_$j"
+      }
+      Seq("*", own) ++ below
+    }
+    val inv = (1 to WhDims).map { i =>
+      val row = (1 to i).map { j =>
+        if (i == j) s"1e0 / l_${i}_$i AS w_${i}_$j"
+        else {
+          val s = (j until i).map(k => s"l_${i}_$k * w_${k}_$j").mkString(" + ")
+          s"(0e0 - ($s)) / l_${i}_$i AS w_${i}_$j"
+        }
+      }
+      Seq("*") ++ row
+    }
+    Seq(cov) ++ chol ++ inv
+  }
+
+  /** Per-row whitened coordinates in 1e-6 integer units, shared text:
+    * y_i = round(Σ_{j≤i} w_ij · xq_j) (xq is already ×1e6, so the sum
+    * IS the quantized y) — a fixed left-to-right 8-term tree, then one
+    * round into BIGINT so the downstream co-moments are exact. */
+  private def whitenYExprs: Seq[String] =
+    (1 to WhDims).map { i =>
+      val terms = (1 to i)
+        .map(j => s"w_${i}_$j * CAST(x_$j AS DOUBLE)").mkString(" + ")
+      s"CAST(round($terms) AS BIGINT) AS y_$i"
+    }
+
+  /** The exact co-moment aggregate over 8 quantized coordinates named
+    * `$p_1..$p_8` — n, the 8 sums, the 36 upper-triangle pair sums —
+    * used for the raw fit AND the whitened verification. */
+  private def momentAggs(p: String): Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("n")) ++
+      (1 to WhDims).map(i =>
+        sum(col(s"${p}_$i").cast("decimal(38,0)")).as(s"s_$i")) ++
+      (for { i <- 1 to WhDims; j <- i to WhDims } yield
+        sum((col(s"${p}_$i") * col(s"${p}_$j")).cast("decimal(38,0)"))
+          .as(s"m_${i}_$j"))
+
+  /** The rounded whitened-covariance readout over y's co-moments —
+    * the same estimator text as [[WhitenLayers]]' cov layer, shared
+    * verbatim by both engines. */
+  private def whitenCovyExprs: Seq[String] =
+    Seq("n") ++ (for { i <- 1 to WhDims; j <- i to WhDims } yield
+      s"round(CAST(n * m_${i}_$j - s_$i * s_$j AS DOUBLE) / CAST(n AS DOUBLE)" +
+        s" / CAST(n AS DOUBLE) / 1e12, 4) + 0.0 AS cov_${i}_$j")
+
+  /** Whitening — the preprocessing step retrieval and clustering
+    * stacks run before cosine ever sees a vector (decorrelate, unit
+    * variance; Mahalanobis = Euclidean after it): FIT the transform on
+    * the leading [[WhDims]]-dim block (exact integer co-moments →
+    * covariance → Cholesky → W = L⁻¹, all as the shared
+    * [[WhitenLayers]] 1-row chain), APPLY it to every vector (a
+    * broadcast 1-row cross join — W never lands driver-side), and
+    * VERIFY the claim that defines whitening: the whitened covariance
+    * is the identity. Readout = the whitened 8×8 (i ≤ j) covariance,
+    * which the oracle must match hash-exactly and StatSpec must find
+    * ≈ I; the only approximations in the whole pipeline are the two
+    * declared 1e-6 quantizations. Two corpus passes (fit, verify) over
+    * one checkpointed 8-column projection; everything between is a
+    * 1-row plan. */
+  def embWhitening(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables(spark, dir).embeddings
+      .select((1 to WhDims).map(j => expr(
+        s"CAST(round(CAST(element_at(embedding, $j) AS DOUBLE) * 1000000) AS BIGINT)")
+        .as(s"x_$j")): _*)
+      .localCheckpoint()
+    val fit = momentAggs("x")
+    val w = WhitenLayers
+      .foldLeft(x.agg(fit.head, fit.tail: _*))((df, l) => df.selectExpr(l: _*))
+      .select((for { i <- 1 to WhDims; j <- 1 to i } yield
+        col(s"w_${i}_$j")): _*)
+    val yAggs = momentAggs("y")
+    val stackArgs = (for { i <- 1 to WhDims; j <- i to WhDims } yield
+      s"$i, $j, cov_${i}_$j").mkString(", ")
+    x.crossJoin(broadcast(w))
+      .selectExpr(whitenYExprs: _*)
+      .agg(yAggs.head, yAggs.tail: _*)
+      .selectExpr(whitenCovyExprs: _*)
+      .selectExpr(s"stack(${WhDims * (WhDims + 1) / 2}, $stackArgs)" +
+        " AS (dim_i, dim_j, whitened_cov)")
+      .orderBy("dim_i", "dim_j")
+  }
+
   /** Split-half centroid drift — the embedding-STABILITY check run
     * between snapshots (here the deterministic vec_id-parity halves
     * stand in for "last week's corpus vs this week's"): per label,
@@ -2343,6 +2465,33 @@ object SimilarityOps {
     "sim_pq_topk" -> simPqTopkOracle,
     "sim_mmr_rerank" -> simMmrRerankOracle,
     "sim_hybrid_rrf" -> simHybridRrfOracle,
+    // The identical WhitenLayers/whitenYExprs/whitenCovyExprs texts as
+    // MATERIALIZED CTE layers (1-row each; plain CTEs would inline and
+    // compound optimizer time across the 18 levels).
+    "emb_whitening" -> {
+      val xCols = (1 to WhDims).map(j =>
+        s"CAST(round(CAST(embedding[$j] AS DOUBLE) * 1000000) AS BIGINT) AS x_$j")
+      def momSql(p: String): Seq[String] =
+        Seq("CAST(count(*) AS BIGINT) AS n") ++
+          (1 to WhDims).map(i => s"sum(${p}_$i) AS s_$i") ++
+          (for { i <- 1 to WhDims; j <- i to WhDims } yield
+            s"sum(${p}_$i * ${p}_$j) AS m_${i}_$j")
+      val layerCtes = WhitenLayers.zipWithIndex.map { case (l, k) =>
+        val from = if (k == 0) "mom" else s"f${k - 1}"
+        s"f$k AS MATERIALIZED (SELECT ${l.mkString(", ")} FROM $from)"
+      }.mkString(",\n")
+      val lastF = s"f${WhitenLayers.size - 1}"
+      val outs = (for { i <- 1 to WhDims; j <- i to WhDims } yield
+        s"SELECT $i AS dim_i, $j AS dim_j, cov_${i}_$j AS whitened_cov FROM cm")
+        .mkString("\nUNION ALL\n")
+      s"""WITH x AS (SELECT ${xCols.mkString(", ")} FROM embeddings),
+         |mom AS MATERIALIZED (SELECT ${momSql("x").mkString(", ")} FROM x),
+         |$layerCtes,
+         |y AS (SELECT ${whitenYExprs.mkString(", ")} FROM x CROSS JOIN $lastF),
+         |ym AS MATERIALIZED (SELECT ${momSql("y").mkString(", ")} FROM y),
+         |cm AS MATERIALIZED (SELECT ${whitenCovyExprs.mkString(", ")} FROM ym)
+         |SELECT * FROM ($outs) ORDER BY dim_i, dim_j""".stripMargin
+    },
     "sim_topk_cosine" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosExprSql("embedding", "q")}, 4) + 0.0 AS cos_sim
@@ -2807,6 +2956,7 @@ object SimilarityOps {
     "sim_hybrid_rrf" -> (simHybridRrf(_, _)),
     "emb_random_projection" -> (embRandomProjection(_, _)),
     "emb_pca2" -> (embPca2(_, _)),
+    "emb_whitening" -> (embWhitening(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),

@@ -854,6 +854,16 @@ class StatSpec extends AnyFunSuite {
     assert(touched > 0, "no transitions counted")
   }
 
+  test("whitening: the whitened covariance is the identity within quantization") {
+    val rows = SimilarityOps.embWhitening(spark, sf).collect()
+    assert(rows.length == 36, s"expected the 8x8 upper triangle, got ${rows.length}")
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      if (i == j) assert(math.abs(c - 1.0) <= 0.01, s"diag ($i,$i) = $c")
+      else assert(math.abs(c) <= 0.01, s"offdiag ($i,$j) = $c")
+    }
+  }
+
   test("PACF: lag-1 partial equals r1 and all lags are valid correlations") {
     val r = EventOps.statPacf(spark, sf).collect().head
     val (r1, p1, p2, p3) = (r.getAs[Double]("r1"), r.getAs[Double]("pacf1"),
