@@ -310,8 +310,15 @@ object EventOps {
     * truncating division lands on the same BIGINTs. Readout unpivots
     * to (event_type, stationary_ppm, n_out) with the final
     * renormalization a single shared integer division. */
-  def evMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = evTransitionCounts(spark, dir)
+  def evMarkovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationaryFrom(evTransitionCounts(spark, dir))
+
+  /** The stationary readout over ANY (from_type, to_type, n) count
+    * table — shared by the batch query and the streaming twin
+    * (transitionsStream's edge counts are mergeable, so the SAME
+    * readout runs over state accumulated incrementally;
+    * StreamingSpec pins stream == batch through it). */
+  private[graft] def markovStationaryFrom(pairs: DataFrame): DataFrame = {
     val matCols = (for {
       i <- MarkovTypes; j <- MarkovTypes
     } yield sum(when(col("from_type") === i && col("to_type") === j,

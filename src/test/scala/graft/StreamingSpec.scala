@@ -590,13 +590,26 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(c); q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = spark.sql(
-      "SELECT from_type, to_type, count(*) FROM trans GROUP BY 1, 2")
+    val streamedCounts = spark.sql(
+      "SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2")
+    val streamed = streamedCounts
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val batch = graft.operators.EventOps.evTransitionCounts(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    // The Markov stationary readout composes with the incremental edge
+    // state: the same one-row unroll over the STREAMED counts must
+    // reproduce the batch query bit-for-bit (counts are mergeable, the
+    // readout is deterministic integer math).
+    val viaStream = graft.operators.EventOps
+      .markovStationaryFrom(streamedCounts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaBatch = graft.operators.EventOps
+      .evMarkovStationary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaStream == viaBatch,
+      s"stationary diverged: $viaStream vs $viaBatch")
   }
 
   test("streaming funnel equals batch ev_funnel across micro-batches, with replay") {
