@@ -716,21 +716,30 @@ object GraphOps {
     * AQE broadcasts while it fits, shuffles beyond) + two partial-
     * aggregated groupBys, lineage-cut per round with superseded
     * checkpoint blocks freed (the pagerank bookkeeping). */
-  def graphBfsLayers(spark: SparkSession, dir: String): DataFrame = {
-    val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
-    def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
+  /** The symmetrized co-purchase edge list, checkpointed (caller frees
+    * the returned block ids) — shared by [[graphBfsLayers]] and
+    * [[graphDiameter]]. */
+  private def coPurchaseSym(spark: SparkSession, dir: String): (DataFrame, Set[Int]) = {
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
-    val (sym, symIds) = checkpointed(
+    GraphOps.checkpointed(spark.sparkContext,
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
-    val seed = sym.groupBy("src").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("src")).limit(1)
-    var (dist, distIds) = checkpointed(
-      seed.select(col("src").as("v"), lit(0L).as("d")))
+  }
+
+  /** One BFS sweep from `seedV` (a 1-row (v) frame) over `sym` — the
+    * convergence-driven min-label loop extracted from
+    * [[graphBfsLayers]] so [[graphDiameter]] can run it twice. Returns
+    * the final (v, d) distance table; intermediate checkpoint blocks
+    * are freed, the final table's blocks stay live for the caller's
+    * readout (session teardown reclaims them, the shared iterative-
+    * kernel convention). */
+  private def bfsSweep(spark: SparkSession, sym: DataFrame,
+      seedV: DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    var (dist, distIds) = GraphOps.checkpointed(sc,
+      seedV.select(col("v"), lit(0L).as("d")))
     var iters = 0
     var frozen = false
     var prev = (-1L, -1L)
@@ -738,19 +747,70 @@ object GraphOps {
       val cand = sym.join(broadcast(dist), col("src") === col("v"))
         .groupBy(col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("dst").as("v"), col("d"))
-      val (next, nextIds) = checkpointed(
+      val (next, nextIds) = GraphOps.checkpointed(sc,
         dist.unionByName(cand).groupBy("v").agg(min("d").as("d")))
       iters += 1
       val m = next.agg(count(lit(1)), sum("d")).first()
       val measure = (m.getLong(0), m.getLong(1))
-      free(distIds)
+      GraphOps.free(sc, distIds)
       dist = next; distIds = nextIds
       frozen = measure == prev
       prev = measure
     }
-    free(symIds)
+    dist
+  }
+
+  def graphBfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val (sym, symIds) = coPurchaseSym(spark, dir)
+    val seed = sym.groupBy("src").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("src")).limit(1)
+      .select(col("src").as("v"))
+    val dist = bfsSweep(spark, sym, seed)
+    GraphOps.free(spark.sparkContext, symIds)
     dist.groupBy("d").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
       .orderBy("d")
+  }
+
+  /** Graph diameter LOWER BOUND by the classic double sweep: BFS from
+    * the max-degree hub, hop to the farthest vertex found (the
+    * graph's periphery — ties break to the min vertex, deterministic
+    * cross-engine), BFS again from there; the second eccentricity is
+    * the double-sweep diameter estimate, exact on trees and within a
+    * small factor on real graphs — the standard O(2·BFS) answer where
+    * exact diameter costs all-pairs. Readout is one row: hub + its
+    * eccentricity, the peripheral vertex, its eccentricity (the
+    * diameter bound), the antipode it reaches, and the reached-vertex
+    * count (component size). Scale shape: exactly two [[bfsSweep]]
+    * runs over one checkpointed edge list; every readout input is a
+    * 1-row aggregate cross-joined at the end. The oracle unrolls BOTH
+    * sweeps to the shared [[BfsMaxIter]] cap — past the frontier
+    * freeze each level is the identity, and were a corpus's diameter
+    * ever to exceed the cap both engines truncate at the same level
+    * and still agree. */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val (sym, symIds) = coPurchaseSym(spark, dir)
+    // The 1-row seeds are localCheckpoint'ed: both feed the readout
+    // AFTER sym's blocks are freed, so they must not stay lazy views
+    // over the freed edge list.
+    val hub = sym.groupBy("src").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("src")).limit(1)
+      .select(col("src").as("v"))
+      .localCheckpoint()
+    val d1 = bfsSweep(spark, sym, hub)
+    val far1 = d1.orderBy(col("d").desc, col("v")).limit(1)
+      .select(col("v"))
+      .localCheckpoint()
+    val d2 = bfsSweep(spark, sym, far1)
+    GraphOps.free(spark.sparkContext, symIds)
+    hub.select(col("v").as("hub_vertex"))
+      .crossJoin(d1.agg(max("d").as("hub_ecc")))
+      .crossJoin(far1.select(col("v").as("peripheral_vertex")))
+      .crossJoin(d2.agg(max("d").as("diameter_lb"),
+        count(lit(1)).as("n_reached")))
+      .crossJoin(d2.orderBy(col("d").desc, col("v")).limit(1)
+        .select(col("v").as("antipode_vertex")))
+      .select(col("hub_vertex"), col("hub_ecc"), col("peripheral_vertex"),
+        col("diameter_lb"), col("antipode_vertex"), col("n_reached"))
   }
 
   /** [[graphCloseness]] sample size: exact all-sources closeness is
@@ -1239,6 +1299,42 @@ object GraphOps {
          |$levels
          |SELECT d, count(*) AS n_vertices, min(v) AS min_vertex
          |FROM d$BfsMaxIter GROUP BY d ORDER BY d""".stripMargin
+    },
+    // Two unrolled BFS chains (hub sweep, then the peripheral sweep
+    // seeded at the first sweep's argmax) sharing graph_bfs_layers'
+    // level text; both truncate at the same BfsMaxIter as Spark's cap.
+    "graph_diameter" -> {
+      def unroll(p: String): String = (1 to BfsMaxIter).map { i =>
+        s"""$p$i AS MATERIALIZED (
+           |  SELECT v, min(d) AS d FROM (
+           |    SELECT v, d FROM $p${i - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS v, q.d + 1 AS d
+           |    FROM $p${i - 1} q JOIN sym s ON q.v = s.src) GROUP BY v)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM pairs
+         |       UNION ALL SELECT p2, p1 FROM pairs),
+         |hub AS (
+         |  SELECT src AS v FROM (SELECT src, count(*) AS c FROM sym GROUP BY src)
+         |  ORDER BY c DESC, src LIMIT 1),
+         |d0 AS (SELECT CAST(v AS BIGINT) AS v, CAST(0 AS BIGINT) AS d FROM hub),
+         |${unroll("d")},
+         |far1 AS (SELECT v FROM d$BfsMaxIter ORDER BY d DESC, v LIMIT 1),
+         |e0 AS (SELECT CAST(v AS BIGINT) AS v, CAST(0 AS BIGINT) AS d FROM far1),
+         |${unroll("e")}
+         |SELECT hub.v AS hub_vertex,
+         |  (SELECT max(d) FROM d$BfsMaxIter) AS hub_ecc,
+         |  far1.v AS peripheral_vertex,
+         |  (SELECT max(d) FROM e$BfsMaxIter) AS diameter_lb,
+         |  (SELECT v FROM e$BfsMaxIter ORDER BY d DESC, v LIMIT 1) AS antipode_vertex,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$BfsMaxIter) AS n_reached
+         |FROM hub CROSS JOIN far1""".stripMargin
     },
     "graph_betweenness" -> {
       val fwd = (1 to BfsMaxIter).map { i =>
@@ -1758,6 +1854,7 @@ object GraphOps {
     "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_bfs_layers" -> (graphBfsLayers(_, _)),
+    "graph_diameter" -> (graphDiameter(_, _)),
     "graph_closeness" -> (graphCloseness(_, _)),
     "graph_betweenness" -> (graphBetweenness(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),

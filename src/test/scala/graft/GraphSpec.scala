@@ -186,4 +186,20 @@ class GraphSpec extends AnyFunSuite {
       s"${nDropped - nCovered} dropped vertices have NO kept neighbor " +
         "(not maximal — Luby hit the round cap before the fixpoint)")
   }
+
+  test("diameter double sweep: bound dominates the hub eccentricity, metric sanity") {
+    val r = GraphOps.graphDiameter(spark, sf).collect().head
+    val hubEcc = r.getAs[Long]("hub_ecc")
+    val diamLb = r.getAs[Long]("diameter_lb")
+    val reached = r.getAs[Long]("n_reached")
+    // The whole point of the second sweep: starting from the periphery
+    // can only grow the eccentricity. And any eccentricity is within
+    // 2x of any other vertex's in the same component (triangle
+    // inequality through that vertex).
+    assert(diamLb >= hubEcc, s"sweep 2 shrank the bound: $diamLb < $hubEcc")
+    assert(diamLb <= 2 * hubEcc, s"metric violation: $diamLb > 2*$hubEcc")
+    assert(hubEcc >= 1 && reached > 1, s"degenerate graph: ecc=$hubEcc reached=$reached")
+    assert(r.getAs[Long]("peripheral_vertex") != r.getAs[Long]("hub_vertex")
+      || hubEcc == 0, "periphery collapsed onto the hub")
+  }
 }
