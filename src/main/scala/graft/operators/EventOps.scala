@@ -267,9 +267,10 @@ object EventOps {
       .limit(20)
 
   /** The generator's closed event-type domain. ev_markov_stationary's
-    * one-row matrix unroll needs a FIXED column naming; EventOpsSpec
-    * pins that the live domain equals this list, so a drifted
-    * generator fails loudly instead of silently dropping a type. */
+    * one-row matrix unroll needs a FIXED column naming; StatSpec's
+    * "Markov stationary" test pins that the live domain equals this
+    * list, so a drifted generator fails loudly instead of silently
+    * dropping a type. */
   private[graft] val MarkovTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
@@ -279,6 +280,19 @@ object EventOps {
     * convergence claim (the chain mixes in a handful of rounds at this
     * type-domain size). */
   private val MarkovRounds = 12
+
+  /** The row-normalized matrix in exact ppm, as shared formula text:
+    * a type with ZERO out-transitions (possible on a tiny corpus slice)
+    * gets an all-zero row — an absorbing type redistributes nothing
+    * and its mass drains over the rounds — instead of a division by
+    * zero that would error (Spark ANSI) or NULL-cascade through every
+    * layer (review finding, r6). */
+  private def markovPExprs(divTok: String): Seq[String] =
+    (for {
+      i <- MarkovTypes; j <- MarkovTypes
+    } yield s"CASE WHEN tot_$i = 0 THEN CAST(0 AS BIGINT) " +
+      s"ELSE (n_${i}_$j * 1000000) $divTok tot_$i END AS p_${i}_$j") ++
+      MarkovTypes.map(i => s"tot_$i")
 
   /** One power-iteration layer: r'_j = Σ_i (r_i · p_ij) div 1e6, as
     * formula TEXT shared verbatim by both engines (`divTok` is the
@@ -326,18 +340,18 @@ object EventOps {
       MarkovTypes.map(i => sum(when(col("from_type") === i, col("n"))
         .otherwise(0L)).as(s"tot_$i"))
     val mrow = pairs.agg(matCols.head, matCols.tail: _*)
-    val pCols = (for {
-      i <- MarkovTypes; j <- MarkovTypes
-    } yield s"(n_${i}_$j * 1000000) div tot_$i AS p_${i}_$j") ++
-      MarkovTypes.map(i => s"tot_$i")
+    val pCols = markovPExprs("div")
     val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")
     val carry = pCols.map(_.split(" AS ").last) // p_*, tot_* pass through
     var it = mrow.selectExpr(pCols: _*).selectExpr(r0 ++ carry: _*)
     for (_ <- 1 to MarkovRounds)
       it = it.selectExpr(markovLayer("div") ++ carry: _*)
     val totalR = MarkovTypes.map(i => s"r_$i").mkString(" + ")
+    // Same zero guard at the renormalization: an all-absorbing matrix
+    // (empty pairs table) drains every rank to 0 by round 1.
     val stackArgs = MarkovTypes
-      .map(i => s"'$i', (r_$i * 1000000) div ($totalR), tot_$i")
+      .map(i => s"'$i', CASE WHEN $totalR = 0 THEN CAST(0 AS BIGINT) " +
+        s"ELSE (r_$i * 1000000) div ($totalR) END, tot_$i")
       .mkString(", ")
     it.selectExpr(
       s"stack(${MarkovTypes.size}, $stackArgs) AS (event_type, stationary_ppm, n_out)")
@@ -3155,10 +3169,7 @@ object EventOps {
         s"THEN n ELSE 0 END) AS BIGINT) AS n_${i}_$j") ++
         MarkovTypes.map(i => s"CAST(sum(CASE WHEN from_type = '$i' " +
           s"THEN n ELSE 0 END) AS BIGINT) AS tot_$i")
-      val pCols = (for {
-        i <- MarkovTypes; j <- MarkovTypes
-      } yield s"(n_${i}_$j * 1000000) // tot_$i AS p_${i}_$j") ++
-        MarkovTypes.map(i => s"tot_$i")
+      val pCols = markovPExprs("//")
       val carry = pCols.map(_.split(" AS ").last)
       val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")
       val layers = (1 to MarkovRounds).map { k =>
@@ -3166,7 +3177,8 @@ object EventOps {
       }.mkString(",\n")
       val totalR = MarkovTypes.map(i => s"r_$i").mkString(" + ")
       val outs = MarkovTypes.map { i =>
-        s"SELECT '$i' AS event_type, CAST((r_$i * 1000000) // ($totalR) AS BIGINT) " +
+        s"SELECT '$i' AS event_type, CAST(CASE WHEN $totalR = 0 THEN 0 " +
+          s"ELSE (r_$i * 1000000) // ($totalR) END AS BIGINT) " +
           s"AS stationary_ppm, tot_$i AS n_out FROM r$MarkovRounds"
       }.mkString("\nUNION ALL\n")
       s"""WITH e AS (

@@ -1310,7 +1310,13 @@ object SimilarityOps {
       (1 to WhDims).map(i =>
         sum(col(s"${p}_$i").cast("decimal(38,0)")).as(s"s_$i")) ++
       (for { i <- 1 to WhDims; j <- i to WhDims } yield
-        sum((col(s"${p}_$i") * col(s"${p}_$j")).cast("decimal(38,0)"))
+        // Each FACTOR casts to decimal before the multiply: the y pass
+        // can see ~1e10-unit coordinates on a near-singular covariance
+        // (W entries ~1/l_jj), and a BIGINT×BIGINT product would wrap
+        // silently where the decimal product stays exact (review
+        // finding, r6). DuckDB's twin casts one factor to HUGEINT.
+        sum(col(s"${p}_$i").cast("decimal(38,0)")
+          * col(s"${p}_$j").cast("decimal(38,0)"))
           .as(s"m_${i}_$j"))
 
   /** The rounded whitened-covariance readout over y's co-moments —
@@ -2475,7 +2481,7 @@ object SimilarityOps {
         Seq("CAST(count(*) AS BIGINT) AS n") ++
           (1 to WhDims).map(i => s"sum(${p}_$i) AS s_$i") ++
           (for { i <- 1 to WhDims; j <- i to WhDims } yield
-            s"sum(${p}_$i * ${p}_$j) AS m_${i}_$j")
+            s"sum(CAST(${p}_$i AS HUGEINT) * ${p}_$j) AS m_${i}_$j")
       val layerCtes = WhitenLayers.zipWithIndex.map { case (l, k) =>
         val from = if (k == 0) "mom" else s"f${k - 1}"
         s"f$k AS MATERIALIZED (SELECT ${l.mkString(", ")} FROM $from)"

@@ -565,10 +565,21 @@ object Formats {
   private[graft] def footerRowGroups(spark: SparkSession,
       files: Seq[(String, String, String)]): DataFrame = {
     import spark.implicits._
+    // Ship the SESSION's Hadoop configuration to the tasks (as plain
+    // entries — Configuration itself is not serializable): a fresh
+    // default Configuration would lose s3a credentials / fs.defaultFS
+    // / kerberos settings and the walk would only ever work on an
+    // unconfigured local filesystem (review finding, r6).
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
     spark.createDataset(files)
       .repartition(files.size)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (tbl, path, key) =>
           val p = new org.apache.hadoop.fs.Path(path)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
