@@ -400,24 +400,54 @@ object SimilarityOps {
   /** ANN: probe only the query vector's top-P IVF cells (a few
     * corpus/K-sized slices instead of the full scan), then rank. The
     * query's probed cells ride in as a broadcast semi-join. */
-  private def annProbe(spark: SparkSession, dir: String,
+  /** The IVF-probed candidate set scored against the vec_id=0 query
+    * vector (raw, unrounded cosine in `c`) — the shared front half of
+    * the top-k probe ([[annProbe]]) and the range probe
+    * ([[simRangeQuery]]). cells feeds both the probed-cell lookup and
+    * the candidate scan; one checkpointed assignment pass instead of
+    * two plan subtrees. */
+  private def scoredCandidates(spark: SparkSession, dir: String,
       anchors: AnchorSource): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    // cells feeds both the probed-cell lookup and the candidate scan;
-    // one checkpointed assignment pass instead of two plan subtrees.
     val cells = ivfCells(spark, dir, anchors).localCheckpoint()
     val qCells = cells.filter(col("vec_id") === 0).select(col("aid"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val candIds = cells.filter(col("vec_id") =!= 0)
+    cells.filter(col("vec_id") =!= 0)
       .join(broadcast(qCells), "aid")
       .select(col("vec_id")).distinct()
-    candIds
       .join(emb, "vec_id")
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), (round(expr(cosExprSpark("embedding", "qv")), 4) + lit(0.0)).as("cos_sim"))
+      .select(col("vec_id"), expr(cosExprSpark("embedding", "qv")).as("c"))
+  }
+
+  private def annProbe(spark: SparkSession, dir: String,
+      anchors: AnchorSource): DataFrame =
+    scoredCandidates(spark, dir, anchors)
+      .select(col("vec_id"), (round(col("c"), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_id"))
       .limit(10)
-  }
+
+  /** The range threshold — chosen where an isotropic 64-dim corpus
+    * keeps an ε-ball result small but non-empty at every test scale
+    * (random cosines concentrate near 0 ± d^-1/2). */
+  private val RangeTau = 0.25
+
+  /** RANGE similarity query — the OTHER query type next to top-k
+    * ([[simAnnBucket]]): "everything within cosine ≥ τ of the query",
+    * the shape dedup candidate generation and near-duplicate audits
+    * ask (a top-k can truncate a dense neighborhood; a range query's
+    * size IS the signal). Same IVF bucket pruning and candidate pass
+    * as the top-k probe ([[scoredCandidates]] is one shared
+    * definition); the threshold applies to the RAW cosine — both
+    * engines compute the identical IEEE double, so the boundary
+    * cannot disagree — and the readout rounds after. Output size is
+    * bounded by the threshold, not a k, so it scales with genuine
+    * neighborhood density rather than corpus size. */
+  def simRangeQuery(spark: SparkSession, dir: String): DataFrame =
+    scoredCandidates(spark, dir, SampleAnchors)
+      .filter(col("c") >= RangeTau)
+      .select(col("vec_id"), (round(col("c"), 4) + lit(0.0)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
 
   def simAnnBucket(spark: SparkSession, dir: String): DataFrame =
     annProbe(spark, dir, SampleAnchors)
@@ -2506,6 +2536,21 @@ object SimilarityOps {
     "sim_ann_bucket" ->
       s"""WITH $ivfCellsSql,
          |$annProbeTailSql""".stripMargin,
+    // annProbeTailSql with the threshold in place of the top-k cut;
+    // the filter runs on the raw cosine (identical IEEE both engines),
+    // the readout rounds after.
+    "sim_range_query" ->
+      s"""WITH $ivfCellsSql,
+         |qcells AS (SELECT aid FROM cells WHERE vec_id = 0),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id FROM cells c JOIN qcells USING (aid)
+         |  WHERE c.vec_id <> 0)
+         |SELECT vec_id, round(raw, 4) + 0.0 AS cos_sim FROM (
+         |  SELECT e.vec_id, ${cosExprSql("e.embedding", "q")} AS raw
+         |  FROM cand JOIN embeddings e USING (vec_id), qv)
+         |WHERE raw >= $RangeTau
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
     // Same result contract as sim_ann_bucket: the index is a layout
     // change, not a semantic one.
     "sim_ann_indexed" ->
@@ -2964,6 +3009,7 @@ object SimilarityOps {
     "emb_pca2" -> (embPca2(_, _)),
     "emb_whitening" -> (embWhitening(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
+    "sim_range_query" -> (simRangeQuery(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ivf_insert" -> (simIvfInsert(_, _)),
