@@ -187,6 +187,35 @@ class GraphSpec extends AnyFunSuite {
         "(not maximal — Luby hit the round cap before the fixpoint)")
   }
 
+  test("min-label components match GraphX's independent implementation exactly") {
+    // GraphX ships in the Spark distribution and labels each component
+    // by its lowest vertex id — the same contract as our min-label
+    // loop — so the two must agree vertex-for-vertex. This is the
+    // /usr/bin/tar move applied to an iterative kernel: an independent
+    // implementation catches the bug class both our engine sides could
+    // share (the oracle mirrors our own definition; GraphX does not).
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = graft.operators.DedupOps.dedupEmbedding(spark, sf)
+      .select("id1", "id2").localCheckpoint()
+    val ours = graft.operators.DedupOps.minLabelComponents(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeRdd = spark.sparkContext.parallelize(
+      pairs.collect().map(r => Edge(r.getLong(0), r.getLong(1), 1)).toSeq)
+    val theirs = Graph.fromEdges(edgeRdd, 0)
+      .connectedComponents().vertices.collect()
+      .map { case (v, c) => v -> c }.toMap
+    assert(ours.keySet == theirs.keySet,
+      s"vertex domains differ: ${(ours.keySet -- theirs.keySet).take(5)} / " +
+        s"${(theirs.keySet -- ours.keySet).take(5)}")
+    val diverged = ours.filter { case (v, l) => theirs(v) != l }
+    assert(diverged.isEmpty,
+      s"${diverged.size} vertices labeled differently, e.g. ${diverged.take(3)}")
+    // Non-vacuous: multiple components, at least one with 2+ members.
+    val sizes = ours.groupBy(_._2).map(_._2.size)
+    assert(ours.nonEmpty && sizes.exists(_ >= 2),
+      s"fixture degenerate: ${ours.size} vertices, max comp ${if (sizes.isEmpty) 0 else sizes.max}")
+  }
+
   test("diameter double sweep: bound dominates the hub eccentricity, metric sanity") {
     val r = GraphOps.graphDiameter(spark, sf).collect().head
     val hubEcc = r.getAs[Long]("hub_ecc")
