@@ -780,6 +780,40 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** SEMANTIC train/eval contamination — [[dedupContamination]]'s
+    * embedding-space sibling, and the modern pipeline's second leak
+    * gate: n-gram overlap catches verbatim/near-verbatim leakage, but
+    * a paraphrased or translated benchmark question shares almost no
+    * shingles while sitting right next to its source in embedding
+    * space. Bench set = source 'src0' (the same split as the n-gram
+    * gate — the two reports line up row-for-row for a human), train =
+    * everything else; candidates come from the SAME IVF cell blocking
+    * every dedup/ANN op here uses (never bench×train all-pairs), pairs
+    * verify at cosine ≥ 0.4 on the raw IEEE value, and the readout is
+    * the contaminated train docs with their nearest leaking bench doc.
+    * One checkpointed tagged-assignment pass feeds both join sides;
+    * the bench side repartitions on aid before the pair blowup (the
+    * dedupEmbedding spread). */
+  def dedupContaminationEmb(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = SimilarityOps.ivfCells(spark, dir)
+      .join(Tables(spark, dir).documents.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("aid"), col("source"))
+      .localCheckpoint()
+    val par = spark.sparkContext.defaultParallelism
+    val bench = tagged.filter(col("source") === "src0")
+      .repartition(par, col("aid"))
+      .select(col("vec_id").as("bench_doc"), col("embedding").as("eb"), col("aid"))
+    val train = tagged.filter(col("source") =!= "src0")
+      .select(col("vec_id").as("train_doc"), col("embedding").as("et"), col("aid"))
+    bench.join(train, "aid")
+      .withColumn("c", expr(SimilarityOps.cosExprSpark("et", "eb")))
+      .filter(col("c") >= 0.4)
+      .select(col("train_doc"), col("bench_doc"), round(col("c"), 4).as("cos_sim"))
+      .distinct()
+      .orderBy("train_doc", "bench_doc")
+  }
+
   /** Per-source exact-duplicate rate — the dedup family's QC panel
     * (dedup_exact lists the groups; this attributes the damage: WHICH
     * source is polluting the corpus with copies, the number a crawl
@@ -1492,6 +1526,19 @@ object DedupOps {
          |FROM cells a JOIN cells b2 ON a.aid = b2.aid AND a.vec_id < b2.vec_id
          |WHERE ${SimilarityOps.cosExprSql("a.embedding", "b2.embedding")} >= 0.4
          |ORDER BY id1, id2""".stripMargin,
+    // dedup_embedding's cell blocking with the cross-set (bench ×
+    // train) restriction in place of the id1 < id2 orientation.
+    "dedup_contamination_emb" ->
+      s"""WITH ${SimilarityOps.ivfCellsSql},
+         |tg AS (
+         |  SELECT c.vec_id, c.embedding, c.aid, d.source
+         |  FROM cells c JOIN documents d ON c.vec_id = d.doc_id)
+         |SELECT DISTINCT t.vec_id AS train_doc, b2.vec_id AS bench_doc,
+         |  round(${SimilarityOps.cosExprSql("t.embedding", "b2.embedding")}, 4) AS cos_sim
+         |FROM tg b2 JOIN tg t ON b2.aid = t.aid
+         |WHERE b2.source = 'src0' AND t.source <> 'src0'
+         |  AND ${SimilarityOps.cosExprSql("t.embedding", "b2.embedding")} >= 0.4
+         |ORDER BY train_doc, bench_doc""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1507,6 +1554,7 @@ object DedupOps {
     "dedup_minhash_incremental" -> (dedupMinhashIncremental(_, _)),
     "dedup_components_incremental" -> (dedupComponentsIncremental(_, _)),
     "dedup_embedding" -> (dedupEmbedding(_, _)),
+    "dedup_contamination_emb" -> (dedupContaminationEmb(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "dedup_name_match" -> (dedupNameMatch(_, _)),
     "dedup_name_blocked" -> (dedupNameBlocked(_, _)),
