@@ -452,6 +452,44 @@ object SimilarityOps {
   def simAnnBucket(spark: SparkSession, dir: String): DataFrame =
     annProbe(spark, dir, SampleAnchors)
 
+  /** How many query vectors ride one batched probe. */
+  private val BatchQ = 5
+
+  /** BATCHED multi-query probe — how a serving layer actually hits the
+    * index: queries arrive in batches, and probing them one at a time
+    * pays Q scans where ONE pass over the shared cells serves all of
+    * them (the lattice lookup joins on aid for every query at once, a
+    * per-query top-3 falls out of one WindowGroupLimit-planned window
+    * over the tiny qid domain). Queries are vec_ids 0..4; a query may
+    * appear in another query's results (only self is excluded) — the
+    * batch is data like everything else. Ranking runs on the RAW
+    * cosine (bit-identical IEEE both engines) with the vec_id
+    * tie-break; the readout rounds after. */
+  def simQueryBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cells = ivfCells(spark, dir).localCheckpoint()
+    val qcells = cells.filter(col("vec_id") < BatchQ)
+      .select(col("vec_id").as("qid"), col("aid"))
+    val qvs = emb.filter(col("vec_id") < BatchQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = cells
+      .join(qcells, "aid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val w = Window.partitionBy("qid")
+      .orderBy(col("raw").desc, col("vec_id"))
+    cand
+      .join(emb, "vec_id")
+      .join(broadcast(qvs), "qid")
+      .select(col("qid"), col("vec_id"),
+        expr(cosExprSpark("embedding", "qv")).as("raw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"),
+        (round(col("raw"), 4) + lit(0.0)).as("cos_sim"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Same probe over kmeans-anchored cells — the anchor slot's 100 TB
     * configuration exercised end to end (same oracle gate, its own
     * unrolled-kmeans cells CTE). */
@@ -2536,6 +2574,24 @@ object SimilarityOps {
     "sim_ann_bucket" ->
       s"""WITH $ivfCellsSql,
          |$annProbeTailSql""".stripMargin,
+    // One shared-cells pass serving all five queries; per-query rank
+    // on the raw cosine, rounded at readout.
+    "sim_query_batch" ->
+      s"""WITH $ivfCellsSql,
+         |qc AS (SELECT vec_id AS qid, aid FROM cells WHERE vec_id < 5),
+         |qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT qc.qid, c.vec_id FROM cells c JOIN qc USING (aid)
+         |  WHERE c.vec_id <> qc.qid),
+         |scored AS (
+         |  SELECT cand.qid, cand.vec_id,
+         |         ${cosExprSql("e.embedding", "qv.q")} AS raw
+         |  FROM cand JOIN embeddings e USING (vec_id)
+         |  JOIN qv ON qv.qid = cand.qid)
+         |SELECT qid, vec_id, round(raw, 4) + 0.0 AS cos_sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     // annProbeTailSql with the threshold in place of the top-k cut;
     // the filter runs on the raw cosine (identical IEEE both engines),
     // the readout rounds after.
@@ -3010,6 +3066,7 @@ object SimilarityOps {
     "emb_whitening" -> (embWhitening(_, _)),
     "sim_ann_bucket" -> (simAnnBucket(_, _)),
     "sim_range_query" -> (simRangeQuery(_, _)),
+    "sim_query_batch" -> (simQueryBatch(_, _)),
     "sim_ann_indexed" -> (simAnnIndexed(_, _)),
     "sim_ann_int8" -> (simAnnInt8(_, _)),
     "sim_ivf_insert" -> (simIvfInsert(_, _)),
