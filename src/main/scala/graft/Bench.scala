@@ -92,8 +92,13 @@ object Bench {
     val total = results.collect { case (_, Right(s)) => s }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
+    // r4 #7) — a subset iteration run must not clobber it (an r6 `git
+    // add -A` briefly committed a one-query file over the official
+    // line before this guard existed).
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
     println(line)
     // Session-close cleanup: drop the session-keyed IVF index tables
     // (catalog entries + files) this run registered — the accumulation
