@@ -1056,8 +1056,15 @@ object DedupOps {
     var rounds = 0
     var nActive = active.count()
     while (nActive > 0 && rounds < MisMaxRounds) {
-      val a1 = active.select(col("id").as("id1"), col("prio").as("p1"))
-      val a2 = active.select(col("id").as("id2"), col("prio").as("p2"))
+      // Explicit broadcasts on the vertex-sized round state: post-
+      // checkpoint loop state is a LogicalRDD with unknown stats, so
+      // the planner assumes huge and shuffles the EDGE side every
+      // round without the hints (the graph_pagerank lesson; same size
+      // assumption — active shrinks geometrically from the touched-
+      // vertex set, the state a vertex-sized broadcast already carries
+      // in every iterative kernel here).
+      val a1 = broadcast(active.select(col("id").as("id1"), col("prio").as("p1")))
+      val a2 = broadcast(active.select(col("id").as("id2"), col("prio").as("p2")))
       val eAct = edges.join(a1, "id1").join(a2, "id2")
       val minnb = eAct.groupBy("id1").agg(min("p2").as("mn"))
         .withColumnRenamed("id1", "id")
@@ -1065,11 +1072,11 @@ object DedupOps {
         .filter(col("mn").isNull || col("prio") < col("mn"))
         .select("id", "prio")
       val nbrs = eAct
-        .join(misR.select(col("id").as("id1")), "id1")
+        .join(broadcast(misR.select(col("id").as("id1"))), "id1")
         .select(col("id2").as("id")).distinct()
       val (nextActive, nextIds) = trackCheckpoint(spark,
-        active.join(misR.select("id"), Seq("id"), "left_anti")
-          .join(nbrs, Seq("id"), "left_anti"))
+        active.join(broadcast(misR.select("id")), Seq("id"), "left_anti")
+          .join(broadcast(nbrs), Seq("id"), "left_anti"))
       val (misAcc, accIds) = trackCheckpoint(spark,
         mis.fold(misR)(_.unionByName(misR)))
       // Both consumers of the old round state are materialized above;
