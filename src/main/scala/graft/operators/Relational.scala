@@ -1116,6 +1116,20 @@ object Relational {
       .selectExpr(MannWhitneyDerived: _*)
   }
 
+  /** Effect-size readout, shared formula text: Cohen's d from the
+    * exact per-group moments (pooled-SD form), Cliff's delta from the
+    * exact dominance counts — gt, plus lt reconstructed as
+    * n1·n2 − Σc1·cum2 (ties cancel out of the subtraction). The band
+    * CASE runs on the RAW |d| (identical IEEE both engines). */
+  private val EffectSizeDerived = Seq(
+    "n1", "n2",
+    """round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      | / sqrt((CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        + CAST(n2 * q2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |       / CAST(n1 + n2 - 2 AS DOUBLE)), 4) + 0.0 AS cohens_d""".stripMargin,
+    "round(CAST(gt - (n1 * n2 - s1c2) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) + 0.0 AS cliffs_delta")
+
   /** Kolmogorov–Smirnov two-sample test between the same order-value
     * populations as [[statTtest]] / [[statMannWhitney]] — the
     * DISTRIBUTION-SHAPE member of the testing family (t compares
@@ -1132,6 +1146,42 @@ object Relational {
     """round(sqrt((CAST(n1 AS DOUBLE) * n2) / (n1 + n2))
       | * (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 4)
       | + 0.0 AS ks_stat""".stripMargin)
+
+  /** Effect sizes between the [[statTtest]] populations — the
+    * PRACTICAL-significance readout next to the p-value family (a
+    * large-n test flags differences nobody should act on; d and δ say
+    * how BIG the difference is in SD and dominance terms): Cohen's d
+    * from the exact per-group value moments (pooled-SD form — scale
+    * cancels, so cents need no conversion), Cliff's delta from the
+    * exact dominance counts over the merged value-distinct table
+    * (gt = Σ c1·cum2₍strictly below₎; lt reconstructs as n1·n2 − Σ
+    * c1·cum2 so ties land in neither — no float enters either count).
+    * Same scale shape as Mann–Whitney: one value-distinct partial agg,
+    * one cumulative window over the bounded value domain, a 1-row
+    * fold, and the shared [[EffectSizeDerived]] formula text. */
+  def statEffectSize(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables(spark, dir).orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .groupBy("c")
+      .agg(
+        sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cum2", sum("c2").over(w))
+      .agg(
+        sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * c")).as("s1"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * c * c")).as("q1"),
+        sum(expr("CAST(c2 AS DECIMAL(38,0)) * c")).as("s2"),
+        sum(expr("CAST(c2 AS DECIMAL(38,0)) * c * c")).as("q2"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * (cum2 - c2)")).as("gt"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * cum2")).as("s1c2"))
+      .selectExpr(EffectSizeDerived: _*)
+  }
 
   def statKsTest(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables(spark, dir).orders
@@ -4103,6 +4153,29 @@ object Relational {
         |SELECT digit, n, n * 1000000 // tot AS obs_ppm,
         |  CAST(round(log10(1 + CAST(1 AS DOUBLE) / digit) * 1000000) AS BIGINT) AS exp_ppm
         |FROM f CROSS JOIN t ORDER BY digit""".stripMargin,
+    "stat_effect_size" ->
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |v AS (
+         |  SELECT c,
+         |    sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+         |    sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS c2
+         |  FROM x GROUP BY c),
+         |r AS (
+         |  SELECT c, c1, c2,
+         |    sum(c2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
+         |  FROM v),
+         |m AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |    sum(c1::HUGEINT * c) AS s1, sum(c1::HUGEINT * c * c) AS q1,
+         |    sum(c2::HUGEINT * c) AS s2, sum(c2::HUGEINT * c * c) AS q2,
+         |    sum(c1::HUGEINT * (cum2 - c2)) AS gt,
+         |    sum(c1::HUGEINT * cum2) AS s1c2
+         |  FROM r)
+         |SELECT ${EffectSizeDerived.mkString(",\n")}
+         |FROM m""".stripMargin,
     "stat_mann_whitney" ->
       s"""WITH x AS (
          |  SELECT o_orderpriority AS g,
@@ -4334,6 +4407,7 @@ object Relational {
     "stat_spearman" -> (statSpearman(_, _)),
     "stat_bootstrap_ci" -> (statBootstrapCi(_, _)),
     "stat_mann_whitney" -> (statMannWhitney(_, _)),
+    "stat_effect_size" -> (statEffectSize(_, _)),
     "stat_jarque_bera" -> (statJarqueBera(_, _)),
     "stat_kruskal_wallis" -> (statKruskalWallis(_, _)),
     "qc_benford" -> (qcBenford(_, _)),

@@ -854,6 +854,28 @@ class StatSpec extends AnyFunSuite {
     assert(touched > 0, "no transitions counted")
   }
 
+  test("effect size: Cliff's delta matches a brute-force dominance recount") {
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val r = Relational.statEffectSize(spark, sf).collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    val (d, delta) = (r.getDouble(2), r.getDouble(3))
+    assert(delta >= -1.0 && delta <= 1.0 && !d.isNaN)
+    // Independent O(n1*n2) recount on the raw cents values.
+    val vals = Tables(spark, sf).orders
+      .filter(c("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(c("o_orderpriority").as("g"),
+        e("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val a = vals.filter(_._1 == "1-URGENT").map(_._2)
+    val b = vals.filter(_._1 == "5-LOW").map(_._2)
+    assert(a.length == n1 && b.length == n2)
+    var gt = 0L; var lt = 0L
+    for (x <- a; y <- b) { if (x > y) gt += 1 else if (x < y) lt += 1 }
+    val exact = (gt - lt).toDouble / (n1.toDouble * n2)
+    assert(math.abs(delta - math.rint(exact * 10000) / 10000) < 1e-9,
+      s"delta $delta != recount ${exact}")
+  }
+
   test("whitening: the whitened covariance is the identity within quantization") {
     val rows = SimilarityOps.embWhitening(spark, sf).collect()
     assert(rows.length == 36, s"expected the 8x8 upper triangle, got ${rows.length}")
