@@ -785,12 +785,15 @@ object DedupOps {
     * gate: n-gram overlap catches verbatim/near-verbatim leakage, but
     * a paraphrased or translated benchmark question shares almost no
     * shingles while sitting right next to its source in embedding
-    * space. Bench set = source 'src0' (the same split as the n-gram
-    * gate — the two reports line up row-for-row for a human), train =
-    * everything else; candidates come from the SAME IVF cell blocking
-    * every dedup/ANN op here uses (never bench×train all-pairs), pairs
-    * verify at cosine ≥ 0.4 on the raw IEEE value, and the readout is
-    * the contaminated train docs with their nearest leaking bench doc.
+    * space. Bench set = source 'src0' (the same SPLIT as the n-gram
+    * gate, so a human reads the two reports against one bench
+    * definition), train = everything else; candidates come from the
+    * SAME IVF cell blocking every dedup/ANN op here uses (never
+    * bench×train all-pairs), pairs verify at cosine ≥ 0.4 on the raw
+    * IEEE value, and the readout is EVERY qualifying (train, bench)
+    * leak pair — a train doc leaking against three bench docs emits
+    * three rows (the audit wants each leak edge; count DISTINCT
+    * train_doc for the contaminated-doc tally).
     * One checkpointed tagged-assignment pass feeds both join sides;
     * the bench side repartitions on aid before the pair blowup (the
     * dedupEmbedding spread). */

@@ -397,9 +397,6 @@ object SimilarityOps {
       .limit(20)
   }
 
-  /** ANN: probe only the query vector's top-P IVF cells (a few
-    * corpus/K-sized slices instead of the full scan), then rank. The
-    * query's probed cells ride in as a broadcast semi-join. */
   /** The IVF-probed candidate set scored against the vec_id=0 query
     * vector (raw, unrounded cosine in `c`) — the shared front half of
     * the top-k probe ([[annProbe]]) and the range probe
@@ -420,6 +417,10 @@ object SimilarityOps {
       .select(col("vec_id"), expr(cosExprSpark("embedding", "qv")).as("c"))
   }
 
+  /** ANN top-k: probe only the query vector's top-P IVF cells (a few
+    * corpus/K-sized slices instead of the full scan), then rank and
+    * keep the 10 best — the cut applied over [[scoredCandidates]]'
+    * shared front half. */
   private def annProbe(spark: SparkSession, dir: String,
       anchors: AnchorSource): DataFrame =
     scoredCandidates(spark, dir, anchors)
@@ -472,8 +473,12 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("aid"))
     val qvs = emb.filter(col("vec_id") < BatchQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // broadcast: qcells is batch-sized (Q×P rows) but derives from the
+    // checkpointed cells (LogicalRDD, unknown stats) — without the
+    // hint the planner shuffles the whole cell table (the post-
+    // checkpoint lesson, caught by the r6 second review pass).
     val cand = cells
-      .join(qcells, "aid")
+      .join(broadcast(qcells), "aid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
     val w = Window.partitionBy("qid")
@@ -2578,8 +2583,8 @@ object SimilarityOps {
     // on the raw cosine, rounded at readout.
     "sim_query_batch" ->
       s"""WITH $ivfCellsSql,
-         |qc AS (SELECT vec_id AS qid, aid FROM cells WHERE vec_id < 5),
-         |qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT vec_id AS qid, aid FROM cells WHERE vec_id < $BatchQ),
+         |qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < $BatchQ),
          |cand AS (
          |  SELECT DISTINCT qc.qid, c.vec_id FROM cells c JOIN qc USING (aid)
          |  WHERE c.vec_id <> qc.qid),

@@ -872,8 +872,13 @@ class StatSpec extends AnyFunSuite {
     var gt = 0L; var lt = 0L
     for (x <- a; y <- b) { if (x > y) gt += 1 else if (x < y) lt += 1 }
     val exact = (gt - lt).toDouble / (n1.toDouble * n2)
-    assert(math.abs(delta - math.rint(exact * 10000) / 10000) < 1e-9,
-      s"delta $delta != recount ${exact}")
+    // Same HALF_UP rounding as Spark's round() — math.rint is
+    // half-to-even and can disagree by 1e-4 on a .5 boundary (second
+    // review pass, r6).
+    val rounded = BigDecimal(exact)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(delta - rounded) < 1e-9,
+      s"delta $delta != recount $exact")
   }
 
   test("whitening: the whitened covariance is the identity within quantization") {
