@@ -545,6 +545,81 @@ object EventOps {
     * (bounded by the time span at any volume — the ev_gap_fill
     * contract); the lag tap is a lead window over that bounded table,
     * and the final fold is one row. */
+  /** Granger-causality derived layers over the exact n-cleared
+    * co-moment integers — shared formula text (the bivariate-OLS
+    * normal equations solved in closed 2×2 form, every product/divide
+    * an IEEE-identical fixed tree; exp/ln never appear). The causal
+    * flag compares the raw F against 3.84 — the asymptotic χ²₁ 5%
+    * critical value (documented approximation: the exact F(1, n−3)
+    * cutoff is 3.87-3.95 at the test scales' day counts). */
+  private val GrangerLayers: Seq[Seq[String]] = Seq(
+    Seq("n",
+      "CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11",
+      "CAST(n * sxx - sx * sx AS DOUBLE) AS cxx",
+      "CAST(n * s1x - s1 * sx AS DOUBLE) AS c1x",
+      "CAST(n * sy1 - sy * s1 AS DOUBLE) AS cy1",
+      "CAST(n * syx - sy * sx AS DOUBLE) AS cyx",
+      "CAST(n * syy - sy * sy AS DOUBLE) AS cyy"),
+    Seq("*", "c11 * cxx - c1x * c1x AS det"),
+    Seq("*",
+      "(cy1 * cxx - cyx * c1x) / det AS bf",
+      "(c11 * cyx - c1x * cy1) / det AS cf"),
+    Seq("*",
+      "cyy - cy1 * cy1 / c11 AS rssr",
+      "cyy - bf * cy1 - cf * cyx AS rssf"),
+    Seq("n",
+      "round(bf, 6) + 0.0 AS ar_coef",
+      "round(cf, 6) + 0.0 AS cross_coef",
+      """CASE WHEN det <= 0 OR rssf <= 0 THEN NULL
+        |     ELSE round((rssr - rssf) * (n - 3) / rssf, 4) + 0.0
+        |END AS f_stat""".stripMargin,
+      """CASE WHEN det <= 0 OR rssf <= 0 THEN NULL
+        |     ELSE (rssr - rssf) * (n - 3) / rssf >= 3.84
+        |END AS causal_5pct""".stripMargin))
+
+  /** Granger causality: does yesterday's activity VOLUME predict
+    * today's purchase REVENUE beyond what yesterday's revenue already
+    * does? The causality screen completing the time-series panel
+    * (autocorr: self-dependence; PACF: AR order; xi: any dependence
+    * on time; THIS: directional cross-series predictive power — the
+    * question "is volume a leading indicator" that a forecasting team
+    * answers before adding the regressor). Restricted model
+    * y ~ y_lag vs full y ~ y_lag + x_lag, both solved in closed form
+    * from ONE pass of exact n-cleared co-moment integers
+    * ([[GrangerLayers]]); F = (RSS_r − RSS_f)(n−3)/RSS_f with the
+    * asymptotic 5% verdict. Lag = previous observed day in the day
+    * order (the stat_autocorr convention). Scale: the series is a
+    * |days|-key partial agg; the lag taps and the fold run over that
+    * bounded table; the layer chain is a 1-row plan. */
+  def statGranger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L).as("v"))
+      .groupBy("d")
+      .agg(sum("v").as("y"), count(lit(1)).as("x"))
+    val w = Window.orderBy("d")
+    val t = daily
+      .withColumn("y1", lag("y", 1).over(w))
+      .withColumn("x1", lag("x", 1).over(w))
+      .filter(col("y1").isNotNull)
+    val folds = Seq(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+      sum(expr("CAST(y1 AS DECIMAL(38,0))")).as("s1"),
+      sum(expr("CAST(y1 AS DECIMAL(38,0)) * y1")).as("s11"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y1")).as("sy1"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * x1")).as("syx"),
+      sum(expr("CAST(y1 AS DECIMAL(38,0)) * x1")).as("s1x"))
+    GrangerLayers.foldLeft(t.agg(folds.head, folds.tail: _*)) {
+      (df, l) => df.selectExpr(l: _*)
+    }
+  }
+
   def statAutocorr(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val series = Tables(spark, dir).events
@@ -3432,6 +3507,33 @@ object EventOps {
          |ORDER BY arm""".stripMargin,
     "stat_xi_corr" -> statXiCorrOracle,
     "stat_best_split" -> statBestSplitOracle,
+    "stat_granger" -> {
+      val layers = GrangerLayers.zipWithIndex.map { case (l, k) =>
+        val from = if (k == 0) "m" else s"g${k - 1}"
+        s"g$k AS MATERIALIZED (SELECT ${l.mkString(", ")} FROM $from)"
+      }.mkString(",\n")
+      s"""WITH daily AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y,
+         |    count(*) AS x
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT y, x,
+         |    lag(y) OVER (ORDER BY d) AS y1,
+         |    lag(x) OVER (ORDER BY d) AS x1
+         |  FROM daily),
+         |m AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(y::HUGEINT) AS sy, sum(y::HUGEINT * y) AS syy,
+         |    sum(y1::HUGEINT) AS s1, sum(y1::HUGEINT * y1) AS s11,
+         |    sum(x1::HUGEINT) AS sx, sum(x1::HUGEINT * x1) AS sxx,
+         |    sum(y::HUGEINT * y1) AS sy1, sum(y::HUGEINT * x1) AS syx,
+         |    sum(y1::HUGEINT * x1) AS s1x
+         |  FROM t WHERE y1 IS NOT NULL),
+         |$layers
+         |SELECT * FROM g${GrangerLayers.size - 1}""".stripMargin
+    },
     "stat_autocorr" ->
       s"""WITH series AS (
          |  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS x
@@ -3761,6 +3863,7 @@ object EventOps {
     "ev_concurrency" -> (evConcurrency(_, _)),
     "ev_repurchase_gaps" -> (evRepurchaseGaps(_, _)),
     "stat_autocorr" -> (statAutocorr(_, _)),
+    "stat_granger" -> (statGranger(_, _)),
     "stat_xi_corr" -> (statXiCorr(_, _)),
     "stat_best_split" -> (statBestSplit(_, _)),
     "stat_pacf" -> (statPacf(_, _)),

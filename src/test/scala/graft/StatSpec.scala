@@ -881,6 +881,41 @@ class StatSpec extends AnyFunSuite {
       s"delta $delta != recount $exact")
   }
 
+  test("Granger: nested-model invariants hold and coefficients match an independent OLS recount") {
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val r = EventOps.statGranger(spark, sf).collect().head
+    val (n, ar, cross) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val f = r.getDouble(3)
+    assert(n >= 10, s"too few days: $n")
+    // RSS_full <= RSS_restricted for nested models <=> F >= 0.
+    assert(f >= 0.0, s"negative F: $f")
+    // Independent recount: solve the full-model normal equations from
+    // the raw daily series with plain driver-side algebra.
+    val daily = Tables(spark, sf).events
+      .select(e("unix_micros(ts) div 86400000000").as("d"),
+        e("CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END").as("v"))
+      .groupBy("d")
+      .agg(e("sum(v)").as("y"), e("count(1)").as("x"))
+      .orderBy("d").collect()
+      .map(row => (row.getLong(1).toDouble, row.getLong(2).toDouble))
+    val trips = daily.sliding(2).map { case Array((y1, x1), (y, _)) => (y, y1, x1) }.toArray
+    assert(trips.length == n)
+    val nn = trips.length.toDouble
+    def mean(g: ((Double, Double, Double)) => Double) = trips.map(g).sum / nn
+    val (my, m1, mx) = (mean(_._1), mean(_._2), mean(_._3))
+    def cov(a: ((Double, Double, Double)) => Double, ma: Double,
+        b: ((Double, Double, Double)) => Double, mb: Double) =
+      trips.map(t => (a(t) - ma) * (b(t) - mb)).sum
+    val (s11, sxx, s1x) = (cov(_._2, m1, _._2, m1), cov(_._3, mx, _._3, mx), cov(_._2, m1, _._3, mx))
+    val (sy1, syx) = (cov(_._1, my, _._2, m1), cov(_._1, my, _._3, mx))
+    val det = s11 * sxx - s1x * s1x
+    val bf = (sy1 * sxx - syx * s1x) / det
+    val cf = (s11 * syx - s1x * sy1) / det
+    assert(math.abs(ar - bf) < 5e-4, s"ar_coef $ar != recount $bf")
+    assert(math.abs(cross - cf) < math.max(5e-4, math.abs(cf) * 1e-3),
+      s"cross_coef $cross != recount $cf")
+  }
+
   test("whitening: the whitened covariance is the identity within quantization") {
     val rows = SimilarityOps.embWhitening(spark, sf).collect()
     assert(rows.length == 36, s"expected the 8x8 upper triangle, got ${rows.length}")
