@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.TextOps.{tokensExpr, tokensSql}
+import graft.plans.SizeGate
 
 /** Deduplication pipeline operators (SURVEY.md §2.4).
   *
@@ -530,6 +531,7 @@ object DedupOps {
     * GraphOps.pagerankRanks note before using sessions concurrently). */
   private[graft] def trackCheckpoint(spark: SparkSession,
       df: DataFrame): (DataFrame, Set[Int]) = {
+    graft.plans.PlanCapture.record(df)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
@@ -1059,15 +1061,22 @@ object DedupOps {
     var rounds = 0
     var nActive = active.count()
     while (nActive > 0 && rounds < MisMaxRounds) {
-      // Explicit broadcasts on the vertex-sized round state: post-
-      // checkpoint loop state is a LogicalRDD with unknown stats, so
-      // the planner assumes huge and shuffles the EDGE side every
-      // round without the hints (the graph_pagerank lesson; same size
-      // assumption — active shrinks geometrically from the touched-
-      // vertex set, the state a vertex-sized broadcast already carries
-      // in every iterative kernel here).
-      val a1 = broadcast(active.select(col("id").as("id1"), col("prio").as("p1")))
-      val a2 = broadcast(active.select(col("id").as("id2"), col("prio").as("p2")))
+      // Size-gated hints on the vertex-sized round state (VERDICT r6
+      // #1 / r6 ADVICE): post-checkpoint loop state is a LogicalRDD
+      // with unknown stats, so the planner assumes huge and shuffles
+      // the EDGE side every round without a hint (the graph_pagerank
+      // lesson). Round 1's active set is the ENTIRE touched-vertex
+      // set — exactly the round a vertex-scale corpus must NOT
+      // broadcast — so every hint gates on the driver-side nActive
+      // the loop already materializes: broadcast under the cap,
+      // co-shuffle joins beyond it (active shrinks geometrically, so
+      // later rounds re-earn the broadcast on their own count).
+      val a1 = SizeGate.hintIfSmall(
+        active.select(col("id").as("id1"), col("prio").as("p1")),
+        nActive, col("id1"))
+      val a2 = SizeGate.hintIfSmall(
+        active.select(col("id").as("id2"), col("prio").as("p2")),
+        nActive, col("id2"))
       val eAct = edges.join(a1, "id1").join(a2, "id2")
       val minnb = eAct.groupBy("id1").agg(min("p2").as("mn"))
         .withColumnRenamed("id1", "id")
@@ -1075,11 +1084,14 @@ object DedupOps {
         .filter(col("mn").isNull || col("prio") < col("mn"))
         .select("id", "prio")
       val nbrs = eAct
-        .join(broadcast(misR.select(col("id").as("id1"))), "id1")
+        .join(SizeGate.hintIfSmall(
+          misR.select(col("id").as("id1")), nActive, col("id1")), "id1")
         .select(col("id2").as("id")).distinct()
       val (nextActive, nextIds) = trackCheckpoint(spark,
-        active.join(broadcast(misR.select("id")), Seq("id"), "left_anti")
-          .join(broadcast(nbrs), Seq("id"), "left_anti"))
+        active.join(SizeGate.hintIfSmall(misR.select("id"), nActive, col("id")),
+            Seq("id"), "left_anti")
+          .join(SizeGate.hintIfSmall(nbrs, nActive, col("id")),
+            Seq("id"), "left_anti"))
       val (misAcc, accIds) = trackCheckpoint(spark,
         mis.fold(misR)(_.unionByName(misR)))
       // Both consumers of the old round state are materialized above;

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.plans.SizeGate
 
 /** Graph analytics over relationally-derived graphs (SURVEY.md §2.10).
   *
@@ -18,14 +19,18 @@ import graft.Tables
   * checkpointed per iteration (the dedup_components lineage-cut
   * pattern), so no plan ever contains more than one iteration and the
   * edge join never re-runs (the r2 sim_knn_graph diamond lesson).
-  * Vertex-sized per-round state is EXPLICITLY broadcast into the
-  * adjacency joins: post-checkpoint state is a LogicalRDD with unknown
-  * stats, so the planner assumes it huge and would shuffle the edge
-  * table every round (measured r5: the hint took the sf0.1 pagerank
-  * loop 21.4 → ~12 s). At a scale where the vertex set stops fitting a
-  * broadcast, drop the hints and the loops degrade to the classic
-  * per-round edge shuffle — a documented size assumption, not an
-  * accident.
+  * Vertex-sized per-round state is SIZE-GATED into the adjacency
+  * joins ([[graft.plans.SizeGate.hintIfSmall]], VERDICT r6 #1):
+  * post-checkpoint state is a LogicalRDD with unknown stats, so the
+  * planner assumes it huge and would shuffle the edge table every
+  * round without a hint (measured r5: the hint took the sf0.1
+  * pagerank loop 21.4 → ~12 s). Each loop feeds the gate the
+  * driver-side row count it already materializes (the freeze measure
+  * / frontier count): under the cap the state broadcasts; past it,
+  * it repartitions onto the join key and co-partitions with the
+  * once-pre-partitioned edge checkpoint — the loops DEGRADE BY
+  * CONSTRUCTION to the classic Pregel vertex-shuffle round instead of
+  * dying on the broadcast ceiling.
   *
   * Cross-engine parity: ranks are FIXED-POINT BIGINT micro-units
   * (SCALE = 1e12) with truncating integer division (Spark `div`,
@@ -55,6 +60,7 @@ object GraphOps {
     * leak) — one definition, one place to fix. */
   private def checkpointed(sc: org.apache.spark.SparkContext,
       df: DataFrame): (DataFrame, Set[Int]) = {
+    graft.plans.PlanCapture.record(df)
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
     (out, sc.getPersistentRDDs.keySet.toSet -- before)
@@ -150,17 +156,6 @@ object GraphOps {
     val edgesRaw = pairs.select(col("cv").as("src"), col("sv").as("dst"))
       .unionByName(pairs.select(col("sv").as("src"), col("cv").as("dst")))
     val deg = edgesRaw.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Checkpoint the edge table PRE-PARTITIONED ON dst (localCheckpoint
-    // captures the partitioning in LogicalRDD): every iteration's
-    // contribution groupBy(dst) then collapses onto the materialized
-    // distribution — with the vertex-sized rank side broadcast, an
-    // iteration runs with ZERO exchanges here. At a scale where ranks
-    // stop broadcasting, the per-iteration join shuffles on src — the
-    // classic PageRank per-round shuffle, unavoidable — and this
-    // layout still saves the groupBy exchange on the contrib side.
-    val par = sc.defaultParallelism
-    val (edges, edgeIds) = checkpointed(
-      edgesRaw.join(deg, "src").repartition(par, col("dst")))
     // Vertices carry N (vertex count) so teleport needs no driver-side
     // constant — a 1-row count broadcast-crossed onto the vertex set.
     // In seeded (personalized) mode they additionally carry the seed
@@ -181,6 +176,26 @@ object GraphOps {
          .select(col("v"), col("n"),
            coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns")))
         .localCheckpoint()
+    // Driver-side vertex count — the SizeGate input (VERDICT r6 #1).
+    // State size is CONSTANT across rounds here (ranks keep every
+    // vertex), so one count on the just-materialized checkpoint blocks
+    // decides the layout for the whole loop.
+    val nV = verts.count()
+    val stateFits = SizeGate.fits(verts, nV)
+    // Checkpoint the edge table PRE-PARTITIONED for the gated path
+    // (localCheckpoint captures the partitioning in LogicalRDD):
+    //  - broadcast path (state fits): partition on dst — every
+    //    iteration's contribution groupBy(dst) collapses onto the
+    //    materialized distribution and a round runs with ZERO
+    //    exchanges here;
+    //  - degraded path (state too big to broadcast): partition on src,
+    //    the state-join key, so each round repartitions the
+    //    VERTEX-SIZED rank table onto it and co-partitions — the
+    //    classic Pregel round; the edge list is never reshuffled.
+    val par = sc.defaultParallelism
+    val (edges, edgeIds) = checkpointed(
+      edgesRaw.join(deg, "src")
+        .repartition(par, col(if (stateFits) "dst" else "src")))
 
     val carry = if (seeded) Seq("n", "is_seed", "ns") else Seq("n")
     val teleport =
@@ -188,19 +203,23 @@ object GraphOps {
         s"CASE WHEN is_seed = 1 THEN ($Scale * 15) div (100 * ns) ELSE CAST(0 AS BIGINT) END"
       else s"($Scale * 15) div (100 * n)"
 
-    // The rank side is EXPLICITLY broadcast: post-checkpoint ranks are
-    // a LogicalRDD with unknown stats, so the planner would otherwise
-    // assume them huge and SHUFFLE THE EDGE TABLE on src every
-    // iteration (measured: the hint takes the sf0.1 loop 21.4 → ~7 s).
-    // This is the documented vertex-sized-ranks design; at a scale
-    // where the vertex set stops fitting a broadcast, drop the hints
-    // and the loop degrades to the classic per-round edge shuffle.
+    // The rank side is SIZE-GATED (SizeGate.hintIfSmall): post-
+    // checkpoint ranks are a LogicalRDD with unknown stats, so the
+    // planner would otherwise assume them huge and SHUFFLE THE EDGE
+    // TABLE on src every iteration (measured: the hint takes the
+    // sf0.1 loop 21.4 → ~7 s). While nV fits the cap the rank table
+    // broadcasts; past it, it repartitions on src and co-partitions
+    // with the src-partitioned edge checkpoint — the loop DEGRADES BY
+    // CONSTRUCTION instead of dying on the broadcast ceiling. The
+    // contrib side of the update join needs no repartition key: its
+    // groupBy(dst) output already carries the dst hash partitioning.
     def step(rk: DataFrame): DataFrame = {
       val contrib = edges
-        .join(broadcast(rk.select(col("v").as("src"), col("r"))), "src")
+        .join(SizeGate.hintIfSmall(
+          rk.select(col("v").as("src"), col("r")), nV, col("src")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))
-      rk.join(broadcast(contrib), col("v") === col("dst"), "left")
+      rk.join(SizeGate.hintIfSmall(contrib, nV), col("v") === col("dst"), "left")
         .select(col("v") +: carry.map(col) :+ col("r").as("rp") :+
           expr(s"$teleport + (coalesce(in_mass, CAST(0 AS BIGINT)) * 85) div 100").as("x"): _*)
         .select(col("v") +: carry.map(col) :+ col("rp") :+
@@ -311,11 +330,13 @@ object GraphOps {
     * reproduce exactly, so early-stopped Spark == the oracle's fixed
     * [[HitsMaxIter]]-unrolled CTE chain.
     *
-    * Per-round cost: TWO vertex-broadcast edge joins (a-step groups on
-    * sv, h-step on cv), each collapsing onto its OWN pre-partitioned
+    * Per-round cost: TWO size-gated edge joins (a-step groups on sv,
+    * h-step on cv), each collapsing onto its OWN pre-partitioned
     * checkpointed edge copy — zero exchanges per step at any scale
-    * where the vertex vectors broadcast; the documented degrade path
-    * is the classic per-round edge shuffle. */
+    * where the vertex vectors fit the [[SizeGate]] broadcast cap;
+    * past it each half-step joins against the copy partitioned on the
+    * JOIN key and pays one vertex-sized state shuffle + one
+    * partial-aggregated message shuffle, never an edge reshuffle. */
   private[graft] def hitsScores(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Int) = {
     val t = Tables(spark, dir)
@@ -352,25 +373,39 @@ object GraphOps {
          | THEN $prevCol ELSE cand END AS $outCol""".stripMargin
     var (hub, hubIds) = checkpointed(hub0)
     var (auth, authIds) = checkpointed(auth0)
+    // SizeGate inputs (VERDICT r6 #1): both score vectors keep every
+    // vertex of their side, so one count each on the materialized
+    // checkpoint blocks gates the whole loop. When a vector stops
+    // fitting the broadcast cap, its mass-push join runs against the
+    // edge copy partitioned on the JOIN key (the other side's copy)
+    // and the round's shuffle is the vertex-sized vector, never the
+    // edge list; the half-step's groupBy then pays one
+    // partial-aggregated message shuffle — the classic Pregel round.
+    val nHub = hub.count()
+    val nAuth = auth.count()
+    val aEdges = if (SizeGate.fits(hub, nHub)) eBySv else eByCv
+    val hEdges = if (SizeGate.fits(auth, nAuth)) eByCv else eBySv
     var iters = 0
     var converged = false
     def l1(df: DataFrame, a: String, b: String): Long =
       Option(df.agg(sum(abs(col(a) - col(b)))).first()
         .getAs[java.lang.Long](0)).fold(0L)(_.longValue)
     while (!converged && iters < HitsMaxIter) {
-      val araw = eBySv
-        .join(broadcast(hub.select(col("cv"), col("h"))), "cv")
+      val araw = aEdges
+        .join(SizeGate.hintIfSmall(
+          hub.select(col("cv"), col("h")), nHub, col("cv")), "cv")
         .groupBy("sv").agg(sum("h").as("m"))
-      val aNext = auth.join(broadcast(araw), Seq("sv"), "left")
+      val aNext = auth.join(SizeGate.hintIfSmall(araw, nAuth), Seq("sv"), "left")
         .crossJoin(broadcast(araw.agg(sum("m").as("tt"))))
         .select(col("sv"), col("a").as("ap"), col("m"), col("tt"))
         .selectExpr("sv", "ap", rescale)
         .selectExpr("sv", "ap", freeze("ap", "a"))
       val (a2, a2Ids) = checkpointed(aNext)
-      val hraw = eByCv
-        .join(broadcast(a2.select(col("sv"), col("a"))), "sv")
+      val hraw = hEdges
+        .join(SizeGate.hintIfSmall(
+          a2.select(col("sv"), col("a")), nAuth, col("sv")), "sv")
         .groupBy("cv").agg(sum("a").as("m"))
-      val hNext = hub.join(broadcast(hraw), Seq("cv"), "left")
+      val hNext = hub.join(SizeGate.hintIfSmall(hraw, nHub), Seq("cv"), "left")
         .crossJoin(broadcast(hraw.agg(sum("m").as("tt"))))
         .select(col("cv"), col("h").as("hp"), col("m"), col("tt"))
         .selectExpr("cv", "hp", rescale)
@@ -723,9 +758,14 @@ object GraphOps {
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
+    // Pre-partitioned ON src, the per-round state-join key: when the
+    // distance table outgrows the SizeGate broadcast cap it
+    // repartitions onto this layout and co-partitions — the edge list
+    // is materialized once and never reshuffled by the loop.
     GraphOps.checkpointed(spark.sparkContext,
       edges.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+        .repartition(spark.sparkContext.defaultParallelism, col("src")))
   }
 
   /** One BFS sweep from `seedV` (a 1-row (v) frame) over `sym` — the
@@ -743,8 +783,16 @@ object GraphOps {
     var iters = 0
     var frozen = false
     var prev = (-1L, -1L)
+    // SizeGate input: the distance table GROWS from 1 row toward the
+    // reached-vertex count; the loop's own freeze measure carries the
+    // exact row count per round, so the gate re-decides every round —
+    // early frontiers broadcast, a vertex-scale table flips to the
+    // co-partitioned shuffle against the src-partitioned sym.
+    var nDist = 1L
     while (!frozen && iters < BfsMaxIter) {
-      val cand = sym.join(broadcast(dist), col("src") === col("v"))
+      val cand = sym
+        .join(SizeGate.hintIfSmall(dist, nDist, col("v")),
+          col("src") === col("v"))
         .groupBy(col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("dst").as("v"), col("d"))
       val (next, nextIds) = GraphOps.checkpointed(sc,
@@ -754,6 +802,7 @@ object GraphOps {
       val measure = (m.getLong(0), m.getLong(1))
       GraphOps.free(sc, distIds)
       dist = next; distIds = nextIds
+      nDist = measure._1
       frozen = measure == prev
       prev = measure
     }
@@ -845,9 +894,11 @@ object GraphOps {
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
       .localCheckpoint()
+    // src-partitioned for the gated loop (the coPurchaseSym layout).
     val (sym, symIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+        .repartition(sc.defaultParallelism, col("src")))
     val verts = sym.select(col("src")).distinct()
     // Materialized 1-row |V| — the final closeness select runs AFTER
     // sym's checkpoint blocks are freed, so it must not re-derive
@@ -861,8 +912,15 @@ object GraphOps {
     var iters = 0
     var frozen = false
     var prev = (-1L, -1L)
+    // The (seed, v) state grows toward |S|·n rows; the freeze measure
+    // carries its exact count, so the gate re-decides per round (the
+    // bfsSweep contract — broadcast while small, co-partitioned
+    // shuffle against the src-partitioned sym beyond the cap).
+    var nDist = ClosenessSeeds.toLong
     while (!frozen && iters < BfsMaxIter) {
-      val cand = sym.join(broadcast(dist), col("src") === col("v"))
+      val cand = sym
+        .join(SizeGate.hintIfSmall(dist, nDist, col("v")),
+          col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("s"), col("dst").as("v"), col("d"))
       val (next, nextIds) = checkpointed(
@@ -872,6 +930,7 @@ object GraphOps {
       val measure = (m.getLong(0), m.getLong(1))
       free(distIds)
       dist = next; distIds = nextIds
+      nDist = measure._1
       frozen = measure == prev
       prev = measure
     }
@@ -958,7 +1017,10 @@ object GraphOps {
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
       GraphOps.checkpointed(sc, df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
-    val (sym, symIds) = checkpointed(symIn)
+    val par = sc.defaultParallelism
+    // src-partitioned (the coPurchaseSym layout) so the gated forward
+    // rounds co-partition instead of reshuffling edges.
+    val (sym, symIds) = checkpointed(symIn.repartition(par, col("src")))
     // Forward: settled(s, v, d, sig) grows by one level per round.
     // Superseded checkpoint copies (the pre-union settled, the
     // consumed frontier) are freed each round — the pagerank
@@ -971,14 +1033,24 @@ object GraphOps {
     var sIds = fIds
     var level = 0L
     var frontierN = 1L
+    // SizeGate inputs: the frontier count is materialized every round
+    // anyway (the loop-exit measure); the cumulative settled count is
+    // the monotone upper bound gating every BACKWARD level's delta
+    // table (a bound only ever demotes broadcast to shuffle).
+    var nFrontier = frontier.count()
+    var nSettled = nFrontier
     while (frontierN > 0 && level < BfsMaxIter) {
       level += 1
-      val cand = sym.join(broadcast(frontier), col("src") === col("v"))
+      val cand = sym
+        .join(SizeGate.hintIfSmall(frontier, nFrontier, col("v")),
+          col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
         .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
       val (next, nIds) = checkpointed(
         cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
       frontierN = next.count()
+      nFrontier = frontierN
+      nSettled += frontierN
       if (frontierN > 0) {
         val (merged, mIds) = checkpointed(settled.unionByName(next))
         free(sIds)
@@ -994,7 +1066,6 @@ object GraphOps {
     // of the raw edge list) and checkpointed partitioned on the
     // (s, cv) key every level's join uses.
     val lmax = level - (if (frontierN == 0) 1 else 0)
-    val par = sc.defaultParallelism
     val (tree, treeIds) = checkpointed(
       settled.select(col("s"), col("v").as("u"), col("d").as("du"),
           col("sig").as("usig"))
@@ -1014,7 +1085,9 @@ object GraphOps {
     var l = lmax - 1
     while (l >= 0) {
       val contrib = tree.filter(col("du") === l)
-        .join(broadcast(deltas.select(col("s"), col("v").as("cv"), col("dq"))),
+        .join(SizeGate.hintIfSmall(
+          deltas.select(col("s"), col("v").as("cv"), col("dq")),
+          nSettled, col("s"), col("cv")),
           Seq("s", "cv"))
         .groupBy(col("s"), col("u"))
         .agg(sum(expr(
@@ -1095,20 +1168,25 @@ object GraphOps {
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(spark, dir)
     val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint()
+    val nV = lab.count()
     val mm = edges.agg(count(lit(1)).as("mm"))
     // The label table is vertex-sized but post-checkpoint (LogicalRDD,
-    // unknown stats) — broadcast explicitly or every consumer shuffles
-    // the edge table (the pagerankRanks lesson; the audit ceiling
-    // caught the hint-less plan at 10 shuffles).
+    // unknown stats) — without a hint every consumer shuffles the edge
+    // table (the pagerankRanks lesson; the audit ceiling caught the
+    // hint-less plan at 10 shuffles). Size-gated: broadcast while the
+    // vertex set fits, plain co-shuffle joins beyond the cap (one-shot
+    // readout joins, so no edge-layout trick is warranted here).
     val we = edges
-      .join(broadcast(lab.select(col("v").as("p1"), col("lbl").as("l1"))), "p1")
-      .join(broadcast(lab.select(col("v").as("p2"), col("lbl").as("l2"))), "p2")
+      .join(SizeGate.hintIfSmall(
+        lab.select(col("v").as("p1"), col("lbl").as("l1")), nV, col("p1")), "p1")
+      .join(SizeGate.hintIfSmall(
+        lab.select(col("v").as("p2"), col("lbl").as("l2")), nV, col("p2")), "p2")
       .filter(col("l1") === col("l2"))
       .groupBy(col("l1").as("c")).agg(count(lit(1)).as("mc"))
     val dg = edges.select(col("p1").as("v"))
       .unionByName(edges.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val dc = dg.join(broadcast(lab), "v")
+    val dc = dg.join(SizeGate.hintIfSmall(lab, nV, col("v")), "v")
       .groupBy(col("lbl").as("c")).agg(sum("d").as("dsum"))
     dc.join(we, Seq("c"), "left")
       .crossJoin(broadcast(mm))
@@ -1140,18 +1218,26 @@ object GraphOps {
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
       GraphOps.checkpointed(sc, df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
+    // dst-partitioned: dst is the state-join key below, so the gated
+    // large path repartitions the vertex-sized value table onto it and
+    // co-partitions (the h-index window shuffles on src either way).
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+        .repartition(spark.sparkContext.defaultParallelism, col("dst")))
     var (cur, curIds) = checkpointed(
       adj.groupBy("src").agg(count(lit(1)).as("c"))
         .select(col("src").as("v"), col("c")))
+    // One upfront count gates the loop: the value table keeps every
+    // vertex, so its size is round-invariant.
+    val nV = cur.count()
     var iters = 0
     var frozen = false
     var prev = (-1L, -1L)
     val w = Window.partitionBy("src").orderBy(col("c").desc)
     while (!frozen && iters < CoreMaxIter) {
-      val nb = adj.join(broadcast(cur), col("dst") === col("v"))
+      val nb = adj.join(SizeGate.hintIfSmall(cur, nV, col("v")),
+        col("dst") === col("v"))
         .select(col("src"), col("c"))
         .withColumn("rn", row_number().over(w).cast("long"))
       val (next, nextIds) = checkpointed(
@@ -1252,14 +1338,21 @@ object GraphOps {
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
       GraphOps.checkpointed(sc, df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
+    // dst-partitioned — the vote join's state key, so the gated large
+    // path co-partitions (the kcore layout rationale).
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+        .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
+        .repartition(spark.sparkContext.defaultParallelism, col("dst")))
     var (lab, labIds) = checkpointed(
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
+    // Round-invariant state size (every vertex keeps a label): one
+    // upfront count on the materialized blocks gates all rounds.
+    val nV = lab.count()
     val w = Window.partitionBy("src").orderBy(desc("n"), col("lbl"))
     for (_ <- 1 to rounds) {
-      val votes = adj.join(broadcast(lab), col("dst") === col("v"))
+      val votes = adj.join(SizeGate.hintIfSmall(lab, nV, col("v")),
+        col("dst") === col("v"))
         .select(col("src"), col("lbl"))
         .unionByName(lab.select(col("v").as("src"), col("lbl")))
         .groupBy("src", "lbl").agg(count(lit(1)).as("n"))
