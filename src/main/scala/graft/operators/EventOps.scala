@@ -333,12 +333,17 @@ object EventOps {
     * readout runs over state accumulated incrementally;
     * StreamingSpec pins stream == batch through it). */
   private[graft] def markovStationaryFrom(pairs: DataFrame): DataFrame = {
+    // coalesce(sum, 0): over an EMPTY pairs table sum() is NULL, and a
+    // NULL tot_i would slip past the tot_i = 0 absorbing-row guard and
+    // NULL-cascade through every layer (r6 ADVICE). Coalesced (in both
+    // engine texts), the degenerate input drains every rank to 0 as
+    // the renormalization guard's comment promises.
     val matCols = (for {
       i <- MarkovTypes; j <- MarkovTypes
-    } yield sum(when(col("from_type") === i && col("to_type") === j,
-      col("n")).otherwise(0L)).as(s"n_${i}_$j")) ++
-      MarkovTypes.map(i => sum(when(col("from_type") === i, col("n"))
-        .otherwise(0L)).as(s"tot_$i"))
+    } yield coalesce(sum(when(col("from_type") === i && col("to_type") === j,
+      col("n")).otherwise(0L)), lit(0L)).as(s"n_${i}_$j")) ++
+      MarkovTypes.map(i => coalesce(sum(when(col("from_type") === i, col("n"))
+        .otherwise(0L)), lit(0L)).as(s"tot_$i"))
     val mrow = pairs.agg(matCols.head, matCols.tail: _*)
     val pCols = markovPExprs("div")
     val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")
@@ -3240,10 +3245,10 @@ object EventOps {
     "ev_markov_stationary" -> {
       val matCols = (for {
         i <- MarkovTypes; j <- MarkovTypes
-      } yield s"CAST(sum(CASE WHEN from_type = '$i' AND to_type = '$j' " +
-        s"THEN n ELSE 0 END) AS BIGINT) AS n_${i}_$j") ++
-        MarkovTypes.map(i => s"CAST(sum(CASE WHEN from_type = '$i' " +
-          s"THEN n ELSE 0 END) AS BIGINT) AS tot_$i")
+      } yield s"CAST(coalesce(sum(CASE WHEN from_type = '$i' AND to_type = '$j' " +
+        s"THEN n ELSE 0 END), 0) AS BIGINT) AS n_${i}_$j") ++
+        MarkovTypes.map(i => s"CAST(coalesce(sum(CASE WHEN from_type = '$i' " +
+          s"THEN n ELSE 0 END), 0) AS BIGINT) AS tot_$i")
       val pCols = markovPExprs("//")
       val carry = pCols.map(_.split(" AS ").last)
       val r0 = MarkovTypes.map(i => s"CAST(1000000 AS BIGINT) AS r_$i")

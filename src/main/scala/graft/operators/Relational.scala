@@ -1480,8 +1480,14 @@ object Relational {
     * per-row scalar stage, and whenever the JIT hadn't compiled its
     * codegen'd method yet it ran interpreted at ~50× cost (43.7 s in
     * the official r5 loop vs 0.6 s warm) — less per-row work is the
-    * only fix that holds regardless of compile scheduling. */
-  private val PoissonW16Expr =
+    * only fix that holds regardless of compile scheduling.
+    *
+    * Since r7 this text is the ORACLE side only: Spark evaluates the
+    * bit-identical chain through the native codegen'd
+    * [[graft.functions.BootstrapWeights]] expression (VERDICT r6 #2 —
+    * the equivalence proof lives in its class doc, and the hash gate
+    * pins the two formulations equal on every run). */
+  private[graft] val PoissonW16Expr =
     """CASE WHEN u4 < '5e2d' THEN 0
       |     WHEN u4 < 'bc5a' THEN 1
       |     WHEN u4 < 'eb71' THEN 2
@@ -1515,24 +1521,20 @@ object Relational {
     // 50× the corpus. The explicit repartition spreads the expansion
     // over every core BEFORE it happens (a cheap row-count-sized
     // shuffle; measured 13.5 → ~2 s at sf0.1 / local[32]).
-    val groups = (B + 7) / 8
+    // The whole draw chain (md5 per 8-replicate group → 16-bit hex
+    // slice → Poisson CDF CASE) is ONE native codegen'd expression —
+    // graft.functions.BootstrapWeights, bit-identical to the unrolled
+    // SQL the oracle still runs (class doc has the equivalence). The
+    // per-row work lives in pre-compiled library bytecode, so the
+    // HotSpot-interpreted warmup window that made this query's
+    // driver-cold cost 50× its warm cost (VERDICT r6 #2: 20.2 s cold
+    // vs 1.35 s warm) cannot reappear — the generated stage is a tiny
+    // static call + posexplode, not a 50-branch hex-compare tree.
     val reps = base
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("o_orderkey"), col("c"),
-        explode(expr(s"sequence(0, ${groups - 1})")).as("g"))
-      .withColumn("h",
-        expr("md5(concat(CAST(o_orderkey AS STRING), '_', CAST(g AS STRING)))"))
-      // Plain explode + filter, NOT filter(transform(...)) lambdas: a
-      // higher-order function is CodegenFallback — this stage then runs
-      // every row through the interpreted evaluator with per-row struct
-      // allocation, and measured 4–27 s at sf0.1 where the codegen'd
-      // shape below holds ~1 s.
-      .select(col("c"), col("h"), col("g"),
-        explode(expr("sequence(0, 7)")).as("i"))
-      .where(expr(s"g * 8 + i < $B"))
-      .select(col("c"), expr("g * 8 + i").as("b"),
-        expr("substr(h, i * 4 + 1, 4)").as("u4"))
-      .withColumn("w", expr(PoissonW16Expr))
+      .select(col("c"),
+        posexplode(expr(s"graft_bootstrap_weights(o_orderkey, $B)"))
+          .as(Seq("b", "w")))
       .groupBy("b")
       .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * c")).as("swc"),
         sum(col("w").cast("long")).as("sw"))

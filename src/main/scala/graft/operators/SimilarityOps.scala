@@ -853,7 +853,16 @@ object SimilarityOps {
     * (a bounded SAMPLE of queries, map-side over a 20-row broadcast),
     * the ANN side rides the checkpointed cells; both top-5 cuts are
     * WindowGroupLimits. */
-  def simRecallEval(spark: SparkSession, dir: String): DataFrame = {
+  def simRecallEval(spark: SparkSession, dir: String): DataFrame =
+    simRecallEvalMode(spark, dir, SampleAnchors)
+
+  /** [[simRecallEval]] parameterized by anchor mode — the SAME
+    * 20-query panel and top-5 machinery pointed at any cell layout,
+    * so IvfSpec can rank the three anchor modes (sample / kmeans /
+    * par-seeded) on a like-for-like recall@5 (VERDICT r6 #5: the
+    * quantitative gate for sim_ann_kmeans_par). */
+  private[graft] def simRecallEvalMode(spark: SparkSession, dir: String,
+      anchors: AnchorSource): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -866,7 +875,7 @@ object SimilarityOps {
     }
     val exact = top5(emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid")))
-    val cells = ivfCells(spark, dir).localCheckpoint()
+    val cells = ivfCells(spark, dir, anchors).localCheckpoint()
     val qcells = cells.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("aid"))
     val cand = cells.join(qcells, Seq("aid"))

@@ -581,7 +581,26 @@ object Formats {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { case (tbl, path, key) =>
-          val p = new org.apache.hadoop.fs.Path(path)
+          // A table entry may be a single parquet FILE or a DIRECTORY
+          // of part files (the standard Spark writer layout). Expand
+          // directories to their data files here in the task (r6
+          // ADVICE: ParquetFileReader.open on a directory throws —
+          // counter to the operator's own "degrade, don't fail
+          // planning" contract); _SUCCESS/_metadata/dotfiles are
+          // writer bookkeeping, not data.
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(conf)
+          val dataFiles =
+            if (fs.getFileStatus(root).isDirectory)
+              fs.listStatus(root).toSeq
+                .filter(s => s.isFile && {
+                  val n = s.getPath.getName
+                  n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+                })
+                .map(_.getPath)
+                .sortBy(_.getName)
+            else Seq(root)
+          dataFiles.flatMap { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
@@ -602,6 +621,7 @@ object Formats {
                 (tbl, p.getName, i.toLong, b.getRowCount, mn, mx)
             }
           } finally r.close()
+          }
         }
       }
       .toDF("tbl", "file", "row_group", "n_rows", "min_key", "max_key")

@@ -41,7 +41,15 @@ object GraftFunctions {
     "graft_video_meta" -> checked("graft_video_meta", 1)(c => VideoMeta(c(0))),
     "graft_tar_meta" -> checked("graft_tar_meta", 1)(c => TarMeta(c(0))),
     "graft_tar_members" -> checked("graft_tar_members", 1)(c => graft.functions.TarMembers(c(0))),
-    "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))))
+    "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))),
+    "graft_bootstrap_weights" -> checked("graft_bootstrap_weights", 2)(c =>
+      graft.functions.BootstrapWeights(c(0), c(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+          messageParameters = Map("functionName" -> "graft_bootstrap_weights"))
+      })))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

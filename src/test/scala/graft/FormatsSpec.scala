@@ -487,4 +487,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(gMin == dMin && gMax == dMax,
       s"footer range [$gMin,$gMax] != data range [$dMin,$dMax]")
   }
+
+  test("footer walk accepts a DIRECTORY of part files (standard writer layout)") {
+    // r6 ADVICE: the walk hardcoded the single-file layout and threw on
+    // a directory — counter to its own degrade-don't-fail contract. A
+    // multi-part Spark-writer table must now enumerate every data file
+    // (skipping _SUCCESS etc.) and aggregate to the same truth.
+    val path = tmp("orders_multipart")
+    val orders = Tables(spark, sf).orders
+    orders.repartition(3).write.mode("overwrite").parquet(path)
+    val rows = Formats.footerRowGroups(spark, Seq(("orders", path, "o_orderkey")))
+      .collect()
+    val nFiles = rows.map(_.getString(1)).distinct.length
+    assert(nFiles == 3, s"expected 3 part files in the walk, saw $nFiles")
+    assert(rows.map(_.getLong(3)).sum == orders.count(),
+      "directory walk row counts do not sum to the table count")
+    val (mn, mx) = (rows.map(_.getLong(4)).min, rows.map(_.getLong(5)).max)
+    val h = orders.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+    assert(mn == h.getLong(0) && mx == h.getLong(1),
+      s"directory footer range [$mn,$mx] != data range")
+  }
 }

@@ -113,4 +113,34 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("graft_image_meta"))
   }
+
+  test("graft_bootstrap_weights equals the hex-CASE SQL chain bit-for-bit") {
+    // The native draw chain must be indistinguishable from the SQL
+    // formulation the DuckDB oracle still runs (md5 → 16-bit hex slice
+    // → Poisson CDF CASE) — key by key, replicate by replicate.
+    val B = 50
+    val keys = spark.range(1, 2001).toDF("k")
+    val sqlSide = keys
+      .select(col("k"), explode(expr(s"sequence(0, ${(B + 7) / 8 - 1})")).as("g"))
+      .withColumn("h", expr("md5(concat(CAST(k AS STRING), '_', CAST(g AS STRING)))"))
+      .select(col("k"), col("g"), col("h"), explode(expr("sequence(0, 7)")).as("i"))
+      .where(expr(s"g * 8 + i < $B"))
+      .select(col("k"), expr("g * 8 + i").as("b"),
+        expr("substr(h, i * 4 + 1, 4)").as("u4"))
+      .withColumn("w_sql", expr(graft.operators.Relational.PoissonW16Expr))
+      .select("k", "b", "w_sql")
+    val nativeSide = keys
+      .select(col("k"), posexplode(expr(s"graft_bootstrap_weights(k, $B)")))
+      .toDF("k", "b", "w_nat")
+    val joined = sqlSide.join(nativeSide, Seq("k", "b"), "full_outer")
+    val n = joined.count()
+    assert(n == 2000L * B, s"row mismatch: $n vs ${2000 * B}")
+    val diff = joined
+      .filter(col("w_sql").isNull || col("w_nat").isNull
+        || col("w_sql") =!= col("w_nat").cast("int")).count()
+    assert(diff == 0, s"$diff (key, replicate) draws diverge")
+    // Statistical sanity: Poisson(1) weights average ~1.
+    val mean = nativeSide.agg(avg(col("w_nat").cast("double"))).first().getDouble(0)
+    assert(mean > 0.95 && mean < 1.05, s"weight mean $mean far from 1")
+  }
 }

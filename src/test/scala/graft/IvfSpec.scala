@@ -179,6 +179,23 @@ class IvfSpec extends AnyFunSuite {
     assert(probe.length == 10, s"probe returned ${probe.length} rows")
   }
 
+  test("recall@5 query panel ranks the three anchor modes; par-seeded >= sample") {
+    // VERDICT r6 #5: sim_ann_kmeans_par's quantitative gate. The SAME
+    // 20-query panel and top-5 readout as the sim_recall_eval query,
+    // pointed at each anchor mode's cell layout — a like-for-like
+    // recall@5 instead of the pair-recall proxy above.
+    def panel(mode: SimilarityOps.AnchorSource): Double =
+      SimilarityOps.simRecallEvalMode(spark, sf, mode)
+        .agg(avg("recall")).first().getDouble(0)
+    val rSample = panel(SimilarityOps.SampleAnchors)
+    val rKm = panel(SimilarityOps.KmeansAnchors)
+    val rPar = panel(SimilarityOps.ParKmeansAnchors)
+    info(f"panel recall@5: sample=$rSample%.3f kmeans=$rKm%.3f par-seeded=$rPar%.3f")
+    assert(rPar >= rSample,
+      f"par-seeded recall@5 $rPar%.3f below sample-anchored $rSample%.3f")
+    assert(rPar >= 0.5, f"par-seeded recall@5 $rPar%.3f below the 0.5 floor")
+  }
+
   test("k-means|| init is deterministic, k-sized, and seeds better than the uniform sample") {
     val emb = Tables(spark, sf).embeddings
     val k = SimilarityOps.ivfK(emb.count())
@@ -381,7 +398,15 @@ class IvfSpec extends AnyFunSuite {
     val masked = SimilarityOps.simIvfInsert(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .filter(_._1 % 100 != 13)
-    assert(compactRes.take(masked.length).sameElements(masked.take(compactRes.length)),
+    // Guarded prefix compare (r6 ADVICE: the two-sided take() was
+    // vacuous on an empty side and blind to a short compacted
+    // readout): the masked fragmented rows must be non-empty and a
+    // strict prefix of the compacted probe's readout.
+    assert(masked.nonEmpty, "masked fragmented probe returned no rows")
+    assert(compactRes.length >= masked.length,
+      s"compacted probe returned fewer rows (${compactRes.length}) " +
+        s"than the masked fragmented probe (${masked.length})")
+    assert(compactRes.take(masked.length).sameElements(masked),
       "compacted probe diverged from the masked fragmented probe")
   }
 }
