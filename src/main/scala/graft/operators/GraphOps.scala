@@ -171,7 +171,11 @@ object GraphOps {
     val verts =
       (if (!seeded) vertsBase
        else vertsBase
-         .join(broadcast(seedSet), Seq("v"), "left")
+         // No forced hint on the seed set: it comes straight off the
+         // customer scan (real catalog stats), so the planner
+         // broadcasts it while it fits and shuffles beyond — unlike
+         // post-checkpoint loop state, this side needs no gate.
+         .join(seedSet, Seq("v"), "left")
          .crossJoin(broadcast(seedSet.agg(count(lit(1)).as("ns"))))
          .select(col("v"), col("n"),
            coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns")))
@@ -616,7 +620,12 @@ object GraphOps {
       .select(col("src"),
         expr("CAST(round(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)").as("wq"))
     val par = spark.sparkContext.defaultParallelism
-    val wadj = adj.join(broadcast(degW), "src")
+    // Size gate on the vertex-sized degree table (the loop-state hint
+    // class, one-shot edition). The bound is the part-table row count —
+    // a metadata-only parquet count, and vertices here ARE parts — so
+    // no extra aggregation job runs just to size the hint.
+    val nParts = Tables(spark, dir).part.count()
+    val wadj = adj.join(SizeGate.hintIfSmall(degW, nParts, col("src")), "src")
     val scored = wadj.select(col("src"), col("dst").as("a"), col("wq"))
       .join(adj.select(col("src"), col("dst").as("c")), "src")
       .filter(col("a") < col("c"))
