@@ -340,6 +340,23 @@ class GraphSpec extends AnyFunSuite {
     assert(btwH == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
   }
 
+  test("size gate: bfs layers and HITS are gate-invariant (sf fixture)") {
+    // bfs drives the shared bfsSweep loop (also diameter's kernel);
+    // HITS additionally switches WHICH edge copy each half-step joins
+    // (the join-key copy in the degraded path) — both must be
+    // readout-identical either way.
+    def bfs(): Seq[(Long, Long, Long)] =
+      GraphOps.graphBfsLayers(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def hits(): Seq[(String, Long, Long)] =
+      GraphOps.graphHits(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val (bH, hH) = (bfs(), hits())
+    val (bD, hD) = withRowCap(0L)((bfs(), hits()))
+    assert(bD == bH, s"bfs layers gate-variant:\n$bH\nvs\n$bD")
+    assert(hD == hH, s"HITS gate-variant:\n$hH\nvs\n$hD")
+  }
+
   test("size gate: pagerank top-20 is identical across edge layouts (sf fixture)") {
     // The gate switches the edge checkpoint's partition key
     // (dst = broadcast path, src = degraded path); integer rank units
