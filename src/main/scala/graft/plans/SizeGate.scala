@@ -47,7 +47,14 @@ object SizeGate {
   val DefaultRowCap = 8000000L
 
   def rowCap(df: DataFrame): Long =
-    df.sparkSession.conf.getOption(CapConf).map(_.toLong).getOrElse(DefaultRowCap)
+    df.sparkSession.conf.getOption(CapConf).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$CapConf must be a plain row count (long), got '$v' — " +
+            "byte-size suffixes are not supported; the cap is ROWS")
+      }
+    }.getOrElse(DefaultRowCap)
 
   /** True when `rows` fits the session's broadcast row cap — callers
     * use this to pick the edge-table layout ONCE (broadcast path:

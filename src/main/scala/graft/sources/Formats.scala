@@ -591,15 +591,27 @@ object Formats {
           val root = new org.apache.hadoop.fs.Path(path)
           val fs = root.getFileSystem(conf)
           val dataFiles =
-            if (fs.getFileStatus(root).isDirectory)
-              fs.listStatus(root).toSeq
-                .filter(s => s.isFile && {
-                  val n = s.getPath.getName
-                  n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-                })
-                .map(_.getPath)
-                .sortBy(_.getName)
-            else Seq(root)
+            if (fs.getFileStatus(root).isDirectory) {
+              // Recursive: hive-partitioned layouts nest part files
+              // under key=value subdirectories.
+              val it = fs.listFiles(root, true)
+              val found = scala.collection.mutable.ArrayBuffer.empty[
+                org.apache.hadoop.fs.Path]
+              while (it.hasNext) {
+                val s = it.next()
+                val n = s.getPath.getName
+                if (s.isFile && n.endsWith(".parquet")
+                  && !n.startsWith("_") && !n.startsWith(".")) found += s.getPath
+              }
+              // Empty must stay LOUD (review finding, r7): before the
+              // directory support this path threw from
+              // ParquetFileReader.open; silently emitting zero stats
+              // rows would read downstream as "nothing to scan" and
+              // prune a table that merely has unexpected file names.
+              if (found.isEmpty) throw new IllegalArgumentException(
+                s"no *.parquet data files under directory $path")
+              found.sortBy(_.getName).toSeq
+            } else Seq(root)
           dataFiles.flatMap { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

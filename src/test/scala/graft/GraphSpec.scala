@@ -281,8 +281,13 @@ class GraphSpec extends AnyFunSuite {
         val bigPlan = joined.queryExecution.executedPlan.toString
         assert(!bigPlan.contains("BroadcastExchange"),
           s"over-cap state still broadcast:\n$bigPlan")
-        assert("hashpartitioning\\(v#\\d+L".r.findFirstIn(bigPlan).isDefined,
-          s"over-cap state not repartitioned on the join key:\n$bigPlan")
+        // REPARTITION_BY_NUM distinguishes OUR explicit co-partition
+        // repartition from an EnsureRequirements-inserted exchange
+        // (the bare hashpartitioning pattern would match either —
+        // review finding, r7).
+        assert("Exchange hashpartitioning\\(v#\\d+L?, \\d+\\), REPARTITION_BY_NUM".r
+          .findFirstIn(bigPlan).isDefined,
+          s"over-cap state not explicitly repartitioned on the join key:\n$bigPlan")
       }
     }
   }
