@@ -277,4 +277,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got == texts(name), s"range read of $name diverged")
     }
   }
+
+  test("mm_decode_png: ImageIO decode is pixel-exact vs direct md5 math; garbage yields null features") {
+    import org.apache.spark.sql.functions.col
+    // Independent recount: the decoded features for a handful of docs
+    // must equal the md5-derived pixels computed HERE, with no image
+    // machinery — the same law the DuckDB oracle enforces corpus-wide.
+    val out = MultimodalOps.mmDecodePng(spark, sf)
+      .filter(col("doc_id") < 5).collect()
+    assert(out.length == 5, s"expected 5 rows, got ${out.length}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { row =>
+      val id = row.getLong(0)
+      var sum = 0L; var mn = 256L; var mx = -1L
+      val q = new Array[Long](4)
+      for (r <- 0 until 8) {
+        md.reset()
+        val dg = md.digest(s"${id}_$r".getBytes("UTF-8"))
+        for (c <- 0 until 8) {
+          val v = (dg(c) & 0xff).toLong
+          sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+          q((if (r >= 4) 2 else 0) + (if (c >= 4) 1 else 0)) += v
+        }
+      }
+      assert(row.getInt(1) == 8 && row.getInt(2) == 8, s"doc $id size wrong")
+      assert(row.getLong(3) == sum && row.getLong(4) == mn && row.getLong(5) == mx,
+        s"doc $id stats diverge from direct md5 math")
+      assert((6 to 9).map(row.getLong) == q.toSeq,
+        s"doc $id quadrant sums diverge")
+    }
+    // Undecodable payloads must degrade to a null-feature row, not fail.
+    val session = spark
+    import session.implicits._
+    val junk = Seq((1L, "not a png".getBytes("UTF-8")),
+        (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalOps.decodePngFeatures(junk).orderBy("doc_id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(1)),
+      s"garbage payloads did not yield null features: ${rows.mkString(";")}")
+  }
 }
