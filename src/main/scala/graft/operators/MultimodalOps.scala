@@ -166,6 +166,103 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Deterministic 8×8 indexed-gray frame: pixel (r, c) = byte c of
+    * md5(seed + "_" + r), with an EXPLICIT 256-gray palette so palette
+    * index == gray value (the GIF writer then round-trips each pixel
+    * losslessly; TYPE_BYTE_GRAY would leave palette construction to
+    * the encoder). */
+  private def grayFrame(md: java.security.MessageDigest,
+      seed: String): java.awt.image.BufferedImage = {
+    val g = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { g(i) = i.toByte; i += 1 }
+    val cm = new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var r = 0
+    while (r < 8) {
+      md.reset()
+      val dg = md.digest(
+        s"${seed}_$r".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var c = 0
+      while (c < 8) {
+        img.getRaster.setSample(c, r, 0, dg(c) & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    img
+  }
+
+  /** §2.6 mm_frame_sample — FRAME SAMPLING over real animated-GIF
+    * payloads (the video-pipeline shape the brief names, on the one
+    * multi-frame container the JDK codecs fully support): each doc
+    * gets a manufactured animated GIF of 4 + (doc_id % 5) frames
+    * (variable length — the part a fixed-stride sampler must get
+    * right), frame f's pixels md5-derived like [[synthPng]]; the JDK
+    * GIF reader then counts frames and decodes EVERY SECOND one
+    * (stride-2 sampling), emitting one row per sampled frame with the
+    * exact decoded pixel sum. Writer and reader are instantiated ONCE
+    * per partition and re-targeted per row — the codec-amortization
+    * seat a video FFI uses. The oracle regenerates frame counts and
+    * pixel sums from the md5 hex math alone, so a frame dropped,
+    * reordered, or re-quantized anywhere in the animated encode →
+    * decode → sample loop breaks the hash gate. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame", IntegerType),
+      StructField("px_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    Tables(spark, dir).documents.select(col("doc_id"))
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val n = 4 + (id % 5).toInt
+          // ENCODE: one real animated GIF.
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(out)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(grayFrame(md, s"${id}_f$f"), null, null),
+              null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          out.close()
+          // DECODE + stride-2 SAMPLE through the real reader.
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)))
+          val got = reader.getNumImages(true)
+          (0 until got by 2).map { fi =>
+            val img = reader.read(fi)
+            var sum = 0L
+            var r = 0
+            while (r < img.getHeight) {
+              var c = 0
+              while (c < img.getWidth) {
+                sum += (img.getRGB(c, r) & 0xff).toLong
+                c += 1
+              }
+              r += 1
+            }
+            Row(id, got, fi, sum)
+          }
+        }
+      }(enc)
+      .orderBy("doc_id", "frame")
+  }
+
   /** §2.6 mm_decode_png — the REAL decode lifecycle, oracle-gated:
     * synthesize a deterministic PNG per document, run it through the
     * JDK's actual PNG decoder, and reduce the DECODED pixels to
@@ -439,6 +536,27 @@ object MultimodalOps {
         |  CAST(sum(CASE WHEN r >= 4 AND c < 4 THEN v ELSE 0 END) AS BIGINT) AS q_bl,
         |  CAST(sum(CASE WHEN r >= 4 AND c >= 4 THEN v ELSE 0 END) AS BIGINT) AS q_br
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame
+        |  FROM d, (SELECT unnest(range(0, 8)) AS f)
+        |  WHERE f < n_frames AND f % 2 = 0),
+        |rws AS (
+        |  SELECT doc_id, n_frames, frame, r,
+        |    md5(CAST(doc_id AS VARCHAR) || '_f' || CAST(frame AS VARCHAR)
+        |        || '_' || CAST(r AS VARCHAR)) AS h
+        |  FROM fr, (SELECT unnest(range(0, 8)) AS r)),
+        |px AS (
+        |  SELECT doc_id, n_frames, frame,
+        |    (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1) AS v
+        |  FROM rws, (SELECT unnest(range(0, 8)) AS c))
+        |SELECT doc_id, n_frames, frame, CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, n_frames, frame
+        |ORDER BY doc_id, frame""".stripMargin,
     "mm_phash_dedup" -> mmPhashDedupOracle,
     "mm_shard_extract" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
@@ -496,5 +614,6 @@ object MultimodalOps {
     // the documented FFI shape for codecs the JDK does not ship.)
     "mm_decode_stub" -> (mmDecodeStub(_, _)),
     "mm_decode_png" -> (mmDecodePng(_, _)),
+    "mm_frame_sample" -> (mmFrameSample(_, _)),
   )
 }

@@ -316,4 +316,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.length == 2 && rows.forall(_.isNullAt(1)),
       s"garbage payloads did not yield null features: ${rows.mkString(";")}")
   }
+
+  test("mm_frame_sample: animated-GIF frame counts and stride-2 sampling law hold") {
+    import org.apache.spark.sql.functions.col
+    val out = MultimodalOps.mmFrameSample(spark, sf)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == (0L until 20L).toSet, "docs missing from the sample")
+    byDoc.foreach { case (id, rows) =>
+      val n = 4 + (id % 5).toInt
+      // The reader must see every written frame...
+      assert(rows.forall(_._2 == n), s"doc $id frame count != $n: $rows")
+      // ...and the sampler must emit exactly the stride-2 subset, in order.
+      assert(rows.map(_._3).sorted.toSeq == (0 until n by 2),
+        s"doc $id sampled frames wrong: ${rows.map(_._3).toSeq}")
+      // Pixel sums vary across frames (distinct md5 seeds) — a decoder
+      // that returned frame 0 for every index would collapse them.
+      assert(rows.map(_._4).distinct.length == rows.length,
+        s"doc $id frame sums collapsed: $rows")
+    }
+  }
 }
