@@ -263,6 +263,60 @@ object MultimodalOps {
       .orderBy("doc_id", "frame")
   }
 
+  /** §2.6 mm_resize — the RESIZE leg of the decode pipeline, with a
+    * full re-encode: decode the doc's real PNG ([[synthPng]] bytes
+    * through the JDK decoder), downsample 8×8 → 4×4 by an EXACT 2×2
+    * box filter (block sum div 4 — integer floor, no impl-defined
+    * Graphics2D scaler), re-encode the result as a REAL PNG, decode
+    * THAT, and emit one row per resized pixel. The oracle computes
+    * every pixel from md5 hex math + the same floor division, so the
+    * gate covers decode → resize → re-encode → decode end to end —
+    * including the second encoder pass over computed (not synthetic)
+    * pixels. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("r", IntegerType),
+      StructField("c", IntegerType),
+      StructField("v", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    Tables(spark, dir).documents.select(col("doc_id"))
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          // decode the real PNG payload
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(md, id)))
+          // exact 2x2 box filter
+          val small = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) {
+              val s = src.getRaster.getSample(2 * c, 2 * r, 0) +
+                src.getRaster.getSample(2 * c + 1, 2 * r, 0) +
+                src.getRaster.getSample(2 * c, 2 * r + 1, 0) +
+                src.getRaster.getSample(2 * c + 1, 2 * r + 1, 0)
+              small.getRaster.setSample(c, r, 0, s / 4)
+              c += 1
+            }
+            r += 1
+          }
+          // re-encode the COMPUTED pixels, then decode that artifact
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(small, "png", bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          for (rr <- 0 until 4; cc <- 0 until 4)
+            yield Row(id, rr, cc, back.getRaster.getSample(cc, rr, 0).toLong)
+        }
+      }(enc)
+      .orderBy("doc_id", "r", "c")
+  }
+
   /** §2.6 mm_decode_png — the REAL decode lifecycle, oracle-gated:
     * synthesize a deterministic PNG per document, run it through the
     * JDK's actual PNG decoder, and reduce the DECODED pixels to
@@ -536,6 +590,20 @@ object MultimodalOps {
         |  CAST(sum(CASE WHEN r >= 4 AND c < 4 THEN v ELSE 0 END) AS BIGINT) AS q_bl,
         |  CAST(sum(CASE WHEN r >= 4 AND c >= 4 THEN v ELSE 0 END) AS BIGINT) AS q_br
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH rws AS (
+        |  SELECT doc_id, r,
+        |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)) AS h
+        |  FROM documents, (SELECT unnest(range(0, 8)) AS r)),
+        |px AS (
+        |  SELECT doc_id, r, c,
+        |    (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1) AS v
+        |  FROM rws, (SELECT unnest(range(0, 8)) AS c))
+        |SELECT doc_id, CAST(r // 2 AS INTEGER) AS r, CAST(c // 2 AS INTEGER) AS c,
+        |  CAST(sum(v) // 4 AS BIGINT) AS v
+        |FROM px GROUP BY doc_id, r // 2, c // 2
+        |ORDER BY doc_id, r, c""".stripMargin,
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS n_frames
@@ -615,5 +683,6 @@ object MultimodalOps {
     "mm_decode_stub" -> (mmDecodeStub(_, _)),
     "mm_decode_png" -> (mmDecodePng(_, _)),
     "mm_frame_sample" -> (mmFrameSample(_, _)),
+    "mm_resize" -> (mmResize(_, _)),
   )
 }
