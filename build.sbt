@@ -38,3 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ONLY inside the full suite (VERDICT r3 finding #1).
   "-XX:ReservedCodeCacheSize=1g",
 )
+// Ad-hoc forked-JVM flags (e.g. -Dspark.graft.broadcast.rowCap=0 to
+// drive the SizeGate degraded path through Verify/Bench at real SFs).
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_OPTS")
+  .map(_.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
