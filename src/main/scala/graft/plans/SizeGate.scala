@@ -71,5 +71,12 @@ object SizeGate {
   def hintIfSmall(df: DataFrame, rows: Long, keys: Column*): DataFrame =
     if (fits(df, rows)) broadcast(df)
     else if (keys.isEmpty) df
+    // shuffle_hash on the state side: the per-partition state slice is
+    // rows/parallelism of narrow tuples — always hashable — and a
+    // shuffled-hash join skips the TWO per-round sorts a sort-merge
+    // join would pay on vertex-sized data (measured sf0.1 cap=0:
+    // the 12-kernel degraded loop 136.8 → see SURVEY; the EDGE side
+    // stays sort-free too).
     else df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+      .hint("shuffle_hash")
 }
