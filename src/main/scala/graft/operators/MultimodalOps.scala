@@ -107,9 +107,15 @@ object MultimodalOps {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
+        // NonFatal, not just IOException: the JDK readers throw
+        // unchecked exceptions (IAE/AIOOBE/NegativeArraySize) on many
+        // malformed-but-signed payloads, and a NULL payload column
+        // must take the same degrade path (review finding, r7).
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           Row(id, null, null, null, null, null, null, null, null, null)
         else {
@@ -117,7 +123,10 @@ object MultimodalOps {
           val h = img.getHeight
           val ras = img.getRaster
           var sum = 0L
-          var mn = 256L
+          // MaxValue, not 256: the operator accepts ARBITRARY images
+          // and a 16-bit PNG's samples all exceed a 256 sentinel
+          // (review finding, r7).
+          var mn = Long.MaxValue
           var mx = -1L
           val q = new Array[Long](4)
           var rr = 0
@@ -149,36 +158,18 @@ object MultimodalOps {
       id: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    var r = 0
-    while (r < 8) {
-      md.reset()
-      val dg = md.digest(
-        s"${id}_$r".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var c = 0
-      while (c < 8) {
-        img.getRaster.setSample(c, r, 0, dg(c) & 0xff)
-        c += 1
-      }
-      r += 1
-    }
+    fillMd5Pixels(img, md, id.toString)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
 
-  /** Deterministic 8×8 indexed-gray frame: pixel (r, c) = byte c of
-    * md5(seed + "_" + r), with an EXPLICIT 256-gray palette so palette
-    * index == gray value (the GIF writer then round-trips each pixel
-    * losslessly; TYPE_BYTE_GRAY would leave palette construction to
-    * the encoder). */
-  private def grayFrame(md: java.security.MessageDigest,
-      seed: String): java.awt.image.BufferedImage = {
-    val g = new Array[Byte](256)
-    var i = 0
-    while (i < 256) { g(i) = i.toByte; i += 1 }
-    val cm = new java.awt.image.IndexColorModel(8, 256, g, g, g)
-    val img = new java.awt.image.BufferedImage(
-      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+  /** The shared pixel-derivation law every §2.6 decode oracle
+    * mirrors: pixel (r, c) = byte c of md5(seed + "_" + r) over an
+    * 8×8 raster — ONE definition, so the PNG and GIF builders cannot
+    * drift from the oracles' hex-nibble math (review finding, r7). */
+  private def fillMd5Pixels(img: java.awt.image.BufferedImage,
+      md: java.security.MessageDigest, seed: String): Unit = {
     var r = 0
     while (r < 8) {
       md.reset()
@@ -191,6 +182,22 @@ object MultimodalOps {
       }
       r += 1
     }
+  }
+
+  /** Deterministic 8×8 indexed-gray frame ([[fillMd5Pixels]] law),
+    * with an EXPLICIT 256-gray palette so palette index == gray value
+    * (the GIF writer then round-trips each pixel losslessly;
+    * TYPE_BYTE_GRAY would leave palette construction to the
+    * encoder). */
+  private def grayFrame(md: java.security.MessageDigest,
+      seed: String): java.awt.image.BufferedImage = {
+    val g = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { g(i) = i.toByte; i += 1 }
+    val cm = new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    fillMd5Pixels(img, md, seed)
     img
   }
 
@@ -241,10 +248,11 @@ object MultimodalOps {
           writer.endWriteSequence()
           out.close()
           // DECODE + stride-2 SAMPLE through the real reader.
-          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(bos.toByteArray)))
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(in)
           val got = reader.getNumImages(true)
-          (0 until got by 2).map { fi =>
+          val sampled = (0 until got by 2).map { fi =>
             val img = reader.read(fi)
             var sum = 0L
             var r = 0
@@ -258,6 +266,17 @@ object MultimodalOps {
             }
             Row(id, got, fi, sum)
           }
+          // The Range.map above is strict, so the cache stream can be
+          // released per row (ImageIO requires an explicit close).
+          in.close()
+          sampled
+        } ++ {
+          // Iterator ++ evaluates its right side only after the left
+          // exhausts — the codec-teardown seat for the per-partition
+          // writer/reader pair (review finding, r7).
+          writer.dispose()
+          reader.dispose()
+          Iterator.empty
         }
       }(enc)
       .orderBy("doc_id", "frame")
@@ -570,17 +589,29 @@ object MultimodalOps {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** DuckDB hex-nibble pixel read — the oracle-side half of
+    * [[fillMd5Pixels]]'s law (value of digest byte c = hex chars
+    * 2c+1, 2c+2 of column `h`), defined ONCE for all three decode
+    * oracles (review finding, r7). */
+  private def hexPixelSql: String =
+    """(strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1)""".stripMargin
+
+  /** The doc-seeded 8×8 pixel table as shared CTE text (mm_decode_png
+    * and mm_resize both start here). */
+  private def docPixelCtes: String =
+    s"""rws AS (
+       |  SELECT doc_id, r,
+       |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)) AS h
+       |  FROM documents, (SELECT unnest(range(0, 8)) AS r)),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    $hexPixelSql AS v
+       |  FROM rws, (SELECT unnest(range(0, 8)) AS c))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_decode_png" ->
-      """WITH rws AS (
-        |  SELECT doc_id, r,
-        |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)) AS h
-        |  FROM documents, (SELECT unnest(range(0, 8)) AS r)),
-        |px AS (
-        |  SELECT doc_id, r, c,
-        |    (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1) AS v
-        |  FROM rws, (SELECT unnest(range(0, 8)) AS c))
+      s"""WITH $docPixelCtes
         |SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
         |  CAST(sum(v) AS BIGINT) AS px_sum,
         |  CAST(min(v) AS BIGINT) AS px_min,
@@ -591,21 +622,13 @@ object MultimodalOps {
         |  CAST(sum(CASE WHEN r >= 4 AND c >= 4 THEN v ELSE 0 END) AS BIGINT) AS q_br
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
-      """WITH rws AS (
-        |  SELECT doc_id, r,
-        |    md5(CAST(doc_id AS VARCHAR) || '_' || CAST(r AS VARCHAR)) AS h
-        |  FROM documents, (SELECT unnest(range(0, 8)) AS r)),
-        |px AS (
-        |  SELECT doc_id, r, c,
-        |    (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1) AS v
-        |  FROM rws, (SELECT unnest(range(0, 8)) AS c))
+      s"""WITH $docPixelCtes
         |SELECT doc_id, CAST(r // 2 AS INTEGER) AS r, CAST(c // 2 AS INTEGER) AS c,
         |  CAST(sum(v) // 4 AS BIGINT) AS v
         |FROM px GROUP BY doc_id, r // 2, c // 2
         |ORDER BY doc_id, r, c""".stripMargin,
     "mm_frame_sample" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS n_frames
         |  FROM documents),
         |fr AS (
@@ -619,8 +642,7 @@ object MultimodalOps {
         |  FROM fr, (SELECT unnest(range(0, 8)) AS r)),
         |px AS (
         |  SELECT doc_id, n_frames, frame,
-        |    (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 1 AS INTEGER), 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(h, CAST(c * 2 + 2 AS INTEGER), 1)) - 1) AS v
+        |    $hexPixelSql AS v
         |  FROM rws, (SELECT unnest(range(0, 8)) AS c))
         |SELECT doc_id, n_frames, frame, CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id, n_frames, frame

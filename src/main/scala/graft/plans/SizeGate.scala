@@ -43,18 +43,28 @@ object SizeGate {
   /** Session conf key overriding the broadcast row cap. */
   val CapConf = "spark.graft.broadcast.rowCap"
 
+  /** Session conf key overriding the shuffled-hash per-partition slice
+    * bound (rows) — the middle tier's knob, independent of [[CapConf]]
+    * so forcing the broadcast cap to 0 (the spec/bench degraded-path
+    * driver) still exercises the realistic shuffled-hash regime. */
+  val SliceConf = "spark.graft.shufflehash.sliceRows"
+
   /** Default row cap: ~400 MB of narrow state rows. */
   val DefaultRowCap = 8000000L
 
-  def rowCap(df: DataFrame): Long =
-    df.sparkSession.conf.getOption(CapConf).map { v =>
+  private def longConf(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.getOption(key).map { v =>
       try v.trim.toLong
       catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$CapConf must be a plain row count (long), got '$v' — " +
-            "byte-size suffixes are not supported; the cap is ROWS")
+          s"$key must be a plain row count (long), got '$v' — " +
+            "byte-size suffixes are not supported; the bound is ROWS")
       }
-    }.getOrElse(DefaultRowCap)
+    }.getOrElse(dflt)
+
+  def rowCap(df: DataFrame): Long = longConf(df, CapConf, DefaultRowCap)
+
+  def sliceRows(df: DataFrame): Long = longConf(df, SliceConf, DefaultRowCap)
 
   /** True when `rows` fits the session's broadcast row cap — callers
     * use this to pick the edge-table layout ONCE (broadcast path:
@@ -71,12 +81,22 @@ object SizeGate {
   def hintIfSmall(df: DataFrame, rows: Long, keys: Column*): DataFrame =
     if (fits(df, rows)) broadcast(df)
     else if (keys.isEmpty) df
-    // shuffle_hash on the state side: the per-partition state slice is
-    // rows/parallelism of narrow tuples — always hashable — and a
-    // shuffled-hash join skips the TWO per-round sorts a sort-merge
-    // join would pay on vertex-sized data (measured sf0.1 cap=0:
-    // the 12-kernel degraded loop 136.8 → see SURVEY; the EDGE side
-    // stays sort-free too).
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
-      .hint("shuffle_hash")
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val rp = df.repartition(par, keys: _*)
+      // Middle tier — shuffled-hash while the AVERAGE per-partition
+      // state slice stays within [[sliceRows]]: a slice-sized hash
+      // table per task is no more memory than the broadcast path
+      // already asks of every executor, and SHJ skips the TWO
+      // per-round sorts an SMJ would pay on vertex-sized data
+      // (measured sf0.1 cap=0: the 12-kernel degraded loop
+      // 136.8 → 123.7 s). Past THAT bound the hint is dropped and the
+      // join degrades once more — to sort-merge, which spills; a
+      // forced hash build there would reintroduce the exact
+      // die-instead-of-degrade mode this gate exists to remove
+      // (review finding, r7). Partition count stays `par` in every
+      // tier so the pre-partitioned edge checkpoint co-partitions
+      // throughout.
+      if (rows <= sliceRows(df) * par.toLong) rp.hint("shuffle_hash") else rp
+    }
 }
