@@ -10,8 +10,105 @@ package graft
   * first-query session/codegen cost so per-query numbers are
   * attributable; failures are captured per query as `"err"` entries and
   * flip `"ok"` to false — never silently timed as their time-to-crash.
+  *
+  * Self-adjudication (VERDICT r7 #1/#2) — this host shows transient
+  * single-query stalls (r6/r7 official boots measured betweenness at
+  * 2-3× every controlled band while sibling queries sat in-band), and
+  * adjudicating one took the judge three manual reruns. Two artifact
+  * fields settle it from the JSON alone:
+  *
+  *  - `"retries"`: any query whose time exceeds [[StallFactor]]× its
+  *    trailing-round median (medians over the trailing same-sf window
+  *    of [[HistoryPath]], so a local sf0.001 run never trips on sf0.1
+  *    history) AND is ≥ [[StallFloorSec]] (the
+  *    stall class is multi-second; sub-second 2-3× swings are boot
+  *    noise per the r7 adjudication) is re-run ONCE in the same boot,
+  *    and BOTH times are recorded: `{"t": 52.1, "retry": 17.0}`. A
+  *    matching fast retry = stall; a matching slow retry = real.
+  *    `"queries"` and `"value"` keep the FIRST measurement — the
+  *    trust-rule primary — so totals stay comparable across rounds.
+  *  - `"plans"`: a normalized fingerprint (md5/12) of each query's
+  *    executedPlan string, captured AFTER its timed run (planning
+  *    only — never inside the timer, never re-running construction).
+  *    Expression ids / plan ids / paths are stripped so the sha is
+  *    stable across boots on unchanged code: a cross-round time delta
+  *    with equal shas is host variance, with differing shas a plan
+  *    change.
   */
 object Bench {
+
+  /** Retry trigger: measured > StallFactor × trailing-round median. */
+  private val StallFactor = 3.0
+
+  /** Retry floor (sec): below this a 3× excursion is boot noise, not
+    * the multi-second stall class the retry exists to adjudicate. */
+  private val StallFloorSec = 1.0
+
+  /** Normalized executedPlan fingerprint — strips the run-varying
+    * tokens (expr ids `#123`, `plan_id=`, subquery/exchange ids, file
+    * paths, stats annotations) so unchanged code hashes identically
+    * across boots and query orderings. */
+  private[graft] def planSha(plan: String): String = {
+    val norm = plan
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("exprId=\\d+", "exprId=")
+      .replaceAll("subquery\\d+", "subquery")
+      .replaceAll("cte\\d+", "cte")
+      .replaceAll("file:[^\\s,\\]\\)]+", "<path>")
+      .replaceAll("/[-\\w./]*(testdata|warehouse|tmp)[^\\s,\\]\\)]*", "<path>")
+      .replaceAll("Statistics\\([^)]*\\)", "<stats>")
+      .replaceAll("\\[id=[^\\]]*\\]", "")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** History file: one full-run bench line per row, appended by every
+    * full (no-args) run. The committed seed carries the r5-r7 official
+    * and builder full-suite lines — the driver's own BENCH_r*.json
+    * wrappers truncate the line to a 2 KB tail, so this file is the
+    * only complete per-query history the repo owns. */
+  private[graft] val HistoryPath = "BENCH_HISTORY.jsonl"
+
+  /** How many trailing matching-sf runs feed each query's median —
+    * wide enough to absorb one stalled entry, short enough that a real
+    * plan change re-baselines within a couple of rounds. */
+  private val MedianWindow = 5
+
+  /** Per-query medians over the trailing [[MedianWindow]] same-sf runs
+    * in [[HistoryPath]] — the baseline the stall trigger compares
+    * against. Regex-parsed: the rows are this main's own single-line
+    * format. A missing/foreign/corrupt file degrades to "no median"
+    * (no retry), never to a throw. */
+  private[graft] def trailingMedians(sfDir: String): Map[String, Double] = {
+    val qRe = "\"queries\":\\{([^}]*)\\}".r
+    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    val pairRe = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+    val lines =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(HistoryPath)).asScala.toList
+      } catch { case _: java.io.IOException => Nil }
+    val matching = lines
+      .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
+      .takeRight(MedianWindow)
+    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (l <- matching; m <- qRe.findFirstMatchIn(l);
+         p <- pairRe.findAllMatchIn(m.group(1))) {
+      val t = p.group(2).toDouble
+      if (t >= 0) perQuery.updateWith(p.group(1))(
+        old => Some(t :: old.getOrElse(Nil)))
+    }
+    perQuery.map { case (q, ts) =>
+      val s = ts.sorted
+      val mid =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      q -> mid
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core: the brief's bench contract is local[32] on
@@ -30,7 +127,7 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench",
       Map("spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
 
-    def materialize(name: String): Either[String, Double] = {
+    def materialize(name: String): (Either[String, Double], Option[String]) = {
       // Untimed cross-query state teardown (VERDICT r2 finding #1: the
       // driver's 52-query run showed ~3x aggregate inflation vs isolated
       // runs). Three layers, all deterministic rather than waiting on
@@ -48,12 +145,20 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        // Fingerprint AFTER the timer stops: executedPlan access is
+        // planning only (the iterative kernels' loops already ran at
+        // construction above — nothing re-executes here).
+        val sha =
+          try Some(planSha(df.queryExecution.executedPlan.toString))
+          catch { case scala.util.control.NonFatal(_) => None }
+        (Right(t), sha)
       } catch {
         case e: Throwable =>
-          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          (Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)),
+            None)
       }
     }
 
@@ -67,7 +172,19 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
+    val medians = trailingMedians(sfDir)
+    val results = names.map { n =>
+      val (r, sha) = materialize(n)
+      // Stall self-adjudication (VERDICT r7 #1): one in-boot re-run
+      // when the measurement blows its trailing-round band.
+      val retry = r match {
+        case Right(t) if t >= StallFloorSec
+            && medians.get(n).exists(m => t > StallFactor * m) =>
+          Some(materialize(n)._1)
+        case _ => None
+      }
+      (n, r, sha, retry)
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -83,22 +200,36 @@ object Bench {
     // a file copy make the artifact truncation-proof.
     def fmt(sec: Double): String = (math.rint(sec * 1000) / 1000).toString
     val qs = results.map {
-      case (k, Right(sec)) => s"${jstr(k)}:${fmt(sec)}"
-      case (k, Left(err))  => s"${jstr(k)}:-1"
+      case (k, Right(sec), _, _) => s"${jstr(k)}:${fmt(sec)}"
+      case (k, Left(_), _, _)    => s"${jstr(k)}:-1"
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, Left(e), _, _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    val plans = results.collect { case (k, _, Some(sha), _) => s"${jstr(k)}:${jstr(sha)}" }
+      .mkString("{", ",", "}")
+    val retries = results.collect {
+      case (k, Right(t), _, Some(rr)) =>
+        val rv = rr.fold(_ => "-1", fmt)
+        s"${jstr(k)}:{\"t\":${fmt(t)},\"retry\":$rv}"
+    }.mkString("{", ",", "}")
     val nFail = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(s)) => s }.sum
+    val total = results.collect { case (_, Right(s), _, _) => s }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"sf":${jstr(sfDir)}}"""
     // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
     // r4 #7) — a subset iteration run must not clobber it (an r6 `git
     // add -A` briefly committed a one-query file over the official
     // line before this guard existed).
-    if (args.isEmpty)
+    if (args.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes("UTF-8"))
+      // Append to the rolling history so the NEXT run's stall trigger
+      // has this boot in its trailing-median window.
+      java.nio.file.Files.write(java.nio.file.Paths.get(HistoryPath),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     println(line)
     // Session-close cleanup: drop the session-keyed IVF index tables
     // (catalog entries + files) this run registered — the accumulation

@@ -530,17 +530,18 @@ object DedupOps {
     * per session (Verify/Bench/the driver do — see the
     * GraphOps.pagerankRanks note before using sessions concurrently). */
   private[graft] def trackCheckpoint(spark: SparkSession,
-      df: DataFrame): (DataFrame, Set[Int]) = {
-    graft.plans.PlanCapture.record(df)
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
-  }
+      df: DataFrame): (DataFrame, Set[Int]) =
+    graft.plans.Checkpoints.tracked(df)
+
+  /** LAZY variant (VERDICT r7 #5): the caller's immediately-following
+    * full action materializes the blocks — checkpoint + round measure
+    * in ONE job. See the Checkpoints scaladoc contract. */
+  private[graft] def trackCheckpointLazy(spark: SparkSession,
+      df: DataFrame): (DataFrame, Set[Int]) =
+    graft.plans.Checkpoints.tracked(df, eager = false)
+
   private[graft] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit =
-    ids.foreach(id =>
-      spark.sparkContext.getPersistentRDDs.get(id)
-        .foreach(_.unpersist(blocking = false)))
+    graft.plans.Checkpoints.free(spark.sparkContext, ids)
 
   /** Verified (batch doc, corpus doc) near-dup pairs through the
     * persisted catalogs — ONE definition of the band probe + Jaccard
@@ -999,7 +1000,9 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val (next, nextIds) = checkpointed(step(step(labels)))
+      // Lazy + the convergence aggregate = one driver action per round
+      // (VERDICT r7 #5); old labels are freed only after the measure.
+      val (next, nextIds) = trackCheckpointLazy(spark, step(step(labels)))
       val s = labelSum(next)
       free(labelIds)
       labels = next; labelIds = nextIds
@@ -1087,11 +1090,17 @@ object DedupOps {
         .join(SizeGate.hintIfSmall(
           misR.select(col("id").as("id1")), nActive, col("id1")), "id1")
         .select(col("id2").as("id")).distinct()
-      val (nextActive, nextIds) = trackCheckpoint(spark,
+      // Lazy + the round count = one driver action (VERDICT r7 #5):
+      // the count — already needed as the loop-exit measure and the
+      // next round's gate input — materializes the blocks. It runs
+      // BEFORE the frees below (the lazy contract: nextActive's plan
+      // reads the old active blocks).
+      val (nextActive, nextIds) = trackCheckpointLazy(spark,
         active.join(SizeGate.hintIfSmall(misR.select("id"), nActive, col("id")),
             Seq("id"), "left_anti")
           .join(SizeGate.hintIfSmall(nbrs, nActive, col("id")),
             Seq("id"), "left_anti"))
+      nActive = nextActive.count()
       val (misAcc, accIds) = trackCheckpoint(spark,
         mis.fold(misR)(_.unionByName(misR)))
       // Both consumers of the old round state are materialized above;
@@ -1100,7 +1109,6 @@ object DedupOps {
       freeBlocks(spark, misIds)
       active = nextActive; activeIds = nextIds
       mis = Some(misAcc); misIds = accIds
-      nActive = active.count()
       rounds += 1
     }
     // Materialize the touched-vertex list before releasing the pair

@@ -57,17 +57,23 @@ object GraphOps {
     * per session (true for Verify/Bench/the driver — see the
     * pagerankRanks NOTE). Hoisted after the 7th copy-pasted local
     * pair let one site silently drop its free() (the r5 betweenness
-    * leak) — one definition, one place to fix. */
+    * leak) — one definition, one place to fix (now
+    * [[graft.plans.Checkpoints]], shared with DedupOps). */
   private def checkpointed(sc: org.apache.spark.SparkContext,
-      df: DataFrame): (DataFrame, Set[Int]) = {
-    graft.plans.PlanCapture.record(df)
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
-  }
+      df: DataFrame): (DataFrame, Set[Int]) =
+    graft.plans.Checkpoints.tracked(df)
+
+  /** LAZY checkpoint (VERDICT r7 #5) — for per-round state whose
+    * measure action (the count / freeze aggregate every loop runs
+    * right after) should ride the materialization job instead of
+    * paying a second one. See the Checkpoints scaladoc contract:
+    * the full action must run before freeing upstream blocks. */
+  private def checkpointedLazy(sc: org.apache.spark.SparkContext,
+      df: DataFrame): (DataFrame, Set[Int]) =
+    graft.plans.Checkpoints.tracked(df, eager = false)
 
   private def free(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
-    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    graft.plans.Checkpoints.free(sc, ids)
 
   /** Iteration cap — the oracle-mirroring bound, not the expected exit
     * (the kmeansLoop/KmMaxIter pattern): DuckDB unrolls exactly this
@@ -179,11 +185,13 @@ object GraphOps {
          .crossJoin(broadcast(seedSet.agg(count(lit(1)).as("ns"))))
          .select(col("v"), col("n"),
            coalesce(col("is_seed"), lit(0L)).as("is_seed"), col("ns")))
-        .localCheckpoint()
+        // lazy: the count below materializes the blocks in the same
+        // job (VERDICT r7 #5 — one driver action, not two).
+        .localCheckpoint(eager = false)
     // Driver-side vertex count — the SizeGate input (VERDICT r6 #1).
     // State size is CONSTANT across rounds here (ranks keep every
-    // vertex), so one count on the just-materialized checkpoint blocks
-    // decides the layout for the whole loop.
+    // vertex), so one count — which also materializes the lazy
+    // checkpoint — decides the layout for the whole loop.
     val nV = verts.count()
     val stateFits = SizeGate.fits(verts, nV)
     // Checkpoint the edge table PRE-PARTITIONED for the gated path
@@ -264,7 +272,11 @@ object GraphOps {
     var iters = 0
     var converged = false
     while (!converged && iters < PrMaxIter) {
-      val (next, nextIds) = checkpointed(step(ranks))
+      // Lazy checkpoint + the delta aggregate = ONE driver action per
+      // round (VERDICT r7 #5): the L1 agg below materializes the
+      // round's blocks in the same job; old ranks are freed only
+      // after it returns.
+      val (next, nextIds) = checkpointedLazy(sc, step(ranks))
       iters += 1
       // The L1 delta over the checkpointed vertex-sized rows — integer,
       // so 0 means EXACT global freeze (and monotone identity after).
@@ -375,11 +387,13 @@ object GraphOps {
     def freeze(prevCol: String, outCol: String): String =
       s"""CASE WHEN abs(cand - $prevCol) * $PrFreezeDenom <= $prevCol
          | THEN $prevCol ELSE cand END AS $outCol""".stripMargin
-    var (hub, hubIds) = checkpointed(hub0)
-    var (auth, authIds) = checkpointed(auth0)
+    // Lazy: the gate counts right below materialize each vector's
+    // blocks in the same job (VERDICT r7 #5).
+    var (hub, hubIds) = checkpointedLazy(sc, hub0)
+    var (auth, authIds) = checkpointedLazy(sc, auth0)
     // SizeGate inputs (VERDICT r6 #1): both score vectors keep every
-    // vertex of their side, so one count each on the materialized
-    // checkpoint blocks gates the whole loop. When a vector stops
+    // vertex of their side, so one count each — which also
+    // materializes the lazy checkpoints — gates the whole loop. When a vector stops
     // fitting the broadcast cap, its mass-push join runs against the
     // edge copy partitioned on the JOIN key (the other side's copy)
     // and the round's shuffle is the vertex-sized vector, never the
@@ -404,7 +418,12 @@ object GraphOps {
         .select(col("sv"), col("a").as("ap"), col("m"), col("tt"))
         .selectExpr("sv", "ap", rescale)
         .selectExpr("sv", "ap", freeze("ap", "a"))
-      val (a2, a2Ids) = checkpointed(aNext)
+      // Both half-step checkpoints are lazy (VERDICT r7 #5): the
+      // round's delta aggregates below are the materializing actions
+      // — l1(a2) computes a2's blocks, l1(h2) computes h2's (reading
+      // a2 back from cache) — so a round runs 2 driver actions, not
+      // 4. Old hub/auth blocks are freed only after both return.
+      val (a2, a2Ids) = checkpointedLazy(sc, aNext)
       val hraw = hEdges
         .join(SizeGate.hintIfSmall(
           a2.select(col("sv"), col("a")), nAuth, col("sv")), "sv")
@@ -414,7 +433,7 @@ object GraphOps {
         .select(col("cv"), col("h").as("hp"), col("m"), col("tt"))
         .selectExpr("cv", "hp", rescale)
         .selectExpr("cv", "hp", freeze("hp", "h"))
-      val (h2, h2Ids) = checkpointed(hNext)
+      val (h2, h2Ids) = checkpointedLazy(sc, hNext)
       iters += 1
       val delta = l1(a2, "a", "ap") + l1(h2, "h", "hp")
       free(authIds); free(hubIds)
@@ -804,7 +823,9 @@ object GraphOps {
           col("src") === col("v"))
         .groupBy(col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("dst").as("v"), col("d"))
-      val (next, nextIds) = GraphOps.checkpointed(sc,
+      // Lazy + the freeze measure = one driver action per round
+      // (VERDICT r7 #5); old dist is freed only after the measure.
+      val (next, nextIds) = GraphOps.checkpointedLazy(sc,
         dist.unionByName(cand).groupBy("v").agg(min("d").as("d")))
       iters += 1
       val m = next.agg(count(lit(1)), sum("d")).first()
@@ -932,7 +953,9 @@ object GraphOps {
           col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(min(col("d") + 1).as("d"))
         .select(col("s"), col("dst").as("v"), col("d"))
-      val (next, nextIds) = checkpointed(
+      // Lazy + the freeze measure = one driver action per round
+      // (VERDICT r7 #5); old dist is freed only after the measure.
+      val (next, nextIds) = checkpointedLazy(sc,
         dist.unionByName(cand).groupBy("s", "v").agg(min("d").as("d")))
       iters += 1
       val m = next.agg(count(lit(1)), sum("d")).first()
@@ -1035,7 +1058,7 @@ object GraphOps {
     // consumed frontier) are freed each round — the pagerank
     // bookkeeping; settled and frontier share blocks at init, hence
     // the id-equality guards.
-    var (frontier, fIds) = checkpointed(
+    var (frontier, fIds) = checkpointedLazy(sc,
       seeds.select(col("src").as("s"), col("src").as("v"),
         lit(0L).as("d"), lit(1L).as("sig")))
     var settled = frontier
@@ -1043,9 +1066,11 @@ object GraphOps {
     var level = 0L
     var frontierN = 1L
     // SizeGate inputs: the frontier count is materialized every round
-    // anyway (the loop-exit measure); the cumulative settled count is
-    // the monotone upper bound gating every BACKWARD level's delta
-    // table (a bound only ever demotes broadcast to shuffle).
+    // anyway (the loop-exit measure — and, with the lazy checkpoints,
+    // it IS the materializing action: one driver action per round,
+    // VERDICT r7 #5); the cumulative settled count is the monotone
+    // upper bound gating every BACKWARD level's delta table (a bound
+    // only ever demotes broadcast to shuffle).
     var nFrontier = frontier.count()
     var nSettled = nFrontier
     while (frontierN > 0 && level < BfsMaxIter) {
@@ -1055,7 +1080,7 @@ object GraphOps {
           col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
         .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
-      val (next, nIds) = checkpointed(
+      val (next, nIds) = checkpointedLazy(sc,
         cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
       frontierN = next.count()
       nFrontier = frontierN
@@ -1102,7 +1127,12 @@ object GraphOps {
         .agg(sum(expr(
           "CAST(usig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
         .select(col("s"), col("u").as("v"), col("dq"))
-      val (next, nIds) = checkpointed(
+      // next is lazy: the EAGER acc2 checkpoint right below consumes
+      // it, so one materialization job computes and caches both — the
+      // backward round's two driver actions become one (VERDICT r7
+      // #5). acc2 itself must stay eager: it is the only action of
+      // the round, and old acc/deltas blocks are freed right after.
+      val (next, nIds) = checkpointedLazy(sc,
         settled.filter(col("d") === l).select(col("s"), col("v"))
           .join(contrib, Seq("s", "v"), "left")
           .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
@@ -1176,7 +1206,8 @@ object GraphOps {
     * the label_prop unroll verbatim upstream. */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(spark, dir)
-    val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint()
+    // lazy: the gate count materializes the blocks (VERDICT r7 #5).
+    val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint(eager = false)
     val nV = lab.count()
     val mm = edges.agg(count(lit(1)).as("mm"))
     // The label table is vertex-sized but post-checkpoint (LogicalRDD,
@@ -1234,11 +1265,12 @@ object GraphOps {
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(spark.sparkContext.defaultParallelism, col("dst")))
-    var (cur, curIds) = checkpointed(
+    var (cur, curIds) = checkpointedLazy(sc,
       adj.groupBy("src").agg(count(lit(1)).as("c"))
         .select(col("src").as("v"), col("c")))
-    // One upfront count gates the loop: the value table keeps every
-    // vertex, so its size is round-invariant.
+    // One upfront count gates the loop (and, lazy, materializes the
+    // blocks in the same job — VERDICT r7 #5): the value table keeps
+    // every vertex, so its size is round-invariant.
     val nV = cur.count()
     var iters = 0
     var frozen = false
@@ -1249,7 +1281,9 @@ object GraphOps {
         col("dst") === col("v"))
         .select(col("src"), col("c"))
         .withColumn("rn", row_number().over(w).cast("long"))
-      val (next, nextIds) = checkpointed(
+      // Lazy + the freeze measure = one driver action per round
+      // (VERDICT r7 #5); old cur is freed only after the measure.
+      val (next, nextIds) = checkpointedLazy(sc,
         nb.groupBy("src")
           .agg(max(when(col("c") >= col("rn"), col("rn")).otherwise(0L)).as("c"))
           .select(col("src").as("v"), col("c")))
@@ -1353,10 +1387,11 @@ object GraphOps {
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(spark.sparkContext.defaultParallelism, col("dst")))
-    var (lab, labIds) = checkpointed(
+    var (lab, labIds) = checkpointedLazy(sc,
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
     // Round-invariant state size (every vertex keeps a label): one
-    // upfront count on the materialized blocks gates all rounds.
+    // upfront count — the lazy checkpoint's materializing action
+    // (VERDICT r7 #5) — gates all rounds.
     val nV = lab.count()
     val w = Window.partitionBy("src").orderBy(desc("n"), col("lbl"))
     for (_ <- 1 to rounds) {

@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions.broadcast
   *
   * The cap is rows, not bytes, because the gated frames are all
   * narrow fixed-width (v, value) tuples (≤ ~48 B/row): the default
-  * [[DefaultRowCap]] of 8M rows ≈ 400 MB broadcast — conservative
-  * against the 8 GiB hard ceiling, overridable per-session via
+  * cap is DERIVED from the session's memory conf ([[derivedRowCap]] —
+  * 1/8 of the governing heap, clamped to half the 8 GiB broadcast
+  * hard ceiling), floored at [[DefaultRowCap]] (8M rows ≈ 400 MB, the
+  * measured-safe r7 constant), overridable per-session via
   * [[CapConf]] (the GraphSpec gate tests force it to 0 to drive the
   * degraded path on fixture graphs).
   */
@@ -49,10 +51,54 @@ object SizeGate {
     * driver) still exercises the realistic shuffled-hash regime. */
   val SliceConf = "spark.graft.shufflehash.sliceRows"
 
-  /** Default row cap: ~400 MB of narrow state rows. */
+  /** Floor row cap: ~400 MB of narrow state rows — the measured-safe
+    * constant from r7, kept as the MINIMUM the derived default can
+    * return (VERDICT r7 #4: a constant is right for this sandbox but a
+    * constant again at 100×; the default now scales with the session's
+    * memory conf, [[derivedRowCap]]). */
   val DefaultRowCap = 8000000L
 
-  private def longConf(df: DataFrame, key: String, dflt: Long): Long =
+  /** Estimated bytes/row for the gated frames — all narrow fixed-width
+    * (v, value) tuples; 48 B covers the widest (s, v, d, sig) with
+    * UnsafeRow overhead. */
+  private[graft] val RowWidthBytes = 48L
+
+  /** Broadcast budget ceiling: half Spark's 8 GiB hard broadcast
+    * ceiling, so even a memory-rich session never derives a cap whose
+    * estimated bytes flirt with the point where the job DIES instead
+    * of degrading. */
+  private[graft] val MaxBroadcastBytes = 4L << 30
+
+  /** Derived default row cap from the executor heap: broadcasts are
+    * heap-resident on EVERY executor (and built on the driver), so the
+    * budget is 1/8 of the smaller of driver/executor heap — memory the
+    * unified region can afford to lose to one broadcast — clamped to
+    * [[MaxBroadcastBytes]], floored at [[DefaultRowCap]] rows.
+    * memoryOverhead is deliberately NOT subtracted: it is off-heap
+    * headroom ON TOP of the heap, while the gated broadcast lives in
+    * the heap the conf already names. Pure function of the memory
+    * bound for unit-testability (SizeGateSpec). */
+  private[graft] def derivedRowCap(heapBytes: Option[Long]): Long = {
+    val budget = heapBytes.map(m => math.min(m / 8, MaxBroadcastBytes))
+      .getOrElse(0L)
+    math.max(DefaultRowCap, budget / RowWidthBytes)
+  }
+
+  /** The session's governing heap bound: the smaller of the explicit
+    * driver/executor memory confs; in local mode (no confs set — the
+    * driver JVM's -Xmx is the heap) the runtime's real maxMemory. */
+  private def heapBytes(df: DataFrame): Option[Long] = {
+    val conf = df.sparkSession.conf
+    val explicit = Seq("spark.executor.memory", "spark.driver.memory")
+      .flatMap(conf.getOption(_))
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    if (explicit.nonEmpty) Some(explicit.min)
+    else if (df.sparkSession.sparkContext.master.startsWith("local"))
+      Some(Runtime.getRuntime.maxMemory)
+    else None
+  }
+
+  private def longConf(df: DataFrame, key: String): Option[Long] =
     df.sparkSession.conf.getOption(key).map { v =>
       try v.trim.toLong
       catch {
@@ -60,11 +106,13 @@ object SizeGate {
           s"$key must be a plain row count (long), got '$v' — " +
             "byte-size suffixes are not supported; the bound is ROWS")
       }
-    }.getOrElse(dflt)
+    }
 
-  def rowCap(df: DataFrame): Long = longConf(df, CapConf, DefaultRowCap)
+  def rowCap(df: DataFrame): Long =
+    longConf(df, CapConf).getOrElse(derivedRowCap(heapBytes(df)))
 
-  def sliceRows(df: DataFrame): Long = longConf(df, SliceConf, DefaultRowCap)
+  def sliceRows(df: DataFrame): Long =
+    longConf(df, SliceConf).getOrElse(DefaultRowCap)
 
   /** True when `rows` fits the session's broadcast row cap — callers
     * use this to pick the edge-table layout ONCE (broadcast path:
@@ -82,21 +130,32 @@ object SizeGate {
     if (fits(df, rows)) broadcast(df)
     else if (keys.isEmpty) df
     else {
-      val par = df.sparkSession.sparkContext.defaultParallelism
+      val sc = df.sparkSession.sparkContext
+      val par = sc.defaultParallelism
       val rp = df.repartition(par, keys: _*)
-      // Middle tier — shuffled-hash while the AVERAGE per-partition
-      // state slice stays within [[sliceRows]]: a slice-sized hash
-      // table per task is no more memory than the broadcast path
-      // already asks of every executor, and SHJ skips the TWO
-      // per-round sorts an SMJ would pay on vertex-sized data
+      // Middle tier — shuffled-hash while the PEAK per-executor build
+      // memory stays within one slice budget. The bound is on total
+      // rows divided by the number of CONCURRENT build sites, not the
+      // per-partition average: an executor with C task slots builds C
+      // hash tables at once, so `rows <= sliceRows * par` would admit
+      // ~C slices of resident build per executor — and a forced
+      // shuffle_hash build cannot spill, reintroducing the
+      // die-instead-of-degrade mode near the bound (ADVICE r7).
+      // Concurrent build sites = par / coresPerExecutor executors × C
+      // slots = par tasks total, of which each EXECUTOR runs C — so
+      // the per-executor peak is rows/par × C, bounded by sliceRows
+      // when rows <= sliceRows * par / C. SHJ inside the bound skips
+      // the TWO per-round sorts an SMJ would pay on vertex-sized data
       // (measured sf0.1 cap=0: the 12-kernel degraded loop
-      // 136.8 → 123.7 s). Past THAT bound the hint is dropped and the
-      // join degrades once more — to sort-merge, which spills; a
-      // forced hash build there would reintroduce the exact
-      // die-instead-of-degrade mode this gate exists to remove
-      // (review finding, r7). Partition count stays `par` in every
-      // tier so the pre-partitioned edge checkpoint co-partitions
-      // throughout.
-      if (rows <= sliceRows(df) * par.toLong) rp.hint("shuffle_hash") else rp
+      // 136.8 → 123.7 s). Past the bound the hint is dropped and the
+      // join degrades once more — to sort-merge, which spills.
+      // Partition count stays `par` in every tier so the
+      // pre-partitioned edge checkpoint co-partitions throughout.
+      val slotsPerExec = sc.getConf.getOption("spark.executor.cores")
+        .map(_.trim.toInt)
+        .getOrElse(if (sc.master.startsWith("local")) par else 1)
+      val shjBound = sliceRows(df) * (par.toLong / math.max(1, slotsPerExec))
+        .max(1L)
+      if (rows <= shjBound) rp.hint("shuffle_hash") else rp
     }
 }

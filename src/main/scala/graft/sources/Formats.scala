@@ -597,11 +597,32 @@ object Formats {
               val it = fs.listFiles(root, true)
               val found = scala.collection.mutable.ArrayBuffer.empty[
                 org.apache.hadoop.fs.Path]
+              // Hidden/bookkeeping filtering must cover EVERY path
+              // component under root, not just the leaf name (the
+              // InMemoryFileIndex rule): fs.listFiles(_, true) descends
+              // into _temporary/ and .spark-staging-*/, whose leftover
+              // part files from an aborted write end in .parquet and
+              // would otherwise be counted as data (ADVICE r7 medium).
+              // listFiles returns fully-QUALIFIED paths (scheme +
+              // authority); root as parsed may not be — qualify it or
+              // the walk-up never terminates at root and components
+              // ABOVE it (legitimately dot-prefixed tmp dirs) would
+              // count as hidden.
+              val qRoot = fs.makeQualified(root)
+              def hiddenUnderRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+                var cur = p
+                while (cur != null && cur != qRoot) {
+                  val n = cur.getName
+                  if (n.startsWith("_") || n.startsWith(".")) return true
+                  cur = cur.getParent
+                }
+                false
+              }
               while (it.hasNext) {
                 val s = it.next()
                 val n = s.getPath.getName
                 if (s.isFile && n.endsWith(".parquet")
-                  && !n.startsWith("_") && !n.startsWith(".")) found += s.getPath
+                  && !hiddenUnderRoot(s.getPath)) found += s.getPath
               }
               // Empty must stay LOUD (review finding, r7): before the
               // directory support this path threw from

@@ -43,12 +43,29 @@ object GraftFunctions {
     "graft_tar_members" -> checked("graft_tar_members", 1)(c => graft.functions.TarMembers(c(0))),
     "graft_jaro_winkler" -> checked("graft_jaro_winkler", 2)(c => JaroWinklerSim(c(0), c(1))),
     "graft_bootstrap_weights" -> checked("graft_bootstrap_weights", 2)(c =>
-      graft.functions.BootstrapWeights(c(0), c(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-        case other => throw new org.apache.spark.sql.AnalysisException(
+      // The replicate count must be analysis-time constant (it sizes
+      // the output array type), but "constant" means any FOLDABLE
+      // integral expression — `CAST(50 AS BIGINT)`, `25 * 2` — not a
+      // bare IntegerType literal (ADVICE r7: the literal-only match
+      // rejected integral constants with a misleading error). Fold it
+      // here and range-check into Int.
+      graft.functions.BootstrapWeights(c(0), {
+        val e = c(1)
+        val folded: Option[Int] =
+          if (!e.foldable) None
+          else e.eval(null) match {
+            case i: java.lang.Integer => Some(i.intValue)
+            case l: java.lang.Long if l.longValue.isValidInt =>
+              Some(l.intValue)
+            case s: java.lang.Short => Some(s.intValue)
+            case b: java.lang.Byte => Some(b.intValue)
+            case _ => None
+          }
+        folded.getOrElse(throw new org.apache.spark.sql.AnalysisException(
           errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
-          messageParameters = Map("functionName" -> "graft_bootstrap_weights"))
+          messageParameters = Map(
+            "functionName" -> ("graft_bootstrap_weights (needs a " +
+              "foldable integral replicate count in Int range)"))))
       })))
 
   def register(spark: SparkSession): Unit = {

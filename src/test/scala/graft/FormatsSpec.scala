@@ -507,4 +507,37 @@ class FormatsSpec extends AnyFunSuite {
     assert(mn == h.getLong(0) && mx == h.getLong(1),
       s"directory footer range [$mn,$mx] != data range")
   }
+
+  test("footer walk skips bookkeeping DIRECTORIES, not just hidden leaf names") {
+    // r7 ADVICE (medium): the recursive walk filtered only the file
+    // NAME, so leftover part files under _temporary/ or
+    // .spark-staging-*/ from an aborted write — which end in .parquet
+    // and start with 'part-' — were silently counted as data,
+    // corrupting row counts and min/max stats downstream planners
+    // treat as truth. Every path COMPONENT under the walk root must
+    // pass the InMemoryFileIndex hidden rule.
+    val path = tmp("orders_aborted_write")
+    val orders = Tables(spark, sf).orders
+    orders.repartition(2).write.mode("overwrite").parquet(path)
+    // Simulate an aborted write: a real part file parked under the
+    // committer's _temporary tree and a .spark-staging dir.
+    for (dir <- Seq("_temporary/0/task_000", ".spark-staging-xyz")) {
+      val stray = new java.io.File(path, dir)
+      assert(stray.mkdirs())
+      orders.limit(10).coalesce(1).write.mode("overwrite")
+        .parquet(stray.getPath + "/inner")
+      // move the inner part file up so it sits directly under the
+      // bookkeeping dir with a clean part- name
+      val part = new java.io.File(stray.getPath + "/inner").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(stray, part.getName)))
+    }
+    val rows = Formats.footerRowGroups(spark, Seq(("orders", path, "o_orderkey")))
+      .collect()
+    assert(rows.forall(r => !r.getString(1).contains("_temporary")
+      && !r.getString(1).contains(".spark-staging")),
+      "walk descended into bookkeeping directories")
+    assert(rows.map(_.getLong(3)).sum == orders.count(),
+      "stray staged part files inflated the row counts")
+  }
 }

@@ -143,4 +143,23 @@ class FunctionsSpec extends AnyFunSuite {
     val mean = nativeSide.agg(avg(col("w_nat").cast("double"))).first().getDouble(0)
     assert(mean > 0.95 && mean < 1.05, s"weight mean $mean far from 1")
   }
+
+  test("graft_bootstrap_weights accepts any foldable integral count (ADVICE r7)") {
+    // CAST(8 AS BIGINT) and 4*2 are integral constants; the literal-only
+    // match rejected them with a misleading 'needs to be an integer'.
+    for (count <- Seq("CAST(8 AS BIGINT)", "4 * 2", "CAST(8 AS SMALLINT)")) {
+      val n = spark.range(1, 4).toDF("k")
+        .selectExpr(s"size(graft_bootstrap_weights(k, $count)) AS s")
+        .collect().map(_.getInt(0)).toSeq
+      assert(n == Seq(8, 8, 8), s"$count: sizes $n")
+    }
+    // Non-integral / non-foldable still fail analysis, naming the fn.
+    for (bad <- Seq("'8'", "8.5", "k")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1, 4).toDF("k")
+          .selectExpr(s"graft_bootstrap_weights(k, $bad)").collect()
+      }
+      assert(e.getMessage.contains("graft_bootstrap_weights"), s"$bad: $e")
+    }
+  }
 }

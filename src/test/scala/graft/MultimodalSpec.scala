@@ -337,4 +337,37 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc $id frame sums collapsed: $rows")
     }
   }
+
+  test("mm_decode_jpeg: real lossy decode — exact dims, bounded per-pixel error, deterministic") {
+    // VERDICT r7 #3 — the tolerance gate standing in for the hash gate
+    // a lossy codec cannot have. The source pixels are md5 noise (the
+    // WORST case for a DCT codec — no smoothness to exploit), so the
+    // bounds below are deliberately loose fidelity envelopes; what
+    // they pin is that the JDK JPEG writer+reader genuinely ran (a
+    // stubbed identity would show zero error AND fail the "lossy"
+    // floor; a broken decode blows the ceiling or the dims).
+    val out = MultimodalOps.mmDecodeJpeg(spark, sf).collect()
+    val nDocs = Tables(spark, sf).documents.count()
+    assert(out.length == nDocs, s"row per doc expected: ${out.length} vs $nDocs")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 && r.getInt(2) == 8,
+        s"doc $id decoded dims ${r.getInt(1)}x${r.getInt(2)} != 8x8")
+      // Ceiling: at quality 0.9 a single 8x8 gray block's max abs
+      // error on noise stays well under half the dynamic range; a
+      // channel remap / stride bug lands at ~128+.
+      assert(r.getLong(4) <= 96, s"doc $id max_abs_err ${r.getLong(4)} > 96")
+      // Mean abs error <= 24/pixel (sum over 64 pixels).
+      assert(r.getLong(5) <= 24 * 64, s"doc $id sum_abs_err ${r.getLong(5)}")
+    }
+    // Floor: JPEG on md5 noise is genuinely lossy — if EVERY document
+    // round-trips bit-exactly, the codec did not run.
+    assert(out.count(_.getLong(5) > 0) > out.length / 2,
+      "decode suspiciously lossless — is the JPEG loop really running?")
+    // Determinism: fixed explicit quality + same JDK codec → the
+    // whole encode->decode loop replays bit-identically.
+    val again = MultimodalOps.mmDecodeJpeg(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "mm_decode_jpeg is not deterministic across runs")
+  }
 }

@@ -129,4 +129,42 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  // ---- SizeGate default-cap derivation (VERDICT r7 #4): the default
+  // broadcast row cap scales with the session's memory conf instead of
+  // being a sandbox-sized constant, floored at the measured-safe 8M.
+
+  test("SizeGate derived row cap maps heap bounds to row caps, floored at 8M") {
+    import graft.plans.SizeGate
+    // No memory bound derivable → the r7 constant floor.
+    assert(SizeGate.derivedRowCap(None) == SizeGate.DefaultRowCap)
+    // 1 GiB heap: 1/8 = 128 MiB / 48 B ≈ 2.8M rows < floor → floor.
+    assert(SizeGate.derivedRowCap(Some(1L << 30)) == SizeGate.DefaultRowCap)
+    // 8 GiB heap: 1 GiB budget / 48 B ≈ 22.4M rows — scales past the
+    // floor exactly as budget/rowWidth.
+    assert(SizeGate.derivedRowCap(Some(8L << 30))
+      == (1L << 30) / SizeGate.RowWidthBytes)
+    // Memory-rich (128 GiB): the budget clamps at 4 GiB — half the
+    // 8 GiB broadcast hard ceiling — so a big-memory session can never
+    // derive itself back into the die-instead-of-degrade regime.
+    assert(SizeGate.derivedRowCap(Some(128L << 30))
+      == SizeGate.MaxBroadcastBytes / SizeGate.RowWidthBytes)
+    // Monotone in memory: more heap never lowers the cap.
+    val caps = Seq(1L, 2L, 8L, 32L, 64L, 128L)
+      .map(g => SizeGate.derivedRowCap(Some(g << 30)))
+    assert(caps == caps.sorted)
+  }
+
+  test("SizeGate conf override beats the derived default (the degraded-path driver)") {
+    import graft.plans.SizeGate
+    val df = spark.range(1).toDF("v")
+    // The local session derives from the JVM heap — whatever it is,
+    // it must respect the floor.
+    assert(SizeGate.rowCap(df) >= SizeGate.DefaultRowCap)
+    spark.conf.set(SizeGate.CapConf, "123")
+    try {
+      assert(SizeGate.rowCap(df) == 123L)
+      assert(SizeGate.fits(df, 123L) && !SizeGate.fits(df, 124L))
+    } finally spark.conf.unset(SizeGate.CapConf)
+  }
 }
