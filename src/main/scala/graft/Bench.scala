@@ -80,7 +80,8 @@ object Bench {
     * against. Regex-parsed: the rows are this main's own single-line
     * format. A missing/foreign/corrupt file degrades to "no median"
     * (no retry), never to a throw. */
-  private[graft] def trailingMedians(sfDir: String): Map[String, Double] = {
+  private[graft] def trailingMedians(sfDir: String,
+      path: String = HistoryPath): Map[String, Double] = {
     val qRe = "\"queries\":\\{([^}]*)\\}".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
     val pairRe = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
@@ -88,7 +89,7 @@ object Bench {
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(HistoryPath)).asScala.toList
+          java.nio.file.Paths.get(path)).asScala.toList
       } catch { case _: java.io.IOException => Nil }
     val matching = lines
       .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
@@ -96,7 +97,13 @@ object Bench {
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     for (l <- matching; m <- qRe.findFirstMatchIn(l);
          p <- pairRe.findAllMatchIn(m.group(1))) {
-      val t = p.group(2).toDouble
+      // A mangled token (torn concurrent append, hand edit) must
+      // degrade to "no sample", not kill the bench before a single
+      // query runs (review finding, r8) — the pairRe charset admits
+      // shapes toDouble rejects, e.g. '3.612.007'.
+      val t =
+        try p.group(2).toDouble
+        catch { case _: NumberFormatException => -1.0 }
       if (t >= 0) perQuery.updateWith(p.group(1))(
         old => Some(t :: old.getOrElse(Nil)))
     }

@@ -468,7 +468,7 @@ object DedupOps {
     var shIds = Set.empty[Int]
     var built = false
     lazy val corpusSh = {
-      val (df, ids) = trackCheckpoint(spark,
+      val (df, ids) = trackCheckpoint(
         shingleSetsWhere(spark, dir, col("source") === "src0"))
       shIds = ids; built = true
       df
@@ -529,15 +529,13 @@ object DedupOps {
     * is a getPersistentRDDs diff, which assumes queries run SERIALLY
     * per session (Verify/Bench/the driver do — see the
     * GraphOps.pagerankRanks note before using sessions concurrently). */
-  private[graft] def trackCheckpoint(spark: SparkSession,
-      df: DataFrame): (DataFrame, Set[Int]) =
+  private[graft] def trackCheckpoint(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df)
 
   /** LAZY variant (VERDICT r7 #5): the caller's immediately-following
     * full action materializes the blocks — checkpoint + round measure
     * in ONE job. See the Checkpoints scaladoc contract. */
-  private[graft] def trackCheckpointLazy(spark: SparkSession,
-      df: DataFrame): (DataFrame, Set[Int]) =
+  private[graft] def trackCheckpointLazy(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df, eager = false)
 
   private[graft] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit =
@@ -592,7 +590,7 @@ object DedupOps {
       // edge list ~4x per propagation round, and without the cut each
       // reference re-runs the whole band self-join + Jaccard-verify
       // subtree (the dedupComponents pairs discipline).
-      val (pairs, pairIds) = trackCheckpoint(spark, cand
+      val (pairs, pairIds) = trackCheckpoint( cand
         .join(shingles.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
         .join(shingles.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
         .filter(expr(JacVerifyExpr) >= 0.5)
@@ -601,7 +599,7 @@ object DedupOps {
       freeBlocks(spark, pairIds)
       val corpusDocs = Tables(spark, dir).documents
         .filter(col("source") === "src0").select(col("doc_id").as("id"))
-      val (a, ids) = trackCheckpoint(spark, touched.unionByName(
+      val (a, ids) = trackCheckpoint( touched.unionByName(
         corpusDocs.join(touched.select("id"), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("label"))))
       allIds = ids
@@ -651,7 +649,7 @@ object DedupOps {
     * semantic equality, no layout visible. */
   def dedupComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
     val (labelCat, sizeCat) = componentCatalogs(spark, dir)
-    val (batch, batchIds) = trackCheckpoint(spark,
+    val (batch, batchIds) = trackCheckpoint(
       shingleSetsWhere(spark, dir, col("source") =!= "src0"))
     val bsig = batch
       .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
@@ -674,7 +672,7 @@ object DedupOps {
       .select(col("batch_id").as("id1"), col("label").as("id2"))
       .distinct()
     val (contracted, contractedIds) =
-      trackCheckpoint(spark, bb.unionByName(bc))
+      trackCheckpoint( bb.unionByName(bc))
     freeBlocks(spark, batchIds)
     val labels = minLabelComponents(spark, contracted)
     freeBlocks(spark, contractedIds)
@@ -944,7 +942,7 @@ object DedupOps {
     // Checkpoint the pairs BEFORE symmetrizing: the union references the
     // pair pipeline twice, and without the cut both branches would run
     // the whole IVF + cell-join + cosine subtree (the r2 knn diamond).
-    val (pairs, edgeIds) = trackCheckpoint(spark,
+    val (pairs, edgeIds) = trackCheckpoint(
       dedupEmbedding(spark, dir).select("id1", "id2"))
     val labels = minLabelComponents(spark, pairs)
     freeBlocks(spark, edgeIds)
@@ -977,7 +975,7 @@ object DedupOps {
   private[graft] def minLabelComponents(spark: SparkSession,
       pairs: DataFrame): DataFrame = {
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      trackCheckpoint(spark, df)
+      trackCheckpoint(df)
     def free(ids: Set[Int]): Unit = freeBlocks(spark, ids)
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
@@ -1002,7 +1000,7 @@ object DedupOps {
     while (!converged) {
       // Lazy + the convergence aggregate = one driver action per round
       // (VERDICT r7 #5); old labels are freed only after the measure.
-      val (next, nextIds) = trackCheckpointLazy(spark, step(step(labels)))
+      val (next, nextIds) = trackCheckpointLazy( step(step(labels)))
       val s = labelSum(next)
       free(labelIds)
       labels = next; labelIds = nextIds
@@ -1052,11 +1050,11 @@ object DedupOps {
     * block discipline). Output = kept vectors: MIS members
     * (was_contested) plus every vertex the pair graph never touched. */
   def dedupMis(spark: SparkSession, dir: String): DataFrame = {
-    val (pairs, pairIds) = trackCheckpoint(spark,
+    val (pairs, pairIds) = trackCheckpoint(
       dedupEmbedding(spark, dir).select("id1", "id2"))
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var (active, activeIds) = trackCheckpoint(spark,
+    var (active, activeIds) = trackCheckpoint(
       edges.select(col("id1").as("id")).distinct()
         .withColumn("prio", expr(MisPrioExpr)))
     var mis: Option[DataFrame] = None
@@ -1095,13 +1093,13 @@ object DedupOps {
       // next round's gate input — materializes the blocks. It runs
       // BEFORE the frees below (the lazy contract: nextActive's plan
       // reads the old active blocks).
-      val (nextActive, nextIds) = trackCheckpointLazy(spark,
+      val (nextActive, nextIds) = trackCheckpointLazy(
         active.join(SizeGate.hintIfSmall(misR.select("id"), nActive, col("id")),
             Seq("id"), "left_anti")
           .join(SizeGate.hintIfSmall(nbrs, nActive, col("id")),
             Seq("id"), "left_anti"))
       nActive = nextActive.count()
-      val (misAcc, accIds) = trackCheckpoint(spark,
+      val (misAcc, accIds) = trackCheckpoint(
         mis.fold(misR)(_.unionByName(misR)))
       // Both consumers of the old round state are materialized above;
       // free the superseded blocks (the minLabelComponents discipline).
@@ -1113,7 +1111,7 @@ object DedupOps {
     }
     // Materialize the touched-vertex list before releasing the pair
     // blocks — the singleton anti-join below must not re-run the IVF.
-    val (touched, tIds) = trackCheckpoint(spark,
+    val (touched, tIds) = trackCheckpoint(
       edges.select(col("id1").as("vec_id")).distinct())
     freeBlocks(spark, pairIds)
     freeBlocks(spark, activeIds)

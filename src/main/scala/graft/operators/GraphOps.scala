@@ -59,8 +59,7 @@ object GraphOps {
     * pair let one site silently drop its free() (the r5 betweenness
     * leak) — one definition, one place to fix (now
     * [[graft.plans.Checkpoints]], shared with DedupOps). */
-  private def checkpointed(sc: org.apache.spark.SparkContext,
-      df: DataFrame): (DataFrame, Set[Int]) =
+  private def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df)
 
   /** LAZY checkpoint (VERDICT r7 #5) — for per-round state whose
@@ -68,8 +67,7 @@ object GraphOps {
     * right after) should ride the materialization job instead of
     * paying a second one. See the Checkpoints scaladoc contract:
     * the full action must run before freeing upstream blocks. */
-  private def checkpointedLazy(sc: org.apache.spark.SparkContext,
-      df: DataFrame): (DataFrame, Set[Int]) =
+  private def checkpointedLazy(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df, eager = false)
 
   private def free(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
@@ -146,7 +144,7 @@ object GraphOps {
     // land a foreign RDD in the diff and have free() unpersist it —
     // scope per-query tracking before going concurrent.
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // Edge derivation: the one fact-fact shuffle (orders ⋈ lineitem on
     // orderkey); customer/supplier key columns come free from the fact
@@ -276,7 +274,7 @@ object GraphOps {
       // round (VERDICT r7 #5): the L1 agg below materializes the
       // round's blocks in the same job; old ranks are freed only
       // after it returns.
-      val (next, nextIds) = checkpointedLazy(sc, step(ranks))
+      val (next, nextIds) = checkpointedLazy(step(ranks))
       iters += 1
       // The L1 delta over the checkpointed vertex-sized rows — integer,
       // so 0 means EXACT global freeze (and monotone identity after).
@@ -358,7 +356,7 @@ object GraphOps {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val par = sc.defaultParallelism
     val pairs = t.orders
@@ -389,8 +387,8 @@ object GraphOps {
          | THEN $prevCol ELSE cand END AS $outCol""".stripMargin
     // Lazy: the gate counts right below materialize each vector's
     // blocks in the same job (VERDICT r7 #5).
-    var (hub, hubIds) = checkpointedLazy(sc, hub0)
-    var (auth, authIds) = checkpointedLazy(sc, auth0)
+    var (hub, hubIds) = checkpointedLazy(hub0)
+    var (auth, authIds) = checkpointedLazy(auth0)
     // SizeGate inputs (VERDICT r6 #1): both score vectors keep every
     // vertex of their side, so one count each — which also
     // materializes the lazy checkpoints — gates the whole loop. When a vector stops
@@ -423,7 +421,7 @@ object GraphOps {
       // — l1(a2) computes a2's blocks, l1(h2) computes h2's (reading
       // a2 back from cache) — so a round runs 2 driver actions, not
       // 4. Old hub/auth blocks are freed only after both return.
-      val (a2, a2Ids) = checkpointedLazy(sc, aNext)
+      val (a2, a2Ids) = checkpointedLazy(aNext)
       val hraw = hEdges
         .join(SizeGate.hintIfSmall(
           a2.select(col("sv"), col("a")), nAuth, col("sv")), "sv")
@@ -433,7 +431,7 @@ object GraphOps {
         .select(col("cv"), col("h").as("hp"), col("m"), col("tt"))
         .selectExpr("cv", "hp", rescale)
         .selectExpr("cv", "hp", freeze("hp", "h"))
-      val (h2, h2Ids) = checkpointedLazy(sc, hNext)
+      val (h2, h2Ids) = checkpointedLazy(hNext)
       iters += 1
       val delta = l1(a2, "a", "ap") + l1(h2, "h", "hp")
       free(authIds); free(hubIds)
@@ -790,7 +788,7 @@ object GraphOps {
     // distance table outgrows the SizeGate broadcast cap it
     // repartitions onto this layout and co-partitions — the edge list
     // is materialized once and never reshuffled by the loop.
-    GraphOps.checkpointed(spark.sparkContext,
+    GraphOps.checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(spark.sparkContext.defaultParallelism, col("src")))
@@ -806,7 +804,7 @@ object GraphOps {
   private def bfsSweep(spark: SparkSession, sym: DataFrame,
       seedV: DataFrame): DataFrame = {
     val sc = spark.sparkContext
-    var (dist, distIds) = GraphOps.checkpointed(sc,
+    var (dist, distIds) = GraphOps.checkpointed(
       seedV.select(col("v"), lit(0L).as("d")))
     var iters = 0
     var frozen = false
@@ -825,7 +823,7 @@ object GraphOps {
         .select(col("dst").as("v"), col("d"))
       // Lazy + the freeze measure = one driver action per round
       // (VERDICT r7 #5); old dist is freed only after the measure.
-      val (next, nextIds) = GraphOps.checkpointedLazy(sc,
+      val (next, nextIds) = GraphOps.checkpointedLazy(
         dist.unionByName(cand).groupBy("v").agg(min("d").as("d")))
       iters += 1
       val m = next.agg(count(lit(1)), sum("d")).first()
@@ -919,7 +917,7 @@ object GraphOps {
   def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
@@ -955,7 +953,7 @@ object GraphOps {
         .select(col("s"), col("dst").as("v"), col("d"))
       // Lazy + the freeze measure = one driver action per round
       // (VERDICT r7 #5); old dist is freed only after the measure.
-      val (next, nextIds) = checkpointedLazy(sc,
+      val (next, nextIds) = checkpointedLazy(
         dist.unionByName(cand).groupBy("s", "v").agg(min("d").as("d")))
       iters += 1
       val m = next.agg(count(lit(1)), sum("d")).first()
@@ -1047,7 +1045,7 @@ object GraphOps {
       seeds: DataFrame): DataFrame = {
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val par = sc.defaultParallelism
     // src-partitioned (the coPurchaseSym layout) so the gated forward
@@ -1058,7 +1056,7 @@ object GraphOps {
     // consumed frontier) are freed each round — the pagerank
     // bookkeeping; settled and frontier share blocks at init, hence
     // the id-equality guards.
-    var (frontier, fIds) = checkpointedLazy(sc,
+    var (frontier, fIds) = checkpointedLazy(
       seeds.select(col("src").as("s"), col("src").as("v"),
         lit(0L).as("d"), lit(1L).as("sig")))
     var settled = frontier
@@ -1080,7 +1078,7 @@ object GraphOps {
           col("src") === col("v"))
         .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
         .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
-      val (next, nIds) = checkpointedLazy(sc,
+      val (next, nIds) = checkpointedLazy(
         cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
       frontierN = next.count()
       nFrontier = frontierN
@@ -1132,7 +1130,7 @@ object GraphOps {
       // backward round's two driver actions become one (VERDICT r7
       // #5). acc2 itself must stay eager: it is the only action of
       // the round, and old acc/deltas blocks are freed right after.
-      val (next, nIds) = checkpointedLazy(sc,
+      val (next, nIds) = checkpointedLazy(
         settled.filter(col("d") === l).select(col("s"), col("v"))
           .join(contrib, Seq("s", "v"), "left")
           .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
@@ -1256,7 +1254,7 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // dst-partitioned: dst is the state-join key below, so the gated
     // large path repartitions the vertex-sized value table onto it and
@@ -1265,7 +1263,7 @@ object GraphOps {
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(spark.sparkContext.defaultParallelism, col("dst")))
-    var (cur, curIds) = checkpointedLazy(sc,
+    var (cur, curIds) = checkpointedLazy(
       adj.groupBy("src").agg(count(lit(1)).as("c"))
         .select(col("src").as("v"), col("c")))
     // One upfront count gates the loop (and, lazy, materializes the
@@ -1283,7 +1281,7 @@ object GraphOps {
         .withColumn("rn", row_number().over(w).cast("long"))
       // Lazy + the freeze measure = one driver action per round
       // (VERDICT r7 #5); old cur is freed only after the measure.
-      val (next, nextIds) = checkpointedLazy(sc,
+      val (next, nextIds) = checkpointedLazy(
         nb.groupBy("src")
           .agg(max(when(col("c") >= col("rn"), col("rn")).otherwise(0L)).as("c"))
           .select(col("src").as("v"), col("c")))
@@ -1379,7 +1377,7 @@ object GraphOps {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(sc, df)
+      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // dst-partitioned — the vote join's state key, so the gated large
     // path co-partitions (the kcore layout rationale).
@@ -1387,7 +1385,7 @@ object GraphOps {
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
         .repartition(spark.sparkContext.defaultParallelism, col("dst")))
-    var (lab, labIds) = checkpointedLazy(sc,
+    var (lab, labIds) = checkpointedLazy(
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
     // Round-invariant state size (every vertex keeps a label): one
     // upfront count — the lazy checkpoint's materializing action

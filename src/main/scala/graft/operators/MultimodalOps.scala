@@ -401,12 +401,20 @@ object MultimodalOps {
       .mapPartitions { rows =>
         System.setProperty("java.awt.headless", "true")
         val md = java.security.MessageDigest.getInstance("MD5")
+        // Writer AND reader amortized per partition (a per-row
+        // ImageIO.read pays a reader-registry scan and a disk-backed
+        // FileCache stream per row — review finding, r8; mmFrameSample
+        // set the pattern). Teardown on task completion, not iterator
+        // exhaustion (the mmFrameSample listener rationale).
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("jpeg").next()
-        // Teardown on task completion, not iterator exhaustion (the
-        // mmFrameSample listener rationale).
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("jpeg").next()
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => writer.dispose()))
+          _.addTaskCompletionListener[Unit] { _ =>
+            writer.dispose()
+            reader.dispose()
+          })
         rows.map { r =>
           val id = r.getLong(0)
           val img = new java.awt.image.BufferedImage(
@@ -423,8 +431,15 @@ object MultimodalOps {
             p.setCompressionQuality(0.9f)
             writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
           } finally out.close()
-          val back = javax.imageio.ImageIO.read(
+          // Decode through the amortized reader over an in-memory
+          // stream; reader.read throws (never returns null) on a bad
+          // payload — and the bytes here are the writer's own output,
+          // so a throw is a codec bug the gate SHOULD surface.
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bos.toByteArray))
+          val back =
+            try { reader.setInput(in); reader.read(0) }
+            finally in.close()
           val src = img.getRaster
           val dec = back.getRaster
           var sum = 0L

@@ -85,17 +85,22 @@ object SizeGate {
   }
 
   /** The session's governing heap bound: the smaller of the explicit
-    * driver/executor memory confs; in local mode (no confs set — the
-    * driver JVM's -Xmx is the heap) the runtime's real maxMemory. */
+    * driver/executor memory confs; in local mode the RUNNING JVM's
+    * real maxMemory always participates in the min — a memory conf
+    * cannot resize an already-launched local JVM, so an optimistic
+    * `spark.driver.memory=32g` on a 4 GiB process must not derive a
+    * cap the heap cannot hold (review finding, r8). */
   private def heapBytes(df: DataFrame): Option[Long] = {
     val conf = df.sparkSession.conf
     val explicit = Seq("spark.executor.memory", "spark.driver.memory")
       .flatMap(conf.getOption(_))
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-    if (explicit.nonEmpty) Some(explicit.min)
-    else if (df.sparkSession.sparkContext.master.startsWith("local"))
-      Some(Runtime.getRuntime.maxMemory)
-    else None
+    val real =
+      if (df.sparkSession.sparkContext.master.startsWith("local"))
+        Seq(Runtime.getRuntime.maxMemory)
+      else Seq.empty
+    val all = explicit ++ real
+    if (all.isEmpty) None else Some(all.min)
   }
 
   private def longConf(df: DataFrame, key: String): Option[Long] =
@@ -151,9 +156,23 @@ object SizeGate {
       // join degrades once more — to sort-merge, which spills.
       // Partition count stays `par` in every tier so the
       // pre-partitioned edge checkpoint co-partitions throughout.
+      // Unset spark.executor.cores does NOT mean one slot: standalone
+      // executors default to ALL worker cores (review finding, r8).
+      // The driver's own core count is the same-hardware-class
+      // estimate — biased toward MORE concurrency, which only ever
+      // tightens the bound (degrades to spilling SMJ earlier, never
+      // OOMs later).
       val slotsPerExec = sc.getConf.getOption("spark.executor.cores")
-        .map(_.trim.toInt)
-        .getOrElse(if (sc.master.startsWith("local")) par else 1)
+        .map { v =>
+          try v.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"spark.executor.cores must be an int, got '$v'")
+          }
+        }
+        .getOrElse(
+          if (sc.master.startsWith("local")) par
+          else Runtime.getRuntime.availableProcessors)
       val shjBound = sliceRows(df) * (par.toLong / math.max(1, slotsPerExec))
         .max(1L)
       if (rows <= shjBound) rp.hint("shuffle_hash") else rp

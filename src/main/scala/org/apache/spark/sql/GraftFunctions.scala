@@ -53,7 +53,13 @@ object GraftFunctions {
         val e = c(1)
         val folded: Option[Int] =
           if (!e.foldable) None
-          else e.eval(null) match {
+          // try/NonFatal: foldable-but-Unevaluable expressions exist at
+          // analysis time (current_date() before ComputeCurrentTime
+          // substitutes it) — they must land on the clean
+          // AnalysisException below, not an internal
+          // UnsupportedOperationException (review finding, r8).
+          else (try e.eval(null)
+          catch { case scala.util.control.NonFatal(_) => null }) match {
             case i: java.lang.Integer => Some(i.intValue)
             case l: java.lang.Long if l.longValue.isValidInt =>
               Some(l.intValue)

@@ -35,20 +35,41 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(s1 == s2, "same code, same session: fingerprints diverged")
   }
 
-  test("trailingMedians reads the committed history, scoped to the sf") {
-    // The committed seed: five full-suite sf0.1 lines (r5-r7 official
-    // + the two r7 builder boots). Tests run with cwd = repo root.
-    val m = Bench.trailingMedians("/root/testdata/sf0.1")
-    assert(m.nonEmpty, "no medians parsed from BENCH_HISTORY.jsonl")
-    val betw = m.get("graph_betweenness")
-    assert(betw.exists(v => v > 5 && v < 30),
-      s"betweenness median $betw outside the controlled band — the " +
-        "seed should carry [12.1, 25.3, 15.2, 16.8, 52.1] → median 16.8")
-    // The r7 official stall (52.1 s) must NOT be the median — the
-    // window exists precisely so one stalled entry cannot become the
-    // baseline.
-    assert(betw.exists(_ < 30), "a stalled entry became the baseline")
-    // Foreign sf → no medians → no retries ever trigger locally.
-    assert(Bench.trailingMedians("/root/testdata/sf0.001").isEmpty)
+  test("trailingMedians: sf scoping, stall-resistant median, corrupt-token degrade") {
+    // Own fixture, NOT the live BENCH_HISTORY.jsonl — the product
+    // appends a line per full bench run, so asserting on the live
+    // artifact would make routine bench activity break sbt test
+    // (review finding, r8). The fixture mirrors the committed seed's
+    // shape: five sf0.1 lines whose betweenness values replay the
+    // r5-r7 history [12.1, 25.3, 15.2, 16.8, 52.1], one foreign-sf
+    // line, and one line with a torn numeric token.
+    def line(sf: String, betw: String) =
+      s"""{"metric":"total","value":1,"unit":"sec","queries":{"graph_betweenness":$betw,"q01":1.0},"failed":0,"sf":"$sf"}"""
+    val rows = Seq(
+      line("/sf0.1", "12.123"), line("/sf0.1", "25.317"),
+      line("/sf0.1", "15.203"), line("/sf0.1", "16.774"),
+      line("/sf0.1", "52.111"),
+      line("/sf0.001", "0.5"),
+      line("/sf0.1", "3.612.007")) // torn token: must degrade, not throw
+    val f = java.io.File.createTempFile("bench_hist", ".jsonl")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val m = Bench.trailingMedians("/sf0.1", f.getPath)
+    // Window = 5 trailing sf0.1 lines → the torn line contributes
+    // nothing, so betweenness medians over [25.3, 15.2, 16.8, 52.1]
+    // (even count → mean of middles = 21.05). One stalled entry must
+    // not become the baseline.
+    assert(m.get("graph_betweenness").exists(v => v > 15 && v < 30),
+      s"betweenness median ${m.get("graph_betweenness")} outside the band")
+    assert(m.get("q01").contains(1.0))
+    // Foreign sf sees only its own line.
+    assert(Bench.trailingMedians("/sf0.001", f.getPath).isEmpty == false)
+    assert(Bench.trailingMedians("/sf9", f.getPath).isEmpty)
+    // Missing file → no medians, no throw.
+    assert(Bench.trailingMedians("/sf0.1", "/nonexistent/h.jsonl").isEmpty)
+    // And the committed seed parses (smoke only — values change as
+    // rounds append).
+    assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
   }
 }
