@@ -52,6 +52,12 @@ object Bench {
     val norm = plan
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
+      // Typed-pipeline closures render as
+      // Foo$$Lambda$6764/0x00007f..@ce26cb1 — lambda index, hidden-class
+      // address, AND identity hash all vary per JVM boot (caught by the
+      // two-boot stability check, r8).
+      .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]+", "@")
       .replaceAll("exprId=\\d+", "exprId=")
       .replaceAll("subquery\\d+", "subquery")
       .replaceAll("cte\\d+", "cte")

@@ -24,6 +24,13 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.planSha(a) != Bench.planSha(c),
       "a real operator change did not change the fingerprint")
     assert(Bench.planSha(a).matches("[0-9a-f]{12}"))
+    // Typed-pipeline closures: lambda index / hidden-class address /
+    // identity hash all vary per JVM boot (measured: mm_decode_jpeg's
+    // sha diverged across two otherwise-identical boots before this).
+    val l1 = "MapPartitions graft.operators.MultimodalOps$$$Lambda$6764/0x00007f1099871078@ce26cb1, obj#12748"
+    val l2 = "MapPartitions graft.operators.MultimodalOps$$$Lambda$123/0x00000008019c7000@4c2bb6e0, obj#99"
+    assert(Bench.planSha(l1) == Bench.planSha(l2),
+      "lambda identity leaked into the fingerprint")
   }
 
   test("planSha of a live query is identical across two builds in one session") {
