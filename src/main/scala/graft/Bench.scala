@@ -55,9 +55,12 @@ object Bench {
       // Typed-pipeline closures render as
       // Foo$$Lambda$6764/0x00007f..@ce26cb1 — lambda index, hidden-class
       // address, AND identity hash all vary per JVM boot (caught by the
-      // two-boot stability check, r8).
-      .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-f]+", "@")
+      // two-boot stability check, r8). ONE regex scoped to the lambda
+      // token: a global '@hex' strip would also normalize '@'+hex
+      // inside genuine plan literals ('bob@cafe.com' vs 'bob@dead.com'
+      // hashing equal — second review pass, r8).
+      .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+(@[0-9a-f]+)?",
+        "\\$\\$Lambda")
       .replaceAll("exprId=\\d+", "exprId=")
       .replaceAll("subquery\\d+", "subquery")
       .replaceAll("cte\\d+", "cte")

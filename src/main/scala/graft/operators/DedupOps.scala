@@ -590,7 +590,7 @@ object DedupOps {
       // edge list ~4x per propagation round, and without the cut each
       // reference re-runs the whole band self-join + Jaccard-verify
       // subtree (the dedupComponents pairs discipline).
-      val (pairs, pairIds) = trackCheckpoint( cand
+      val (pairs, pairIds) = trackCheckpoint(cand
         .join(shingles.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
         .join(shingles.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
         .filter(expr(JacVerifyExpr) >= 0.5)
@@ -599,7 +599,7 @@ object DedupOps {
       freeBlocks(spark, pairIds)
       val corpusDocs = Tables(spark, dir).documents
         .filter(col("source") === "src0").select(col("doc_id").as("id"))
-      val (a, ids) = trackCheckpoint( touched.unionByName(
+      val (a, ids) = trackCheckpoint(touched.unionByName(
         corpusDocs.join(touched.select("id"), Seq("id"), "left_anti")
           .select(col("id"), col("id").as("label"))))
       allIds = ids
@@ -672,7 +672,7 @@ object DedupOps {
       .select(col("batch_id").as("id1"), col("label").as("id2"))
       .distinct()
     val (contracted, contractedIds) =
-      trackCheckpoint( bb.unionByName(bc))
+      trackCheckpoint(bb.unionByName(bc))
     freeBlocks(spark, batchIds)
     val labels = minLabelComponents(spark, contracted)
     freeBlocks(spark, contractedIds)
@@ -974,12 +974,10 @@ object DedupOps {
     * 10.0 s). */
   private[graft] def minLabelComponents(spark: SparkSession,
       pairs: DataFrame): DataFrame = {
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      trackCheckpoint(df)
     def free(ids: Set[Int]): Unit = freeBlocks(spark, ids)
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var (labels, labelIds) = checkpointed(
+    var (labels, labelIds) = trackCheckpoint(
       edges.select(col("id1").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
     def step(ls: DataFrame): DataFrame = {
@@ -1000,7 +998,7 @@ object DedupOps {
     while (!converged) {
       // Lazy + the convergence aggregate = one driver action per round
       // (VERDICT r7 #5); old labels are freed only after the measure.
-      val (next, nextIds) = trackCheckpointLazy( step(step(labels)))
+      val (next, nextIds) = trackCheckpointLazy(step(step(labels)))
       val s = labelSum(next)
       free(labelIds)
       labels = next; labelIds = nextIds

@@ -143,8 +143,6 @@ object GraphOps {
     // interleaving localCheckpoint-ing queries on one session could
     // land a foreign RDD in the diff and have free() unpersist it —
     // scope per-query tracking before going concurrent.
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // Edge derivation: the one fact-fact shuffle (orders ⋈ lineitem on
     // orderkey); customer/supplier key columns come free from the fact
@@ -355,8 +353,6 @@ object GraphOps {
       dir: String): (DataFrame, DataFrame, Int) = {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val par = sc.defaultParallelism
     val pairs = t.orders
@@ -916,8 +912,6 @@ object GraphOps {
     * itself is ONE division of two exact BIGINT products. */
   def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val edges = Relational.coPurchasePairCounts(spark, dir)
       .select("p1", "p2")
@@ -1044,8 +1038,6 @@ object GraphOps {
   private[graft] def betweennessFrom(spark: SparkSession, symIn: DataFrame,
       seeds: DataFrame): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     val par = sc.defaultParallelism
     // src-partitioned (the coPurchaseSym layout) so the gated forward
@@ -1253,8 +1245,6 @@ object GraphOps {
       spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // dst-partitioned: dst is the state-join key below, so the gated
     // large path repartitions the vertex-sized value table onto it and
@@ -1376,8 +1366,6 @@ object GraphOps {
       spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
-      GraphOps.checkpointed(df)
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // dst-partitioned — the vote join's state key, so the gated large
     // path co-partitions (the kcore layout rationale).

@@ -415,6 +415,13 @@ object MultimodalOps {
             writer.dispose()
             reader.dispose()
           })
+        // Explicit fixed quality: the default is writer-version
+        // dependent; determinism of the whole loop is spec-pinned. The
+        // param is writer-scoped and row-invariant — partition setup,
+        // not the per-row loop (second review pass, r8).
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.9f)
         rows.map { r =>
           val id = r.getLong(0)
           val img = new java.awt.image.BufferedImage(
@@ -424,11 +431,6 @@ object MultimodalOps {
           val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
           try {
             writer.setOutput(out)
-            // Explicit fixed quality: the default is writer-version
-            // dependent; determinism of the whole loop is spec-pinned.
-            val p = writer.getDefaultWriteParam
-            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            p.setCompressionQuality(0.9f)
             writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
           } finally out.close()
           // Decode through the amortized reader over an in-memory

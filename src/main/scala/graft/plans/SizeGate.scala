@@ -157,11 +157,16 @@ object SizeGate {
       // Partition count stays `par` in every tier so the
       // pre-partitioned edge checkpoint co-partitions throughout.
       // Unset spark.executor.cores does NOT mean one slot: standalone
-      // executors default to ALL worker cores (review finding, r8).
-      // The driver's own core count is the same-hardware-class
-      // estimate — biased toward MORE concurrency, which only ever
-      // tightens the bound (degrades to spilling SMJ earlier, never
-      // OOMs later).
+      // executors default to ALL worker cores, and local mode runs
+      // every slot in one JVM (review finding, r8). With no conf there
+      // is NO sound estimate of executor width from the driver (a
+      // second review pass killed the driver-core proxy: a 4-core
+      // driver in front of 64-core workers would understate peak build
+      // memory 16×), so unknown defaults to the only always-safe
+      // assumption — all `par` tasks could share one executor — which
+      // collapses the bound to sliceRows itself. Worst case is an
+      // unnecessary degrade to spilling SMJ; a forced shuffle_hash
+      // build cannot spill, so the error must never go the other way.
       val slotsPerExec = sc.getConf.getOption("spark.executor.cores")
         .map { v =>
           try v.trim.toInt
@@ -170,9 +175,7 @@ object SizeGate {
               s"spark.executor.cores must be an int, got '$v'")
           }
         }
-        .getOrElse(
-          if (sc.master.startsWith("local")) par
-          else Runtime.getRuntime.availableProcessors)
+        .getOrElse(par)
       val shjBound = sliceRows(df) * (par.toLong / math.max(1, slotsPerExec))
         .max(1L)
       if (rows <= shjBound) rp.hint("shuffle_hash") else rp

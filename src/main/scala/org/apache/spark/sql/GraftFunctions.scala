@@ -53,13 +53,15 @@ object GraftFunctions {
         val e = c(1)
         val folded: Option[Int] =
           if (!e.foldable) None
-          // try/NonFatal: foldable-but-Unevaluable expressions exist at
-          // analysis time (current_date() before ComputeCurrentTime
-          // substitutes it) — they must land on the clean
-          // AnalysisException below, not an internal
-          // UnsupportedOperationException (review finding, r8).
+          // Foldable-but-Unevaluable expressions exist at analysis
+          // time (current_date() before ComputeCurrentTime substitutes
+          // it) — they must land on the clean AnalysisException below.
+          // ONLY UnsupportedOperationException (Unevaluable's throw):
+          // a genuine evaluation error (ANSI div-by-zero, overflowing
+          // cast) must keep ITS message, not be rebranded as
+          // "not an integer" (second review pass, r8).
           else (try e.eval(null)
-          catch { case scala.util.control.NonFatal(_) => null }) match {
+          catch { case _: UnsupportedOperationException => null }) match {
             case i: java.lang.Integer => Some(i.intValue)
             case l: java.lang.Long if l.longValue.isValidInt =>
               Some(l.intValue)

@@ -31,6 +31,12 @@ class BenchArtifactSpec extends AnyFunSuite {
     val l2 = "MapPartitions graft.operators.MultimodalOps$$$Lambda$123/0x00000008019c7000@4c2bb6e0, obj#99"
     assert(Bench.planSha(l1) == Bench.planSha(l2),
       "lambda identity leaked into the fingerprint")
+    // ...but the strip is SCOPED to the lambda token: '@'+hex inside a
+    // genuine plan literal is plan identity, and two different
+    // literals must not hash equal (second review pass, r8).
+    assert(Bench.planSha("Filter (email# = bob@cafe.com)")
+      != Bench.planSha("Filter (email# = bob@dead.com)"),
+      "'@'+hex literal content was over-normalized away")
   }
 
   test("planSha of a live query is identical across two builds in one session") {
