@@ -44,11 +44,15 @@ object Bench {
     * the multi-second stall class the retry exists to adjudicate. */
   private val StallFloorSec = 1.0
 
-  /** Normalized executedPlan fingerprint — strips the run-varying
-    * tokens (expr ids `#123`, `plan_id=`, subquery/exchange ids, file
-    * paths, stats annotations) so unchanged code hashes identically
-    * across boots and query orderings. */
-  private[graft] def planSha(plan: String): String = {
+  /** Normalized executedPlan text — strips the run-varying tokens
+    * (expr ids `#123`, `plan_id=`, subquery/exchange ids, file paths,
+    * stats annotations, per-boot catalog/table/lambda identities) so
+    * unchanged code renders identically across boots and query
+    * orderings. Exposed separately from [[planSha]] so the two-boot
+    * stability check ([[PlanDump]]) can DIFF the text when a sha
+    * mismatches — r8's panel-only check missed token classes precisely
+    * because shas alone don't say WHAT varied. */
+  private[graft] def planNorm(plan: String): String = {
     val norm = plan
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
@@ -61,6 +65,25 @@ object Bench {
       // hashing equal — second review pass, r8).
       .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+(@[0-9a-f]+)?",
         "\\$\\$Lambda")
+      // Typed-Aggregator plans print the aggregator object via the
+      // default Object.toString — `graft.functions.KmvDistinct$@58453967`,
+      // `org.apache.spark.sql.expressions.ReduceAggregator@5e4b92b3` —
+      // and the identity hash varies per boot (judge-found r8: 4 of the
+      // 15 leaking queries). Scope: a DOT-QUALIFIED class name before
+      // the '@' and a hex run with no trailing word char/dot, so a
+      // genuine string literal like 'john.doe@example.com' never
+      // matches ('e' would need 'x' to be a non-word char) and a plain
+      // 'bob@cafe' has no dotted prefix.
+      .replaceAll(
+        "\\b((?:[A-Za-z_][\\w$]*\\.)+[A-Za-z_][\\w$]*\\$?)@[0-9a-fA-F]+(?![\\w.])",
+        "$1@")
+      // Session-keyed catalog tables (Formats.sessionTable) are named
+      // `<prefix><md5-of-dir>_<identityHashCode(spark)>` — the trailing
+      // decimal is per-boot (judge-found r8: the dedup_*_incremental /
+      // sim_ivf_* / sim_ann_indexed / src_dpp_scan leaks). The 32-hex
+      // dir digest anchors the match so ordinary `name_123` columns
+      // stay untouched.
+      .replaceAll("(_[0-9a-f]{32})_\\d+", "$1_")
       .replaceAll("exprId=\\d+", "exprId=")
       .replaceAll("subquery\\d+", "subquery")
       .replaceAll("cte\\d+", "cte")
@@ -68,8 +91,68 @@ object Bench {
       .replaceAll("/[-\\w./]*(testdata|warehouse|tmp)[^\\s,\\]\\)]*", "<path>")
       .replaceAll("Statistics\\([^)]*\\)", "<stats>")
       .replaceAll("\\[id=[^\\]]*\\]", "")
+      // Multi-distinct aggregates: RewriteDistinctAggregates groups the
+      // distinct children by ExpressionSet, whose iteration order hangs
+      // off per-boot exprId hashes — so the `gid` index each group gets
+      // (and with it the FILTER (gid# = N) bindings and the Expand row
+      // order) permutes across boots on identical code (full-set
+      // two-boot check, r9: qc_profile, stat_chi2, ev_user_features).
+      // gid numbering carries no plan-shape information — normalize the
+      // digit; the row order is canonicalized below.
+      .replaceAll("gid# = \\d+", "gid# = _")
+      .replaceAll("\\[gid=\\d+\\]", "[gid=_]")
+    canonExpandRows(norm)
+  }
+
+  /** Canonicalize each Expand node's projection-row list (see
+    * [[planNorm]]: multi-distinct rewrites emit the rows in per-boot
+    * gid order, and each row EMBEDS its gid as a bare integer literal).
+    * A plan node prints on one line as
+    * `Expand [[r00, r01], [r10, r11]], [out...]` — rows hold scalar
+    * expression text (no square brackets), so the `], [` splitter is
+    * unambiguous. Top-level bare-integer elements are erased before
+    * sorting: the gid (and the rollup/cube grouping-id bitmask, which
+    * is a pure function of the row's null pattern) carry no plan-shape
+    * information the remaining row content doesn't already pin. */
+  private def canonExpandRows(s: String): String = {
+    val re = "Expand \\[\\[(.*?)\\]\\], \\[".r
+    re.replaceAllIn(s, m => {
+      val rows = m.group(1).split("\\], \\[", -1).toSeq
+        .map(row => splitTopLevel(row)
+          .map(e => if (e.matches("-?\\d+")) "_" else e)
+          .mkString(", "))
+        .sorted
+      java.util.regex.Matcher.quoteReplacement(
+        "Expand [[" + rows.mkString("], [") + "]], [")
+    })
+  }
+
+  /** Split an Expand row on `, ` at paren depth 0 only — elements like
+    * `substring(h, 1, 16)` keep their inner argument commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      if (c == ',' && depth == 0 &&
+          i + 1 < s.length && s.charAt(i + 1) == ' ') {
+        out += sb.result(); sb.clear(); i += 1
+      } else sb += c
+      i += 1
+    }
+    out += sb.result()
+    out.toSeq
+  }
+
+  /** md5/12 of [[planNorm]] — the `plans` artifact fingerprint. */
+  private[graft] def planSha(plan: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    md.digest(planNorm(plan).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
   }
 
   /** History file: one full-run bench line per row, appended by every

@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++
       EventOps.queries ++ GraphOps.queries ++ SkewOps.queries ++
-      graft.sources.Formats.queries
+      graft.sources.Formats.queries ++ graft.streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
     Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       SimilarityOps.oracles ++ MultimodalOps.oracles ++
       EventOps.oracles ++ GraphOps.oracles ++ SkewOps.oracles ++
-      graft.sources.Formats.oracles
+      graft.sources.Formats.oracles ++ graft.streaming.StreamOps.oracles
 }

@@ -526,9 +526,8 @@ object DedupOps {
     * every iterative/multi-consumer dedup op: [[trackCheckpoint]]
     * returns the checkpointed frame plus the persistent-RDD ids it
     * created, [[freeBlocks]] releases them once superseded. Ownership
-    * is a getPersistentRDDs diff, which assumes queries run SERIALLY
-    * per session (Verify/Bench/the driver do — see the
-    * GraphOps.pagerankRanks note before using sessions concurrently). */
+    * is derived from the checkpointed frame's own plan
+    * (concurrency-safe — see the Checkpoints scaladoc). */
   private[graft] def trackCheckpoint(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df)
 
@@ -963,10 +962,9 @@ object DedupOps {
     * vertices are already fixed points — callers rejoin them as
     * singletons). Each round is one shuffle join + partial-agg min with
     * `localCheckpoint` cutting the lineage, plus bookkeeping that frees
-    * superseded rounds' blocks (ownership is a getPersistentRDDs diff,
-    * which assumes queries run SERIALLY per session — Verify/Bench/the
-    * driver do; see the GraphOps.pagerankRanks note before using
-    * sessions concurrently). Labels only ever decrease, so sum(label)
+    * superseded rounds' blocks (ownership derived from each frame's
+    * own plan — concurrency-safe, see the Checkpoints scaladoc).
+    * Labels only ever decrease, so sum(label)
     * is a strictly-decreasing convergence measure — one cheap agg per
     * round instead of a change-detection join; two propagation hops per
     * checkpointed round halve the rounds (same fixpoint; propagation is

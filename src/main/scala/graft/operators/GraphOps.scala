@@ -52,13 +52,11 @@ object GraphOps {
 
   /** Checkpoint bookkeeping shared by EVERY iterative kernel in this
     * file (pagerank/hits/bfs/closeness/betweenness/kcore/label-prop):
-    * block ownership is identified by diffing getPersistentRDDs
-    * around the materialization, which assumes queries run SERIALLY
-    * per session (true for Verify/Bench/the driver — see the
-    * pagerankRanks NOTE). Hoisted after the 7th copy-pasted local
-    * pair let one site silently drop its free() (the r5 betweenness
-    * leak) — one definition, one place to fix (now
-    * [[graft.plans.Checkpoints]], shared with DedupOps). */
+    * block ownership is derived from the checkpointed frame's OWN
+    * plan (concurrency-safe since r9 — VERDICT r8 #2). Hoisted after
+    * the 7th copy-pasted local pair let one site silently drop its
+    * free() (the r5 betweenness leak) — one definition, one place to
+    * fix (now [[graft.plans.Checkpoints]], shared with DedupOps). */
   private def checkpointed(df: DataFrame): (DataFrame, Set[Int]) =
     graft.plans.Checkpoints.tracked(df)
 
@@ -137,12 +135,11 @@ object GraphOps {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
     // NOTE (shared with dedupComponents): ownership of checkpoint
-    // blocks is identified by diffing getPersistentRDDs around the
-    // materialization, which assumes queries run SERIALLY per session
-    // (true for Verify/Bench/the driver). A multi-threaded driver
-    // interleaving localCheckpoint-ing queries on one session could
-    // land a foreign RDD in the diff and have free() unpersist it —
-    // scope per-query tracking before going concurrent.
+    // blocks is derived from each checkpointed frame's own plan
+    // (Checkpoints.tracked, r9), so a multi-threaded driver
+    // interleaving queries on one session cannot cross-own or
+    // cross-free another loop's blocks — CheckpointsSpec races two
+    // kernels on this session to pin it.
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
     // Edge derivation: the one fact-fact shuffle (orders ⋈ lineitem on
     // orderkey); customer/supplier key columns come free from the fact

@@ -2,26 +2,37 @@ package graft.plans
 
 import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** localCheckpoint with block bookkeeping — ONE definition of the pair
   * behind every iterative kernel (the GraphOps loops, the DedupOps
   * components/MIS rounds): [[tracked]] returns the checkpointed frame
-  * plus the persistent-RDD ids the call registered; [[free]] releases
-  * them once superseded. Ownership is a getPersistentRDDs diff, which
-  * assumes queries run SERIALLY per session (true for Verify/Bench/the
-  * driver — see the GraphOps.pagerankRanks note before going
-  * concurrent).
+  * plus the persistent-RDD ids backing it; [[free]] releases them once
+  * superseded.
+  *
+  * Ownership derivation (VERDICT r8 #2): the ids come from the
+  * returned frame's OWN analyzed plan — `Dataset.localCheckpoint`
+  * yields a [[LogicalRDD]] leaf whose `rdd` IS the persisted
+  * internal-row RDD — not from a global getPersistentRDDs set-diff.
+  * The r1-r8 diff version assumed queries run serially per session:
+  * under concurrent queries it attributed whatever OTHER queries
+  * persisted inside the window to this call, and a later [[free]]
+  * could release a live loop's only copy of truncated-lineage data.
+  * Plan-derived ids are intrinsically per-frame, so concurrent
+  * kernels in one session cannot cross-own blocks (CheckpointsSpec
+  * races two gated kernels and asserts disjoint ownership + no
+  * premature frees).
   *
   * `eager = false` (VERDICT r7 #5) marks the plan for localCheckpoint
   * WITHOUT the upfront materialization job. Block REGISTRATION still
   * happens at call time (RDD.localCheckpoint persists immediately, so
-  * the bookkeeping diff is exact either way), but the blocks
-  * materialize inside the caller's NEXT action — which every loop
-  * already runs right after the checkpoint (the round count / the
-  * freeze-measure aggregate) — so checkpoint + measure ride ONE job
-  * instead of two. At cluster latencies round setup dominates short
-  * rounds; halving per-round driver actions is free latency
-  * (JobCountSpec pins the job arithmetic).
+  * the id exists either way), but the blocks materialize inside the
+  * caller's NEXT action — which every loop already runs right after
+  * the checkpoint (the round count / the freeze-measure aggregate) —
+  * so checkpoint + measure ride ONE job instead of two. At cluster
+  * latencies round setup dominates short rounds; halving per-round
+  * driver actions is free latency (JobCountSpec pins the job
+  * arithmetic).
   *
   * LAZY CONTRACT: run a FULL action (count / aggregate — something
   * that computes every partition) on the returned frame BEFORE freeing
@@ -37,10 +48,19 @@ object Checkpoints {
 
   def tracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
     PlanCapture.record(df)
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(eager)
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    val ids = out.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd.id
+    }.toSet
+    // Deterministic for a pinned Spark version: localCheckpoint always
+    // returns a single-LogicalRDD plan on 4.1.2, so a green suite run
+    // means this cannot fire in production; if a Spark upgrade changes
+    // the plan shape, fail LOUDLY here rather than silently reverting
+    // to unowned (never-freed) blocks.
+    require(ids.nonEmpty,
+      "localCheckpoint no longer yields a LogicalRDD leaf — " +
+        "Checkpoints ownership derivation needs updating for this Spark")
+    (out, ids)
   }
 
   def free(sc: SparkContext, ids: Set[Int]): Unit =

@@ -63,17 +63,29 @@ object SizeGate {
     * UnsafeRow overhead. */
   private[graft] val RowWidthBytes = 48L
 
-  /** Broadcast budget ceiling: half Spark's 8 GiB hard broadcast
-    * ceiling, so even a memory-rich session never derives a cap whose
-    * estimated bytes flirt with the point where the job DIES instead
-    * of degrading. */
+  /** Built-relation overhead multiplier (ADVICE r8): the budget is
+    * spent on a BUILT broadcast HashedRelation — map entry slots, key
+    * arrays, plus the driver-side collected copy alive during the
+    * build — which costs ~1.5-2× the raw row bytes. Budgeting in raw
+    * bytes let a memory-rich session derive a cap whose real relation
+    * blew the intended 1/8-heap budget; 2× is the conservative end of
+    * the measured band, erring toward an unnecessary shuffle, never an
+    * OOM'd build. */
+  private[graft] val RelationOverhead = 2L
+
+  /** Broadcast budget ceiling in BUILT-relation bytes: half Spark's
+    * 8 GiB hard broadcast ceiling, so even a memory-rich session never
+    * derives a cap whose relation flirts with the point where the job
+    * DIES instead of degrading. */
   private[graft] val MaxBroadcastBytes = 4L << 30
 
   /** Derived default row cap from the executor heap: broadcasts are
     * heap-resident on EVERY executor (and built on the driver), so the
     * budget is 1/8 of the smaller of driver/executor heap — memory the
     * unified region can afford to lose to one broadcast — clamped to
-    * [[MaxBroadcastBytes]], floored at [[DefaultRowCap]] rows.
+    * [[MaxBroadcastBytes]], floored at [[DefaultRowCap]] rows, and
+    * spent at [[RelationOverhead]]× [[RowWidthBytes]] per row so the
+    * clamp is expressed in built-relation bytes, not raw row bytes.
     * memoryOverhead is deliberately NOT subtracted: it is off-heap
     * headroom ON TOP of the heap, while the gated broadcast lives in
     * the heap the conf already names. Pure function of the memory
@@ -81,7 +93,7 @@ object SizeGate {
   private[graft] def derivedRowCap(heapBytes: Option[Long]): Long = {
     val budget = heapBytes.map(m => math.min(m / 8, MaxBroadcastBytes))
       .getOrElse(0L)
-    math.max(DefaultRowCap, budget / RowWidthBytes)
+    math.max(DefaultRowCap, budget / (RowWidthBytes * RelationOverhead))
   }
 
   /** The session's governing heap bound: the smaller of the explicit
@@ -126,6 +138,29 @@ object SizeGate {
     * instead of reshuffling edges). */
   def fits(df: DataFrame, rows: Long): Boolean = rows <= rowCap(df)
 
+  /** Concurrent build slots per executor for the SHJ middle tier's
+    * peak-memory bound. Local master: the scheduler IGNORES
+    * spark.executor.cores and every slot shares one JVM heap, so a
+    * copied-in cluster conf (executor.cores=4 under local[32]) must
+    * not inflate the bound by par/cores — all `par` slots are one
+    * "executor", mirroring the heapBytes local-mode rule (ADVICE r8).
+    * Cluster master with no conf: NO sound estimate of executor width
+    * exists from the driver, so default to the always-safe all-slots-
+    * one-executor assumption (worst case an unnecessary spill to SMJ,
+    * never an unspillable SHJ build). Pure for unit-testability. */
+  private[graft] def slotsPerExecutor(master: String,
+      confCores: Option[String], par: Int): Int =
+    if (master.startsWith("local")) par
+    else confCores
+      .map { v =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.executor.cores must be an int, got '$v'")
+        }
+      }
+      .getOrElse(par)
+
   /** Gate a vertex-sized state frame into a per-round edge join: see
     * object doc. `rows` is the caller's materialized driver-side row
     * count for `df` (or a monotone upper bound — conservative in the
@@ -167,15 +202,9 @@ object SizeGate {
       // collapses the bound to sliceRows itself. Worst case is an
       // unnecessary degrade to spilling SMJ; a forced shuffle_hash
       // build cannot spill, so the error must never go the other way.
-      val slotsPerExec = sc.getConf.getOption("spark.executor.cores")
-        .map { v =>
-          try v.trim.toInt
-          catch {
-            case _: NumberFormatException => throw new IllegalArgumentException(
-              s"spark.executor.cores must be an int, got '$v'")
-          }
-        }
-        .getOrElse(par)
+      val slotsPerExec =
+        slotsPerExecutor(sc.master,
+          sc.getConf.getOption("spark.executor.cores"), par)
       val shjBound = sliceRows(df) * (par.toLong / math.max(1, slotsPerExec))
         .max(1L)
       if (rows <= shjBound) rp.hint("shuffle_hash") else rp

@@ -781,6 +781,100 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("w_start"),
         col("sw.end").as("w_end"), col("n_ev"))
 
+  /** §2.8 promoted to the ORACLE gate (VERDICT r8 missing #1):
+    * [[hourlyAggWatermarked]] driven end to end as a REAL streaming
+    * query — file source → watermarked append-mode agg → parquet file
+    * sink with its own checkpoint — on the actual events corpus, then
+    * the SINK read back as the query result. The DuckDB oracle is the
+    * SAME SQL as the batch ev_hourly_agg, so the gate proves the
+    * streaming pipeline's emitted output is row/schema/hash-identical
+    * to the batch aggregate: every window emitted exactly once,
+    * none lost to state at shutdown, none duplicated by the sink.
+    *
+    * The flush sentinel: append-mode only emits a window once the
+    * watermark passes its end, so a finite input's trailing windows
+    * would otherwise stay in state forever. One synthetic event 48 h
+    * past max(ts) (tagged `__flush__`, filtered from the readback —
+    * its own window is never emitted, being beyond the final
+    * watermark) pushes the watermark past every real window. This is
+    * the standard drain move for batch-replay-through-streaming; on an
+    * unbounded production stream the watermark advances by itself and
+    * no sentinel exists.
+    *
+    * Staging: the corpus is REWRITTEN into a temp source dir (a
+    * streaming file source needs a dir it can list incrementally +
+    * the sentinel appended as a late file). maxFilesPerTrigger=1
+    * forces multiple micro-batches, so the watermark genuinely
+    * advances across batches (a single mega-batch would exercise
+    * nothing); AvailableNow drains remaining state via its no-data
+    * batch and terminates. Serial-per-session like Verify/Bench (the
+    * work dir is keyed by corpus, deleted and rebuilt per call). */
+  def streamHourlyAggGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_hourly_$key")
+    deleteRecursively(work)
+    val src = work.resolve("src").toString
+    val sink = work.resolve("sink").toString
+    val ckpt = work.resolve("ckpt").toString
+    ev.write.parquet(src)
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val session = spark
+    import session.implicits._
+    Seq((new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000),
+        "__flush__", 0.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = hourlyAggWatermarked(stream)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .filter(col("event_type") =!= "__flush__")
+      .orderBy("hour", "event_type")
+  }
+
+  /** Best-effort recursive delete (the Formats.dropBucketedTable walk
+    * contract: deterministic close, concurrent deletion = success). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths =
+        try walk.iterator().asScala.toSeq.reverse
+        catch { case _: java.io.UncheckedIOException => Seq.empty }
+        finally walk.close()
+      paths.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+
+  /** Oracle-gated streaming queries (SparkEntry wiring). */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("stream_hourly_agg" -> (streamHourlyAggGated(_, _)))
+
+  /** Same oracle as the batch ev_hourly_agg — THAT is the point: the
+    * streaming pipeline's sink must be indistinguishable from the
+    * batch aggregate. */
+  val oracles: Map[String, String] = Map(
+    "stream_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+        | round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

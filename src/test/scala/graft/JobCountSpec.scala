@@ -19,14 +19,17 @@ class JobCountSpec extends AnyFunSuite {
   import TestSpark.spark
 
   /** Run `body` in a fresh job group and return how many jobs it
-    * submitted (status store is async — poll until stable). */
+    * submitted (status store is async — poll until stable, bounded by
+    * a deadline so a slow listener bus degrades to the best count
+    * observed instead of hanging the suite — ADVICE r8). */
   private def jobsIn(group: String)(body: => Unit): Int = {
     val sc = spark.sparkContext
     sc.setJobGroup(group, group)
     try body finally sc.clearJobGroup()
     var n = -1
     var stable = 0
-    while (stable < 3) {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (stable < 3 && System.nanoTime() < deadline) {
       val m = sc.statusTracker.getJobIdsForGroup(group).length
       if (m == n) stable += 1 else { n = m; stable = 0 }
       Thread.sleep(50)
@@ -60,8 +63,12 @@ class JobCountSpec extends AnyFunSuite {
       }
       assert(eagerCount == lazyCount && lazyCount == 7L,
         s"results diverge: eager=$eagerCount lazy=$lazyCount")
-      assert(eagerJobs == 2, s"eager pair expected 2 jobs, got $eagerJobs")
-      assert(lazyJobs == 1, s"lazy pair expected 1 job, got $lazyJobs")
+      // The DELTA is the banked win; absolute counts can flake under a
+      // loaded listener bus or a block-eviction doCheckpoint follow-up
+      // (ADVICE r8), so assert the saved job plus a sanity floor.
+      assert(lazyJobs >= 1, s"lazy pair submitted no observable job")
+      assert(eagerJobs - lazyJobs == 1,
+        s"eager-vs-lazy delta expected 1 saved job, got eager=$eagerJobs lazy=$lazyJobs")
     }
   }
 
@@ -108,9 +115,14 @@ class JobCountSpec extends AnyFunSuite {
       // 1 job: eager adj checkpoint; 1: lazy init cur + its gate
       // count; iters: one measure job per round (each materializing
       // that round's lazy checkpoint); 1: the final collect readout.
-      assert(iters > 0, "kernel did not iterate")
-      assert(jobs == 3 + iters,
-        s"kcore submitted $jobs jobs for $iters rounds — expected ${3 + iters} " +
+      // Bounded, not exact (ADVICE r8): an evicted lazy block can
+      // legitimately add a doCheckpoint follow-up job (+1 slack), and
+      // a slow listener can under-report (-1) — but a second per-round
+      // driver action would land at ~3 + 2*iters, past the ceiling for
+      // any fixture with ≥2 rounds (3+2·iters > 4+iters ⟺ iters > 1).
+      assert(iters > 1, "fixture did not iterate enough to discriminate")
+      assert(jobs >= 2 + iters && jobs <= 4 + iters,
+        s"kcore submitted $jobs jobs for $iters rounds — expected ~${3 + iters} " +
           "(adj + init-count + one per round + readout); a second " +
           "per-round driver action has crept back in (VERDICT r7 #5)")
     } finally spark.conf.unset(graft.plans.SizeGate.CapConf)

@@ -370,4 +370,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "mm_decode_jpeg is not deterministic across runs")
   }
+
+  test("mm_decode_wav: javax.sound decode is sample-exact vs direct md5 math; garbage yields null features") {
+    import org.apache.spark.sql.functions.col
+    // Independent recount (the mm_decode_png pattern): decoded sample
+    // stats for a handful of docs must equal the md5-derived signed
+    // 16-bit samples computed HERE with no audio machinery — the same
+    // law the DuckDB oracle enforces corpus-wide.
+    val out = MultimodalOps.mmDecodeWav(spark, sf)
+      .filter(col("doc_id") < 5).collect()
+    assert(out.length == 5, s"expected 5 rows, got ${out.length}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { row =>
+      val id = row.getLong(0)
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      for (r <- 0 until 2) {
+        md.reset()
+        val dg = md.digest(s"${id}_w$r".getBytes("UTF-8"))
+        for (c <- 0 until 8) {
+          val u = ((dg(2 * c) & 0xff) << 8) | (dg(2 * c + 1) & 0xff)
+          val s = (if (u >= 32768) u - 65536 else u).toLong
+          sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+        }
+      }
+      assert(row.getInt(1) == 16 && row.getInt(2) == 8000 &&
+        row.getInt(3) == 1 && row.getInt(4) == 16,
+        s"doc $id stream params wrong: $row")
+      assert(row.getLong(5) == sum && row.getLong(6) == mn && row.getLong(7) == mx,
+        s"doc $id sample stats diverge from direct md5 math: $row")
+    }
+    // A handcrafted known-sample WAV decodes to hand-computed stats —
+    // pins the container walk independent of the md5 synth.
+    val session = spark
+    import session.implicits._
+    val samples = Seq[Short](0, 1, -1, 32767, -32768, 100)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val hand = Seq((7L, bb.array())).toDF("doc_id", "payload")
+    val hr = MultimodalOps.decodeWavFeatures(hand).collect()(0)
+    assert(hr.getInt(1) == 6 && hr.getLong(5) == 99L &&
+      hr.getLong(6) == -32768L && hr.getLong(7) == 32767L,
+      s"handcrafted WAV stats wrong: $hr")
+    // Undecodable payloads degrade to a null-feature row, never fail.
+    val junk = Seq((1L, "not a wav".getBytes("UTF-8")),
+        (2L, Array.empty[Byte]), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalOps.decodeWavFeatures(junk).orderBy("doc_id").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(1)),
+      s"garbage payloads did not yield null features: ${rows.mkString(";")}")
+    // Deterministic across runs (same contract as the other decodes).
+    val again = MultimodalOps.mmDecodeWav(spark, sf)
+      .filter(col("doc_id") < 5).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "mm_decode_wav is not deterministic across runs")
+  }
 }

@@ -138,21 +138,39 @@ class PlanSpec extends AnyFunSuite {
     import graft.plans.SizeGate
     // No memory bound derivable → the r7 constant floor.
     assert(SizeGate.derivedRowCap(None) == SizeGate.DefaultRowCap)
-    // 1 GiB heap: 1/8 = 128 MiB / 48 B ≈ 2.8M rows < floor → floor.
+    // 1 GiB heap: 1/8 = 128 MiB / 96 B ≈ 1.4M rows < floor → floor.
     assert(SizeGate.derivedRowCap(Some(1L << 30)) == SizeGate.DefaultRowCap)
-    // 8 GiB heap: 1 GiB budget / 48 B ≈ 22.4M rows — scales past the
-    // floor exactly as budget/rowWidth.
-    assert(SizeGate.derivedRowCap(Some(8L << 30))
-      == (1L << 30) / SizeGate.RowWidthBytes)
-    // Memory-rich (128 GiB): the budget clamps at 4 GiB — half the
-    // 8 GiB broadcast hard ceiling — so a big-memory session can never
-    // derive itself back into the die-instead-of-degrade regime.
+    // 16 GiB heap: 2 GiB budget / (48 B × 2 relation overhead) ≈ 22.4M
+    // rows — scales past the floor exactly as budget over BUILT bytes
+    // (ADVICE r8: a HashedRelation costs ~2× the raw rows).
+    assert(SizeGate.derivedRowCap(Some(16L << 30))
+      == (2L << 30) / (SizeGate.RowWidthBytes * SizeGate.RelationOverhead))
+    // Memory-rich (128 GiB): the budget clamps at 4 GiB of BUILT
+    // relation — half the 8 GiB broadcast hard ceiling — so a
+    // big-memory session can never derive itself back into the
+    // die-instead-of-degrade regime.
     assert(SizeGate.derivedRowCap(Some(128L << 30))
-      == SizeGate.MaxBroadcastBytes / SizeGate.RowWidthBytes)
+      == SizeGate.MaxBroadcastBytes /
+        (SizeGate.RowWidthBytes * SizeGate.RelationOverhead))
     // Monotone in memory: more heap never lowers the cap.
     val caps = Seq(1L, 2L, 8L, 32L, 64L, 128L)
       .map(g => SizeGate.derivedRowCap(Some(g << 30)))
     assert(caps == caps.sorted)
+  }
+
+  test("SizeGate SHJ slots: local master ignores a copied-in executor.cores (ADVICE r8)") {
+    import graft.plans.SizeGate
+    // local[] shares ONE heap across all par slots — a cluster conf
+    // left in spark-defaults must not inflate the SHJ bound par/cores×.
+    assert(SizeGate.slotsPerExecutor("local[32]", Some("4"), 32) == 32)
+    assert(SizeGate.slotsPerExecutor("local[*]", None, 16) == 16)
+    // Cluster master: the conf IS the executor width; absent conf
+    // collapses to the always-safe all-slots-one-executor assumption.
+    assert(SizeGate.slotsPerExecutor("spark://m:7077", Some("4"), 32) == 4)
+    assert(SizeGate.slotsPerExecutor("yarn", None, 64) == 64)
+    intercept[IllegalArgumentException] {
+      SizeGate.slotsPerExecutor("yarn", Some("four"), 8)
+    }
   }
 
   test("SizeGate conf override beats the derived default (the degraded-path driver)") {
