@@ -794,46 +794,146 @@ object StreamOps {
     * The flush sentinel: append-mode only emits a window once the
     * watermark passes its end, so a finite input's trailing windows
     * would otherwise stay in state forever. One synthetic event 48 h
-    * past max(ts) (tagged `__flush__`, filtered from the readback —
-    * its own window is never emitted, being beyond the final
-    * watermark) pushes the watermark past every real window. This is
-    * the standard drain move for batch-replay-through-streaming; on an
-    * unbounded production stream the watermark advances by itself and
-    * no sentinel exists.
-    *
-    * Staging: the corpus is REWRITTEN into a temp source dir (a
-    * streaming file source needs a dir it can list incrementally +
-    * the sentinel appended as a late file). maxFilesPerTrigger=1
-    * forces multiple micro-batches, so the watermark genuinely
-    * advances across batches (a single mega-batch would exercise
-    * nothing); AvailableNow drains remaining state via its no-data
-    * batch and terminates. Serial-per-session like Verify/Bench (the
-    * work dir is keyed by corpus, deleted and rebuilt per call). */
+    * past max(ts) (filtered from the readback — its own window is
+    * never emitted, being beyond the final watermark) pushes the
+    * watermark past every real window. This is the standard drain
+    * move for batch-replay-through-streaming; on an unbounded
+    * production stream the watermark advances by itself and no
+    * sentinel exists. */
   def streamHourlyAggGated(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val ev = graft.Tables(spark, dir).events
       .select(col("ts"), col("event_type"), col("value"))
+    driveToSink(spark, dir, "hourly", ev,
+      maxTs => Seq(org.apache.spark.sql.Row(
+        new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000),
+        "__flush__", 0.0)),
+      hourlyAggWatermarked(_))
+      .filter(col("event_type") =!= "__flush__")
+      .orderBy("hour", "event_type")
+  }
+
+  /** §2.8 oracle promotion #2 — the STATEFUL-MERGE shape: the native
+    * session-window stream ([[sessionWindowStream]], engine-owned
+    * merging state) driven through the same file-source → file-sink
+    * lifecycle, its emitted closed sessions rolled up per user and
+    * gated with the SAME oracle as the batch ev_session_native. The
+    * sentinel user (-1) advances the watermark past every real
+    * session's end so all of them close and emit; its own open
+    * session never does. */
+  def streamSessionizeGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("user_id"), col("ts"))
+    val emitted = driveToSink(spark, dir, "sessions", ev,
+      maxTs => Seq(org.apache.spark.sql.Row(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000))),
+      sessionWindowStream(_))
+    emitted.filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** §2.8 oracle promotion #3 — the STREAM-STREAM shape:
+    * [[viewClickJoin]] (watermarked interval join, per-side state
+    * retention derived from the time bound) driven through two real
+    * file sources into a checkpointed parquet sink. Inner-join matches
+    * emit AS THEY FORM in append mode — no flush sentinel exists or is
+    * needed; the watermark's only job is state eviction. The emitted
+    * pair log is rolled up per click and LEFT-joined against the click
+    * dimension (zero-match clicks never appear in an inner join's
+    * output — the readout completes them, as a production readout
+    * would), then gated with the SAME oracle as the batch
+    * ev_range_join. Hash-equality proves the streaming join emitted
+    * EXACTLY the batch pair set: nothing dropped, nothing duplicated
+    * across the source → state → sink lifecycle. */
+  def streamRangeJoinGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val work = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_hourly_$key")
+      sys.props("java.io.tmpdir"), s"graft_stream_rjoin_$key")
+    deleteRecursively(work)
+    val srcV = work.resolve("src_v").toString
+    val srcC = work.resolve("src_c").toString
+    val sink = work.resolve("sink").toString
+    val ckpt = work.resolve("ckpt").toString
+    views.coalesce(1).write.parquet(srcV)
+    clicks.coalesce(1).write.parquet(srcC)
+    val q = viewClickJoin(
+        spark.readStream.schema(views.schema).parquet(srcV),
+        spark.readStream.schema(clicks.schema).parquet(srcC))
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Explicit schema: a zero-pair corpus leaves a data-less sink that
+    // schema inference cannot read.
+    val pairSchema = org.apache.spark.sql.types.StructType(
+      views.schema.fields ++ clicks.schema.fields)
+    val counts = spark.read.schema(pairSchema).parquet(sink)
+      .groupBy(col("c_user").as("user_id"), col("click_id").as("event_id"))
+      .agg(count(lit(1)).as("n"))
+    clicks
+      .select(col("c_user").as("user_id"), col("click_id").as("event_id"))
+      .join(counts, Seq("user_id", "event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n"), lit(0L)).as("n_prior_views"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Shared batch-replay-through-streaming driver for the gated §2.8
+    * queries: stage the frame into a temp source dir (one corpus file
+    * + the sentinel file), run the pipeline with AvailableNow — ONE
+    * data batch ingesting everything with the watermark genuinely
+    * behind it, then the no-data batch where the advanced watermark
+    * finalizes, EMITS, and evicts every real window to the sink.
+    *
+    * Deliberately NO maxFilesPerTrigger: the file source admits data
+    * against the watermark as of each batch's START, so splitting the
+    * replay across multiple batches makes correctness depend on
+    * cross-file time order (same-second mtimes can even schedule the
+    * sentinel FIRST, dropping the whole corpus as late) — the
+    * one-batch shape is the only ordering-free replay. Cross-batch
+    * late-data/advancing-watermark semantics are pinned separately by
+    * StreamingSpec's MemoryStream suites; a production rerun gets
+    * ordering from per-key-ordered (kafka) or time-partitioned input.
+    * Work dir keyed by corpus, deleted and rebuilt per call (serial
+    * per session, like Verify/Bench). */
+  private def driveToSink(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, frame: DataFrame,
+      sentinel: java.sql.Timestamp => Seq[org.apache.spark.sql.Row],
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
     deleteRecursively(work)
     val src = work.resolve("src").toString
     val sink = work.resolve("sink").toString
     val ckpt = work.resolve("ckpt").toString
-    ev.write.parquet(src)
-    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
-    val session = spark
-    import session.implicits._
-    Seq((new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000),
-        "__flush__", 0.0))
-      .toDF("ts", "event_type", "value")
-      .write.mode("append").parquet(src)
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
-    val q = hourlyAggWatermarked(stream)
+    frame.coalesce(1).write.parquet(src)
+    val tsCol = frame.schema.fields
+      .find(_.dataType == org.apache.spark.sql.types.TimestampType).get.name
+    val maxTs = frame.agg(max(tsCol)).first().getTimestamp(0)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(sentinel(maxTs)).asJava),
+      frame.schema)
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(frame.schema).parquet(src)
+    val q = pipeline(stream)
       .writeStream.format("parquet")
       .option("path", sink)
       .option("checkpointLocation", ckpt)
@@ -842,8 +942,6 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.read.parquet(sink)
-      .filter(col("event_type") =!= "__flush__")
-      .orderBy("hour", "event_type")
   }
 
   /** Best-effort recursive delete (the Formats.dropBucketedTable walk
@@ -864,16 +962,41 @@ object StreamOps {
 
   /** Oracle-gated streaming queries (SparkEntry wiring). */
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("stream_hourly_agg" -> (streamHourlyAggGated(_, _)))
+    Map(
+      "stream_hourly_agg" -> (streamHourlyAggGated(_, _)),
+      "stream_sessionize" -> (streamSessionizeGated(_, _)),
+      "stream_range_join" -> (streamRangeJoinGated(_, _)))
 
-  /** Same oracle as the batch ev_hourly_agg — THAT is the point: the
-    * streaming pipeline's sink must be indistinguishable from the
-    * batch aggregate. */
+  /** Same oracles as the batch ev_hourly_agg / ev_session_native —
+    * THAT is the point: the streaming pipelines' sinks must be
+    * indistinguishable from the batch results. */
   val oracles: Map[String, String] = Map(
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         | round(sum(value), 3) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT user_id, tus,
+        |    lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM l)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_range_join" ->
+      s"""SELECT c.user_id, c.event_id,
+         |  (SELECT count(*) FROM events v
+         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id
+         |     AND epoch_us(v.ts) >= epoch_us(c.ts) - ${24L * 3600 * 1000000}
+         |     AND epoch_us(v.ts) < epoch_us(c.ts)) AS n_prior_views
+         |FROM events c WHERE c.event_type = 'click'
+         |ORDER BY user_id, event_id""".stripMargin)
 
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
