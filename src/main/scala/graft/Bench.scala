@@ -101,7 +101,51 @@ object Bench {
       // digit; the row order is canonicalized below.
       .replaceAll("gid# = \\d+", "gid# = _")
       .replaceAll("\\[gid=\\d+\\]", "[gid=_]")
-    canonExpandRows(norm)
+    canonExpandRows(canonGidLists(norm))
+  }
+
+  /** Canonicalize every expression list CONTAINING the synthetic
+    * `gid#` column (the multi-distinct rewrite's disambiguator): the
+    * rewrite also emits its grouping keys in per-boot ExpressionSet
+    * order, permuting `keys=[...]`, the intermediate `Sort [...]`,
+    * `hashpartitioning(...)`, `functions=[...]`, and `output=[...]`
+    * lists of the rewritten subtree across boots (two-boot check, r9:
+    * qc_profile). gid# only ever appears in rewrite-generated lists —
+    * user-facing sorts/groupings never contain it — so sorting the
+    * top-level elements of exactly those lists erases the boot order
+    * while leaving every other list's order (which IS plan shape)
+    * untouched. hashpartitioning keeps its trailing partition count
+    * in place. */
+  private def canonGidLists(s: String): String = {
+    val br = "\\[([^\\[\\]]*gid#[^\\[\\]]*)\\]".r
+    val s1 = br.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "[" + splitTopLevel(m.group(1)).sorted.mkString(", ") + "]"))
+    val token = "hashpartitioning("
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s1.length) {
+      val idx = s1.indexOf(token, i)
+      if (idx < 0) { sb.append(s1.substring(i)); i = s1.length }
+      else {
+        sb.append(s1.substring(i, idx + token.length))
+        var depth = 1
+        var j = idx + token.length
+        while (j < s1.length && depth > 0) {
+          val c = s1.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          j += 1
+        }
+        val inner = s1.substring(idx + token.length, j - 1)
+        if (inner.contains("gid#")) {
+          val parts = splitTopLevel(inner)
+          sb.append((parts.init.sorted :+ parts.last).mkString(", "))
+        } else sb.append(inner)
+        sb.append(")")
+        i = j
+      }
+    }
+    sb.result()
   }
 
   /** Canonicalize each Expand node's projection-row list (see
@@ -117,10 +161,14 @@ object Bench {
   private def canonExpandRows(s: String): String = {
     val re = "Expand \\[\\[(.*?)\\]\\], \\[".r
     re.replaceAllIn(s, m => {
+      // Row ELEMENTS are sorted too: the rewrite permutes the Expand
+      // output-column order along with its grouping keys (r9), and row
+      // elements are positional against that output list — so each row
+      // canonicalizes to its expression multiset.
       val rows = m.group(1).split("\\], \\[", -1).toSeq
         .map(row => splitTopLevel(row)
           .map(e => if (e.matches("-?\\d+")) "_" else e)
-          .mkString(", "))
+          .sorted.mkString(", "))
         .sorted
       java.util.regex.Matcher.quoteReplacement(
         "Expand [[" + rows.mkString("], [") + "]], [")

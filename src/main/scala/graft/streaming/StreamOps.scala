@@ -893,6 +893,54 @@ object StreamOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.8 oracle promotion #4 — the CUSTOM-STATE shape:
+    * [[transitionsStream]] (flatMapGroupsWithState, one LastEv row per
+    * user, the at-or-behind high-water drop) through a file source and
+    * checkpointed parquet sink, its emitted edge log rolled up and
+    * gated with the SAME oracle as the batch ev_top_transitions.
+    * Edges emit during the data batch itself (append mode, NoTimeout —
+    * the operator owns its emission, no watermark/sentinel involved);
+    * the per-batch (tus, event_id) sort inside the operator makes the
+    * single-batch replay process every user fully in order, so the
+    * emitted set IS the batch lead() pair set — which the hash gate
+    * then proves. */
+  def streamTransitionsGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_trans_$key")
+    deleteRecursively(work)
+    val src = work.resolve("src").toString
+    val sink = work.resolve("sink").toString
+    val ckpt = work.resolve("ckpt").toString
+    ev.coalesce(1).write.parquet(src)
+    val session = spark
+    import session.implicits._
+    val q = transitionsStream(
+        spark.readStream.schema(ev.schema).parquet(src).as[Ev])
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("from_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("to_type",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(edgeSchema).parquet(sink)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(20)
+  }
+
   /** Shared batch-replay-through-streaming driver for the gated §2.8
     * queries: stage the frame into a temp source dir (one corpus file
     * + the sentinel file), run the pipeline with AvailableNow — ONE
@@ -965,7 +1013,8 @@ object StreamOps {
     Map(
       "stream_hourly_agg" -> (streamHourlyAggGated(_, _)),
       "stream_sessionize" -> (streamSessionizeGated(_, _)),
-      "stream_range_join" -> (streamRangeJoinGated(_, _)))
+      "stream_range_join" -> (streamRangeJoinGated(_, _)),
+      "stream_transitions" -> (streamTransitionsGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
     * THAT is the point: the streaming pipelines' sinks must be
@@ -996,7 +1045,18 @@ object StreamOps {
          |     AND epoch_us(v.ts) >= epoch_us(c.ts) - ${24L * 3600 * 1000000}
          |     AND epoch_us(v.ts) < epoch_us(c.ts)) AS n_prior_views
          |FROM events c WHERE c.event_type = 'click'
-         |ORDER BY user_id, event_id""".stripMargin)
+         |ORDER BY user_id, event_id""".stripMargin,
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap
+        |  FROM e)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin)
 
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._

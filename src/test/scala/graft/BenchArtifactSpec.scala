@@ -90,6 +90,26 @@ class BenchArtifactSpec extends AnyFunSuite {
     val g3 = g1.replace("[u#, day#L, null, 1, null]", "[u#, day#L, day#L, 1, null]")
     assert(Bench.planSha(g1) != Bench.planSha(g3),
       "Expand row content was over-normalized away")
+    // The rewrite ALSO emits its grouping keys in per-boot order,
+    // permuting key=[...], Sort [...], and hashpartitioning(...) of
+    // the rewritten subtree (second two-boot sweep, r9: qc_profile).
+    // gid#-containing lists canonicalize; gid#-free lists keep their
+    // order — a REAL key-set change must still move the sha.
+    val k1 = """SortAggregate(key=[a#, b#, c#, gid#], functions=[min(a#) FILTER (WHERE (gid# = 1))])
+               |+- Sort [a# ASC NULLS FIRST, b# ASC NULLS FIRST, c# ASC NULLS FIRST, gid# ASC NULLS FIRST], false, 0
+               |   +- Exchange hashpartitioning(a#, b#, c#, gid#, 16), ENSURE_REQUIREMENTS, [plan_id=]""".stripMargin
+    val k2 = """SortAggregate(key=[c#, a#, b#, gid#], functions=[min(a#) FILTER (WHERE (gid# = 2))])
+               |+- Sort [c# ASC NULLS FIRST, a# ASC NULLS FIRST, b# ASC NULLS FIRST, gid# ASC NULLS FIRST], false, 0
+               |   +- Exchange hashpartitioning(c#, a#, b#, gid#, 16), ENSURE_REQUIREMENTS, [plan_id=]""".stripMargin
+    assert(Bench.planSha(k1) == Bench.planSha(k2),
+      "gid-subtree key order leaked into the fingerprint")
+    assert(Bench.planSha(k1) != Bench.planSha(k1.replace("c#, gid#", "d#, gid#")),
+      "gid-subtree key CONTENT was over-normalized away")
+    // gid#-free lists keep their order: a user-facing sort reorder is
+    // a real plan change.
+    assert(Bench.planSha("Sort [x# ASC NULLS FIRST, y# ASC NULLS FIRST]")
+      != Bench.planSha("Sort [y# ASC NULLS FIRST, x# ASC NULLS FIRST]"),
+      "a gid-free sort order was over-normalized away")
   }
 
   test("planSha of a live query is identical across two builds in one session") {
