@@ -941,6 +941,31 @@ object StreamOps {
       .limit(20)
   }
 
+  /** §2.8 oracle promotion #5 — the BUILT-IN DEDUP STATE shape:
+    * [[dedupStream]] (watermarked dropDuplicates) with the suppression
+    * made REAL and gated: the staged input is the events corpus PLUS
+    * an exact-duplicate slice (every 10th event re-delivered — the
+    * at-least-once redelivery this operator exists for), and the
+    * oracle is the PLAIN events table — so the hash gate passes ONLY
+    * if every duplicate was suppressed and every original survived.
+    * Deduped rows pass through to the append sink on first sight (no
+    * watermark wait); the sentinel just exercises the eviction path
+    * before shutdown. */
+  def streamDedupGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val withDups = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+    driveToSink(spark, dir, "dedup", withDups,
+      maxTs => Seq(org.apache.spark.sql.Row(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000),
+        -1L, "__flush__", 0.0)),
+      dedupStream(_))
+      .filter(col("event_id") >= 0)
+      .orderBy("event_id")
+  }
+
   /** Shared batch-replay-through-streaming driver for the gated §2.8
     * queries: stage the frame into a temp source dir (one corpus file
     * + the sentinel file), run the pipeline with AvailableNow — ONE
@@ -1014,7 +1039,8 @@ object StreamOps {
       "stream_hourly_agg" -> (streamHourlyAggGated(_, _)),
       "stream_sessionize" -> (streamSessionizeGated(_, _)),
       "stream_range_join" -> (streamRangeJoinGated(_, _)),
-      "stream_transitions" -> (streamTransitionsGated(_, _)))
+      "stream_transitions" -> (streamTransitionsGated(_, _)),
+      "stream_dedup_exact" -> (streamDedupGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
     * THAT is the point: the streaming pipelines' sinks must be
@@ -1056,7 +1082,10 @@ object StreamOps {
         |  FROM e)
         |SELECT from_type, to_type, count(*) AS n
         |FROM x WHERE to_type IS NOT NULL AND gap <= 1800000000
-        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+    "stream_dedup_exact" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)
 
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
