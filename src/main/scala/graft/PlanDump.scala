@@ -21,8 +21,16 @@ object PlanDump {
     val outDir = java.nio.file.Paths.get(args(1))
     java.nio.file.Files.createDirectories(outDir)
     val names =
-      if (args.length > 2) args.drop(2).toSeq.filter(SparkEntry.queries.contains).sorted
-      else SparkEntry.queries.keys.toSeq.sorted
+      if (args.length > 2) {
+        val asked = args.drop(2).toSeq
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        // A typo must fail loudly (ADVICE r9): a silently-missing .plan
+        // file makes the two-boot diff vacuously pass for that query.
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.mkString(", ")} — " +
+            "check SparkEntry.queries keys")
+        asked.sorted
+      } else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.local(cpus, "graft-plandump")
@@ -40,7 +48,11 @@ object PlanDump {
           Bench.planNorm(df.queryExecution.executedPlan.toString)
         } catch {
           case e: Throwable =>
-            "ERROR: " + Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            // Normalize the message too (ADVICE r9): raw exception text
+            // can embed per-boot tokens (temp paths, object identity
+            // hashes) and would surface as a spurious stability diff.
+            "ERROR: " + Bench.planNorm(
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
         }
       java.nio.file.Files.write(outDir.resolve(n + ".plan"),
         (text + "\n").getBytes("UTF-8"))

@@ -42,7 +42,11 @@ object ScaleUp {
     val partOff = off(t.part, "p_partkey")
     val ordOff = off(t.orders, "o_orderkey")
     val docOff = off(t.documents, "doc_id") // shared with embeddings.vec_id
-    val userOff = off(t.events, "user_id")
+    // events.user_id lives in the CUSTOMER key domain (user_id ⊆
+    // c_custkey is the star FK qc_cross_system / ev_* joins assert), so
+    // it must shift by custOff like o_custkey — shifting it by its own
+    // max would point replica i's events at replica 0's customers and
+    // silently distort every cross-system join distribution (ADVICE r9).
     val evOff = off(t.events, "event_id")
 
     /** Replicate `df` `factor`×, shifting each named key column by its
@@ -83,7 +87,7 @@ object ScaleUp {
     write(rep(t.orders, "o_orderkey" -> ordOff, "o_custkey" -> custOff), "orders")
     write(rep(t.lineitem, "l_orderkey" -> ordOff, "l_partkey" -> partOff,
       "l_suppkey" -> suppOff), "lineitem")
-    write(rep(t.events, "event_id" -> evOff, "user_id" -> userOff), "events")
+    write(rep(t.events, "event_id" -> evOff, "user_id" -> custOff), "events")
     write(rep(t.documents, "doc_id" -> docOff), "documents")
     write(rep(t.embeddings, "vec_id" -> docOff), "embeddings")
     println(s"""{"scaleup":"done","src":"$src","dst":"$dst","factor":$factor}""")

@@ -860,7 +860,8 @@ object StreamOps {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val work = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_rjoin_$key")
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_rjoin_${key}_p${ProcessHandle.current().pid()}")
     deleteRecursively(work)
     val srcV = work.resolve("src_v").toString
     val srcC = work.resolve("src_c").toString
@@ -912,7 +913,8 @@ object StreamOps {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val work = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_trans_$key")
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_trans_${key}_p${ProcessHandle.current().pid()}")
     deleteRecursively(work)
     val src = work.resolve("src").toString
     val sink = work.resolve("sink").toString
@@ -990,8 +992,13 @@ object StreamOps {
       pipeline: DataFrame => DataFrame): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Key the work dir by pid too (ADVICE r9): two JVMs on the same
+    // corpus (a bench and a verify run) must not delete each other's
+    // source/checkpoint/sink mid-stream. Within one JVM calls stay
+    // serial per session, so the per-call delete remains safe.
+    val pid = ProcessHandle.current().pid()
     val work = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_${tag}_$key")
+      sys.props("java.io.tmpdir"), s"graft_stream_${tag}_${key}_p$pid")
     deleteRecursively(work)
     val src = work.resolve("src").toString
     val sink = work.resolve("sink").toString

@@ -67,8 +67,12 @@ class JobCountSpec extends AnyFunSuite {
       // loaded listener bus or a block-eviction doCheckpoint follow-up
       // (ADVICE r8), so assert the saved job plus a sanity floor.
       assert(lazyJobs >= 1, s"lazy pair submitted no observable job")
-      assert(eagerJobs - lazyJobs == 1,
-        s"eager-vs-lazy delta expected 1 saved job, got eager=$eagerJobs lazy=$lazyJobs")
+      // Band, not exact (ADVICE r9): an evicted lazy block can add a
+      // doCheckpoint follow-up (+1) and a slow listener can
+      // under-report (-1) — the same slack the kcore test allows. The
+      // banked claim is strictly-fewer jobs on the lazy side.
+      assert(eagerJobs - lazyJobs >= 1 && eagerJobs - lazyJobs <= 2,
+        s"eager-vs-lazy delta expected 1-2 saved jobs, got eager=$eagerJobs lazy=$lazyJobs")
     }
   }
 
