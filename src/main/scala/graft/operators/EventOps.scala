@@ -1179,11 +1179,7 @@ object EventOps {
        |  FROM u)""".stripMargin
 
   def evAbTest(spark: SparkSession, dir: String): DataFrame =
-    abArmAccumulators(spark, dir)
-      .selectExpr(Seq("n_a", "c_a", "n_b", "c_b",
-        "CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END AS conv_a_ppm",
-        "CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END AS conv_b_ppm",
-        AbTestZ2): _*)
+    abArmAccumulators(spark, dir).selectExpr(AbReadout: _*)
 
   /** Pooled two-proportion z² over the four exact integers (arm sizes
     * n_a/n_b, arm conversions c_a/c_b) — ONE formula string for both
@@ -1200,6 +1196,17 @@ object EventOps {
       |        * (n_a + n_b) AS DOUBLE)
       |    / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)
       |        * (n_a + n_b - c_a - c_b) AS DOUBLE) END, 4) + 0.0 AS z2""".stripMargin
+
+  /** The experiment readout's derived columns over the four exact
+    * accumulators — ONE list shared by [[evAbTest]] and the gated
+    * streaming twin's sink rollup (StreamOps.streamAbTestGated), so
+    * both execution modes derive rates and z² from the same strings.
+    * (Declared after [[AbTestZ2]]: object vals initialize in order.) */
+  private[graft] val AbReadout: Seq[String] =
+    Seq("n_a", "c_a", "n_b", "c_b",
+      "CASE WHEN n_a = 0 THEN 0 ELSE c_a * 1000000 div n_a END AS conv_a_ppm",
+      "CASE WHEN n_b = 0 THEN 0 ELSE c_b * 1000000 div n_b END AS conv_b_ppm",
+      AbTestZ2)
 
   /** Wilson 95% confidence interval per experiment arm — the
     * uncertainty readout missing between ev_ab_test's point z² and

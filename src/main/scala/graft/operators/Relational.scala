@@ -779,7 +779,14 @@ object Relational {
     * by [[aggHllDistinct]] and [[aggHllOverlap]], mirrored verbatim in
     * both oracles (every term is either an exact dyadic sum or a
     * pinned-association double, so the estimate is bit-stable). */
-  private[operators] val HllEstExpr =
+  /** The 32-bit md5 key hash (first 8 hex chars as a BIGINT) shared by
+    * the sketch family — agg_hll_distinct/agg_hll_sweep/
+    * agg_kmv_distinct and the gated streaming sketch twins — so every
+    * consumer sketches the SAME hash stream the oracles mirror. */
+  private[graft] val OrderkeyHash32 =
+    "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+  private[graft] val HllEstExpr =
     """CASE WHEN (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096 / (sp + (64 - present)) <= 160
       |       AND present < 64
       |     THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - present))
@@ -790,7 +797,7 @@ object Relational {
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .withColumn("h",
-        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        expr(OrderkeyHash32))
       .select(col("l_returnflag"),
         expr("h div 67108864").as("bucket"), // top 6 of 32 bits
         expr("h % 67108864").as("w"))        // remaining 26 bits
@@ -842,7 +849,7 @@ object Relational {
     Tables(spark, dir).lineitem
       .select(col("l_orderkey")).distinct()
       .withColumn("h",
-        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        expr(OrderkeyHash32))
       .select(col("h"), explode(expr("array(4, 6, 8)")).as("p"))
       .selectExpr("p",
         "CAST(CASE p WHEN 4 THEN 16 WHEN 6 THEN 64 ELSE 256 END AS BIGINT) AS mm",
@@ -1581,7 +1588,7 @@ object Relational {
           .otherwise(array(lit("r"), lit("u")))).as("s"), col("l_orderkey"))
       .distinct()
       .withColumn("h",
-        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        expr(OrderkeyHash32))
       .select(col("s"),
         expr("h div 67108864").as("bucket"),
         expr("h % 67108864").as("w"))
@@ -1720,7 +1727,7 @@ object Relational {
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .withColumn("h",
-        expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        expr(OrderkeyHash32))
       .groupBy("l_returnflag")
       .agg(
         round(kmv(col("h")), 3).as("est_distinct"),

@@ -277,6 +277,76 @@ object StreamOps {
       }
   }
 
+  /** Per-group sketch state for the APPEND-MODE snapshot twins:
+    * the mergeable sketch payload plus the exact rows-seen counter
+    * (over the gated queries' distinct-key input, rows seen IS the
+    * exact distinct count the batch readout reports). */
+  final case class HllCounted(registers: Array[Int], n: Long)
+
+  /** One per-batch HLL snapshot row: the raw 64-register vector (the
+    * mergeable state itself, NOT a point estimate — so any downstream
+    * reader can fold snapshots with register-wise max, the HLL merge)
+    * plus the rows-seen counter. */
+  final case class HllSnapshot(group: String, registers: Seq[Int], n_seen: Long)
+
+  /** [[hllDistinctStream]] re-shaped for an APPEND sink (the oracle
+    * gate's parquet sink only supports append, and mapGroupsWithState
+    * requires update mode): flatMapGroupsWithState emits each group's
+    * CURRENT raw registers once per micro-batch. Because the register
+    * vector is a join-semilattice (register-wise max), the sink's
+    * snapshot log folds to the exact final state under ANY
+    * micro-batching — the readback does that fold and then applies the
+    * batch estimator SQL verbatim, so the gated result is
+    * hash-identical to agg_hll_distinct's oracle. Same shared
+    * [[foldHllHashes]] as the update-mode twin — one register-fold
+    * definition in the codebase. */
+  def hllSnapshotStream(rows: Dataset[KeyedHash]): Dataset[HllSnapshot] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HllCounted, HllSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[HllCounted]) =>
+          val st = state.getOption.getOrElse(HllCounted(new Array[Int](64), 0L))
+          var n = st.n
+          foldHllHashes(st.registers, it.map { r => n += 1; r })
+          state.update(HllCounted(st.registers, n))
+          Iterator.single(HllSnapshot(g, st.registers.toSeq, n))
+      }
+  }
+
+  /** Per-group KMV snapshot state: the k-min hash set (the Aggregator's
+    * own [[graft.functions.KmvState]] payload) + rows-seen counter. */
+  final case class KmvCounted(hs: Seq[Long], n: Long)
+
+  /** One per-batch KMV snapshot row: the raw k-min set. */
+  final case class KmvSnapshot(group: String, hs: Seq[Long], n_seen: Long)
+
+  /** [[kmvDistinctStream]] re-shaped for an APPEND sink, the
+    * [[hllSnapshotStream]] move on the KMV sketch: emit the raw k-min
+    * set per batch (k-min of a union == k-min of merged k-mins, so the
+    * snapshot log folds exactly under any micro-batching); the reduce
+    * is the batch Aggregator's own [[graft.functions.KmvDistinct.reduce]]
+    * — one definition of the sketch in the codebase. */
+  def kmvSnapshotStream(rows: Dataset[KeyedHash]): Dataset[KmvSnapshot] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.{KmvDistinct, KmvState}
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[KmvCounted, KmvSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[KmvCounted]) =>
+          val st = state.getOption.getOrElse(KmvCounted(Vector.empty, 0L))
+          var s = KmvState(st.hs)
+          var n = st.n
+          it.foreach { r => s = KmvDistinct.reduce(s, r.h); n += 1 }
+          state.update(KmvCounted(s.hs, n))
+          Iterator.single(KmvSnapshot(g, s.hs, n))
+      }
+  }
+
   /** A keyed sample row for the streaming quantile twin: the same
     * (group, md5 sample key, value cents) triple the batch
     * agg_quantile_sample derives per lineitem row. */
@@ -529,11 +599,38 @@ object StreamOps {
       .groupByKey(_.user_id)
       .mapGroupsWithState[Int, AbUser] {
         (uid: Long, evs: Iterator[Ev], state: GroupState[Int]) =>
-          val conv = evs.foldLeft(state.getOption.getOrElse(0)) { (acc, e) =>
-            if (e.event_type == "purchase" && e.value > 150) 1 else acc
-          }
+          val conv = foldConv(state.getOption.getOrElse(0), evs)
           state.update(conv)
           AbUser(uid, abArm(uid), conv)
+      }
+  }
+
+  /** ONE definition of the running conversion fold (the JVM spelling
+    * of EventOps.AbConvGate), shared by the update-mode and
+    * append-mode A/B twins. */
+  private def foldConv(prev: Int, evs: Iterator[Ev]): Int =
+    evs.foldLeft(prev) { (acc, e) =>
+      if (e.event_type == "purchase" && e.value > 150) 1 else acc
+    }
+
+  /** [[abTestStream]] re-shaped for an APPEND sink (the
+    * [[hllSnapshotStream]] move): each micro-batch emits every touched
+    * user's current (arm, conv) row. conv is a running max of a 0/1
+    * gate — a join-semilattice — and the arm is a pure function of the
+    * key, so the snapshot log folds exactly (max per user) under any
+    * micro-batching; the gated readback folds and then applies the
+    * batch readout's own accumulator + derived-column strings. */
+  def abTestSnapshotStream(events: Dataset[Ev]): Dataset[AbUser] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, AbUser](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Int]) =>
+          val conv = foldConv(state.getOption.getOrElse(0), evs)
+          state.update(conv)
+          Iterator.single(AbUser(uid, abArm(uid), conv))
       }
   }
 
@@ -968,6 +1065,198 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** §2.8 oracle promotion #6 (VERDICT r9 #2) — the SKETCH-STATE
+    * shape, HLL: [[hllSnapshotStream]] driven through the file-source →
+    * checkpointed-parquet-sink lifecycle on the SAME distinct-key hash
+    * stream the batch agg_hll_distinct sketches, the sink's snapshot
+    * log folded with register-wise max (the HLL merge), and the batch
+    * estimator applied VERBATIM (Relational.HllEstExpr — one estimator
+    * string in the codebase). Oracle: the same SQL as agg_hll_distinct,
+    * so hash-equality proves the streaming sketch state that reached
+    * the sink is indistinguishable from the batch sketch. No sentinel:
+    * the operator emits during the data batch itself (append mode,
+    * NoTimeout — no watermark involved). */
+  def streamHllDistinctGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val hashed = sketchInput(spark, dir)
+    val emitted = driveToSinkOpt(spark, dir, "hll", hashed, None,
+      s => hllSnapshotStream(s.as[KeyedHash]).toDF())
+    val folded = emitted
+      .select(col("group"), posexplode(col("registers")).as(Seq("pos", "r")))
+      .groupBy("group", "pos").agg(max("r").as("r"))
+      .filter(col("r") > 0)
+      .groupBy("group")
+      .agg(count(lit(1)).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -r)")).as("sp"))
+    val exact = emitted.groupBy("group").agg(max("n_seen").as("n_exact"))
+    folded.join(exact, "group")
+      .select(col("group").as("l_returnflag"),
+        round(expr(graft.operators.Relational.HllEstExpr), 3).as("est_distinct"),
+        col("n_exact"))
+      .orderBy("l_returnflag")
+  }
+
+  /** §2.8 oracle promotion #7 — the SKETCH-STATE shape, KMV:
+    * [[kmvSnapshotStream]] through the same lifecycle, the snapshot
+    * log folded with the k-min-of-union merge (explode → distinct →
+    * rank ≤ K — exactly [[graft.functions.KmvDistinct.merge]] as a
+    * relational plan), the estimate derived with the Aggregator's
+    * finish arithmetic. Oracle: the same SQL as agg_kmv_distinct. */
+  def streamKmvDistinctGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val hashed = sketchInput(spark, dir)
+    val emitted = driveToSinkOpt(spark, dir, "kmv", hashed, None,
+      s => kmvSnapshotStream(s.as[KeyedHash]).toDF())
+    val kmin = emitted
+      .select(col("group"), explode(col("hs")).as("h")).distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("group").orderBy("h")))
+      .filter(col("rn") <= graft.functions.KmvDistinct.K)
+    // KmvDistinct.finish verbatim: exact count below K, else
+    // (K-1) * 2^32 / h_K — 63 * 4294967296.0 is exact in double, one
+    // final division, same association as the Aggregator and oracle.
+    val est = kmin.groupBy("group")
+      .agg(count(lit(1)).as("nmin"), max("h").as("hk"))
+      .select(col("group"),
+        round(expr("CASE WHEN nmin < 64 THEN CAST(nmin AS DOUBLE) " +
+          "ELSE 63 * 4294967296.0 / hk END"), 3).as("est_distinct"))
+    val exact = emitted.groupBy("group").agg(max("n_seen").as("n_exact"))
+    est.join(exact, "group")
+      .select(col("group").as("l_returnflag"), col("est_distinct"),
+        col("n_exact"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The sketch twins' staged input: the SAME distinct-first key-hash
+    * stream the batch agg_hll_distinct / agg_kmv_distinct sketch
+    * (Relational.OrderkeyHash32 — one hash string, mirrored in both
+    * oracles). */
+  private def sketchInput(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .select(col("l_returnflag").as("group"),
+        expr(graft.operators.Relational.OrderkeyHash32).as("h"))
+
+  /** §2.8 oracle promotion #8 — the EXPERIMENT-READOUT shape:
+    * [[abTestSnapshotStream]] through the same lifecycle on the real
+    * events corpus, the per-user snapshot log folded with max(conv)
+    * (the flag is a join-semilattice; the arm is a pure function of
+    * the key), then the batch readout's OWN accumulator expressions
+    * and derived columns (EventOps.AbReadout — the z², rate, and
+    * accumulator strings are shared, not copied). Oracle: the same
+    * SQL as ev_ab_test. */
+  def streamAbTestGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val emitted = driveToSinkOpt(spark, dir, "abtest", ev, None,
+      s => abTestSnapshotStream(s.as[Ev]).toDF())
+    emitted.groupBy("user_id")
+      .agg(max("conv").as("conv"), max("arm_b").as("arm_b"))
+      .agg(
+        sum(expr("CASE WHEN arm_b = 0 THEN 1 ELSE 0 END")).as("n_a"),
+        sum(expr("CASE WHEN arm_b = 0 THEN conv ELSE 0 END")).as("c_a"),
+        sum(expr("CASE WHEN arm_b = 1 THEN 1 ELSE 0 END")).as("n_b"),
+        sum(expr("CASE WHEN arm_b = 1 THEN conv ELSE 0 END")).as("c_b"))
+      .selectExpr(graft.operators.EventOps.AbReadout: _*)
+  }
+
+  /** §2.8 MULTI-BATCH replay under the oracle gate (VERDICT r9 #3):
+    * the same watermarked hourly aggregate as [[streamHourlyAggGated]],
+    * but staged as THREE contiguous time-ordered source files plus the
+    * sentinel file — each with a strictly increasing mtime — and the
+    * source throttled with maxFilesPerTrigger=1, so batch boundaries
+    * are deterministic (the file source admits oldest-mtime-first) and
+    * the watermark genuinely ADVANCES between batches: windows
+    * finalize, emit, and evict MID-STREAM, not only at the final
+    * drain. Contiguity by event time is what makes a multi-batch
+    * replay ordering-safe where an arbitrary split is not (the
+    * [[driveToSinkOpt]] scaladoc's caveat): every event in chunk k+1
+    * is newer than chunk k's max, so nothing arrives behind the
+    * watermark. The driver REQUIRES ≥5 checkpointed batches (4 file
+    * batches + the no-data finalize batch) — the gate fails loudly if
+    * the replay ever collapses back to one batch. Oracle: the same
+    * SQL as stream_hourly_agg / ev_hourly_agg. */
+  def streamHourlyMultiGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_hourlymb_${key}_p${ProcessHandle.current().pid()}")
+    deleteRecursively(work)
+    val src = work.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val sink = work.resolve("sink").toString
+    val ckpt = work.resolve("ckpt")
+    val b = ev.agg(min("ts"), max("ts")).first()
+    val (t0, t1) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+    val cut1 = new java.sql.Timestamp(t0 + (t1 - t0) / 3)
+    val cut2 = new java.sql.Timestamp(t0 + 2 * ((t1 - t0) / 3))
+    val sentinelRow = Seq(org.apache.spark.sql.Row(
+      new java.sql.Timestamp(t1 + 48L * 3600 * 1000), "__flush__", 0.0))
+    val chunks = Seq(
+      ev.filter(col("ts") < lit(cut1)),
+      ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+      ev.filter(col("ts") >= lit(cut2)),
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(sentinelRow).asJava),
+        ev.schema))
+    // Stage chunk k as src/chunk_k.parquet with mtime base + k minutes:
+    // explicit, strictly increasing mtimes pin the file source's
+    // oldest-first admission order regardless of write timing.
+    val mtimeBase = (System.currentTimeMillis / 1000) * 1000 - 3600L * 1000
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = work.resolve(s"__stage_$i")
+      c.coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = src.resolve(f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 60000L))
+      java.nio.file.Files.list(tmp).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists)
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = hourlyAggWatermarked(stream)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nBatches = {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(ckpt.resolve("offsets"))
+      try ls.iterator().asScala.count(_.getFileName.toString.forall(_.isDigit))
+      finally ls.close()
+    }
+    require(nBatches >= 5,
+      s"multi-batch replay collapsed to $nBatches batches — " +
+        "maxFilesPerTrigger=1 staging is not splitting")
+    spark.read.parquet(sink)
+      .filter(col("event_type") =!= "__flush__")
+      .orderBy("hour", "event_type")
+  }
+
   /** Shared batch-replay-through-streaming driver for the gated §2.8
     * queries: stage the frame into a temp source dir (one corpus file
     * + the sentinel file), run the pipeline with AvailableNow — ONE
@@ -989,6 +1278,17 @@ object StreamOps {
   private def driveToSink(spark: org.apache.spark.sql.SparkSession,
       dir: String, tag: String, frame: DataFrame,
       sentinel: java.sql.Timestamp => Seq[org.apache.spark.sql.Row],
+      pipeline: DataFrame => DataFrame): DataFrame =
+    driveToSinkOpt(spark, dir, tag, frame, Some(sentinel), pipeline)
+
+  /** [[driveToSink]] with the flush sentinel OPTIONAL: the
+    * mapGroupsWithState-family twins emit during the data batch itself
+    * (append mode, NoTimeout — no watermark is involved), so their
+    * replay needs no sentinel row and may not even carry a timestamp
+    * column to hang one on. */
+  private def driveToSinkOpt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, frame: DataFrame,
+      sentinelOpt: Option[java.sql.Timestamp => Seq[org.apache.spark.sql.Row]],
       pipeline: DataFrame => DataFrame): DataFrame = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -1004,14 +1304,16 @@ object StreamOps {
     val sink = work.resolve("sink").toString
     val ckpt = work.resolve("ckpt").toString
     frame.coalesce(1).write.parquet(src)
-    val tsCol = frame.schema.fields
-      .find(_.dataType == org.apache.spark.sql.types.TimestampType).get.name
-    val maxTs = frame.agg(max(tsCol)).first().getTimestamp(0)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(sentinel(maxTs)).asJava),
-      frame.schema)
-      .coalesce(1).write.mode("append").parquet(src)
+    sentinelOpt.foreach { sentinel =>
+      val tsCol = frame.schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.TimestampType).get.name
+      val maxTs = frame.agg(max(tsCol)).first().getTimestamp(0)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(sentinel(maxTs)).asJava),
+        frame.schema)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
     val stream = spark.readStream.schema(frame.schema).parquet(src)
     val q = pipeline(stream)
       .writeStream.format("parquet")
@@ -1047,12 +1349,16 @@ object StreamOps {
       "stream_sessionize" -> (streamSessionizeGated(_, _)),
       "stream_range_join" -> (streamRangeJoinGated(_, _)),
       "stream_transitions" -> (streamTransitionsGated(_, _)),
-      "stream_dedup_exact" -> (streamDedupGated(_, _)))
+      "stream_dedup_exact" -> (streamDedupGated(_, _)),
+      "stream_hll_distinct" -> (streamHllDistinctGated(_, _)),
+      "stream_kmv_distinct" -> (streamKmvDistinctGated(_, _)),
+      "stream_ab_test" -> (streamAbTestGated(_, _)),
+      "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
     * THAT is the point: the streaming pipelines' sinks must be
     * indistinguishable from the batch results. */
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "stream_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
         | round(sum(value), 3) AS sum_value
@@ -1092,7 +1398,24 @@ object StreamOps {
         |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
     "stream_dedup_exact" ->
       """SELECT event_id, ts, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // The sketch / experiment promotions reuse their batch twins'
+    // oracles BY REFERENCE — the whole point of the gate is that the
+    // streaming sink is indistinguishable from the batch answer, so a
+    // drift between the two strings would be a bug, not a choice.
+    "stream_hll_distinct" ->
+      graft.operators.Relational.oracles("agg_hll_distinct"),
+    "stream_kmv_distinct" ->
+      graft.operators.Relational.oracles("agg_kmv_distinct"),
+    "stream_ab_test" ->
+      graft.operators.EventOps.oracles("ev_ab_test"))
+
+  /** The multi-batch replay shares stream_hourly_agg's oracle string
+    * (same pipeline, different replay shape) — appended outside the
+    * literal so the map can self-reference it. */
+  val oracles: Map[String, String] =
+    oraclesBase +
+      ("stream_hourly_multibatch" -> oraclesBase("stream_hourly_agg"))
 
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
