@@ -1,0 +1,361 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, Relational}
+
+/** Independent-implementation pin for the two heaviest iterative graph
+  * kernels (VERDICT r9 next-round #1): their DuckDB oracles are
+  * intractable at sf1 (the unrolled-iteration CTEs blow past 3 h at
+  * 100× the gate scale), so the sf1 correctness evidence comes from
+  * INDEPENDENT implementations instead — the GraphSpec-components-vs-
+  * GraphX move applied to pagerank and betweenness:
+  *
+  *  1. **Exact replica gate** — a single-threaded, array-based (CSR)
+  *     reimplementation of each kernel's integer specification runs
+  *     driver-side on the collected edge list and must match the
+  *     distributed result EXACTLY (every vertex, every integer rank
+  *     unit / dependency quantum, and the iteration count). The
+  *     definition is already oracle-pinned at sf0.1; what is UNPROVEN
+  *     at sf1 is the distributed machinery — the checkpointed loops,
+  *     SizeGate tier flips, co-partitioned joins, AQE replans — and an
+  *     adjacency-array while-loop shares none of it. The driver-side
+  *     collect is the WITNESS's whole point (an independent
+  *     single-node referee), not a query shape: the production
+  *     operator stays fully distributed.
+  *  2. **GraphX cross-check (pagerank)** — Spark's own PageRank is an
+  *     independent DEFINITION substrate (double-precision Pregel, not
+  *     our fixed-point hysteresis loop), so it catches definition-
+  *     level bugs the replica would faithfully reproduce. Our rank
+  *     units scale to GraphX's sums-to-N convention by r·n/SCALE;
+  *     agreement is necessarily banded, not exact: the hysteresis
+  *     freeze (1% per vertex) plus GraphX's finite iteration count
+  *     bound the gap. The check asserts the measured max relative
+  *     error under a declared tolerance and that our top-20 vertices
+  *     sit inside GraphX's top-25 (rank-order agreement without
+  *     tie-order brittleness).
+  *
+  * Usage: `runMain graft.GraphPin <sfDir> [graphxTol=0.05]`
+  * Prints one JSON line; throws (nonzero exit) on any mismatch.
+  * GraphSpec runs [[check]] at sf0.001 so the pin logic itself is
+  * suite-gated; the sf1 row comes from running this main on the
+  * ScaleUp replica.
+  */
+object GraphPin {
+
+  // ------------------------------------------------------------------
+  // Local single-threaded PageRank replica (GraphOps.pagerankRanks'
+  // integer spec: warm start, truncating mass push, hysteresis freeze,
+  // L1-delta exit — same constants, shared by reference).
+  // ------------------------------------------------------------------
+
+  final case class PrLocal(ranks: java.util.HashMap[Long, Long], iters: Int)
+
+  private[graft] def localPagerank(verts: Array[Long],
+      pairs: Array[(Long, Long)]): PrLocal = {
+    val n = verts.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    verts.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    // CSR over the symmetric edge list
+    val deg = new Array[Int](n)
+    pairs.foreach { case (c, s) =>
+      deg(idx.get(c)) += 1; deg(idx.get(s)) += 1
+    }
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](start(n))
+    val fill = java.util.Arrays.copyOf(start, n)
+    pairs.foreach { case (c, s) =>
+      val ci = idx.get(c).intValue; val si = idx.get(s).intValue
+      nbr(fill(ci)) = si; fill(ci) += 1
+      nbr(fill(si)) = ci; fill(si) += 1
+    }
+    val scale = GraphOps.Scale
+    val tot = start(n).toLong
+    val tele = (scale * 15) / (100L * n)
+    var r = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      // warm start: teleport + damped degree share (truncating div,
+      // exactly the distributed init expression)
+      r(i) = tele + (85L * scale * deg(i)) / (100L * tot)
+      i += 1
+    }
+    val contrib = new Array[Long](n)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < GraphOps.PrMaxIter) {
+      java.util.Arrays.fill(contrib, 0L)
+      i = 0
+      while (i < n) {
+        if (deg(i) > 0) {
+          val c = r(i) / deg(i)
+          var e = start(i)
+          while (e < start(i + 1)) { contrib(nbr(e)) += c; e += 1 }
+        }
+        i += 1
+      }
+      val next = new Array[Long](n)
+      var delta = 0L
+      i = 0
+      while (i < n) {
+        val x = tele + (contrib(i) * 85) / 100
+        val rp = r(i)
+        next(i) =
+          if (math.abs(x - rp) * GraphOps.PrFreezeDenom <= rp) rp else x
+        delta += math.abs(next(i) - rp)
+        i += 1
+      }
+      r = next
+      iters += 1
+      converged = delta == 0L
+    }
+    val out = new java.util.HashMap[Long, Long](n * 2)
+    i = 0
+    while (i < n) { out.put(verts(i), r(i)); i += 1 }
+    PrLocal(out, iters)
+  }
+
+  // ------------------------------------------------------------------
+  // Local per-source exact Brandes replica (GraphOps.betweennessFrom's
+  // integer spec: level-synchronous sigma, BfsMaxIter cap, quantized
+  // dependency (sigma_u·(Q + dq_v)) div sigma_v with truncating
+  // DECIMAL(38,0) division — BigInt here).
+  // ------------------------------------------------------------------
+
+  /** v → (n_sources, bq): sources that reached v (v ≠ source) and the
+    * exact summed dependency quanta. */
+  private[graft] def localBetweenness(pairs: Array[(Long, Long)],
+      seeds: Array[Long]): java.util.HashMap[Long, (Long, BigInt)] = {
+    val vs = {
+      val set = new java.util.HashSet[Long]()
+      pairs.foreach { case (a, b) => set.add(a); set.add(b) }
+      val a = new Array[Long](set.size)
+      val it = set.iterator(); var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
+    val n = vs.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    vs.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val deg = new Array[Int](n)
+    pairs.foreach { case (a, b) =>
+      deg(idx.get(a)) += 1; deg(idx.get(b)) += 1
+    }
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](start(n))
+    val fill = java.util.Arrays.copyOf(start, n)
+    pairs.foreach { case (a, b) =>
+      val ai = idx.get(a).intValue; val bi = idx.get(b).intValue
+      nbr(fill(ai)) = bi; fill(ai) += 1
+      nbr(fill(bi)) = ai; fill(bi) += 1
+    }
+    val q = BigInt(1000000L)
+    val out = new java.util.HashMap[Long, (Long, BigInt)](n * 2)
+    for (s <- seeds) {
+      val si = idx.get(s).intValue
+      val dist = Array.fill(n)(-1)
+      val sig = new Array[Long](n)
+      val levels = scala.collection.mutable.ArrayBuffer[Array[Int]]()
+      dist(si) = 0; sig(si) = 1L
+      var frontier = Array(si)
+      levels += frontier
+      var level = 0
+      // forward: level-synchronous BFS, sigma summed from the frontier
+      // parents only (all level-L parents settle in round L)
+      while (frontier.nonEmpty && level < GraphOps.BfsMaxIter) {
+        level += 1
+        val cand = new java.util.HashMap[Integer, Long]()
+        frontier.foreach { u =>
+          var e = start(u)
+          while (e < start(u + 1)) {
+            val v = nbr(e)
+            if (dist(v) < 0) {
+              val prev = cand.get(v)
+              cand.put(v, (if (prev == null) 0L else prev.longValue) + sig(u))
+            }
+            e += 1
+          }
+        }
+        val arr = new Array[Int](cand.size)
+        val it = cand.entrySet().iterator(); var k = 0
+        while (it.hasNext) {
+          val ent = it.next()
+          val v = ent.getKey.intValue
+          dist(v) = level; sig(v) = ent.getValue
+          arr(k) = v; k += 1
+        }
+        frontier = arr
+        if (arr.nonEmpty) levels += arr
+      }
+      val lmax = if (frontier.isEmpty) level - 1 else level
+      // backward: deepest level dq = 0; each shallower level's dq is
+      // the truncated quantized fold over its DAG children
+      val dq = new Array[BigInt](n)
+      levels(lmax).foreach(v => dq(v) = BigInt(0))
+      var l = lmax - 1
+      while (l >= 0) {
+        levels(l).foreach { u =>
+          var acc = BigInt(0)
+          var e = start(u)
+          while (e < start(u + 1)) {
+            val v = nbr(e)
+            if (dist(v) == l + 1)
+              acc += BigInt(sig(u)) * (q + dq(v)) / BigInt(sig(v))
+            e += 1
+          }
+          dq(u) = acc
+        }
+        l -= 1
+      }
+      // accumulate: every settled vertex except the source itself
+      var li = 0
+      while (li <= lmax) {
+        levels(li).foreach { v =>
+          if (v != si) {
+            val prev = out.get(vs(v))
+            out.put(vs(v),
+              if (prev == null) (1L, dq(v))
+              else (prev._1 + 1L, prev._2 + dq(v)))
+          }
+        }
+        li += 1
+      }
+    }
+    out
+  }
+
+  /** Spark round(double, 4) semantics (scala BigDecimal HALF_UP). */
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ------------------------------------------------------------------
+  // The checks
+  // ------------------------------------------------------------------
+
+  final case class PinReport(
+      prVertices: Long, prIters: Int, prLocalIters: Int,
+      gxVertices: Long, gxMaxRelErr: Double, gxTop20InTop25: Boolean,
+      bwVertices: Long, bwSeeds: Int)
+
+  def check(spark: SparkSession, dir: String,
+      graphxTol: Double = 0.05): PinReport = {
+    val session = spark
+    import session.implicits._
+    val t = Tables(spark, dir)
+
+    // ---------- pagerank ----------
+    // Same derivations as pagerankRanks (the encoded bipartite graph);
+    // re-stated here so the replica's input is collected ONCE and the
+    // distributed kernel still derives its own.
+    val pairsDf = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cv"),
+        (col("l_suppkey") * 2 + 1).as("sv"))
+      .distinct()
+      .localCheckpoint()
+    val verts = t.customer.select((col("c_custkey") * 2).as("v"))
+      .unionByName(t.supplier.select((col("s_suppkey") * 2 + 1).as("v")))
+      .as[Long].collect()
+    val prPairs = pairsDf.as[(Long, Long)].collect()
+
+    val (ranksDf, iters) = GraphOps.pagerankRanks(spark, dir)
+    val ours = ranksDf.select(col("v"), col("r")).as[(Long, Long)].collect()
+    val local = localPagerank(verts, prPairs)
+    require(local.iters == iters,
+      s"pagerank iteration count diverged: distributed=$iters local=${local.iters}")
+    require(ours.length == local.ranks.size,
+      s"pagerank vertex domains differ: ${ours.length} vs ${local.ranks.size}")
+    val prDiff = ours.filter { case (v, r) =>
+      val lr = local.ranks.get(v)
+      lr == null || lr.longValue != r
+    }
+    require(prDiff.isEmpty,
+      s"${prDiff.length} pagerank vertices diverged from the exact local " +
+        s"replica, e.g. ${prDiff.take(3).map { case (v, r) =>
+          s"v=$v dist=$r local=${local.ranks.get(v)}" }.mkString("; ")}")
+
+    // ---------- pagerank vs GraphX (definitional cross-check) ----------
+    import org.apache.spark.graphx.{Edge, Graph}
+    val n = verts.length.toLong
+    val edgeRdd = pairsDf.rdd.flatMap { r =>
+      val c = r.getLong(0); val s = r.getLong(1)
+      Iterator(Edge(c, s, 1), Edge(s, c, 1))
+    }
+    // 60 static iterations: residual ~0.85^60 ≈ 6e-5 — far inside the
+    // hysteresis band, so the measured gap is OUR freeze, not GraphX's.
+    val gx = Graph.fromEdges(edgeRdd, 0).staticPageRank(60, 0.15)
+      .vertices.collect().toMap
+    val oursMap = ours.toMap
+    val scale = GraphOps.Scale.toDouble
+    var maxRel = 0.0
+    gx.foreach { case (v, gxr) =>
+      val scaled = oursMap(v).toDouble * n / scale
+      val rel = math.abs(scaled - gxr) / gxr
+      if (rel > maxRel) maxRel = rel
+    }
+    require(maxRel <= graphxTol,
+      f"pagerank diverged from GraphX beyond tolerance: max rel err " +
+        f"$maxRel%.4f > $graphxTol%.4f")
+    val top20 = ours.sortBy { case (v, r) => (-r, v) }.take(20).map(_._1).toSet
+    val gxTop25 = gx.toSeq.sortBy { case (v, r) => (-r, v) }
+      .take(25).map(_._1).toSet
+    val topOk = top20.subsetOf(gxTop25)
+    require(topOk,
+      s"our pagerank top-20 is not within GraphX's top-25: missing " +
+        s"${(top20 -- gxTop25).take(5)}")
+
+    // ---------- betweenness ----------
+    // The exact graphBetweenness derivation: co-purchase pairs, both
+    // directions, 4 md5-ranked sources.
+    val bwPairsDf = Relational.coPurchasePairCounts(spark, dir)
+      .select("p1", "p2").localCheckpoint()
+    val sym = bwPairsDf.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionByName(bwPairsDf.select(col("p2").as("src"), col("p1").as("dst")))
+    val seedsDf = sym.select(col("src")).distinct()
+      .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
+      .limit(GraphOps.BetweennessSeeds)
+    val seeds = seedsDf.as[Long].collect()
+    val dist = GraphOps.betweennessFrom(spark, sym, seedsDf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    val bwPairs = bwPairsDf.as[(Long, Long)].collect()
+    val loc = localBetweenness(bwPairs, seeds)
+    require(dist.length == loc.size,
+      s"betweenness vertex domains differ: ${dist.length} vs ${loc.size}")
+    val bwDiff = dist.filter { case (v, (ns, b)) =>
+      val lv = loc.get(v)
+      lv == null || lv._1 != ns || round4(lv._2.toDouble / 1000000.0) != b
+    }
+    require(bwDiff.isEmpty,
+      s"${bwDiff.length} betweenness vertices diverged from per-source " +
+        s"exact Brandes, e.g. ${bwDiff.take(3).map { case (v, (ns, b)) =>
+          val lv = loc.get(v)
+          s"v=$v dist=($ns,$b) local=$lv" }.mkString("; ")}")
+
+    PinReport(ours.length.toLong, iters, local.iters,
+      gx.size.toLong, maxRel, topOk, dist.length.toLong, seeds.length)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val tol = args.lift(1).map(_.toDouble).getOrElse(0.05)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val spark = GraftSession.local(cpus, "graft-graphpin")
+    val r = check(spark, dir, tol)
+    println(
+      s"""{"graphpin":"ok","dir":"$dir","pr_vertices":${r.prVertices},""" +
+        s""""pr_iters":${r.prIters},"pr_exact_match":true,""" +
+        s""""graphx_vertices":${r.gxVertices},""" +
+        f""""graphx_max_rel_err":${r.gxMaxRelErr}%.6f,""" +
+        s""""graphx_top20_in_top25":${r.gxTop20InTop25},""" +
+        s""""bw_vertices":${r.bwVertices},"bw_seeds":${r.bwSeeds},""" +
+        s""""bw_exact_match":true}""")
+    spark.stop()
+  }
+}

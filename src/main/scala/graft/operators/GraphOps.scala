@@ -48,7 +48,7 @@ import graft.plans.SizeGate
 object GraphOps {
 
   /** Fixed-point scale: 1 rank unit = 1e-12. */
-  private val Scale = 1000000000000L
+  private[graft] val Scale = 1000000000000L
 
   /** Checkpoint bookkeeping shared by EVERY iterative kernel in this
     * file (pagerank/hits/bfs/closeness/betweenness/kcore/label-prop):
@@ -84,7 +84,7 @@ object GraphOps {
 
   /** Freeze band denominator: a vertex's rank holds still when its
     * update moves it by <= r/PrFreezeDenom (1%). */
-  private val PrFreezeDenom = 100L
+  private[graft] val PrFreezeDenom = 100L
 
   // NOTE (measured r5): seeded/personalized mode runs to the PrMaxIter
   // cap BY THE MATH, not by chatter — the debug hook below shows the L1

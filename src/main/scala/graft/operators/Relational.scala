@@ -1889,7 +1889,7 @@ object Relational {
     * derivation behind [[q26BasketPairs]] and GraphOps.graphTriangles'
     * edge list: ONE definition so a change (null guard, threshold)
     * can never diverge the two consumers. */
-  private[operators] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
     coPurchasePairCounts(Tables(spark, dir).lineitem
       .select("l_orderkey", "l_partkey").distinct())
 
