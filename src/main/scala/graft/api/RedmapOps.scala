@@ -104,6 +104,33 @@ object RedmapOps {
         .reduceGroups((a: (K, V), b: (K, V)) => (a._1, f(a._2, b._2)))
         .map(_._2)
 
+    /** Streaming twin of [[reduceByKeyOp]] for APPEND sinks (the §2.1
+      * surface's streaming member): per key, fold arriving values into
+      * running state with `f` and emit the key's CURRENT reduction
+      * once per micro-batch — the snapshot-log shape
+      * (StreamOps.hllSnapshotStream's move generalized to a user
+      * reduce). On a batch Dataset this degenerates to one emission
+      * per key == [[reduceByKeyOp]]; on a stream the sink log folds to
+      * the final reduction per key with any merge compatible with `f`
+      * (max for a monotone counter, `f` itself when associative over
+      * disjoint deliveries). Works with parquet/append sinks where
+      * reduceGroups (update-mode) cannot. State is ONE V per key. */
+    def runningReduceByKeyOp(f: (V, V) => V)(implicit ke: Encoder[K],
+        ve: Encoder[V], kve: Encoder[(K, V)]): Dataset[(K, V)] = {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      ds.groupByKey(_._1)
+        .flatMapGroupsWithState[V, (K, V)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (k: K, it: Iterator[(K, V)], state: GroupState[V]) =>
+            var acc = state.getOption
+            it.foreach { kv =>
+              acc = Some(acc.fold(kv._2)(a => f(a, kv._2)))
+            }
+            acc.foreach(state.update)
+            acc.map(v => (k, v)).iterator
+        }
+    }
+
     /** Inner equi-join by key with another pair dataset. */
     def joinByKeyOp[W](other: Dataset[(K, W)])(implicit
         e: Encoder[(K, V, W)]): Dataset[(K, V, W)] = {

@@ -1170,6 +1170,37 @@ object StreamOps {
       .selectExpr(graft.operators.EventOps.AbReadout: _*)
   }
 
+  /** §2.1's API surface under the streaming oracle gate (VERDICT r9
+    * stretch): the EXACT mr_redmap_pipeline combinator chain — typed
+    * RedmapOps facade, not a rewrite — run as a streaming query
+    * through the file-source → checkpointed-parquet-sink lifecycle.
+    * The stateless prefix (flatMapOp → filterOp → keyByOp →
+    * mapValuesOp) is shared verbatim with the batch query; the shuffle
+    * step swaps reduceByKeyOp (update-mode, append-incompatible) for
+    * its streaming twin runningReduceByKeyOp (same fold `_ + _`,
+    * snapshot-per-batch emission), and the batch tail (threshold
+    * filter + global sort) runs on the folded sink readback — counts
+    * are monotone under the exactly-once replay, so max per key IS the
+    * final count. Oracle: the same SQL as mr_redmap_pipeline. */
+  def streamRedmapGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    import graft.api.RedmapOps._
+    val docs = graft.Tables(spark, dir).documents.select("text")
+    val emitted = driveToSinkOpt(spark, dir, "redmap", docs, None, s =>
+      s.as[String]
+        .flatMapOp(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+        .filterOp(_.length >= 4)
+        .keyByOp(identity)
+        .mapValuesOp(_ => 1L)
+        .runningReduceByKeyOp(_ + _)
+        .toDF("word", "cnt"))
+    emitted.groupBy("word").agg(max("cnt").as("cnt"))
+      .filter(col("cnt") >= 10L)
+      .orderBy("word")
+  }
+
   /** §2.8 MULTI-BATCH replay under the oracle gate (VERDICT r9 #3):
     * the same watermarked hourly aggregate as [[streamHourlyAggGated]],
     * but staged as THREE contiguous time-ordered source files plus the
@@ -1353,6 +1384,7 @@ object StreamOps {
       "stream_hll_distinct" -> (streamHllDistinctGated(_, _)),
       "stream_kmv_distinct" -> (streamKmvDistinctGated(_, _)),
       "stream_ab_test" -> (streamAbTestGated(_, _)),
+      "stream_redmap_pipeline" -> (streamRedmapGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
@@ -1408,7 +1440,9 @@ object StreamOps {
     "stream_kmv_distinct" ->
       graft.operators.Relational.oracles("agg_kmv_distinct"),
     "stream_ab_test" ->
-      graft.operators.EventOps.oracles("ev_ab_test"))
+      graft.operators.EventOps.oracles("ev_ab_test"),
+    "stream_redmap_pipeline" ->
+      graft.operators.TextOps.oracles("mr_redmap_pipeline"))
 
   /** The multi-batch replay shares stream_hourly_agg's oracle string
     * (same pipeline, different replay shape) — appended outside the

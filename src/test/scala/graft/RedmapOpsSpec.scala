@@ -104,4 +104,43 @@ class RedmapOpsSpec extends AnyFunSuite {
       assert(math.abs(s1 - s2) < 1e-2, s"nation $k1: $s1 vs $s2")
     }
   }
+
+  test("runningReduceByKeyOp snapshots fold to reduceByKeyOp across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The mr_redmap_pipeline word stream, delivered across three
+    // micro-batches: the append-mode snapshot log's per-key max must
+    // equal the batch reduceByKeyOp counts exactly (counts are
+    // monotone under exactly-once delivery).
+    val words = Tables(spark, sf).documents.select("text").as[String]
+      .flatMapOp(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq)
+      .filterOp(_.length >= 4)
+      .collect().toSeq
+    val (a, rest) = words.splitAt(words.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    val input = MemoryStream[String]
+    val q = input.toDS()
+      .keyByOp(identity)
+      .mapValuesOp(_ => 1L)
+      .runningReduceByKeyOp(_ + _)
+      .toDF("word", "cnt")
+      .writeStream.format("memory").queryName("rrbk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val folded = spark.sql(
+      "SELECT word, max(cnt) AS cnt FROM rrbk GROUP BY word")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = words.toDS()
+      .keyByOp(identity).mapValuesOp(_ => 1L).reduceByKeyOp(_ + _)
+      .collect().toMap
+    assert(folded == batch,
+      s"snapshot fold diverged: ${folded.size} vs ${batch.size} keys")
+    assert(folded.values.exists(_ > 2), "fixture degenerate: no repeated words")
+  }
 }
