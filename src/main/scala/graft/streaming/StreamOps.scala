@@ -394,6 +394,46 @@ object StreamOps {
       }
   }
 
+  /** Per-group quantile-sample snapshot state: the k-min-by-skey
+    * buffer plus the rows-seen counter (the batch query's `n`). */
+  final case class QSampleCounted(skeys: Seq[String], values: Seq[Long],
+      n: Long)
+
+  /** One per-batch sample snapshot: the RAW kept buffer (mergeable —
+    * the k-min-by-skey set is a join-semilattice like KMV's) plus the
+    * rows-seen counter. */
+  final case class QSnapshot(group: String, skeys: Seq[String],
+      values: Seq[Long], n_seen: Long)
+
+  /** [[quantileSampleStream]] re-shaped for an APPEND sink (the
+    * [[hllSnapshotStream]] move): emit the raw kept buffer per batch
+    * so the sink log folds exactly — k-min of a union == k-min of
+    * merged k-mins — and the gated readback re-derives the batch
+    * query's integer nearest-rank estimates from the folded sample.
+    * Same insert rule as the update twin. */
+  def quantileSnapshotStream(rows: Dataset[KeyedSample], k: Int = 100)
+      : Dataset[QSnapshot] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[QSampleCounted, QSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KeyedSample], state: GroupState[QSampleCounted]) =>
+          val st = state.getOption
+            .getOrElse(QSampleCounted(Vector.empty, Vector.empty, 0L))
+          var buf = st.skeys.zip(st.values).toMap
+          var n = st.n
+          it.foreach { r =>
+            if (!buf.contains(r.skey)) buf += r.skey -> r.v
+            n += 1
+          }
+          val kept = buf.toSeq.sortBy(_._1).take(k)
+          state.update(QSampleCounted(kept.map(_._1), kept.map(_._2), n))
+          Iterator.single(QSnapshot(g, kept.map(_._1), kept.map(_._2), n))
+      }
+  }
+
   /** One closed session: [start_tus, end_tus] and its event count. */
   final case class ClosedSession(user_id: Long, start_tus: Long,
       end_tus: Long, n_events: Long)
@@ -513,35 +553,69 @@ object StreamOps {
     * max(steps) per user — any micro-batching. The 24 h window is
     * the batch operator's own constant ([[EventOps.W24h]] — one
     * definition, the funnelSteps discipline). */
+  /** ONE definition of the funnel state fold (the batch funnelSteps
+    * rule in JVM form), shared by the update-mode and append-mode
+    * twins. */
+  private def foldFunnel(prev: FunnelSt, evs: Iterator[Ev]): FunnelSt = {
+    val W = graft.operators.EventOps.W24h
+    val U = Long.MinValue
+    var s = prev
+    evs.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+      val after = s.hwmT == U || e.tus > s.hwmT ||
+        (e.tus == s.hwmT && e.event_id > s.hwmId)
+      if (after) {
+        var (t1, t2, t3) = (s.t1, s.t2, s.t3)
+        e.event_type match {
+          case "view" if t1 == U => t1 = e.tus
+          case "click" if t1 != U && t2 == U &&
+            e.tus > t1 && e.tus <= t1 + W => t2 = e.tus
+          case "purchase" if t2 != U && t3 == U &&
+            e.tus > t2 && e.tus <= t2 + W => t3 = e.tus
+          case _ =>
+        }
+        s = FunnelSt(e.tus, e.event_id, t1, t2, t3)
+      }
+    }
+    s
+  }
+
+  private def funnelSteps(s: FunnelSt): Int = {
+    val U = Long.MinValue
+    if (s.t3 != U) 3 else if (s.t2 != U) 2 else if (s.t1 != U) 1 else 0
+  }
+
   def funnelStream(events: Dataset[Ev]): Dataset[UserSteps] = {
     import events.sparkSession.implicits._
-    val W = graft.operators.EventOps.W24h
     val U = Long.MinValue
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelSt, UserSteps] {
         (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) =>
-          var s = state.getOption.getOrElse(FunnelSt(U, U, U, U, U))
-          evs.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
-            val after = s.hwmT == U || e.tus > s.hwmT ||
-              (e.tus == s.hwmT && e.event_id > s.hwmId)
-            if (after) {
-              var (t1, t2, t3) = (s.t1, s.t2, s.t3)
-              e.event_type match {
-                case "view" if t1 == U => t1 = e.tus
-                case "click" if t1 != U && t2 == U &&
-                  e.tus > t1 && e.tus <= t1 + W => t2 = e.tus
-                case "purchase" if t2 != U && t3 == U &&
-                  e.tus > t2 && e.tus <= t2 + W => t3 = e.tus
-                case _ =>
-              }
-              s = FunnelSt(e.tus, e.event_id, t1, t2, t3)
-            }
-          }
+          val s = foldFunnel(
+            state.getOption.getOrElse(FunnelSt(U, U, U, U, U)), evs)
           state.update(s)
-          UserSteps(uid,
-            if (s.t3 != U) 3 else if (s.t2 != U) 2
-            else if (s.t1 != U) 1 else 0)
+          UserSteps(uid, funnelSteps(s))
+      }
+  }
+
+  /** [[funnelStream]] re-shaped for an APPEND sink: emits each touched
+    * user's current deepest step once per micro-batch. The deepest
+    * step is MONOTONE per user, so the snapshot log folds with
+    * max(steps) under any micro-batching — the gated readback's merge.
+    * Same [[foldFunnel]] as the update twin. */
+  def funnelSnapshotStream(events: Dataset[Ev]): Dataset[UserSteps] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val U = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, UserSteps](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) =>
+          val s = foldFunnel(
+            state.getOption.getOrElse(FunnelSt(U, U, U, U, U)), evs)
+          state.update(s)
+          Iterator.single(UserSteps(uid, funnelSteps(s)))
       }
   }
 
@@ -1170,6 +1244,93 @@ object StreamOps {
       .selectExpr(graft.operators.EventOps.AbReadout: _*)
   }
 
+  /** §2.8 oracle promotion #9 — the EMIT-AS-YOU-GO shape, attribution:
+    * [[attributionStream]] (flatMapGroupsWithState, four fields per
+    * user, at-or-behind high-water drop — the transitionsStream
+    * contract) through the sink lifecycle; each purchase's credited
+    * channel emits the moment it converts, the sink log rolls up with
+    * the batch query's own per-row cents quantization, and the result
+    * gates with the SAME oracle as ev_attribution. */
+  def streamAttributionGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val emitted = driveToSinkOpt(spark, dir, "attr", ev, None,
+      s => attributionStream(s.as[Ev]).toDF())
+    emitted.groupBy("source_type")
+      .agg(count(lit(1)).as("conversions"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy("source_type")
+  }
+
+  /** §2.8 oracle promotion #10 — the MONOTONE-SNAPSHOT shape, funnel:
+    * [[funnelSnapshotStream]] (per-user deepest step emitted per
+    * batch; the step is monotone, so the sink log folds with
+    * max(steps)) through the sink lifecycle, folded and histogrammed,
+    * gated with the SAME oracle as ev_funnel. */
+  def streamFunnelGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val emitted = driveToSinkOpt(spark, dir, "funnel", ev, None,
+      s => funnelSnapshotStream(s.as[Ev]).toDF())
+    emitted.groupBy("user_id").agg(max("steps").as("steps"))
+      .groupBy("steps").agg(count(lit(1)).as("n_users"))
+      .orderBy("steps")
+  }
+
+  /** §2.8 oracle promotion #11 — the BUFFER-SNAPSHOT shape, quantile
+    * sample: [[quantileSnapshotStream]] on the SAME (group, md5 sample
+    * key, cents) rows the batch agg_quantile_sample derives, the sink
+    * log folded with the k-min-by-skey merge and the batch query's
+    * integer nearest-rank estimates re-derived from the folded sample;
+    * gated with the SAME oracle as agg_quantile_sample. */
+  def streamQuantileGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("group"),
+        expr("md5(concat(CAST(l_orderkey AS STRING), '-', " +
+          "CAST(l_linenumber AS STRING), '-', " +
+          "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)))")
+          .as("skey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val emitted = driveToSinkOpt(spark, dir, "qsample", rows, None,
+      s => quantileSnapshotStream(s.as[KeyedSample]).toDF())
+    val merged = emitted
+      .select(col("group"),
+        explode(arrays_zip(col("skeys"), col("values"))).as("p"))
+      .select(col("group"), col("p.skeys").as("skey"), col("p.values").as("v"))
+      .distinct()
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("group").orderBy("skey")))
+      .filter(col("srn") <= 100)
+      .drop("srn")
+    val wR = Window.partitionBy("group").orderBy("v", "skey")
+    val wK = Window.partitionBy("group")
+    val est = merged
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("kg", count(lit(1)).over(wK))
+      .groupBy("group")
+      .agg(count(lit(1)).as("k"),
+        max(when(col("rn") === expr("(kg + 1) div 2"), col("v"))).as("p50c"),
+        max(when(col("rn") === expr("(9 * kg + 9) div 10"), col("v"))).as("p90c"))
+    val n = emitted.groupBy("group").agg(max("n_seen").as("n"))
+    est.join(n, "group")
+      .select(col("group").as("grp"), col("n"), col("k"),
+        (col("p50c").cast("double") / 100).as("p50_est"),
+        (col("p90c").cast("double") / 100).as("p90_est"))
+      .orderBy("grp")
+  }
+
   /** §2.1's API surface under the streaming oracle gate (VERDICT r9
     * stretch): the EXACT mr_redmap_pipeline combinator chain — typed
     * RedmapOps facade, not a rewrite — run as a streaming query
@@ -1385,6 +1546,9 @@ object StreamOps {
       "stream_kmv_distinct" -> (streamKmvDistinctGated(_, _)),
       "stream_ab_test" -> (streamAbTestGated(_, _)),
       "stream_redmap_pipeline" -> (streamRedmapGated(_, _)),
+      "stream_attribution" -> (streamAttributionGated(_, _)),
+      "stream_funnel" -> (streamFunnelGated(_, _)),
+      "stream_quantile_sample" -> (streamQuantileGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
@@ -1442,7 +1606,13 @@ object StreamOps {
     "stream_ab_test" ->
       graft.operators.EventOps.oracles("ev_ab_test"),
     "stream_redmap_pipeline" ->
-      graft.operators.TextOps.oracles("mr_redmap_pipeline"))
+      graft.operators.TextOps.oracles("mr_redmap_pipeline"),
+    "stream_attribution" ->
+      graft.operators.EventOps.oracles("ev_attribution"),
+    "stream_funnel" ->
+      graft.operators.EventOps.oracles("ev_funnel"),
+    "stream_quantile_sample" ->
+      graft.operators.Relational.oracles("agg_quantile_sample"))
 
   /** The multi-batch replay shares stream_hourly_agg's oracle string
     * (same pipeline, different replay shape) — appended outside the
