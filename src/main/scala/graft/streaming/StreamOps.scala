@@ -791,29 +791,61 @@ object StreamOps {
     * drop contract (a decayed SUM is not a semilattice like HLL/KMV/
     * top-k state — re-adding a replayed term would corrupt, so the
     * high-water mark does the suppressing instead). */
+  /** ONE definition of the decayed-sum fold (high-water drop + exact
+    * micro-unit term quantization), shared by both decay twins. */
+  private def foldDecay(prev: DecayState, evs: Iterator[Ev],
+      anchorUs: Long): DecayState = {
+    val halfLife = graft.operators.EventOps.HalfLifeUs
+    var s = prev
+    evs.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+      val after = e.tus > s.hwTus ||
+        (e.tus == s.hwTus && e.event_id > s.hwId)
+      if (after) {
+        val term = java.math.BigDecimal.valueOf(
+            e.value * math.pow(0.5,
+              (anchorUs - e.tus).toDouble / halfLife) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        s = DecayState(e.tus, e.event_id, s.nEvents + 1, s.units + term)
+      }
+    }
+    s
+  }
+
   def decayedScoreStream(events: Dataset[Ev], anchorUs: Long): Dataset[UserDecayed] = {
     import events.sparkSession.implicits._
-    val halfLife = graft.operators.EventOps.HalfLifeUs
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[DecayState, UserDecayed] {
         (userId: Long, evs: Iterator[Ev], state: GroupState[DecayState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
-          var s = state.getOption
-            .getOrElse(DecayState(Long.MinValue, Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val after = e.tus > s.hwTus ||
-              (e.tus == s.hwTus && e.event_id > s.hwId)
-            if (after) {
-              val term = java.math.BigDecimal.valueOf(
-                  e.value * math.pow(0.5,
-                    (anchorUs - e.tus).toDouble / halfLife) * 1e6)
-                .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-              s = DecayState(e.tus, e.event_id, s.nEvents + 1, s.units + term)
-            }
-          }
+          val s = foldDecay(state.getOption
+            .getOrElse(DecayState(Long.MinValue, Long.MinValue, 0L, 0L)),
+            evs, anchorUs)
           state.update(s)
           UserDecayed(userId, s.nEvents, s.units)
+      }
+  }
+
+  /** [[decayedScoreStream]] re-shaped for an APPEND sink: emits each
+    * touched user's current (n_events, units) once per micro-batch.
+    * n_events is STRICTLY monotone per emission, so the sink log folds
+    * with argmax-by-n_events (max of the (n_events, units) struct) —
+    * the latest state wins under any micro-batching, with no
+    * assumption on the sign of the decayed terms. Same high-water
+    * replay drop as the update twin. */
+  def decayedSnapshotStream(events: Dataset[Ev], anchorUs: Long)
+      : Dataset[UserDecayed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, UserDecayed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[DecayState]) =>
+          val s = foldDecay(state.getOption
+            .getOrElse(DecayState(Long.MinValue, Long.MinValue, 0L, 0L)),
+            evs, anchorUs)
+          state.update(s)
+          Iterator.single(UserDecayed(userId, s.nEvents, s.units))
       }
   }
 
@@ -910,6 +942,26 @@ object StreamOps {
     * the spec's corpus. Values quantize with math.round: HALF_UP for
     * the positive-value domain, matching the batch CAST(round(v*1e6))
     * contract. */
+  /** ONE definition of the OHLC semilattice fold, shared by both
+    * twins. */
+  private def foldOhlc(prev: OhlcState, evs: Iterator[Ev]): OhlcState = {
+    var s = prev
+    evs.foreach { e =>
+      val vq = math.round(e.value * 1e6)
+      if (e.tus < s.otus || (e.tus == s.otus && e.event_id < s.oid))
+        s = s.copy(otus = e.tus, oid = e.event_id, open = vq)
+      if (e.tus > s.ctus || (e.tus == s.ctus && e.event_id > s.cid))
+        s = s.copy(ctus = e.tus, cid = e.event_id, close = vq)
+      if (vq > s.high) s = s.copy(high = vq)
+      if (vq < s.low) s = s.copy(low = vq)
+    }
+    s
+  }
+
+  private val OhlcZero = OhlcState(
+    Long.MaxValue, Long.MaxValue, 0L,
+    Long.MinValue, Long.MinValue, 0L, Long.MinValue, Long.MaxValue)
+
   def ohlcStream(events: Dataset[Ev]): Dataset[BarOhlc] = {
     import events.sparkSession.implicits._
     events
@@ -917,20 +969,36 @@ object StreamOps {
       .mapGroupsWithState[OhlcState, BarOhlc] {
         (key: (String, Long), evs: Iterator[Ev], state: GroupState[OhlcState]) =>
           val (ty, bar) = key
-          var s = state.getOption.getOrElse(OhlcState(
-            Long.MaxValue, Long.MaxValue, 0L,
-            Long.MinValue, Long.MinValue, 0L, Long.MinValue, Long.MaxValue))
-          evs.foreach { e =>
-            val vq = math.round(e.value * 1e6)
-            if (e.tus < s.otus || (e.tus == s.otus && e.event_id < s.oid))
-              s = s.copy(otus = e.tus, oid = e.event_id, open = vq)
-            if (e.tus > s.ctus || (e.tus == s.ctus && e.event_id > s.cid))
-              s = s.copy(ctus = e.tus, cid = e.event_id, close = vq)
-            if (vq > s.high) s = s.copy(high = vq)
-            if (vq < s.low) s = s.copy(low = vq)
-          }
+          val s = foldOhlc(state.getOption.getOrElse(OhlcZero), evs)
           state.update(s)
           BarOhlc(ty, bar, s.open, s.high, s.low, s.close)
+      }
+  }
+
+  /** One per-batch OHLC snapshot WITH the open/close witnesses riding
+    * along — unlike [[BarOhlc]], this row is mergeable: open folds as
+    * argmin by (otus, oid), close as argmax by (ctus, cid), high/low
+    * as plain max/min — all join-semilattices, so the sink log folds
+    * exactly under any micro-batching. */
+  final case class OhlcSnapshot(event_type: String, bar: Long,
+      otus: Long, oid: Long, open_u: Long,
+      ctus: Long, cid: Long, close_u: Long, high_u: Long, low_u: Long)
+
+  /** [[ohlcStream]] re-shaped for an APPEND sink, emitting the full
+    * witness-carrying state per batch. Same [[foldOhlc]]. */
+  def ohlcSnapshotStream(events: Dataset[Ev]): Dataset[OhlcSnapshot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(e => (e.event_type, e.tus / 14400000000L))
+      .flatMapGroupsWithState[OhlcState, OhlcSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), evs: Iterator[Ev], state: GroupState[OhlcState]) =>
+          val (ty, bar) = key
+          val s = foldOhlc(state.getOption.getOrElse(OhlcZero), evs)
+          state.update(s)
+          Iterator.single(OhlcSnapshot(ty, bar, s.otus, s.oid, s.open,
+            s.ctus, s.cid, s.close, s.high, s.low))
       }
   }
 
@@ -1331,6 +1399,82 @@ object StreamOps {
       .orderBy("grp")
   }
 
+  /** §2.8 oracle promotion #12 — the ARGMAX-BY-COUNTER shape, decayed
+    * score: [[decayedSnapshotStream]] (anchor fixed pre-stage at the
+    * corpus max event time — the batch query's own anchor) through the
+    * sink lifecycle; n_events is strictly monotone per emission, so
+    * the log folds with max(struct(n_events, units)) — latest state
+    * wins with no sign assumption on the terms — and the batch tail
+    * (top-20, score division) runs on the fold. Gated with the SAME
+    * oracle as ev_decayed_score. */
+  def streamDecayedGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val anchorUs = ev.agg(max("tus")).first().getLong(0)
+    val emitted = driveToSinkOpt(spark, dir, "decay", ev, None,
+      s => decayedSnapshotStream(s.as[Ev], anchorUs).toDF())
+    emitted.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("decayed_units"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.decayed_units").as("decayed_units"))
+      .orderBy(desc("decayed_units"), col("user_id"))
+      .limit(20)
+      .select(col("user_id"), col("n_events"), col("decayed_units"),
+        (col("decayed_units").cast("double") / 1000000).as("decayed_score"))
+  }
+
+  /** §2.8 oracle promotion #13 — the WITNESS-SNAPSHOT shape, OHLC:
+    * [[ohlcSnapshotStream]] (open/close carry their (tus, event_id)
+    * witnesses, so the sink log folds with argmin/argmax struct
+    * comparisons — every component a join-semilattice) through the
+    * sink lifecycle, PLUS the counting twin alongside for the batch
+    * query's n/volume columns (exactly what the ohlcStream scaladoc
+    * prescribes: sums are not idempotent, so they ride the counting
+    * state, not the OHLC state — here [[graft.api.RedmapOps]]'
+    * runningReduceByKeyOp with an argmax-by-count readback). Gated
+    * with the SAME oracle as ev_ohlc_bars. */
+  def streamOhlcGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    import graft.api.RedmapOps._
+    val barUs = 14400000000L
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val ohlc = driveToSinkOpt(spark, dir, "ohlc", ev, None,
+      s => ohlcSnapshotStream(s.as[Ev]).toDF())
+      .groupBy("event_type", "bar")
+      .agg(
+        min(struct(col("otus"), col("oid"), col("open_u"))).as("o"),
+        max(struct(col("ctus"), col("cid"), col("close_u"))).as("c"),
+        max("high_u").as("high_u"), min("low_u").as("low_u"))
+      .select(col("event_type"), col("bar"),
+        col("o.open_u").as("open_u"), col("high_u"), col("low_u"),
+        col("c.close_u").as("close_u"))
+    val counts = driveToSinkOpt(spark, dir, "ohlcn", ev, None,
+      s => s.as[Ev]
+        .map(e => ((e.event_type, e.tus / barUs),
+          (1L, math.round(e.value * 1e6))))
+        .runningReduceByKeyOp((a, b) => (a._1 + b._1, a._2 + b._2))
+        .map { case ((ty, bar), (n, vol)) => (ty, bar, n, vol) }
+        .toDF("event_type", "bar", "n", "vol_u"))
+      .groupBy("event_type", "bar")
+      .agg(max(struct(col("n"), col("vol_u"))).as("m"))
+      .select(col("event_type"), col("bar"),
+        col("m.n").as("n"), col("m.vol_u").as("vol_u"))
+    ohlc.join(counts, Seq("event_type", "bar"))
+      .select(col("event_type"),
+        expr(s"timestamp_micros(bar * $barUs)").as("bar_start"),
+        col("open_u"), col("high_u"), col("low_u"), col("close_u"),
+        col("n"), col("vol_u"))
+      .orderBy("event_type", "bar_start")
+  }
+
   /** §2.1's API surface under the streaming oracle gate (VERDICT r9
     * stretch): the EXACT mr_redmap_pipeline combinator chain — typed
     * RedmapOps facade, not a rewrite — run as a streaming query
@@ -1549,6 +1693,8 @@ object StreamOps {
       "stream_attribution" -> (streamAttributionGated(_, _)),
       "stream_funnel" -> (streamFunnelGated(_, _)),
       "stream_quantile_sample" -> (streamQuantileGated(_, _)),
+      "stream_decayed_score" -> (streamDecayedGated(_, _)),
+      "stream_ohlc_bars" -> (streamOhlcGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
@@ -1612,7 +1758,11 @@ object StreamOps {
     "stream_funnel" ->
       graft.operators.EventOps.oracles("ev_funnel"),
     "stream_quantile_sample" ->
-      graft.operators.Relational.oracles("agg_quantile_sample"))
+      graft.operators.Relational.oracles("agg_quantile_sample"),
+    "stream_decayed_score" ->
+      graft.operators.EventOps.oracles("ev_decayed_score"),
+    "stream_ohlc_bars" ->
+      graft.operators.EventOps.oracles("ev_ohlc_bars"))
 
   /** The multi-batch replay shares stream_hourly_agg's oracle string
     * (same pipeline, different replay shape) — appended outside the
