@@ -1898,11 +1898,19 @@ object EventOps {
     * DECIMAL(38,0) accumulators give 100 TB headroom (DuckDB widens to
     * INT128 on its own). Two partial-aggregated shuffles: hourly
     * counts, then per-type stats broadcast back onto the hourly rows. */
-  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables(spark, dir).events
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromHourly(Tables(spark, dir).events
       .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
       .groupBy("event_type", "h")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The z² flag derivation over a caller-supplied (event_type, h,
+    * cnt) hourly table — ONE definition shared by [[evAnomaly]] and
+    * the gated streaming twin's readback (StreamOps
+    * .streamAnomalyGated folds the streamed per-type hour tables and
+    * reruns exactly this tail), so the exact-integer test and the raw
+    * z_sq arithmetic cannot drift between the two. */
+  private[graft] def anomalyFromHourly(hourly: DataFrame): DataFrame = {
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("cnt").cast("decimal(38,0)")).as("s"),

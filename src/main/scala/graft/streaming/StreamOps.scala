@@ -185,6 +185,27 @@ object StreamOps {
       }
   }
 
+  /** [[dailyHllStream]] re-shaped for an APPEND sink (the
+    * hllSnapshotStream move on the daily sketch table): emits each
+    * day's CURRENT register vector once per micro-batch; registers
+    * fold with register-wise max, so the sink log converges to the
+    * same daily sketch table under any micro-batching. Same shared
+    * [[foldHllHashes]]. */
+  def dailyHllSnapshotStream(rows: Dataset[KeyedHash]): Dataset[GroupRegisters] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[HllState, GroupRegisters](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KeyedHash], state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.registers).getOrElse(new Array[Int](64))
+          foldHllHashes(regs, it)
+          state.update(HllState(regs))
+          Iterator.single(GroupRegisters(g, regs.toSeq))
+      }
+  }
+
   /** A keyed (id, value) row for the streaming top-k twin. */
   final case class KeyedValue(group: String, id: Long, value: Double)
 
@@ -875,27 +896,63 @@ object StreamOps {
     * high-water drop (counts are additive, not a semilattice — a
     * replayed event would double-count). State is O(types ×
     * [[AnomalyCapHours]]) forever. */
+  /** ONE definition of the anomaly hour-table fold (high-water drop +
+    * cap eviction), shared by both anomaly twins. */
+  private def foldAnomaly(prev: AnomalyState, evs: Iterator[Ev]): AnomalyState = {
+    var s = prev
+    evs.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+      val after = e.tus > s.hwTus ||
+        (e.tus == s.hwTus && e.event_id > s.hwId)
+      if (after) {
+        val h = Math.floorDiv(e.tus, 3600000000L)
+        s = AnomalyState(e.tus, e.event_id,
+          s.hours.updated(h, s.hours.getOrElse(h, 0L) + 1))
+      }
+    }
+    if (s.hours.size > AnomalyCapHours)
+      s = s.copy(hours = s.hours.toSeq.sortBy(-_._1).take(AnomalyCapHours).toMap)
+    s
+  }
+
+  /** One per-batch anomaly-state snapshot: the RAW per-type hour→count
+    * table plus the high-water mark — the mark is strictly monotone
+    * per emission, so the sink log folds with argmax by (hwTus, hwId)
+    * (latest table wins) and the flag derivation reruns BATCH-side on
+    * the folded counts (EventOps.anomalyFromHourly — the raw z_sq
+    * arithmetic never streams, so the oracle's un-rounded doubles are
+    * reproducible). */
+  final case class AnomSnapshot(event_type: String, hwTus: Long,
+      hwId: Long, hs: Seq[Long], cnts: Seq[Long])
+
+  /** [[anomalyStream]] re-shaped for an APPEND sink. Same
+    * [[foldAnomaly]]. */
+  def anomalySnapshotStream(events: Dataset[Ev]): Dataset[AnomSnapshot] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, evs: Iterator[Ev], state: GroupState[AnomalyState]) =>
+          val s = foldAnomaly(state.getOption
+            .getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Map.empty)),
+            evs)
+          state.update(s)
+          val sorted = s.hours.toSeq.sortBy(_._1)
+          Iterator.single(AnomSnapshot(t, s.hwTus, s.hwId,
+            sorted.map(_._1), sorted.map(_._2)))
+      }
+  }
+
   def anomalyStream(events: Dataset[Ev]): Dataset[TypeAnomalies] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)
       .mapGroupsWithState[AnomalyState, TypeAnomalies] {
         (t: String, evs: Iterator[Ev], state: GroupState[AnomalyState]) =>
-          var s = state.getOption
-            .getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Map.empty))
-          val sorted = evs.toSeq.sortBy(e => (e.tus, e.event_id))
-          sorted.foreach { e =>
-            val after = e.tus > s.hwTus ||
-              (e.tus == s.hwTus && e.event_id > s.hwId)
-            if (after) {
-              val h = Math.floorDiv(e.tus, 3600000000L)
-              s = AnomalyState(e.tus, e.event_id,
-                s.hours.updated(h, s.hours.getOrElse(h, 0L) + 1))
-            }
-          }
-          if (s.hours.size > AnomalyCapHours)
-            s = s.copy(hours =
-              s.hours.toSeq.sortBy(-_._1).take(AnomalyCapHours).toMap)
+          val s = foldAnomaly(state.getOption
+            .getOrElse(AnomalyState(Long.MinValue, Long.MinValue, Map.empty)),
+            evs)
           state.update(s)
           val n = BigInt(s.hours.size)
           val cnts = s.hours.values.map(BigInt(_))
@@ -1475,6 +1532,74 @@ object StreamOps {
       .orderBy("event_type", "bar_start")
   }
 
+  /** §2.8 oracle promotion #14 — the SKETCH-TABLE shape, daily HLL:
+    * [[dailyHllStream]] on the SAME distinct (day, user) hash stream
+    * the batch ev_rolling_hll builds its registers from, the sink's
+    * register-vector log folded with register-wise max, and the batch
+    * query's 7-day rolling-window readout + estimator rerun on the
+    * folded registers (same grid, same window, same HllEstExpr). Gated
+    * with the SAME oracle as ev_rolling_hll — the persisted-sketch-
+    * table production pattern (ingest streams, readouts fold state)
+    * proven end to end. */
+  def streamDailyHllGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+      .distinct()
+      .select(col("d").cast("string").as("group"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("h"))
+    val emitted = driveToSinkOpt(spark, dir, "dailyhll", rows, None,
+      s => dailyHllSnapshotStream(s.as[KeyedHash]).toDF())
+    val regs = emitted
+      .select(col("group").cast("long").as("d"),
+        posexplode(col("registers")).as(Seq("bucket", "rr")))
+      .groupBy("d", "bucket").agg(max("rr").as("r"))
+      .filter(col("r") > 0)
+    val grid = regs.select("d").distinct()
+      .select(col("d"), explode(expr("sequence(0L, 63L)")).as("bucket"))
+    grid.join(regs, Seq("d", "bucket"), "left")
+      .withColumn("rr", max("r").over(
+        Window.partitionBy("bucket").orderBy("d").rangeBetween(-6, 0)))
+      .groupBy("d")
+      .agg(count(col("rr")).as("present"),
+        sum(expr("pow(CAST(2 AS DOUBLE), -rr)")).as("sp"))
+      .select(col("d").as("day"),
+        round(expr(graft.operators.Relational.HllEstExpr), 3).as("est_users_7d"),
+        col("present"))
+      .orderBy("day")
+  }
+
+  /** §2.8 oracle promotion #15 — the RAW-STATE-TABLE shape, anomaly:
+    * [[anomalySnapshotStream]] (per-type hour→count table + the
+    * strictly monotone high-water mark) through the sink lifecycle,
+    * the log folded with argmax by (hwTus, hwId) — latest table wins —
+    * and the flag derivation rerun on the folded counts via the batch
+    * query's OWN tail (EventOps.anomalyFromHourly: the exact-integer
+    * test and raw z_sq — which never streams, so the oracle's
+    * un-rounded doubles reproduce). Gated with the SAME oracle as
+    * ev_anomaly. */
+  def streamAnomalyGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val emitted = driveToSinkOpt(spark, dir, "anom", ev, None,
+      s => anomalySnapshotStream(s.as[Ev]).toDF())
+    val latest = emitted
+      .groupBy("event_type")
+      .agg(max(struct(col("hwTus"), col("hwId"),
+        col("hs"), col("cnts"))).as("m"))
+      .select(col("event_type"),
+        explode(arrays_zip(col("m.hs"), col("m.cnts"))).as("p"))
+      .select(col("event_type"), col("p.hs").as("h"), col("p.cnts").as("cnt"))
+    graft.operators.EventOps.anomalyFromHourly(latest)
+  }
+
   /** §2.1's API surface under the streaming oracle gate (VERDICT r9
     * stretch): the EXACT mr_redmap_pipeline combinator chain — typed
     * RedmapOps facade, not a rewrite — run as a streaming query
@@ -1695,6 +1820,8 @@ object StreamOps {
       "stream_quantile_sample" -> (streamQuantileGated(_, _)),
       "stream_decayed_score" -> (streamDecayedGated(_, _)),
       "stream_ohlc_bars" -> (streamOhlcGated(_, _)),
+      "stream_rolling_hll" -> (streamDailyHllGated(_, _)),
+      "stream_anomaly" -> (streamAnomalyGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
@@ -1762,7 +1889,11 @@ object StreamOps {
     "stream_decayed_score" ->
       graft.operators.EventOps.oracles("ev_decayed_score"),
     "stream_ohlc_bars" ->
-      graft.operators.EventOps.oracles("ev_ohlc_bars"))
+      graft.operators.EventOps.oracles("ev_ohlc_bars"),
+    "stream_rolling_hll" ->
+      graft.operators.EventOps.oracles("ev_rolling_hll"),
+    "stream_anomaly" ->
+      graft.operators.EventOps.oracles("ev_anomaly"))
 
   /** The multi-batch replay shares stream_hourly_agg's oracle string
     * (same pipeline, different replay shape) — appended outside the
