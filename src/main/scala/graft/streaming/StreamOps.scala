@@ -237,34 +237,69 @@ object StreamOps {
     * the batch rank's total order ((value desc, id asc)), so
     * StreamingSpec asserts exact equality with the batch window-rank
     * result after any batch split. */
+  /** ONE definition of the bounded top-k insert fold, shared by both
+    * top-k twins. Per-id max-value semantics: skip unless the id is
+    * new or strictly improved; an improved id vacates its old slot
+    * before re-insertion so it can never occupy two. */
+  private def foldTopK(st: TopKState, it: Iterator[KeyedValue],
+      k: Int): TopKState = {
+    var es = st.ids.zip(st.values).map { case (i, v) => (v, i) }.toVector
+    it.foreach { r =>
+      val existing = es.indexWhere(_._2 == r.id)
+      if (existing < 0 || es(existing)._1 < r.value) {
+        if (existing >= 0) es = es.patch(existing, Nil, 1)
+        // first position where the existing entry ranks AFTER the
+        // new row under (value desc, id asc)
+        var pos = es.indexWhere(e => e._1 < r.value ||
+          (e._1 == r.value && e._2 > r.id))
+        if (pos < 0) pos = es.length
+        if (pos < k) {
+          es = (es.take(pos) :+ ((r.value, r.id))) ++ es.drop(pos)
+          if (es.length > k) es = es.take(k)
+        }
+      }
+    }
+    TopKState(es.map(_._2), es.map(_._1))
+  }
+
   def topkStream(rows: Dataset[KeyedValue], k: Int): Dataset[GroupTopK] = {
     import rows.sparkSession.implicits._
     rows
       .groupByKey(_.group)
       .mapGroupsWithState[TopKState, GroupTopK] {
         (g: String, it: Iterator[KeyedValue], state: GroupState[TopKState]) =>
+          val folded = foldTopK(
+            state.getOption.getOrElse(TopKState(Vector.empty, Vector.empty)),
+            it, k)
+          state.update(folded)
+          GroupTopK(g, folded.ids.mkString(","))
+      }
+  }
+
+  /** One per-batch top-k snapshot: the raw rank buffer in rank order.
+    * Merging two k-buffers (per-id max, re-rank, cut at k) equals the
+    * k-top of their union when each id's rows were delivered to one
+    * fold — the exactly-once staged-replay contract — so the sink log
+    * folds exactly. */
+  final case class TopKSnapshot(group: String, ids: Seq[Long],
+      values: Seq[Double])
+
+  /** [[topkStream]] re-shaped for an APPEND sink, emitting the raw
+    * buffer per batch. Same insertion logic via [[topkStream]]'s
+    * TopKState handling (the fold is shared by construction: this
+    * variant delegates to the same per-row insert). */
+  def topkSnapshotStream(rows: Dataset[KeyedValue], k: Int): Dataset[TopKSnapshot] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[TopKState, TopKSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KeyedValue], state: GroupState[TopKState]) =>
           val st = state.getOption.getOrElse(TopKState(Vector.empty, Vector.empty))
-          var es = st.ids.zip(st.values).map { case (i, v) => (v, i) }.toVector
-          it.foreach { r =>
-            val existing = es.indexWhere(_._2 == r.id)
-            // per-id max-value semantics: skip unless the id is new or
-            // strictly improved; an improved id vacates its old slot
-            // before re-insertion so it can never occupy two.
-            if (existing < 0 || es(existing)._1 < r.value) {
-              if (existing >= 0) es = es.patch(existing, Nil, 1)
-              // first position where the existing entry ranks AFTER the
-              // new row under (value desc, id asc)
-              var pos = es.indexWhere(e => e._1 < r.value ||
-                (e._1 == r.value && e._2 > r.id))
-              if (pos < 0) pos = es.length
-              if (pos < k) {
-                es = (es.take(pos) :+ ((r.value, r.id))) ++ es.drop(pos)
-                if (es.length > k) es = es.take(k)
-              }
-            }
-          }
-          state.update(TopKState(es.map(_._2), es.map(_._1)))
-          GroupTopK(g, es.map(_._2).mkString(","))
+          val folded = foldTopK(st, it, k)
+          state.update(folded)
+          Iterator.single(TopKSnapshot(g, folded.ids, folded.values))
       }
   }
 
@@ -1600,6 +1635,29 @@ object StreamOps {
     graft.operators.EventOps.anomalyFromHourly(latest)
   }
 
+  /** §2.8 oracle promotion #16 — the RANK-BUFFER shape, top-k:
+    * [[topkSnapshotStream]] (the bounded insertion buffer emitted raw
+    * per batch) over the orders stream, the sink log folded with the
+    * buffer merge (per-id max, re-rank, cut at k) and gated with the
+    * SAME oracle as q08_topk_orders — the streaming rank state's total
+    * order ((value desc, id asc)) IS the batch query's. */
+  def streamTopkGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val rows = graft.Tables(spark, dir).orders
+      .select(lit("all").as("group"), col("o_orderkey").as("id"),
+        col("o_totalprice").as("value"))
+    val emitted = driveToSinkOpt(spark, dir, "topk", rows, None,
+      s => topkSnapshotStream(s.as[KeyedValue], 20).toDF())
+    emitted
+      .select(explode(arrays_zip(col("ids"), col("values"))).as("p"))
+      .select(col("p.ids").as("o_orderkey"), col("p.values").as("o_totalprice"))
+      .groupBy("o_orderkey").agg(max("o_totalprice").as("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+  }
+
   /** §2.1's API surface under the streaming oracle gate (VERDICT r9
     * stretch): the EXACT mr_redmap_pipeline combinator chain — typed
     * RedmapOps facade, not a rewrite — run as a streaming query
@@ -1822,6 +1880,7 @@ object StreamOps {
       "stream_ohlc_bars" -> (streamOhlcGated(_, _)),
       "stream_rolling_hll" -> (streamDailyHllGated(_, _)),
       "stream_anomaly" -> (streamAnomalyGated(_, _)),
+      "stream_topk" -> (streamTopkGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
@@ -1893,7 +1952,9 @@ object StreamOps {
     "stream_rolling_hll" ->
       graft.operators.EventOps.oracles("ev_rolling_hll"),
     "stream_anomaly" ->
-      graft.operators.EventOps.oracles("ev_anomaly"))
+      graft.operators.EventOps.oracles("ev_anomaly"),
+    "stream_topk" ->
+      graft.operators.Relational.oracles("q08_topk_orders"))
 
   /** The multi-batch replay shares stream_hourly_agg's oracle string
     * (same pipeline, different replay shape) — appended outside the
