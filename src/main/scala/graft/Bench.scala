@@ -89,6 +89,18 @@ object Bench {
       .replaceAll("cte\\d+", "cte")
       .replaceAll("file:[^\\s,\\]\\)]+", "<path>")
       .replaceAll("/[-\\w./]*(testdata|warehouse|tmp)[^\\s,\\]\\)]*", "<path>")
+      // FileScan truncates each metadata VALUE at a fixed width, so a
+      // LONG path loses its closing ']' while a short one keeps it —
+      // path LENGTH leaked into the sha (caught r10 when the per-pid
+      // work-dir suffix lengthened the streaming sink paths:
+      // 'Location: ...(1 paths)[<path>]' vs '...[<path>,'). Canonical
+      // form is the CLOSED bracket (what every committed sha already
+      // hashes), so re-close the truncated spelling instead of
+      // rewriting the field — unchanged queries keep their historical
+      // shas. Runs AFTER the path rules above.
+      // (Anchored on the next metadata key so a genuine multi-path
+      // list '[<path>, <path>]' is never touched.)
+      .replaceAll("\\[<path>, PartitionFilters", "[<path>], PartitionFilters")
       .replaceAll("Statistics\\([^)]*\\)", "<stats>")
       .replaceAll("\\[id=[^\\]]*\\]", "")
       // Multi-distinct aggregates: RewriteDistinctAggregates groups the
