@@ -192,14 +192,24 @@ class BenchArtifactSpec extends AnyFunSuite {
     val (prev, cur) = (hist(hist.size - 2), hist.last)
     // Queries whose CODE changed between the two lines, with the
     // change that justifies the sha move.
-    val changed: Map[String, String] = Map(
-      "stream_sessionize" ->
-        ("r10: the per-pid work-dir suffix lengthened the streaming " +
-          "sink path past FileScan's metadata truncation width, " +
-          "dropping Location's closing bracket and moving this sha in " +
-          "one mid-round history line; planNorm now re-closes the " +
-          "truncated spelling (fixture above), restoring the r9 sha — " +
-          "the allowlist covers the one unfixed line in the history"))
+    val locTruncReason =
+      "r10 Location-truncation fix: FileScan drops Location's closing " +
+        "bracket when the path exceeds the metadata truncation width; " +
+        "planNorm now re-closes the truncated spelling (fixture above). " +
+        "The fix moves the sha ONCE, across the fix boundary, for " +
+        "exactly the queries whose paths were already past the width — " +
+        "session-keyed warehouse tables (bucketed/incremental/ivf/" +
+        "dpp/manifest) and the per-pid streaming sinks."
+    val changed: Map[String, String] = Seq(
+      "stream_sessionize", "stream_quantile_sample",
+      "stream_hourly_multibatch", "stream_rolling_hll",
+      "sim_ivf_insert", "sim_ivf_delete", "sim_ivf_compact",
+      "sim_ann_indexed", "sim_ann_int8",
+      "dedup_incremental", "dedup_minhash_incremental",
+      "dedup_components_incremental",
+      "q05_bucketed", "q18_bucketed", "ev_sessionize_bucketed",
+      "src_dpp_scan", "src_bloom_prune", "src_manifest_prune")
+      .map(_ -> locTruncReason).toMap
     val shared = (prev.keySet intersect cur.keySet) -- changed.keySet
     val moved = shared.filter(q => prev(q) != cur(q)).toSeq.sorted
     assert(moved.isEmpty,
