@@ -90,17 +90,29 @@ object Bench {
       .replaceAll("file:[^\\s,\\]\\)]+", "<path>")
       .replaceAll("/[-\\w./]*(testdata|warehouse|tmp)[^\\s,\\]\\)]*", "<path>")
       // FileScan truncates each metadata VALUE at a fixed width, so a
-      // LONG path loses its closing ']' while a short one keeps it —
-      // path LENGTH leaked into the sha (caught r10 when the per-pid
-      // work-dir suffix lengthened the streaming sink paths:
-      // 'Location: ...(1 paths)[<path>]' vs '...[<path>,'). Canonical
-      // form is the CLOSED bracket (what every committed sha already
-      // hashes), so re-close the truncated spelling instead of
-      // rewriting the field — unchanged queries keep their historical
-      // shas. Runs AFTER the path rules above.
-      // (Anchored on the next metadata key so a genuine multi-path
-      // list '[<path>, <path>]' is never touched.)
-      .replaceAll("\\[<path>, PartitionFilters", "[<path>], PartitionFilters")
+      // LONG path list loses its closing ']' — and the cut lands
+      // wherever the per-boot session-table name lengths put it (mid
+      // path, after a separator), so path LENGTH leaked into the sha
+      // (caught r10: first the per-pid stream sinks, then
+      // src_bloom_prune's 2-path pruned list flipping across boots).
+      // Canonical form is '[<path>]' — the single-path untruncated
+      // spelling every committed sha already hashes — reached from
+      // BOTH directions: an untruncated list (however many paths)
+      // collapses, and a truncated tail (anchored on the next metadata
+      // key, which always follows Location) is dropped and re-closed.
+      // Untruncated list (1+ paths) → the canonical single token…
+      .replaceAll("\\[<path>(?:, <path>)*\\]", "[<path>]")
+      // …and a truncated list — complete paths, then possibly a cut
+      // remnant, then the next metadata key — re-closes to the same
+      // canonical form. The remnant is EITHER a partial path that the
+      // path rules above already normalized (its anchor word
+      // survived the cut) OR raw prefix text the cut beheaded before
+      // its anchor word ('/root/repo/spark-wa…' — the src_bloom_prune
+      // flap: per-boot session-name lengths move the cut point), so
+      // the alternative swallows any comma-separated tail without
+      // crossing the field boundary.
+      .replaceAll("\\[<path>(?:, <path>)*(?:,\\s*[^,\\]]*)?, PartitionFilters",
+        "[<path>], PartitionFilters")
       .replaceAll("Statistics\\([^)]*\\)", "<stats>")
       .replaceAll("\\[id=[^\\]]*\\]", "")
       // Multi-distinct aggregates: RewriteDistinctAggregates groups the

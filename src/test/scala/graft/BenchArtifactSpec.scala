@@ -32,6 +32,19 @@ class BenchArtifactSpec extends AnyFunSuite {
     val locCut = "FileScan parquet [u#1L] Location: MetadataLogFileIndex(1 paths)[/tmp/graft_stream_s_abc_p3942171/sin, PartitionFilters: []"
     assert(Bench.planSha(locFull) == Bench.planSha(locCut),
       "Location truncation (path length) leaked into the fingerprint")
+    // ...and the MULTI-path variant (src_bloom_prune's pruned-file
+    // list): untruncated list, mid-path cut, and after-separator cut
+    // must all collapse to the same canonical [<path>].
+    val m1 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(2 paths)[/tmp/wh/t_a/f1.parquet, /tmp/wh/t_a/f2.parquet], PartitionFilters: []"
+    val m2 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(2 paths)[/tmp/wh/t_aaaaaaaaa/f1.parquet, /tmp/wh/t_aaaaaaaaa/f2.par, PartitionFilters: []"
+    val m3 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(2 paths)[/tmp/wh/t_aaaaaaaaaaaaaaaaaa/f1.parquet, , PartitionFilters: []"
+    // cut BEFORE the second path's anchor word — the raw beheaded
+    // prefix must still be swallowed (the src_bloom_prune flap)
+    val m4 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(2 paths)[/tmp/wh/t_aaaaaaaaa/f1.parquet, /root/repo/spark-wa, PartitionFilters: []"
+    assert(Bench.planSha(m1) == Bench.planSha(m2) &&
+      Bench.planSha(m2) == Bench.planSha(m3) &&
+      Bench.planSha(m3) == Bench.planSha(m4),
+      "multi-path Location truncation leaked into the fingerprint")
     // Typed-pipeline closures: lambda index / hidden-class address /
     // identity hash all vary per JVM boot (measured: mm_decode_jpeg's
     // sha diverged across two otherwise-identical boots before this).
@@ -187,9 +200,20 @@ class BenchArtifactSpec extends AnyFunSuite {
     // reason — an unexplained cross-line sha move is either a plan
     // regression or a new normalizer leak class, both of which must
     // fail the suite the round they appear.
+    // Membership is checked against the TRAILING WINDOW (the medians
+    // window), not only the immediately-previous line: AQE's final
+    // executed plan is load-adaptive by design (a contended boot can
+    // legitimately split/coalesce differently — observed r10:
+    // ev_range_join replanned once inside a 1.4×-inflated boot), so a
+    // sha REVERTING to a recently-seen value is not a regression. A
+    // sha nobody in the window has seen still fails — that is the
+    // signature of both a plan regression and a new leak class.
     val hist = Bench.historyPlans("/root/testdata/sf0.1")
     assume(hist.size >= 2, "needs two plans-carrying sf0.1 history lines")
-    val (prev, cur) = (hist(hist.size - 2), hist.last)
+    val cur = hist.last
+    val window = hist.dropRight(1).takeRight(5)
+    val prevSeen: Map[String, Set[String]] = window.flatMap(_.toSeq)
+      .groupBy(_._1).map { case (q, kv) => q -> kv.map(_._2).toSet }
     // Queries whose CODE changed between the two lines, with the
     // change that justifies the sha move.
     val locTruncReason =
@@ -200,7 +224,25 @@ class BenchArtifactSpec extends AnyFunSuite {
         "exactly the queries whose paths were already past the width — " +
         "session-keyed warehouse tables (bucketed/incremental/ivf/" +
         "dpp/manifest) and the per-pid streaming sinks."
-    val changed: Map[String, String] = Seq(
+    val changed: Map[String, String] = Map(
+      "qc_completeness" ->
+        ("r10: a 2-exchange stack-first rewrite was tried, MEASURED " +
+          "2.7x slower at sf0.1, and reverted — its sha appears in one " +
+          "mid-round history line only"),
+      "src_bloom_prune" ->
+        ("r10: its multi-path pruned-file Location truncates at " +
+          "per-boot-varying session-name lengths; planNorm now " +
+          "canonicalizes every path list to [<path>] — the sha moves " +
+          "across the fix boundary and is boot-stable after"),
+      "src_schema_evolution" ->
+        ("r10: same multi-path Location class as src_bloom_prune " +
+          "(the evolved-schema dir lists several files) — one sha move " +
+          "across the canonicalization boundary"),
+      "ev_range_join" ->
+        ("r10: AQE's FINAL executed plan is load-adaptive by design; " +
+          "one contended boot (1.4×-inflated totals, 14 stall retries) " +
+          "replanned this join — the sha reverts on quiet boots and " +
+          "the window check absorbs the flap thereafter")) ++ Seq(
       "stream_sessionize", "stream_quantile_sample",
       "stream_hourly_multibatch", "stream_rolling_hll",
       "sim_ivf_insert", "sim_ivf_delete", "sim_ivf_compact",
@@ -210,13 +252,13 @@ class BenchArtifactSpec extends AnyFunSuite {
       "q05_bucketed", "q18_bucketed", "ev_sessionize_bucketed",
       "src_dpp_scan", "src_bloom_prune", "src_manifest_prune")
       .map(_ -> locTruncReason).toMap
-    val shared = (prev.keySet intersect cur.keySet) -- changed.keySet
-    val moved = shared.filter(q => prev(q) != cur(q)).toSeq.sorted
+    val shared = (prevSeen.keySet intersect cur.keySet) -- changed.keySet
+    val moved = shared.filter(q => !prevSeen(q).contains(cur(q))).toSeq.sorted
     assert(moved.isEmpty,
-      s"${moved.size} unchanged queries' plan shas moved between the " +
-        s"last two official lines: ${moved.take(10).mkString(", ")} — " +
-        "either a plan regression or a normalizer leak; diagnose with " +
-        "graft.PlanDump and either fix or allowlist with a reason")
+      s"${moved.size} queries' plan shas are UNSEEN in the trailing " +
+        s"window: ${moved.take(10).mkString(", ")} — either a plan " +
+        "regression or a normalizer leak; diagnose with graft.PlanDump " +
+        "and either fix or allowlist with a reason")
     assert(shared.size > 100, s"comparison degenerate: ${shared.size} shared")
   }
 }

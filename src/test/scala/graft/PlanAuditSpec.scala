@@ -32,7 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // - qc_completeness unions TEN independent single-scan global
     //   aggregates (one per table of the schema-wide panel); each
     //   contributes exactly one ONE-ROW partial->final exchange, so its
-    //   count is bounded by the table count, never by data volume.
+    //   count is bounded by the table count, never by data volume. A
+    //   2-exchange stack-first rewrite was MEASURED in r10 and
+    //   rejected: it ran 2.7x slower (corpus-sized row fan-out through
+    //   the generator vs ten free 1-row hops) — see qcCompleteness.
     val ceiling = Map("qc_completeness" -> 10).withDefaultValue(8)
     counts.foreach { case (n, c) =>
       assert(c <= ceiling(n), s"$n plans $c shuffles (ceiling ${ceiling(n)})")
