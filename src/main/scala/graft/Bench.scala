@@ -113,6 +113,18 @@ object Bench {
       // crossing the field boundary.
       .replaceAll("\\[<path>(?:, <path>)*(?:,\\s*[^,\\]]*)?, PartitionFilters",
         "[<path>], PartitionFilters")
+      // Catch-all for the remaining truncation geometry (ADVICE r10):
+      // if the cut lands inside the FIRST path before its anchor word
+      // (file:/testdata/warehouse/tmp), no <path> token survives and
+      // the rules above leave raw prefix text. Anchor on the Location
+      // field itself: everything between its '[' and the next
+      // metadata key (', Word: ') or end-of-line is path-list content
+      // by construction, so it canonicalizes to the same [<path>]
+      // spelling regardless of where the cut fell. A no-op on strings
+      // the rules above already canonicalized.
+      .replaceAll(
+        "(Location: [\\w$.]+\\(\\d+ paths?\\))\\[(?:(?!, [A-Z]\\w*: )[^\\n])*\\]?",
+        "$1[<path>]")
       .replaceAll("Statistics\\([^)]*\\)", "<stats>")
       .replaceAll("\\[id=[^\\]]*\\]", "")
       // Multi-distinct aggregates: RewriteDistinctAggregates groups the
@@ -280,6 +292,83 @@ object Bench {
     }.toMap
   }
 
+  /** Best-effort git HEAD commit (sha12) read straight from .git —
+    * no subprocess (zero-egress container; also keeps Bench a pure
+    * JVM main). Resolves a symbolic HEAD through the loose ref file
+    * or packed-refs; anything unexpected degrades to "unknown".
+    * The OFFICIAL-median window (VERDICT r10 #2) keys on this, so
+    * the protocol is: official boots run on a COMMITTED HEAD — a
+    * dirty working tree aliases under its base commit's sha, which
+    * the round-close checklist forbids rather than detects. */
+  private[graft] def gitHead(gitDir: String = ".git"): String =
+    try {
+      val p = java.nio.file.Paths.get(gitDir)
+      val s = java.nio.file.Files.readString(p.resolve("HEAD")).trim
+      val sha =
+        if (s.startsWith("ref: ")) {
+          val ref = s.drop(5).trim
+          val loose = p.resolve(ref)
+          if (java.nio.file.Files.isRegularFile(loose))
+            java.nio.file.Files.readString(loose).trim
+          else {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(p.resolve("packed-refs"))
+              .asScala.find(_.endsWith(" " + ref))
+              .map(_.takeWhile(_ != ' ')).getOrElse("")
+          }
+        } else s
+      if (sha.matches("[0-9a-f]{40}")) sha.take(12) else "unknown"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
+  /** OFFICIAL per-query numbers (VERDICT r10 #2): the r10 official
+    * boot was a 1.2×-contention-inflated outlier adjudicated only by
+    * judge reruns, so the official number is now the per-query MEDIAN
+    * over the trailing window of SAME-HEAD, same-sf full boots in
+    * [[HistoryPath]] (≤ [[MedianWindow]]). Returns the per-query
+    * medians, each line's total (the spread evidence), and the window
+    * size. Same degrade-don't-throw parsing contract as
+    * [[trailingMedians]]; a head of "unknown" matches only "unknown"
+    * lines — mixing unknown-HEAD boots into an official window would
+    * defeat the same-code guarantee. */
+  private[graft] def officialMedian(sfDir: String, head: String,
+      path: String = HistoryPath): (Map[String, Double], List[Double]) = {
+    val qRe = "\"queries\":\\{([^}]*)\\}".r
+    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    val headRe = "\"head\":\"([^\"]*)\"".r
+    val totRe = "\"value\":(-?[0-9][0-9.eE+-]*)".r
+    val pairRe = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+    val lines =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(path)).asScala.toList
+      } catch { case _: java.io.IOException => Nil }
+    val matching = lines
+      .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
+      .filter(l => headRe.findFirstMatchIn(l).exists(_.group(1) == head))
+      .takeRight(MedianWindow)
+    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (l <- matching; m <- qRe.findFirstMatchIn(l);
+         p <- pairRe.findAllMatchIn(m.group(1))) {
+      val t = try p.group(2).toDouble
+        catch { case _: NumberFormatException => -1.0 }
+      if (t >= 0) perQuery.updateWith(p.group(1))(
+        old => Some(t :: old.getOrElse(Nil)))
+    }
+    val medians = perQuery.map { case (q, ts) =>
+      val s = ts.sorted
+      val mid =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      q -> mid
+    }.toMap
+    val totals = matching.flatMap(l =>
+      totRe.findFirstMatchIn(l).flatMap(m =>
+        try Some(m.group(1).toDouble)
+        catch { case _: NumberFormatException => None }))
+    (medians, totals)
+  }
+
   /** The "plans" maps of every matching-sf line in [[HistoryPath]],
     * oldest → newest — the cross-round sha-stability source (r10,
     * VERDICT r9 wrong #2: with the normalizer now fixed, sha equality
@@ -411,8 +500,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFail = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(s), _, _) => s }.sum
+    val head = gitHead()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"head":${jstr(head)},"sf":${jstr(sfDir)}}"""
     // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
     // r4 #7) — a subset iteration run must not clobber it (an r6 `git
     // add -A` briefly committed a one-query file over the official
@@ -428,6 +518,38 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     }
     println(line)
+    if (args.isEmpty) {
+      // OFFICIAL artifact (VERDICT r10 #2): per-query medians over the
+      // same-HEAD, same-sf trailing boots INCLUDING the line just
+      // appended. "value" is the sum of per-query medians — each
+      // query's stall absorbs independently, which a median-of-totals
+      // can't do — and boot_totals/spread record the raw boot-to-boot
+      // variance the r10 adjudication had to reconstruct by hand.
+      // BenchArtifactSpec recomputes this from the committed history
+      // and fails the suite if the artifact isn't the median of its
+      // own window. Printed as a SECOND compact line too: the driver
+      // keeps only a ~2 KB tail of the build log, which the full
+      // queries/plans maps overflow — the compact line fits, so the
+      // round artifact regains a machine-readable official number.
+      val (med, totals) = officialMedian(sfDir, head)
+      if (med.nonEmpty) {
+        val offTotal = med.values.sum
+        val medQs = med.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
+          .mkString("{", ",", "}")
+        val spread =
+          s"[${fmt(totals.min)},${fmt(totals.max)}]"
+        val bootsJson = totals.map(fmt).mkString("[", ",", "]")
+        val compact =
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"spread":$spread,"failed":$nFail,"head":${jstr(head)},"sf":${jstr(sfDir)}}"""
+        val full =
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"boot_totals":$bootsJson,"spread":$spread,"failed":$nFail,"head":${jstr(head)},"sf":${jstr(sfDir)},"queries":$medQs}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_OFFICIAL.json"),
+          (full + "\n").getBytes("UTF-8"))
+        println(compact)
+      }
+    }
     // Session-close cleanup: drop the session-keyed IVF index tables
     // (catalog entries + files) this run registered — the accumulation
     // guard ADVICE r4 asked for.

@@ -79,8 +79,13 @@ object GraphPin {
     i = 0
     while (i < n) {
       // warm start: teleport + damped degree share (truncating div,
-      // exactly the distributed init expression)
-      r(i) = tele + (85L * scale * deg(i)) / (100L * tot)
+      // the distributed init expression's exact value). Computed in
+      // BigInt (ADVICE r10): 85·Scale·deg overflows Long once deg
+      // exceeds ~1.08e5, and the REFEREE must stay exact there — if
+      // the distributed BIGINT side ever overflows on a hotter graph,
+      // the replica then DIVERGES and this gate fails informatively
+      // instead of both sides agreeing on a corrupted warm start.
+      r(i) = (BigInt(85) * scale * deg(i) / (BigInt(100) * tot)).toLong + tele
       i += 1
     }
     val contrib = new Array[Long](n)
@@ -294,7 +299,15 @@ object GraphPin {
     val scale = GraphOps.Scale.toDouble
     var maxRel = 0.0
     gx.foreach { case (v, gxr) =>
-      val scaled = oursMap(v).toDouble * n / scale
+      // .get + require (ADVICE r10): a bare apply() on an FK-orphan
+      // edge endpoint would throw an anonymous NoSuchElementException,
+      // masking exactly the diagnostic this cross-check exists for.
+      val our = oursMap.get(v)
+      require(our.isDefined,
+        s"GraphX vertex $v is absent from the distributed rank set — " +
+          "an edge endpoint outside the customer/supplier vertex " +
+          "domain (FK orphan in the corpus?)")
+      val scaled = our.get.toDouble * n / scale
       val rel = math.abs(scaled - gxr) / gxr
       if (rel > maxRel) maxRel = rel
     }

@@ -2298,7 +2298,7 @@ object Relational {
 
   /** Mergeable quantile SAMPLE sketch — the fifth sketch family member
     * next to HLL/KMV/CMS/Bloom, covering quantiles: per group, the 100
-    * rows with the smallest md5(orderkey-linenumber) form a
+    * smallest DISTINCT md5(orderkey-linenumber-value) hashes form a
     * deterministic uniform sample, and p50/p90 are nearest-rank stats
     * OF THE SAMPLE (⌈q·k⌉ — integer rank math, no interpolation: the
     * equi-depth interpolation formulas are a known cross-engine ulp
@@ -2322,17 +2322,29 @@ object Relational {
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
       // (orderkey, linenumber) is NOT unique in this corpus (dup rows
       // exist) — fold the value into the hash so rows tied on skey are
-      // full duplicates carrying identical v: the sample MULTISET of v
-      // is then partition-order-invariant even though row identity
-      // is not.
+      // full duplicates carrying identical v: the sample is then
+      // partition-order-invariant even though row identity is not.
       expr("md5(concat(CAST(l_orderkey AS STRING), '-', " +
         "CAST(l_linenumber AS STRING), '-', " +
         "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)))")
         .as("skey"))
+    // SAMPLE CONTRACT (shared with quantileSampleStream /
+    // quantileSnapshotStream — ADVICE r10): the sample is the 100
+    // smallest DISTINCT skeys per group, NOT the first-100-rows
+    // multiset. A full-duplicate row collapses onto its skey — safe
+    // because skey folds v in, so equal skeys carry identical v — and
+    // the streaming twin's per-key state buffer (a Map keyed by skey)
+    // then agrees with the batch sample EVEN when a duplicate lands
+    // inside a group's 100 smallest hashes; with the old multiset rule
+    // the twins drifted exactly there. dense_rank (not row_number)
+    // keeps the WindowGroupLimit per-partition heap pushdown; the
+    // dedup after the ≤100-distinct cut touches only sample-sized
+    // rows, so the extra exchange is k-bounded.
     val wS = Window.partitionBy("grp").orderBy("skey")
-    val samp = rows.withColumn("srn", row_number().over(wS))
+    val samp = rows.withColumn("srn", dense_rank().over(wS))
       .filter(col("srn") <= 100)
       .drop("srn")
+      .dropDuplicates("grp", "skey")
     val wR = Window.partitionBy("grp").orderBy("v", "skey")
     val wK = Window.partitionBy("grp")
     val est = samp
@@ -3397,9 +3409,9 @@ object Relational {
         |      AS skey
         |  FROM lineitem),
         |samp AS (
-        |  SELECT grp, v, skey FROM (
+        |  SELECT DISTINCT grp, v, skey FROM (
         |    SELECT grp, v, skey,
-        |      row_number() OVER (PARTITION BY grp ORDER BY skey) AS srn
+        |      dense_rank() OVER (PARTITION BY grp ORDER BY skey) AS srn
         |    FROM rows_) WHERE srn <= 100),
         |rk AS (
         |  SELECT grp, v,

@@ -430,7 +430,15 @@ object StreamOps {
     * re-asserts. Estimates replay the batch integer nearest-rank math
     * verbatim — rank (k+1) div 2 / (9k+9) div 10 over the (v, skey)
     * order — so StreamingSpec asserts EXACT equality with the batch
-    * query's estimates after any split. */
+    * query's estimates after any split.
+    *
+    * SAMPLE CONTRACT (shared with aggQuantileSample — ADVICE r10):
+    * both sides keep the k smallest DISTINCT skeys, never a row
+    * multiset. The corpus contains full-duplicate (orderkey,
+    * linenumber) rows; this Map-keyed buffer inherently collapses
+    * them, so the batch side dedups by skey too (dense_rank cut +
+    * dropDuplicates) — without that the twins drift the first time a
+    * duplicate's hash lands inside a group's 100 smallest. */
   def quantileSampleStream(rows: Dataset[KeyedSample], k: Int = 100)
       : Dataset[GroupQuantiles] = {
     import rows.sparkSession.implicits._

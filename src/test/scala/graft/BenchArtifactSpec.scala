@@ -41,10 +41,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     // cut BEFORE the second path's anchor word — the raw beheaded
     // prefix must still be swallowed (the src_bloom_prune flap)
     val m4 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(2 paths)[/tmp/wh/t_aaaaaaaaa/f1.parquet, /root/repo/spark-wa, PartitionFilters: []"
+    // cut inside the FIRST path, before its anchor word — no <path>
+    // token survives for the list rules, so only the Location-anchored
+    // catch-all can canonicalize it (ADVICE r10, Bench.scala).
+    val m5 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(1 paths)[/root/repo/spark-wa, PartitionFilters: []"
+    // ...and the same geometry at end-of-line (no following metadata
+    // key to anchor on).
+    val m6 = "FileScan parquet [u#1L] Location: InMemoryFileIndex(1 paths)[/root/repo/spark-wa"
+    val canon = "FileScan parquet [u#1L] Location: InMemoryFileIndex(1 paths)[/tmp/wh/f1.parquet], PartitionFilters: []"
     assert(Bench.planSha(m1) == Bench.planSha(m2) &&
       Bench.planSha(m2) == Bench.planSha(m3) &&
       Bench.planSha(m3) == Bench.planSha(m4),
       "multi-path Location truncation leaked into the fingerprint")
+    assert(Bench.planSha(m5) == Bench.planSha(canon),
+      "first-path-cut Location truncation leaked into the fingerprint")
+    assert(Bench.planNorm(m6).endsWith("[<path>]"),
+      "end-of-line Location truncation left raw path text")
     // Typed-pipeline closures: lambda index / hidden-class address /
     // identity hash all vary per JVM boot (measured: mm_decode_jpeg's
     // sha diverged across two otherwise-identical boots before this).
@@ -190,6 +202,66 @@ class BenchArtifactSpec extends AnyFunSuite {
       assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
   }
 
+  test("officialMedian: same-head window, per-query stall absorption, artifact consistency (r11)") {
+    // VERDICT r10 #2: the official number is the per-query median over
+    // same-HEAD, same-sf full boots — a contended boot's stalls must
+    // not become the round's official per-query numbers. Fixture:
+    // three same-head boots (one with a 10× stall on q2), one
+    // foreign-head boot, one foreign-sf boot.
+    def line(sf: String, head: String, q1: Double, q2: Double) =
+      s"""{"metric":"total","value":${q1 + q2},"unit":"sec","queries":{"q1":$q1,"q2":$q2},"failed":0,"head":"$head","sf":"$sf"}"""
+    val rows = Seq(
+      line("/sf0.1", "aaaa00000001", 1.0, 2.0),
+      line("/sf0.1", "aaaa00000001", 1.2, 20.0), // stalled boot
+      line("/sf0.1", "bbbb00000002", 9.9, 9.9),  // foreign head
+      line("/sf0.001", "aaaa00000001", 0.1, 0.1), // foreign sf
+      line("/sf0.1", "aaaa00000001", 1.1, 2.2))
+    val f = java.io.File.createTempFile("bench_hist_official", ".jsonl")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      rows.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val (med, totals) = Bench.officialMedian("/sf0.1", "aaaa00000001", f.getPath)
+    assert(med.get("q1").contains(1.1), s"q1 median: ${med.get("q1")}")
+    assert(med.get("q2").contains(2.2),
+      s"q2 median ${med.get("q2")}: the stalled boot leaked into the official number")
+    assert(totals.size == 3 && totals.max > 20, "window totals wrong")
+    // Foreign head sees only its own boot; unknown head matches nothing.
+    assert(Bench.officialMedian("/sf0.1", "bbbb00000002", f.getPath)._2.size == 1)
+    assert(Bench.officialMedian("/sf0.1", "unknown", f.getPath)._1.isEmpty)
+    // gitHead resolves THIS repo's committed HEAD (sha12) — the field
+    // every official line keys on.
+    assert(Bench.gitHead().matches("[0-9a-f]{12}"),
+      "gitHead could not resolve the repo HEAD")
+    // LIVE artifact consistency: if BENCH_OFFICIAL.json exists, its
+    // value must equal the sum of per-query medians recomputed from
+    // the committed history for its own head+sf — a stale or
+    // hand-edited official artifact fails the suite.
+    val offPath = java.nio.file.Paths.get("BENCH_OFFICIAL.json")
+    if (java.nio.file.Files.exists(offPath)) {
+      val txt = java.nio.file.Files.readString(offPath)
+      val v = "\"value\":(-?[0-9][0-9.eE+-]*)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+      val h = "\"head\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val boots = "\"boots\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+      assert(v.isDefined && h.isDefined && sf.isDefined && boots.isDefined,
+        "BENCH_OFFICIAL.json is missing value/head/sf/boots")
+      val (liveMed, liveTotals) = Bench.officialMedian(sf.get, h.get)
+      // The artifact is valid only while the history still contains
+      // its window (history is append-only, so a matching window can
+      // only grow PAST the artifact's — in that case the artifact is
+      // from an older boot of the same head and must still match the
+      // recompute only if the window size agrees).
+      if (liveTotals.size == boots.get) {
+        val recomputed = liveMed.values.sum
+        assert(math.abs(recomputed - v.get) < 0.01 * math.max(1.0, v.get),
+          s"BENCH_OFFICIAL.json value ${v.get} != recomputed median " +
+            s"$recomputed over its ${boots.get}-boot window")
+      }
+    }
+  }
+
   test("cross-round plan-sha stability: consecutive official lines agree on unchanged queries (r10)") {
     // VERDICT r9 wrong #2: r9's normalizer change confounded the
     // cross-round sha comparison once; with the normalizer fixed, sha
@@ -215,43 +287,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     val prevSeen: Map[String, Set[String]] = window.flatMap(_.toSeq)
       .groupBy(_._1).map { case (q, kv) => q -> kv.map(_._2).toSet }
     // Queries whose CODE changed between the two lines, with the
-    // change that justifies the sha move.
-    val locTruncReason =
-      "r10 Location-truncation fix: FileScan drops Location's closing " +
-        "bracket when the path exceeds the metadata truncation width; " +
-        "planNorm now re-closes the truncated spelling (fixture above). " +
-        "The fix moves the sha ONCE, across the fix boundary, for " +
-        "exactly the queries whose paths were already past the width — " +
-        "session-keyed warehouse tables (bucketed/incremental/ivf/" +
-        "dpp/manifest) and the per-pid streaming sinks."
-    val changed: Map[String, String] = Map(
-      "qc_completeness" ->
-        ("r10: a 2-exchange stack-first rewrite was tried, MEASURED " +
-          "2.7x slower at sf0.1, and reverted — its sha appears in one " +
-          "mid-round history line only"),
-      "src_bloom_prune" ->
-        ("r10: its multi-path pruned-file Location truncates at " +
-          "per-boot-varying session-name lengths; planNorm now " +
-          "canonicalizes every path list to [<path>] — the sha moves " +
-          "across the fix boundary and is boot-stable after"),
-      "src_schema_evolution" ->
-        ("r10: same multi-path Location class as src_bloom_prune " +
-          "(the evolved-schema dir lists several files) — one sha move " +
-          "across the canonicalization boundary"),
-      "ev_range_join" ->
-        ("r10: AQE's FINAL executed plan is load-adaptive by design; " +
-          "one contended boot (1.4×-inflated totals, 14 stall retries) " +
-          "replanned this join — the sha reverts on quiet boots and " +
-          "the window check absorbs the flap thereafter")) ++ Seq(
-      "stream_sessionize", "stream_quantile_sample",
-      "stream_hourly_multibatch", "stream_rolling_hll",
-      "sim_ivf_insert", "sim_ivf_delete", "sim_ivf_compact",
-      "sim_ann_indexed", "sim_ann_int8",
-      "dedup_incremental", "dedup_minhash_incremental",
-      "dedup_components_incremental",
-      "q05_bucketed", "q18_bucketed", "ev_sessionize_bucketed",
-      "src_dpp_scan", "src_bloom_prune", "src_manifest_prune")
-      .map(_ -> locTruncReason).toMap
+    // change that justifies the sha move. EMPTY is the steady state
+    // (VERDICT r10 #3): r10's 22 one-time entries (the
+    // Location-truncation fix boundary + one AQE flap + one
+    // measured-and-reverted rewrite) aged out once the trailing
+    // window filled with post-fix boots — verified by replaying this
+    // check against the committed history with the map empty before
+    // deleting them. A round that legitimately changes a query's
+    // plan absorbs the move by landing ≥2 full bench boots before
+    // the round-close `sbt test` (the window then contains the new
+    // sha); an entry here is reserved for a mover that CANNOT be
+    // re-booted into the window, and must carry its measured reason.
+    val changed: Map[String, String] = Map.empty
     val shared = (prevSeen.keySet intersect cur.keySet) -- changed.keySet
     val moved = shared.filter(q => !prevSeen(q).contains(cur(q))).toSeq.sorted
     assert(moved.isEmpty,
