@@ -1784,6 +1784,143 @@ object StreamOps {
       .orderBy("hour", "event_type")
   }
 
+  /** §2.8 RESTART under the oracle gate (VERDICT r10 #4) — THE
+    * production fault-tolerance contract, previously pinned only by
+    * StreamingSpec's MemoryStream restart: the same watermarked hourly
+    * aggregate, driven as TWO SEPARATE QUERY RUNS off ONE checkpoint.
+    * Run 1 sees only the first two time-ordered chunks (AvailableNow
+    * drains them and commits watermark + window state); while the
+    * query is DOWN, the remaining chunk and the flush sentinel are
+    * staged into the source dir; run 2 starts from the same
+    * checkpoint, resumes the watermark mid-corpus, ingests the new
+    * files, finalizes and evicts every remaining window. The sink —
+    * the union of both runs' exactly-once appends under the file
+    * sink's _spark_metadata log — must hash-match the SAME batch
+    * oracle as stream_hourly_agg: nothing lost at the stop, nothing
+    * replayed at the restart.
+    *
+    * Chunk contiguity by event time makes the stop point safe for the
+    * same reason the multibatch replay is ([[streamHourlyMultiGated]]):
+    * run 1's final watermark is chunk-1's max minus the delay, and a
+    * window it finalized can contain no chunk-2 event (every one is
+    * newer than chunk-1's max). The driver REQUIRES the two runs to be
+    * genuinely disjoint: distinct streaming runIds off one checkpoint,
+    * ≥2 committed batches before the stop, and ≥2 more after. */
+  def streamHourlyRestartGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.Tables(spark, dir).events
+      .select(col("ts"), col("event_type"), col("value"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_hourlyrs_${key}_p${ProcessHandle.current().pid()}")
+    deleteRecursively(work)
+    val src = work.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    val sink = work.resolve("sink").toString
+    val ckpt = work.resolve("ckpt")
+    val b = ev.agg(min("ts"), max("ts")).first()
+    val (t0, t1) = (b.getTimestamp(0).getTime, b.getTimestamp(1).getTime)
+    val cut1 = new java.sql.Timestamp(t0 + (t1 - t0) / 3)
+    val cut2 = new java.sql.Timestamp(t0 + 2 * ((t1 - t0) / 3))
+    val sentinelRow = Seq(org.apache.spark.sql.Row(
+      new java.sql.Timestamp(t1 + 48L * 3600 * 1000), "__flush__", 0.0))
+    val chunks = Seq(
+      ev.filter(col("ts") < lit(cut1)),
+      ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+      ev.filter(col("ts") >= lit(cut2)),
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(sentinelRow).asJava),
+        ev.schema))
+    val mtimeBase = (System.currentTimeMillis / 1000) * 1000 - 3600L * 1000
+    def stage(i: Int): Unit = {
+      val tmp = work.resolve(s"__stage_$i")
+      chunks(i).coalesce(1).write.parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = src.resolve(f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeBase + i * 60000L))
+      java.nio.file.Files.list(tmp).iterator().asScala.toSeq
+        .foreach(java.nio.file.Files.deleteIfExists)
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+    def committedBatches(): Int = {
+      import scala.jdk.CollectionConverters._
+      val off = ckpt.resolve("offsets")
+      if (!java.nio.file.Files.exists(off)) 0
+      else {
+        val ls = java.nio.file.Files.list(off)
+        try ls.iterator().asScala
+          .count(_.getFileName.toString.forall(_.isDigit))
+        finally ls.close()
+      }
+    }
+    def run(): (java.util.UUID, Int) = {
+      val q = hourlyAggWatermarked(
+          spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src.toString))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (q.runId, committedBatches())
+    }
+    // Run 1: only the first two chunks exist. Stop is the query's own
+    // AvailableNow termination — state and watermark stay committed in
+    // the checkpoint with a third of the corpus still unseen.
+    stage(0); stage(1)
+    val (run1, n1) = run()
+    require(n1 >= 2,
+      s"restart gate: run 1 committed only $n1 batches before the stop")
+    // FEED WHILE DOWN (VERDICT r10 missing #3's exact scenario): new
+    // source files land while no query is running.
+    stage(2); stage(3)
+    val (run2, n2) = run()
+    require(run2 != run1,
+      "restart gate: the second start did not get a fresh runId — the " +
+        "two runs are not distinct query executions")
+    require(n2 >= n1 + 2,
+      s"restart gate: run 2 added only ${n2 - n1} committed batches " +
+        s"($n1 -> $n2) — the post-restart range is not disjoint")
+    spark.read.parquet(sink)
+      .filter(col("event_type") =!= "__flush__")
+      .orderBy("hour", "event_type")
+  }
+
+  /** §2.8 oracle promotion #19 — the STREAM-STATIC shape, the last
+    * stateless streaming face with no oracle row (VERDICT r10 #6):
+    * [[enrichStream]] (per-micro-batch broadcast join against a
+    * static dimension) driven through the file-source → checkpointed
+    * parquet-sink lifecycle on the real corpus, the sink read back
+    * row-for-row and gated against the plain batch dim-join SQL. No
+    * sentinel and no watermark: the join is stateless, every batch's
+    * output appends as it forms. Row-level (not aggregated) on
+    * purpose — hash equality then proves per-event join fidelity and
+    * exactly-once delivery at the finest grain the gate supports. */
+  def streamEnrichGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val ev = t.events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val dim = t.customer
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"), col("c_nationkey"))
+    driveToSinkOpt(spark, dir, "enrich", ev, None, enrichStream(_, dim))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"), col("c_nationkey"))
+      .orderBy("event_id")
+  }
+
   /** Shared batch-replay-through-streaming driver for the gated §2.8
     * queries: stage the frame into a temp source dir (one corpus file
     * + the sentinel file), run the pipeline with AvailableNow — ONE
@@ -1889,7 +2026,9 @@ object StreamOps {
       "stream_rolling_hll" -> (streamDailyHllGated(_, _)),
       "stream_anomaly" -> (streamAnomalyGated(_, _)),
       "stream_topk" -> (streamTopkGated(_, _)),
-      "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)))
+      "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)),
+      "stream_hourly_restart" -> (streamHourlyRestartGated(_, _)),
+      "stream_enrich" -> (streamEnrichGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
     * THAT is the point: the streaming pipelines' sinks must be
@@ -1962,14 +2101,23 @@ object StreamOps {
     "stream_anomaly" ->
       graft.operators.EventOps.oracles("ev_anomaly"),
     "stream_topk" ->
-      graft.operators.Relational.oracles("q08_topk_orders"))
+      graft.operators.Relational.oracles("q08_topk_orders"),
+    // Stream-static enrichment: the oracle is the plain batch dim
+    // join — the stream side must be row-for-row indistinguishable
+    // from joining the static tables directly.
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  c.c_mktsegment, c.c_nationkey
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin)
 
-  /** The multi-batch replay shares stream_hourly_agg's oracle string
-    * (same pipeline, different replay shape) — appended outside the
-    * literal so the map can self-reference it. */
+  /** The multi-batch and restart replays share stream_hourly_agg's
+    * oracle string (same pipeline, different replay shapes) — appended
+    * outside the literal so the map can self-reference it. */
   val oracles: Map[String, String] =
     oraclesBase +
-      ("stream_hourly_multibatch" -> oraclesBase("stream_hourly_agg"))
+      ("stream_hourly_multibatch" -> oraclesBase("stream_hourly_agg")) +
+      ("stream_hourly_restart" -> oraclesBase("stream_hourly_agg"))
 
   def sessionize(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
