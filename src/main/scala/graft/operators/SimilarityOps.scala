@@ -116,7 +116,8 @@ object SimilarityOps {
           .select(col("cid").as("aid"), col("cv").as("av"))
       case ParKmeansAnchors =>
         kmeansLoop(emb, k, KmMaxIter,
-            initSnap = Some(kmeansParallelInit(emb, k)))._2
+            initSnap = Some(kmeansParallelInit(emb, k)),
+            onConverged = s => parAnchorsLast.set(s))._2
           .select(col("cid").as("aid"), col("cv").as("av"))
     }).agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
 
@@ -201,6 +202,50 @@ object SimilarityOps {
        |  SELECT vec_id, embedding, aid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
        |    FROM kasn) WHERE rn <= $IvfP)""".stripMargin
+
+  /** Converged anchors of the LAST ParKmeansAnchors run in this JVM —
+    * a K×dims driver-bounded snapshot (the Lloyd fixpoint is collected
+    * per iteration anyway). Feeds [[annKmeansParOracle]]: the probe
+    * half of sim_ann_kmeans_par becomes SQL-expressible once the
+    * anchors embed as literals (VERDICT r10 stretch — the
+    * emb_whitening literal-embedding move applied to DATA the query
+    * itself derived). Works because graft.Verify dumps oracle_sql.json
+    * AFTER running the queries in the same JVM, so the literal set the
+    * oracle carries is exactly the one the dumped result used. */
+  private val parAnchorsLast =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Seq[Float])]]()
+
+  /** Probe-half oracle for sim_ann_kmeans_par, generated from the
+    * stashed converged anchors: cell assignment (top-P by cos desc,
+    * aid asc — [[ivfCellsSql]]'s rule verbatim), candidate union over
+    * the query's cells, exact re-rank — the full rows+schema+hash gate
+    * on everything downstream of the init. The init itself (k-means||
+    * oversampling + weighted driver recluster + Lloyd) remains
+    * spec-gated in IvfSpec: its adaptive data-dependent rounds have no
+    * reasonable SQL unrolling, which is exactly why the anchors enter
+    * as literals rather than CTEs. None until the query has run in
+    * this JVM → the key is omitted and the driver records the
+    * rows-only check, as before. Float literals print via
+    * Float.toString (shortest round-trip decimal), so CAST(... AS
+    * FLOAT[]) reconstructs bit-identical values in DuckDB. */
+  private def annKmeansParOracle: Option[String] =
+    Option(parAnchorsLast.get()).map { snap =>
+      val rows = snap.sortBy(_._1).map { case (aid, av) =>
+        s"(CAST($aid AS BIGINT), CAST([${av.mkString(", ")}] AS FLOAT[]))"
+      }.mkString(",\n    ")
+      s"""WITH anch(aid, av) AS (VALUES
+         |    $rows),
+         |asn AS (
+         |  SELECT e.vec_id, e.embedding, a.aid,
+         |         CASE WHEN isnan(${cosExprSql("e.embedding", "a.av")}) THEN -1.0
+         |              ELSE ${cosExprSql("e.embedding", "a.av")} END AS c
+         |  FROM embeddings e CROSS JOIN anch a),
+         |cells AS (
+         |  SELECT vec_id, embedding, aid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
+         |    FROM asn) WHERE rn <= $IvfP),
+         |$annProbeTailSql""".stripMargin
+    }
 
   /** The ANN probe in DuckDB, downstream of a CTE named `cells` —
     * shared verbatim by the sample-, kmeans- and index-anchored
@@ -1869,7 +1914,8 @@ object SimilarityOps {
     *         executed iteration, (cid, cv) centroids it produced,
     *         iterations executed) */
   private[graft] def kmeansLoop(emb: DataFrame, k: Int, maxIter: Int,
-      initSnap: Option[Seq[(Long, Seq[Float])]] = None)
+      initSnap: Option[Seq[(Long, Seq[Float])]] = None,
+      onConverged: Seq[(Long, Seq[Float])] => Unit = _ => ())
       : (DataFrame, DataFrame, Int) = {
     val init = md5Ranked(emb)
       .limit(k)
@@ -1939,6 +1985,7 @@ object SimilarityOps {
     // distributed when the caller consumes it. `last` is the centroid
     // set those stats produce (== the oracle's c_M: past a fixpoint
     // further iterations are the identity).
+    onConverged(last)
     (statsOf(snap), centDF(last), iters)
   }
 
@@ -2546,7 +2593,9 @@ object SimilarityOps {
        |ORDER BY proj_rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** Static entries; [[oracles]] appends the run-dependent
+    * sim_ann_kmeans_par probe oracle when its anchors are stashed. */
+  private lazy val oraclesStatic: Map[String, String] = Map(
     "emb_random_projection" -> embRandomProjectionOracle,
     "emb_pq_encode" -> embPqEncodeOracle,
     "emb_pq_residual" -> embPqResidualOracle,
@@ -3070,6 +3119,12 @@ object SimilarityOps {
          |SELECT label, vec_id, cos_c FROM r WHERE rn <= 3
          |ORDER BY label, cos_c, vec_id""".stripMargin,
   )
+
+  /** Static oracles plus the run-dependent sim_ann_kmeans_par probe
+    * oracle (present only after the query has stashed its converged
+    * anchors in this JVM — graft.Verify's dump order guarantees it). */
+  def oracles: Map[String, String] =
+    oraclesStatic ++ annKmeansParOracle.map("sim_ann_kmeans_par" -> _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_cosine" -> (simTopkCosine(_, _)),
