@@ -177,4 +177,56 @@ class ScalingSpec extends AnyFunSuite {
         f"$q scaled 10x data at 10^$exp%.2f time — super-linear regression")
     }
   }
+
+  test("sf1 -> sf10 second scale rung: exponents stay sub-linear and drift <= 0.35 vs the first rung (SCALE_SF10.json)") {
+    // VERDICT r10 #5: one decade of measured scaling can hide a
+    // super-linear term that only dominates at the next decade —
+    // exponent DRIFT between rungs is the earliest warning this
+    // hardware can give the 100 TB posture. SCALE_SF10.json records
+    // same-boot Bench subset runs of the gated kernels at sf1 and on
+    // the sf10 ScaleUp replica (100x sf0.1); this test asserts each
+    // second-rung exponent (a) stays under the same 10^1.3 sub-linear
+    // bound and (b) drifts no more than 0.35 above its first-rung
+    // value — the band covers host variance plus the expected shape
+    // change when fixed per-round scheduling overhead stops
+    // dominating (which moves exponents UP toward the true data
+    // term), while a quadratic term appearing between decades
+    // (+1.0 drift) fails loudly. Kernels the replica cannot hold in
+    // memory are allowed to be ABSENT here only if SCALE_SF10.json
+    // names them in a "bounded" field (the documented memory bound).
+    val p1 = java.nio.file.Paths.get("SCALE_SF1.json")
+    val p10 = java.nio.file.Paths.get("SCALE_SF10.json")
+    assume(java.nio.file.Files.exists(p1) && java.nio.file.Files.exists(p10),
+      "scale-rung artifacts not present")
+    def rows(p: java.nio.file.Path, a: String, b: String) = {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      (("\"([a-z0-9_]+)\":\\s*\\{\\s*\"" + a + "\":\\s*([0-9.]+),\\s*" +
+        "\"" + b + "\":\\s*([0-9.]+)").r)
+        .findAllMatchIn(text)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        .toMap
+    }
+    val rung1 = rows(p1, "sf01_sec", "sf1_sec")
+    val rung2 = rows(p10, "sf1_sec", "sf10_sec")
+    assert(rung2.size >= 10, s"second rung degenerate: ${rung2.size} rows")
+    val text10 = new String(java.nio.file.Files.readAllBytes(p10), "UTF-8")
+    (rung1.keySet -- rung2.keySet).foreach { q =>
+      assert(text10.contains(s"\"$q\""),
+        s"$q measured at rung 1 but absent and undocumented at rung 2 — " +
+          "name it in SCALE_SF10.json's bounded field with its memory bound")
+    }
+    rung2.foreach { case (q, (t1, t10)) =>
+      assert(t1 >= 1.0, s"$q sf1 time $t1 below the noise floor")
+      val exp2 = math.log10(t10 / t1)
+      val exp1 = rung1.get(q).map { case (a, b) => math.log10(b / a) }
+      info(f"$q: $t1%.1f s -> $t10%.1f s = 10^$exp2%.2f" +
+        exp1.map(e => f" (rung 1: 10^$e%.2f)").getOrElse(""))
+      assert(exp2 <= 1.3,
+        f"$q scaled 10x data at 10^$exp2%.2f time at the second rung — " +
+          "super-linear regression")
+      exp1.foreach(e => assert(exp2 <= e + 0.35,
+        f"$q exponent drifted 10^$e%.2f -> 10^$exp2%.2f between rungs " +
+          "(> +0.35) — a higher-order term is emerging with scale"))
+    }
+  }
 }
