@@ -1201,6 +1201,7 @@ object StreamOps {
     val work = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_stream_rjoin_${key}_p${ProcessHandle.current().pid()}")
+    reapDeadPidDirs(s"graft_stream_rjoin_${key}_p")
     deleteRecursively(work)
     val srcV = work.resolve("src_v").toString
     val srcC = work.resolve("src_c").toString
@@ -1722,6 +1723,7 @@ object StreamOps {
     val work = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_stream_hourlymb_${key}_p${ProcessHandle.current().pid()}")
+    reapDeadPidDirs(s"graft_stream_hourlymb_${key}_p")
     deleteRecursively(work)
     val src = work.resolve("src")
     java.nio.file.Files.createDirectories(src)
@@ -1819,6 +1821,7 @@ object StreamOps {
     val work = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_stream_hourlyrs_${key}_p${ProcessHandle.current().pid()}")
+    reapDeadPidDirs(s"graft_stream_hourlyrs_${key}_p")
     deleteRecursively(work)
     val src = work.resolve("src")
     java.nio.file.Files.createDirectories(src)
@@ -1970,6 +1973,7 @@ object StreamOps {
     val pid = ProcessHandle.current().pid()
     val work = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_${tag}_${key}_p$pid")
+    reapDeadPidDirs(s"graft_stream_${tag}_${key}_p")
     deleteRecursively(work)
     val src = work.resolve("src").toString
     val sink = work.resolve("sink").toString
@@ -1995,6 +1999,38 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.read.parquet(sink)
+  }
+
+  /** Reap graft stream work dirs left by DEAD processes: the per-pid
+    * keying that makes concurrent JVMs safe (ADVICE r9) also means a
+    * crashed/killed run leaks its source+checkpoint+sink forever — a
+    * long-lived node accumulating per-boot checkpoint dirs is a real
+    * disk-pressure failure mode (measured here: 720 stale dirs, 14 GB,
+    * after one round's boots). Scope: ONLY names matching this file's
+    * own `graft_stream_<tag>_<key>_p<pid>` convention whose pid is
+    * verifiably not alive — a live pid (ours or a concurrent JVM's) is
+    * never raced, and nothing outside the convention is touched. The
+    * `prefix` argument narrows nothing (every dead graft_stream dir is
+    * reclaimable); it is kept for call-site readability only. */
+  private def reapDeadPidDirs(prefix: String): Unit = {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    import scala.jdk.CollectionConverters._
+    val ls =
+      try java.nio.file.Files.list(tmp)
+      catch { case _: java.io.IOException => return }
+    val stale =
+      try ls.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("graft_stream_") && {
+          val pidStr = n.substring(n.lastIndexOf("_p") + 2)
+          n.lastIndexOf("_p") > 0 && pidStr.nonEmpty &&
+            pidStr.forall(_.isDigit) &&
+            scala.util.Try(pidStr.toLong).toOption
+              .exists(ProcessHandle.of(_).isEmpty)
+        }
+      }.toSeq
+      finally ls.close()
+    stale.foreach(deleteRecursively)
   }
 
   /** Best-effort recursive delete (the Formats.dropBucketedTable walk
