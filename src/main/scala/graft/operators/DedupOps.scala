@@ -648,9 +648,40 @@ object DedupOps {
     * semantic equality, no layout visible. */
   def dedupComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
     val (labelCat, sizeCat) = componentCatalogs(spark, dir)
-    val (batch, batchIds) = trackCheckpoint(
+    val (batch, _) = trackCheckpoint(
       shingleSetsWhere(spark, dir, col("source") =!= "src0"))
-    val bsig = batch
+    // EXACT-CONTENT CANONICALIZATION before any near-dup work — the
+    // fix the sf10 rung forced (r11: this op measured 20.9 s → 1957 s
+    // across sf1→sf10, exponent 1.97, because duplicate GROUPS scale
+    // with the corpus and the band self-join + Jaccard-verify then
+    // carries wide shingle arrays through SMJ exchanges once per
+    // COPY-PAIR — Θ(group²) work for pairs whose verdict is identical
+    // by construction). Identical shingle sets get one canonical node:
+    // rep = min doc_id (so min-label components still produce the true
+    // global-min component id), weight = copy count. Bands, Jaccard,
+    // the catalog probe, and the CC loop all run on DISTINCT CONTENT
+    // (equal sets ⇒ equal bands ⇒ equal collisions, equal jac ⇒ the
+    // candidate/verified pair sets expand exactly); membership expands
+    // only in the O(batch) readout joins. Recurring cost drops from
+    // Θ(Σ group²) to Θ(batch + distinct-content²-candidates) — the
+    // posture a 100 TB corpus with hot duplicate groups requires.
+    // ch canonicalizes the SET (sorted render), so order-different
+    // equal sets collapse too; copies of a multi-copy ch are pairwise
+    // jac=1 ≥ 0.5 (bands collide — identical), so an edge-untouched
+    // multi-copy ch is itself one oracle component.
+    // batch's and canon's checkpoint blocks stay owned for the whole
+    // query: the readout's membership joins (keyed/singles) evaluate
+    // them lazily at the final action, so an early free would truncate
+    // live lineage — the session-level unpersist between queries
+    // reclaims them (Bench/Verify teardown).
+    val keyed = batch.select(col("doc_id"),
+      md5(to_json(sort_array(col("hs")))).as("ch"))
+    val (canon, _) = trackCheckpoint(
+      batch.withColumn("ch", md5(to_json(sort_array(col("hs")))))
+        .groupBy("ch")
+        .agg(min("doc_id").as("doc_id"), first("hs").as("hs"),
+          count(lit(1)).as("n_copies")))
+    val bsig = canon
       .select(col("doc_id"), posexplode(expr("graft_minhash_bands(hs)")))
       .select(col("doc_id"), col("pos").as("j"), col("col").as("mh"))
     val bb = bsig.as("a")
@@ -659,31 +690,58 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-      .join(batch.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
-      .join(batch.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
+      .join(canon.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
+      .join(canon.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .filter(expr(JacVerifyExpr) >= 0.5)
       .select("id1", "id2")
     // cross edges ride the SAME probe+verify definition as
-    // dedup_minhash_incremental, then contract the corpus endpoint.
-    val bc = batchCorpusNearDups(spark, dir, batch)
+    // dedup_minhash_incremental — probing with one rep per content
+    // (equal sets probe identically), then contract the corpus
+    // endpoint.
+    val bc = batchCorpusNearDups(spark, dir,
+        canon.select(col("doc_id"), col("hs")))
       .join(labelCat.select(col("doc_id").as("corpus_id"), col("label")),
         "corpus_id")
       .select(col("batch_id").as("id1"), col("label").as("id2"))
       .distinct()
     val (contracted, contractedIds) =
       trackCheckpoint(bb.unionByName(bc))
-    freeBlocks(spark, batchIds)
     val labels = minLabelComponents(spark, contracted)
     freeBlocks(spark, contractedIds)
-    val connected = labels
+    // Component ids per canon node: loop labels for edge-touched reps;
+    // an untouched multi-copy ch is its own component under its rep
+    // (= min member). Weights: corpus labels carry their catalog
+    // member counts; canon reps carry their copy counts.
+    val repComp = labels
+      .join(canon.select(col("doc_id").as("id"), col("n_copies")),
+        Seq("id"), "inner")
+      .select(col("id"), col("label"), col("n_copies"))
+    val untouchedMulti = canon
+      .filter(col("n_copies") >= 2)
+      .join(labels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("id"), col("doc_id").as("label"),
+        col("n_copies"))
+    val corpusW = labels
+      .join(canon.select(col("doc_id").as("id")), Seq("id"), "left_anti")
       .join(sizeCat.select(col("label").as("id"), col("n_members").as("w")),
         Seq("id"), "left")
       .select(col("label"), coalesce(col("w"), lit(1L)).as("w"))
+    val connected = repComp.unionByName(untouchedMulti)
+      .select(col("label"), col("n_copies").as("w"))
+      .unionByName(corpusW)
       .groupBy(col("label").as("component"))
       .agg(sum("w").as("n_members"))
+    // Batch singletons: docs whose ch is single-copy AND edge-untouched
+    // (multi-copy and touched chs are counted above via their rep).
+    val coveredCh = repComp.select(col("id").as("doc_id"))
+      .unionByName(untouchedMulti.select(col("id").as("doc_id")))
+      .join(canon.select(col("doc_id"), col("ch")), "doc_id")
+      .select("ch")
     val singles = Tables(spark, dir).documents
       .filter(col("source") =!= "src0").select(col("doc_id").as("id"))
-      .join(labels.select("id"), Seq("id"), "left_anti")
+      .join(keyed.join(coveredCh, Seq("ch"), "left_semi")
+          .select(col("doc_id").as("id")),
+        Seq("id"), "left_anti")
       .select(col("id").as("component"), lit(1L).as("n_members"))
     connected.unionByName(singles).orderBy("component")
   }
