@@ -413,7 +413,8 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench",
       Map("spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
 
-    def materialize(name: String): (Either[String, Double], Option[String]) = {
+    def materialize(name: String)
+        : (Either[String, Double], Option[(String, String)]) = {
       // Untimed cross-query state teardown (VERDICT r2 finding #1: the
       // driver's 52-query run showed ~3x aggregate inflation vs isolated
       // runs). Three layers, all deterministic rather than waiting on
@@ -436,9 +437,16 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         // Fingerprint AFTER the timer stops: executedPlan access is
         // planning only (the iterative kernels' loops already ran at
-        // construction above — nothing re-executes here).
+        // construction above — nothing re-executes here). The
+        // normalized TEXT rides along so a never-seen sha can dump
+        // itself (see the variant capture below).
         val sha =
-          try Some(planSha(df.queryExecution.executedPlan.toString))
+          try {
+            val norm = planNorm(df.queryExecution.executedPlan.toString)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            Some((md.digest(norm.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(12), norm))
+          }
           catch { case scala.util.control.NonFatal(_) => None }
         (Right(t), sha)
       } catch {
@@ -491,8 +499,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e), _, _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val plans = results.collect { case (k, _, Some(sha), _) => s"${jstr(k)}:${jstr(sha)}" }
+    val plans = results.collect { case (k, _, Some((sha, _)), _) => s"${jstr(k)}:${jstr(sha)}" }
       .mkString("{", ",", "}")
+    // Variant self-capture (r11): a sha the trailing same-sf window has
+    // never seen is either a plan regression or a context-dependent
+    // replan — either way the DIAGNOSTIC is the normalized text, and
+    // by the time anyone investigates, the boot that produced it is
+    // gone (src_bloom_prune flapped between two recurring shas for two
+    // rounds with only ONE variant's text ever captured, because
+    // isolated PlanDump boots reproduce just one of them). Full runs
+    // append every never-seen variant to PLAN_VARIANTS.jsonl so the
+    // flip documents itself the moment it happens.
+    if (args.isEmpty) {
+      val window = historyPlans(sfDir).takeRight(MedianWindow)
+      val seen: Map[String, Set[String]] = window.flatMap(_.toSeq)
+        .groupBy(_._1).map { case (q, kv) => q -> kv.map(_._2).toSet }
+      val novel = results.collect {
+        case (k, _, Some((sha, norm)), _)
+            if seen.get(k).exists(s => !s.contains(sha)) =>
+          s"""{"q":${jstr(k)},"sha":${jstr(sha)},"norm":${jstr(norm)}}"""
+      }
+      if (novel.nonEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("PLAN_VARIANTS.jsonl"),
+          novel.mkString("", "\n", "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+    }
     val retries = results.collect {
       case (k, Right(t), _, Some(rr)) =>
         val rv = rr.fold(_ => "-1", fmt)
