@@ -294,25 +294,43 @@ object Bench {
 
   /** Best-effort git HEAD commit (sha12) read straight from .git —
     * no subprocess (zero-egress container; also keeps Bench a pure
-    * JVM main). Resolves a symbolic HEAD through the loose ref file
+    * JVM main). Follows a worktree's `gitdir:` indirection (ADVICE
+    * r11: in a worktree .git is a FILE, and degrading to "unknown"
+    * there both failed the spec and pooled unrelated code states into
+    * one official window) and a worktree gitdir's `commondir` for ref
+    * resolution; resolves a symbolic HEAD through the loose ref file
     * or packed-refs; anything unexpected degrades to "unknown".
-    * The OFFICIAL-median window (VERDICT r10 #2) keys on this, so
-    * the protocol is: official boots run on a COMMITTED HEAD — a
-    * dirty working tree aliases under its base commit's sha, which
-    * the round-close checklist forbids rather than detects. */
+    * Recorded per line as provenance; the OFFICIAL-median window keys
+    * on [[srcTreeHash]] (VERDICT r11 #3) so artifact-only commits
+    * don't reset it. */
   private[graft] def gitHead(gitDir: String = ".git"): String =
     try {
-      val p = java.nio.file.Paths.get(gitDir)
+      var p = java.nio.file.Paths.get(gitDir)
+      // Worktree / submodule checkout: .git is a file 'gitdir: <path>'.
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val ind = java.nio.file.Files.readString(p).trim
+        if (!ind.startsWith("gitdir:")) return "unknown"
+        p = p.toAbsolutePath.getParent
+          .resolve(ind.drop(7).trim).normalize()
+      }
+      // Worktree gitdirs keep HEAD locally but share refs/packed-refs
+      // through the commondir pointer.
+      val commonFile = p.resolve("commondir")
+      val refBase =
+        if (java.nio.file.Files.isRegularFile(commonFile))
+          p.resolve(java.nio.file.Files.readString(commonFile).trim)
+            .normalize()
+        else p
       val s = java.nio.file.Files.readString(p.resolve("HEAD")).trim
       val sha =
         if (s.startsWith("ref: ")) {
           val ref = s.drop(5).trim
-          val loose = p.resolve(ref)
+          val loose = refBase.resolve(ref)
           if (java.nio.file.Files.isRegularFile(loose))
             java.nio.file.Files.readString(loose).trim
           else {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.readAllLines(p.resolve("packed-refs"))
+            java.nio.file.Files.readAllLines(refBase.resolve("packed-refs"))
               .asScala.find(_.endsWith(" " + ref))
               .map(_.takeWhile(_ != ' ')).getOrElse("")
           }
@@ -320,21 +338,62 @@ object Bench {
       if (sha.matches("[0-9a-f]{40}")) sha.take(12) else "unknown"
     } catch { case scala.util.control.NonFatal(_) => "unknown" }
 
+  /** md5/12 over the PLAN-RELEVANT source tree (src/main, sorted
+    * relative paths + file bytes) — the official-median window key
+    * (VERDICT r11 #3). The r11 round-close commit changed only
+    * artifacts (PLANS_r11 + evidence) yet reset the same-HEAD window
+    * to boots:1, degrading the median protocol to a single-boot draw;
+    * keying on the source tree instead makes the window exactly
+    * coextensive with "same executable plans": artifact/doc/test-only
+    * commits keep the window, any src/main edit re-baselines it.
+    * IO trouble degrades to "unknown" (window then falls back to
+    * same-head matching for legacy lines and matches no src-keyed
+    * line — no cross-state pooling). */
+  private[graft] def srcTreeHash(root: String = "src/main"): String =
+    try {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(base)) return "unknown"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val files = java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => base.relativize(f).toString -> f)
+        .toSeq.sortBy(_._1)
+      files.foreach { case (rel, f) =>
+        md.update(rel.getBytes("UTF-8"))
+        md.update(0.toByte)
+        md.update(java.nio.file.Files.readAllBytes(f))
+        md.update(0.toByte)
+      }
+      md.digest().map("%02x".format(_)).mkString.take(12)
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+
   /** OFFICIAL per-query numbers (VERDICT r10 #2): the r10 official
     * boot was a 1.2×-contention-inflated outlier adjudicated only by
     * judge reruns, so the official number is now the per-query MEDIAN
-    * over the trailing window of SAME-HEAD, same-sf full boots in
-    * [[HistoryPath]] (≤ [[MedianWindow]]). Returns the per-query
-    * medians, each line's total (the spread evidence), and the window
-    * size. Same degrade-don't-throw parsing contract as
-    * [[trailingMedians]]; a head of "unknown" matches only "unknown"
-    * lines — mixing unknown-HEAD boots into an official window would
-    * defeat the same-code guarantee. */
+    * over the trailing window of SAME-SOURCE-TREE, same-sf full boots
+    * in [[HistoryPath]] (≤ [[MedianWindow]]). Window membership
+    * (VERDICT r11 #3): a line carrying a `src` field joins iff its
+    * src-tree hash matches; a legacy (pre-r12, src-less) line joins
+    * iff its head matches — legacy lines only ever share a head with
+    * the current boot when the commit (and so the tree) is the same,
+    * so the same-code guarantee holds across the format change.
+    * Returns the per-query medians, each line's total (the spread
+    * evidence), and per-query VALID-SAMPLE counts (ADVICE r11: a
+    * query that failed in some window boots gets a median over fewer
+    * boots, and one failing in all of them silently vanishes — the
+    * counts make a shrunken basis detectable; a query seen only as
+    * failures appears with count 0). Same degrade-don't-throw parsing
+    * contract as [[trailingMedians]]; an "unknown" key matches
+    * nothing — mixing unknown-provenance boots into an official
+    * window would defeat the same-code guarantee. */
   private[graft] def officialMedian(sfDir: String, head: String,
-      path: String = HistoryPath): (Map[String, Double], List[Double]) = {
+      src: String, path: String = HistoryPath)
+      : (Map[String, Double], List[Double], Map[String, Int]) = {
     val qRe = "\"queries\":\\{([^}]*)\\}".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
     val headRe = "\"head\":\"([^\"]*)\"".r
+    val srcRe = "\"src\":\"([^\"]*)\"".r
     val totRe = "\"value\":(-?[0-9][0-9.eE+-]*)".r
     val pairRe = "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
     val lines =
@@ -345,13 +404,22 @@ object Bench {
       } catch { case _: java.io.IOException => Nil }
     val matching = lines
       .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
-      .filter(l => headRe.findFirstMatchIn(l).exists(_.group(1) == head))
+      .filter { l =>
+        srcRe.findFirstMatchIn(l).map(_.group(1)) match {
+          case Some(ls) => ls == src && src != "unknown"
+          case None =>
+            headRe.findFirstMatchIn(l).exists(_.group(1) == head) &&
+              head != "unknown"
+        }
+      }
       .takeRight(MedianWindow)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    val seenQ = scala.collection.mutable.Set.empty[String]
     for (l <- matching; m <- qRe.findFirstMatchIn(l);
          p <- pairRe.findAllMatchIn(m.group(1))) {
       val t = try p.group(2).toDouble
         catch { case _: NumberFormatException => -1.0 }
+      seenQ += p.group(1)
       if (t >= 0) perQuery.updateWith(p.group(1))(
         old => Some(t :: old.getOrElse(Nil)))
     }
@@ -366,7 +434,9 @@ object Bench {
       totRe.findFirstMatchIn(l).flatMap(m =>
         try Some(m.group(1).toDouble)
         catch { case _: NumberFormatException => None }))
-    (medians, totals)
+    val counts = seenQ.iterator
+      .map(q => q -> perQuery.get(q).fold(0)(_.size)).toMap
+    (medians, totals, counts)
   }
 
   /** The "plans" maps of every matching-sf line in [[HistoryPath]],
@@ -514,9 +584,23 @@ object Bench {
       val window = historyPlans(sfDir).takeRight(MedianWindow)
       val seen: Map[String, Set[String]] = window.flatMap(_.toSeq)
         .groupBy(_._1).map { case (q, kv) => q -> kv.map(_._2).toSet }
+      // Already-dumped (q, sha) variants don't re-dump (ADVICE r11):
+      // a window-less query (brand-new, or first boots at a new sf)
+      // IS novel — that first-seen text is exactly the diagnostic the
+      // capture exists to preserve — but only once per variant.
+      val dumped: Set[(String, String)] =
+        try {
+          import scala.jdk.CollectionConverters._
+          val re = "\"q\":\"([^\"]+)\",\"sha\":\"([0-9a-f]{12})\"".r
+          java.nio.file.Files.readAllLines(
+              java.nio.file.Paths.get("PLAN_VARIANTS.jsonl"))
+            .asScala.flatMap(l => re.findFirstMatchIn(l)
+              .map(m => (m.group(1), m.group(2)))).toSet
+        } catch { case _: java.io.IOException => Set.empty }
       val novel = results.collect {
         case (k, _, Some((sha, norm)), _)
-            if seen.get(k).exists(s => !s.contains(sha)) =>
+            if !seen.get(k).exists(_.contains(sha)) &&
+              !dumped((k, sha)) =>
           s"""{"q":${jstr(k)},"sha":${jstr(sha)},"norm":${jstr(norm)}}"""
       }
       if (novel.nonEmpty)
@@ -534,8 +618,9 @@ object Bench {
     val nFail = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(s), _, _) => s }.sum
     val head = gitHead()
+    val srcH = srcTreeHash()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"head":${jstr(head)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
     // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
     // r4 #7) — a subset iteration run must not clobber it (an r6 `git
     // add -A` briefly committed a one-query file over the official
@@ -564,8 +649,10 @@ object Bench {
       // keeps only a ~2 KB tail of the build log, which the full
       // queries/plans maps overflow — the compact line fits, so the
       // round artifact regains a machine-readable official number.
-      val (med, totals) = officialMedian(sfDir, head)
-      if (med.nonEmpty) {
+      val (med, totals, counts) = officialMedian(sfDir, head, srcH)
+      // ADVICE r11: an unresolvable src hash must not publish an
+      // official artifact (the window would be untrustworthy).
+      if (med.nonEmpty && srcH != "unknown") {
         val offTotal = med.values.sum
         val medQs = med.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
@@ -573,10 +660,17 @@ object Bench {
         val spread =
           s"[${fmt(totals.min)},${fmt(totals.max)}]"
         val bootsJson = totals.map(fmt).mkString("[", ",", "]")
+        // Per-query sample-basis transparency (ADVICE r11): queries
+        // whose valid-sample count is below the window size — a boot
+        // failed them (count < boots) or all boots did (count 0, the
+        // silently-vanishing case: they have NO median row at all).
+        val short = counts.filter(_._2 < totals.size).toSeq.sortBy(_._1)
+          .map { case (k, c) => s"${jstr(k)}:$c" }
+          .mkString("{", ",", "}")
         val compact =
-          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"spread":$spread,"failed":$nFail,"head":${jstr(head)},"sf":${jstr(sfDir)}}"""
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"spread":$spread,"failed":$nFail,"n_short":${counts.count(_._2 < totals.size)},"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
         val full =
-          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"boot_totals":$bootsJson,"spread":$spread,"failed":$nFail,"head":${jstr(head)},"sf":${jstr(sfDir)},"queries":$medQs}"""
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"boot_totals":$bootsJson,"spread":$spread,"failed":$nFail,"short_basis":$short,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)},"queries":$medQs}"""
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_OFFICIAL.json"),
           (full + "\n").getBytes("UTF-8"))

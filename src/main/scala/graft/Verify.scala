@@ -10,6 +10,10 @@ object Verify {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.local(cpus, "graft-verify")
+    // Pin the run-captured oracle (sim_ann_kmeans_par) to THIS dir's
+    // anchors: the dump below must carry the anchor set the dumped
+    // parquet used even if another dir ran in this JVM (ADVICE r11).
+    graft.operators.SimilarityOps.oracleDirHint.set(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

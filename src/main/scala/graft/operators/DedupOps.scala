@@ -985,6 +985,63 @@ object DedupOps {
       .orderBy("thr_ppm")
   }
 
+  /** Exact-content canonical groups of the embedding corpus — the r11
+    * canonicalization fix (dedupComponentsIncremental's Θ(copy-pair)
+    * lesson) applied to the from-scratch graph legs: identical vectors
+    * collapse to ONE rep before any cell/pair work. Sound because the
+    * near-dup graph cannot distinguish copies — equal vectors get equal
+    * cell assignments (assignment is a pure function of the embedding)
+    * and equal cosines against everything, so copies of one content are
+    * (a) pairwise-connected at cos 1 ≥ 0.4 and (b) structurally
+    * interchangeable toward the rest of the graph. `repKey` picks WHICH
+    * member represents the group: min vec_id for components (the
+    * component id is the min member), min Luby priority for MIS (only
+    * the group's min-prio member can ever join the MIS — every other
+    * member has an active lower-prio neighbor inside its own clique for
+    * as long as it is active at all).
+    *
+    * Degenerate vectors (zero-norm / non-finite → self-cosine NaN) are
+    * split out, NOT grouped: every cosine involving them is NaN, so the
+    * raw graph gives them no edges — each is its own singleton even if
+    * its bytes repeat — and grouping them would over-merge. Returns
+    * (canon(vec_id = rep, embedding, n_copies), degenerate(vec_id)). */
+  private def canonEmbGroups(spark: SparkSession, dir: String,
+      repKey: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val emb = Tables(spark, dir).embeddings
+    val selfc = expr(SimilarityOps.cosExprSpark("embedding", "embedding"))
+    val degenerate = emb.filter(isnan(selfc)).select("vec_id")
+    val canon = emb.filter(!isnan(selfc))
+      .select(col("vec_id").as("id"), col("embedding"))
+      .withColumn("rk", repKey)
+      .groupBy("embedding")
+      .agg(min_by(col("id"), col("rk")).as("vec_id"),
+        count(lit(1)).as("n_copies"))
+    (canon, degenerate)
+  }
+
+  /** Verified near-dup pairs (IVF cell-blocked, exact cosine ≥ 0.4)
+    * over a caller-supplied canonical vector set — dedupEmbedding's
+    * candidate machinery with the assignment restricted to reps
+    * ([[SimilarityOps.ivfCellsOver]]: anchors and K still derive from
+    * the full corpus, so the blocking is the oracle's). The within-cell
+    * pair join — the op's dominant term — runs on distinct content:
+    * at 100× the corpus with 100-copy hot groups this is the difference
+    * between ~n_distinct²-per-cell and ~n²-per-cell work. */
+  private def canonRepPairs(spark: SparkSession, dir: String,
+      canon: DataFrame): DataFrame = {
+    val cells = SimilarityOps.ivfCellsOver(spark, dir,
+      canon.select("vec_id", "embedding")).localCheckpoint()
+    val par = spark.sparkContext.defaultParallelism
+    val l = cells.repartition(par, col("aid"))
+      .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
+    val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
+    l.join(r, "aid")
+      .filter(col("id1") < col("id2"))
+      .filter(expr(SimilarityOps.cosExprSpark("e1", "e2")) >= 0.4)
+      .select("id1", "id2")
+      .distinct()
+  }
+
   /** SemDeDup-style component dedup: cluster vectors whose near-dup
     * graph (IVF-blocked pairs with cosine >= 0.4, see dedupEmbedding)
     * connects them, and report each component with its representative
@@ -993,23 +1050,40 @@ object DedupOps {
     * shuffle join + partial-agg min, `localCheckpoint` cuts the lineage
     * so the loop count (graph diameter, a handful for near-dup
     * clusters) doesn't nest plans. The DuckDB oracle computes the same
-    * fixpoint with a recursive CTE — an entirely independent algorithm.
-    */
+    * fixpoint with a recursive CTE — an entirely independent algorithm
+    * over the RAW (uncanonicalized) corpus, so the exact-content
+    * contraction below is hash-gated, not assumed: pairs and the CC
+    * loop run on one rep per distinct vector ([[canonEmbGroups]]),
+    * weighted by copy count; an edge-untouched multi-copy content is
+    * itself one component (its copies are pairwise cos-1 connected);
+    * the component id stays the true min member because each group's
+    * rep IS its min vec_id. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val (canonRaw, degenerate) = canonEmbGroups(spark, dir, col("id"))
+    // canon feeds the pair stage AND the three readout legs; its blocks
+    // stay owned for the query (lazily read at the final action — the
+    // componentsIncremental discipline; session cleanup reclaims them).
+    val (canon, _) = trackCheckpoint(canonRaw)
     // Checkpoint the pairs BEFORE symmetrizing: the union references the
     // pair pipeline twice, and without the cut both branches would run
     // the whole IVF + cell-join + cosine subtree (the r2 knn diamond).
-    val (pairs, edgeIds) = trackCheckpoint(
-      dedupEmbedding(spark, dir).select("id1", "id2"))
+    val (pairs, edgeIds) = trackCheckpoint(canonRepPairs(spark, dir, canon))
     val labels = minLabelComponents(spark, pairs)
     freeBlocks(spark, edgeIds)
-    val vertices = Tables(spark, dir).embeddings.select(col("vec_id").as("id"))
-    val singletons = vertices
-      .join(labels.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("label"))
-    labels.unionByName(singletons)
+    val touched = labels.select(col("id").as("vec_id"))
+    val connected = labels
+      .join(canon.select(col("vec_id").as("id"), col("n_copies")), "id")
       .groupBy(col("label").as("component"))
-      .agg(count(lit(1)).as("n_members"))
+      .agg(sum("n_copies").as("n_members"))
+    val isolatedMulti = canon.filter(col("n_copies") >= 2)
+      .join(touched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("component"), col("n_copies").as("n_members"))
+    val singles = canon.filter(col("n_copies") === 1)
+      .join(touched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .unionByName(degenerate)
+      .select(col("vec_id").as("component"), lit(1L).as("n_members"))
+    connected.unionByName(isolatedMulti).unionByName(singles)
       .orderBy("component")
   }
 
@@ -1095,17 +1169,28 @@ object DedupOps {
     * priorities are pure functions of the vertex id, so the result is
     * one fixed set — partition- and engine-independent.
     *
-    * Scale: the verified pair set is the ONE checkpointed IVF-blocked
-    * pass shared with dedup_components; each Luby round is a
-    * both-ends-active join + a partial-aggregated min on the ACTIVE
-    * subgraph only, which shrinks geometrically in expectation
-    * (Luby 1986) — [[MisMaxRounds]] rounds at a handful of shuffles
-    * each, with superseded round state freed (the minLabelComponents
-    * block discipline). Output = kept vectors: MIS members
-    * (was_contested) plus every vertex the pair graph never touched. */
+    * Scale: pairs and the Luby loop run on the EXACT-CONTENT
+    * contracted graph ([[canonEmbGroups]] with min-PRIORITY reps — the
+    * raw process restricted to possible winners: a non-min-prio copy
+    * always has a lower-prio active neighbor inside its own clique, so
+    * it can never join the MIS, and all copies of a content retire in
+    * the same round because their neighbor sets are identical — the
+    * contracted rounds are in lockstep with the raw rounds the oracle
+    * unrolls, cap included). Each Luby round is a both-ends-active
+    * join + a partial-aggregated min on the ACTIVE subgraph only,
+    * which shrinks geometrically in expectation (Luby 1986) —
+    * [[MisMaxRounds]] rounds at a handful of shuffles each, with
+    * superseded round state freed (the minLabelComponents block
+    * discipline). Output = kept vectors: MIS members (was_contested),
+    * the min-prio rep of every edge-untouched multi-copy content (an
+    * isolated copy-clique — its min-prio member wins round 1), plus
+    * every vertex the raw pair graph never touched. */
   def dedupMis(spark: SparkSession, dir: String): DataFrame = {
-    val (pairs, pairIds) = trackCheckpoint(
-      dedupEmbedding(spark, dir).select("id1", "id2"))
+    val (canonRaw, degenerate) = canonEmbGroups(spark, dir, expr(MisPrioExpr))
+    // canon blocks stay owned for the query — read lazily by the
+    // isolatedMulti/singles readout legs at the final action.
+    val (canon, _) = trackCheckpoint(canonRaw)
+    val (pairs, pairIds) = trackCheckpoint(canonRepPairs(spark, dir, canon))
     val edges = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     var (active, activeIds) = trackCheckpoint(
@@ -1163,19 +1248,31 @@ object DedupOps {
       mis = Some(misAcc); misIds = accIds
       rounds += 1
     }
-    // Materialize the touched-vertex list before releasing the pair
-    // blocks — the singleton anti-join below must not re-run the IVF.
-    val (touched, tIds) = trackCheckpoint(
+    // Materialize the touched-REP list before releasing the pair
+    // blocks — the anti-joins below must not re-run the IVF.
+    val (touched, _) = trackCheckpoint(
       edges.select(col("id1").as("vec_id")).distinct())
     freeBlocks(spark, pairIds)
     freeBlocks(spark, activeIds)
     val misKept = mis
       .fold(spark.range(0).select(col("id")))(_.select(col("id")))
       .select(col("id").as("vec_id"), lit(true).as("was_contested"))
-    val singles = Tables(spark, dir).embeddings.select(col("vec_id"))
+    // Edge-untouched multi-copy contents: an isolated copy-clique whose
+    // min-prio member joins the raw MIS in round 1 (all its neighbors
+    // are its own higher-prio copies).
+    val isolatedMulti = canon.filter(col("n_copies") >= 2)
       .join(touched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(true).as("was_contested"))
+    // Raw-untouched vertices: single-copy contents with no contracted
+    // edge (the rep IS the only member) plus degenerate vectors (every
+    // cosine against them is NaN — no raw edges by definition).
+    val singles = canon.filter(col("n_copies") === 1)
+      .join(touched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .unionByName(degenerate)
       .withColumn("was_contested", lit(false))
-    misKept.unionByName(singles).orderBy("vec_id")
+    misKept.unionByName(isolatedMulti).unionByName(singles)
+      .orderBy("vec_id")
   }
 
   private[operators] def dedupMisOracle: String = {

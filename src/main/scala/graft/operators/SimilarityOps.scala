@@ -105,7 +105,8 @@ object SimilarityOps {
 
   /** Anchor set as ONE broadcastable row holding array<struct<aid,av>>
     * (sorted by aid so downstream expressions are deterministic). */
-  private def anchorsArr(emb: DataFrame, k: Int, anchors: AnchorSource): DataFrame =
+  private def anchorsArr(emb: DataFrame, k: Int, anchors: AnchorSource,
+      stashKey: String = ""): DataFrame =
     (anchors match {
       case SampleAnchors =>
         md5Ranked(emb)
@@ -117,7 +118,10 @@ object SimilarityOps {
       case ParKmeansAnchors =>
         kmeansLoop(emb, k, KmMaxIter,
             initSnap = Some(kmeansParallelInit(emb, k)),
-            onConverged = s => parAnchorsLast.set(s))._2
+            onConverged = s => {
+              parAnchorsByKey.put(stashKey, s)
+              parAnchorsLastKey.set(stashKey)
+            })._2
           .select(col("cid").as("aid"), col("cv").as("av"))
     }).agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
 
@@ -135,7 +139,8 @@ object SimilarityOps {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
     val probeExpr = probeExprStr
-    val base = emb.crossJoin(broadcast(anchorsArr(emb, k, anchors)))
+    val base = emb.crossJoin(broadcast(
+      anchorsArr(emb, k, anchors, stashKey = s"$dir|$k")))
     // withRank keeps the probe ORDER (1 = best anchor) — the
     // [[simProbeSweep]] axis; the default path is unchanged.
     if (withRank)
@@ -146,6 +151,26 @@ object SimilarityOps {
     else
       base.select(col("vec_id"), col("embedding"),
         explode(expr(probeExpr)).as("aid"))
+  }
+
+  /** [[ivfCells]] with the assignment restricted to a caller-supplied
+    * subset `sub` (vec_id, embedding): K and the md5-ranked anchor set
+    * still derive from the FULL corpus — so a sub row's cell set is
+    * bit-equal to its rows in the full assignment (assignment is a pure
+    * function of (embedding, anchors)) and the oracle's full-corpus
+    * `cells` CTE stays the semantic twin. The exact-content
+    * canonicalization of dedup_components / dedup_mis rides this: one
+    * rep per distinct vector assigns once, never once per copy, so the
+    * within-cell pair join runs on distinct content instead of the
+    * copy-inflated corpus (the r11 Θ(copy-pair) lesson applied to the
+    * from-scratch graph legs). */
+  private[operators] def ivfCellsOver(spark: SparkSession, dir: String,
+      sub: DataFrame): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val k = ivfK(emb.count())
+    sub.crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(probeExprStr)).as("aid"))
   }
 
   /** Top-P cell selection as one expression over the broadcast anchor
@@ -203,17 +228,28 @@ object SimilarityOps {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
        |    FROM kasn) WHERE rn <= $IvfP)""".stripMargin
 
-  /** Converged anchors of the LAST ParKmeansAnchors run in this JVM —
-    * a K×dims driver-bounded snapshot (the Lloyd fixpoint is collected
-    * per iteration anyway). Feeds [[annKmeansParOracle]]: the probe
-    * half of sim_ann_kmeans_par becomes SQL-expressible once the
-    * anchors embed as literals (VERDICT r10 stretch — the
+  /** Converged ParKmeansAnchors snapshots, keyed by "dir|k" (ADVICE
+    * r11: a JVM-global last-writer stash dumps the LAST run's anchors
+    * even when an earlier run's parquet is the one on disk — two
+    * dirs/sf in one session made the gate spuriously fail). Each value
+    * is a K×dims driver-bounded snapshot (the Lloyd fixpoint is
+    * collected per iteration anyway). Feeds [[annKmeansParOracle]]:
+    * the probe half of sim_ann_kmeans_par becomes SQL-expressible once
+    * the anchors embed as literals (VERDICT r10 stretch — the
     * emb_whitening literal-embedding move applied to DATA the query
-    * itself derived). Works because graft.Verify dumps oracle_sql.json
-    * AFTER running the queries in the same JVM, so the literal set the
-    * oracle carries is exactly the one the dumped result used. */
-  private val parAnchorsLast =
-    new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Seq[Float])]]()
+    * itself derived). graft.Verify pins [[oracleDirHint]] to its
+    * sfDir, so the dumped oracle carries exactly the anchor set the
+    * dumped parquet used regardless of later runs; outside a Verify
+    * context the last-stamped key keeps the old behavior. */
+  private val parAnchorsByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
+  private val parAnchorsLastKey =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** The dir whose oracles are being dumped (set by graft.Verify);
+    * selects among [[parAnchorsByKey]] entries at dump time. */
+  private[graft] val oracleDirHint =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
   /** Probe-half oracle for sim_ann_kmeans_par, generated from the
     * stashed converged anchors: cell assignment (top-P by cos desc,
@@ -227,9 +263,19 @@ object SimilarityOps {
     * this JVM → the key is omitted and the driver records the
     * rows-only check, as before. Float literals print via
     * Float.toString (shortest round-trip decimal), so CAST(... AS
-    * FLOAT[]) reconstructs bit-identical values in DuckDB. */
-  private def annKmeansParOracle: Option[String] =
-    Option(parAnchorsLast.get()).map { snap =>
+    * FLOAT[]) reconstructs bit-identical values in DuckDB; a
+    * non-finite coordinate (which Float.toString would render as an
+    * invalid SQL literal) drops the oracle to the rows-only path
+    * instead of emitting unparsable SQL (ADVICE r11). */
+  private def annKmeansParOracle: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val keys = parAnchorsByKey.keys.asScala.toSeq
+    val chosenKey = Option(oracleDirHint.get())
+      .flatMap(d => keys.find(_.startsWith(d + "|")))
+      .orElse(Option(parAnchorsLastKey.get()))
+    chosenKey.flatMap(k => Option(parAnchorsByKey.get(k)))
+      .filter(_.forall(_._2.forall(java.lang.Float.isFinite(_))))
+      .map { snap =>
       val rows = snap.sortBy(_._1).map { case (aid, av) =>
         s"(CAST($aid AS BIGINT), CAST([${av.mkString(", ")}] AS FLOAT[]))"
       }.mkString(",\n    ")
@@ -245,7 +291,8 @@ object SimilarityOps {
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, aid) AS rn
          |    FROM asn) WHERE rn <= $IvfP),
          |$annProbeTailSql""".stripMargin
-    }
+      }
+  }
 
   /** The ANN probe in DuckDB, downstream of a CTE named `cells` —
     * shared verbatim by the sample-, kmeans- and index-anchored

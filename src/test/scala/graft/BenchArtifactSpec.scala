@@ -202,39 +202,84 @@ class BenchArtifactSpec extends AnyFunSuite {
       assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
   }
 
-  test("officialMedian: same-head window, per-query stall absorption, artifact consistency (r11)") {
-    // VERDICT r10 #2: the official number is the per-query median over
-    // same-HEAD, same-sf full boots — a contended boot's stalls must
-    // not become the round's official per-query numbers. Fixture:
-    // three same-head boots (one with a 10× stall on q2), one
-    // foreign-head boot, one foreign-sf boot.
-    def line(sf: String, head: String, q1: Double, q2: Double) =
-      s"""{"metric":"total","value":${q1 + q2},"unit":"sec","queries":{"q1":$q1,"q2":$q2},"failed":0,"head":"$head","sf":"$sf"}"""
+  test("officialMedian: same-source window, per-query stall absorption, artifact consistency (r12)") {
+    // VERDICT r10 #2 + r11 #3: the official number is the per-query
+    // median over same-SOURCE-TREE, same-sf full boots (src-keyed so
+    // artifact-only commits don't reset the window; legacy src-less
+    // lines fall back to head matching). Fixture: three same-src
+    // boots (one with a 10× stall on q2, one missing q3 entirely and
+    // failing q4), one foreign-src boot, one foreign-sf boot, one
+    // legacy same-head boot.
+    def line(sf: String, head: String, src: String, qs: String,
+        tot: Double) = {
+      val srcField = if (src.isEmpty) "" else s""","src":"$src""""
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":{$qs},"failed":0,"head":"$head"$srcField,"sf":"$sf"}"""
+    }
     val rows = Seq(
-      line("/sf0.1", "aaaa00000001", 1.0, 2.0),
-      line("/sf0.1", "aaaa00000001", 1.2, 20.0), // stalled boot
-      line("/sf0.1", "bbbb00000002", 9.9, 9.9),  // foreign head
-      line("/sf0.001", "aaaa00000001", 0.1, 0.1), // foreign sf
-      line("/sf0.1", "aaaa00000001", 1.1, 2.2))
+      line("/sf0.1", "aaaa00000001", "src000000001",
+        "\"q1\":1.0,\"q2\":2.0,\"q3\":5.0,\"q4\":1.0", 9.0),
+      line("/sf0.1", "aaaa00000001", "src000000001",
+        "\"q1\":1.2,\"q2\":20.0,\"q4\":-1", 21.2), // stalled + q4 failed
+      line("/sf0.1", "cccc00000003", "src000000002",
+        "\"q1\":9.9,\"q2\":9.9", 19.8), // foreign src
+      line("/sf0.001", "aaaa00000001", "src000000001",
+        "\"q1\":0.1,\"q2\":0.1", 0.2), // foreign sf
+      line("/sf0.1", "aaaa00000001", "", "\"q1\":9.0,\"q2\":9.0", 18.0),
+      // legacy (src-less) line above: same head → joins the window
+      line("/sf0.1", "bbbb00000002", "src000000001",
+        "\"q1\":1.1,\"q2\":2.2,\"q3\":5.1,\"q4\":-1", 8.4))
+      // ^ same src under a DIFFERENT head (artifact-only commit):
+      //   must still join — the r11 #3 fix's whole point.
     val f = java.io.File.createTempFile("bench_hist_official", ".jsonl")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
       rows.mkString("", "\n", "\n").getBytes("UTF-8"))
-    val (med, totals) = Bench.officialMedian("/sf0.1", "aaaa00000001", f.getPath)
-    assert(med.get("q1").contains(1.1), s"q1 median: ${med.get("q1")}")
-    assert(med.get("q2").contains(2.2),
+    val (med, totals, counts) =
+      Bench.officialMedian("/sf0.1", "aaaa00000001", "src000000001", f.getPath)
+    assert(totals.size == 4, s"window totals wrong: $totals")
+    assert(med.get("q1").contains((1.1 + 1.2) / 2), s"q1: ${med.get("q1")}")
+    assert(med.get("q2").contains((2.2 + 9.0) / 2),
       s"q2 median ${med.get("q2")}: the stalled boot leaked into the official number")
-    assert(totals.size == 3 && totals.max > 20, "window totals wrong")
-    // Foreign head sees only its own boot; unknown head matches nothing.
-    assert(Bench.officialMedian("/sf0.1", "bbbb00000002", f.getPath)._2.size == 1)
-    assert(Bench.officialMedian("/sf0.1", "unknown", f.getPath)._1.isEmpty)
-    // gitHead resolves THIS repo's committed HEAD (sha12) — the field
-    // every official line keys on.
-    assert(Bench.gitHead().matches("[0-9a-f]{12}"),
-      "gitHead could not resolve the repo HEAD")
+    // Sample-basis counts (ADVICE r11): q3 has 2 of 4 samples, q4
+    // failed in both boots that ran it → count 1 (one valid sample).
+    assert(counts.get("q3").contains(2) && counts.get("q4").contains(1),
+      s"short-basis counts wrong: $counts")
+    // Foreign src sees only its own boot; unknown keys match nothing.
+    assert(Bench.officialMedian("/sf0.1", "cccc00000003", "src000000002",
+      f.getPath)._2.size == 1)
+    assert(Bench.officialMedian("/sf0.1", "unknown", "unknown",
+      f.getPath)._1.isEmpty)
+    // gitHead resolves THIS repo's committed HEAD (sha12) when a .git
+    // exists (ADVICE r11: with the gitdir-file indirection it now also
+    // resolves inside worktrees — so the assertion is conditional only
+    // on .git being present at all, not on its layout)…
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(".git")))
+      assert(Bench.gitHead().matches("[0-9a-f]{12}"),
+        "gitHead could not resolve the repo HEAD")
+    // …and srcTreeHash resolves the plan-relevant tree key.
+    assert(Bench.srcTreeHash().matches("[0-9a-f]{12}"),
+      "srcTreeHash could not hash src/main")
+    // gitdir-file indirection unit fixture: a fake worktree .git file
+    // pointing at a fake gitdir with commondir-shared refs.
+    val wt = java.nio.file.Files.createTempDirectory("wt_git")
+    val gd = wt.resolve("gitdirs/wtree")
+    val shared = wt.resolve("shared")
+    java.nio.file.Files.createDirectories(gd)
+    java.nio.file.Files.createDirectories(shared.resolve("refs/heads"))
+    java.nio.file.Files.writeString(gd.resolve("HEAD"),
+      "ref: refs/heads/main\n")
+    java.nio.file.Files.writeString(gd.resolve("commondir"),
+      "../../shared\n")
+    java.nio.file.Files.writeString(shared.resolve("refs/heads/main"),
+      "0123456789abcdef0123456789abcdef01234567\n")
+    val gitFile = wt.resolve("dotgit")
+    java.nio.file.Files.writeString(gitFile,
+      s"gitdir: ${gd.toAbsolutePath}\n")
+    assert(Bench.gitHead(gitFile.toString) == "0123456789ab",
+      "gitHead did not follow the worktree gitdir/commondir indirection")
     // LIVE artifact consistency: if BENCH_OFFICIAL.json exists, its
     // value must equal the sum of per-query medians recomputed from
-    // the committed history for its own head+sf — a stale or
+    // the committed history for its own src+sf — a stale or
     // hand-edited official artifact fails the suite.
     val offPath = java.nio.file.Paths.get("BENCH_OFFICIAL.json")
     if (java.nio.file.Files.exists(offPath)) {
@@ -242,17 +287,19 @@ class BenchArtifactSpec extends AnyFunSuite {
       val v = "\"value\":(-?[0-9][0-9.eE+-]*)".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
       val h = "\"head\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val src = "\"src\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
       val sf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
       val boots = "\"boots\":(\\d+)".r.findFirstMatchIn(txt)
         .map(_.group(1).toInt)
       assert(v.isDefined && h.isDefined && sf.isDefined && boots.isDefined,
         "BENCH_OFFICIAL.json is missing value/head/sf/boots")
-      val (liveMed, liveTotals) = Bench.officialMedian(sf.get, h.get)
+      val (liveMed, liveTotals, _) = Bench.officialMedian(
+        sf.get, h.get, src.getOrElse("unknown"))
       // The artifact is valid only while the history still contains
       // its window (history is append-only, so a matching window can
       // only grow PAST the artifact's — in that case the artifact is
-      // from an older boot of the same head and must still match the
-      // recompute only if the window size agrees).
+      // from an older boot of the same source state and must still
+      // match the recompute only if the window size agrees).
       if (liveTotals.size == boots.get) {
         val recomputed = liveMed.values.sum
         assert(math.abs(recomputed - v.get) < 0.01 * math.max(1.0, v.get),

@@ -171,7 +171,13 @@ def main():
         art = json.load(f)
     for q, r in results.items():
         row = art.get(q, {})
-        row["err"] = "oracle_timeout"
+        # Stamp oracle_timeout only when the matrix run did NOT produce
+        # a genuine oracle verdict for this query (row absent, or itself
+        # a timeout) — a prior check_sf1.py run with a larger --timeout
+        # may have completed the real oracle, and that verdict (pass OR
+        # fail) outranks the substitute gate (ADVICE r11).
+        if not row or row.get("err") == "oracle_timeout":
+            row["err"] = "oracle_timeout"
         row["substitute_gate"] = r
         art[q] = row
     with open(art_path, "w") as f:
