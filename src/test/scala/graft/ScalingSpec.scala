@@ -187,11 +187,13 @@ class ScalingSpec extends AnyFunSuite {
     // the sf10 ScaleUp replica (100x sf0.1). Bounds are MEASURED, not
     // guessed (r11): rung-1 exponents are fixed-per-round-overhead-
     // flattered (0.26-0.57), and at rung 2 the true data term shows —
-    // the healthy family landed at 0.33-0.87 with drifts -0.22..+0.59,
-    // while the two kernels whose INPUT (a near-dup pair graph) grows
+    // the healthy family landed at 0.33-0.87 with drifts -0.22..+0.59.
+    // (The two kernels whose r11 INPUT — a near-dup pair graph — grew
     // ~quadratically with duplicate-group size by corpus construction
-    // (dedup_mis at 1.03, dedup_components at 0.85) approach
-    // linear-in-rows while staying linear-in-edges. So: (a) every
+    // sat at 1.03/0.85 then; r12's exact-content canonicalization of
+    // dedup_components/dedup_mis collapsed them to -0.10/0.14 — the
+    // pair stage now runs on one rep per distinct embedding.) So: (a)
+    // every
     // second-rung exponent must stay <= 1.1 — at-or-below linear with
     // host-noise margin; past it a genuinely super-linear term is
     // emerging (this exact gate CAUGHT dedup_components_incremental at
