@@ -708,13 +708,37 @@ object StreamOps {
       .mapGroupsWithState[Long, UserFirstDay] {
         (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
           val prev = state.getOption.getOrElse(Long.MaxValue)
-          val d = evs.foldLeft(prev) { (acc, e) =>
-            math.min(acc, Math.floorDiv(e.tus, 86400000000L))
-          }
+          val d = foldFirstDay(prev, evs)
           state.update(d)
           UserFirstDay(uid, d)
       }
   }
+
+  /** [[newVsReturningStream]] re-shaped for an APPEND sink (the
+    * abTestSnapshotStream move): each micro-batch emits every touched
+    * user's current running-min first day. min is a join-semilattice,
+    * so the snapshot log folds exactly (min per user) under any
+    * micro-batching — the property the gated readback relies on. */
+  def newVsReturningSnapshotStream(events: Dataset[Ev]): Dataset[UserFirstDay] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserFirstDay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val d = foldFirstDay(state.getOption.getOrElse(Long.MaxValue), evs)
+          state.update(d)
+          Iterator.single(UserFirstDay(uid, d))
+      }
+  }
+
+  /** ONE definition of the running first-day fold, shared by the
+    * update-mode and append-mode first-appearance twins. */
+  private def foldFirstDay(prev: Long, evs: Iterator[Ev]): Long =
+    evs.foldLeft(prev) { (acc, e) =>
+      math.min(acc, Math.floorDiv(e.tus, 86400000000L))
+    }
 
   /** Per-user A/B row: deterministic arm + running conversion flag. */
   final case class AbUser(user_id: Long, arm_b: Int, conv: Int)
@@ -1413,6 +1437,31 @@ object StreamOps {
       .selectExpr(graft.operators.EventOps.AbReadout: _*)
   }
 
+  /** §2.8 oracle promotion #21 (r12, VERDICT r11 #6 — the one
+    * remaining cheaply-gateable update-mode twin): the FIRST-
+    * APPEARANCE table, [[newVsReturningStream]] (per-user running-MIN
+    * first active day — a join-semilattice, so the sink log folds
+    * with min(first_d) under any micro-batching) through the sink
+    * lifecycle, folded and rolled up to daily NEW-user counts — the
+    * new_users column of ev_new_vs_returning, gated by the same
+    * batch definition in the oracle. The returning side needs per-day
+    * active sets (windowed state, not a per-user scalar) and stays
+    * batch by design — that half is exactly what the batch op
+    * computes FROM this persisted table. */
+  def streamNewUsersGated(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val ev = graft.Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+    val emitted = driveToSinkOpt(spark, dir, "newusers", ev, None,
+      s => newVsReturningSnapshotStream(s.as[Ev]).toDF())
+    emitted.groupBy("user_id").agg(min("first_d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+      .orderBy("d")
+  }
+
   /** §2.8 oracle promotion #9 — the EMIT-AS-YOU-GO shape, attribution:
     * [[attributionStream]] (flatMapGroupsWithState, four fields per
     * user, at-or-behind high-water drop — the transitionsStream
@@ -2071,7 +2120,8 @@ object StreamOps {
       "stream_topk" -> (streamTopkGated(_, _)),
       "stream_hourly_multibatch" -> (streamHourlyMultiGated(_, _)),
       "stream_hourly_restart" -> (streamHourlyRestartGated(_, _)),
-      "stream_enrich" -> (streamEnrichGated(_, _)))
+      "stream_enrich" -> (streamEnrichGated(_, _)),
+      "stream_new_users" -> (streamNewUsersGated(_, _)))
 
   /** Same oracles as the batch ev_hourly_agg / ev_session_native —
     * THAT is the point: the streaming pipelines' sinks must be
@@ -2152,7 +2202,18 @@ object StreamOps {
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
         |  c.c_mktsegment, c.c_nationkey
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    // The batch ev_new_vs_returning first-appearance definition,
+    // rolled to its new_users column — the half the first-appearance
+    // STATE determines (min over a user's event days == min over the
+    // distinct (day, user) pairs).
+    "stream_new_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS first_d FROM du GROUP BY 1)
+        |SELECT first_d AS d, CAST(count(*) AS BIGINT) AS new_users
+        |FROM f GROUP BY 1 ORDER BY d""".stripMargin)
 
   /** The multi-batch and restart replays share stream_hourly_agg's
     * oracle string (same pipeline, different replay shapes) — appended
