@@ -349,11 +349,49 @@ object Formats {
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
         val dataPath = tmp(s"events_manifest_data_$suffix")
         val manPath = tmp(s"events_manifest_meta_$suffix")
-        Tables(spark, dir).events
+        // r12 (VERDICT r11 #4 — the src_bloom_prune two-sha plan flap,
+        // adjudicated): this split used repartitionByRange, whose range
+        // boundaries come from a reservoir sample SEEDED BY THE RDD ID —
+        // a session-lifetime counter — so the file split depended on how
+        // many RDDs the session had created before the build (one extra
+        // in-boot retry or AQE replan upstream shifted every later id).
+        // A shifted boundary moves a handful of rows across file edges,
+        // which moves a probe key's bloom SURVIVOR COUNT, which changes
+        // the executed plan's FileScan "(N paths)" metadata — the two
+        // recurring shas. The split is now an explicit value-range
+        // quantization of user_id (bucket = (user_id − lo) div
+        // ceil(span / FactBuckets)), routed to the shuffle through
+        // REPRESENTATIVE values precomputed to hash into DISTINCT
+        // partitions — deterministic at any session history, and each
+        // file still holds exactly one contiguous user range.
+        val ev = Tables(spark, dir).events
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
-          .repartitionByRange(FactBuckets, col("user_id"))
+        val mm = ev.agg(min("user_id").as("lo"), max("user_id").as("hi"))
+          .first()
+        val (loU, hiU) = (mm.getLong(0), mm.getLong(1))
+        val width = math.max(1L, (hiU - loU) / FactBuckets + 1)
+        // rep(b) = first long whose Murmur3 shuffle hash lands in
+        // partition b — evaluated through the SAME hash expression the
+        // exchange uses, so rep routing is 1:1 by construction.
+        val reps: Array[Long] = {
+          val cand = spark.range(0, 4096)
+            .select(col("id"), pmod(hash(col("id")), lit(FactBuckets)).as("p"))
+            .collect().map(r => (r.getLong(0), r.getInt(1)))
+          val byPart = scala.collection.mutable.Map.empty[Int, Long]
+          cand.foreach { case (id, p) =>
+            if (!byPart.contains(p)) byPart(p) = id }
+          require(byPart.size == FactBuckets,
+            s"rep search covered ${byPart.size} of $FactBuckets partitions")
+          (0 until FactBuckets).map(byPart).toArray
+        }
+        val repArr = array(reps.map(lit(_)): _*)
+        ev
+          .withColumn("rep", element_at(repArr,
+            expr(s"CAST((user_id - $loU) div $width AS INT) + 1")))
+          .repartition(FactBuckets, col("rep"))
           .sortWithinPartitions("user_id")
+          .drop("rep")
           .write.mode(SaveMode.Overwrite).parquet(dataPath)
         spark.read.parquet(dataPath)
           .select(col("_metadata.file_path").as("file"), col("user_id"))
