@@ -483,6 +483,28 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench",
       Map("spark.cleaner.referenceTracking.blocking.shuffle" -> "true"))
 
+    // Peak-heap sampling (r12, VERDICT r11 stretch #8): a third scale
+    // rung is memory-bounded on this box, so the scale artifacts carry
+    // a measured per-kernel peak instead — the first kernel to approach
+    // the 128 GiB bound gets NAMED before it fails. Opt-in via
+    // SPARK_GRAFT_PEAKMEM=1 (subset runs feeding SCALE_SF10.json);
+    // kept out of default lines so history parsers see one format.
+    val samplePeaks = sys.env.get("SPARK_GRAFT_PEAKMEM").contains("1")
+    val peakMb = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    if (samplePeaks) {
+      val t = new Thread(() => {
+        val mx = java.lang.management.ManagementFactory.getMemoryMXBean
+        while (true) {
+          val used = mx.getHeapMemoryUsage.getUsed / (1024 * 1024)
+          peakMb.updateAndGet(p => math.max(p, used))
+          Thread.sleep(100)
+        }
+      }, "graft-peak-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+
     def materialize(name: String)
         : (Either[String, Double], Option[(String, String)]) = {
       // Untimed cross-query state teardown (VERDICT r2 finding #1: the
@@ -500,11 +522,15 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+      // Post-GC reset: the recorded peak attributes THIS query's live
+      // set, not the previous query's dying blocks.
+      if (samplePeaks) peakMb.set(0L)
       val t0 = System.nanoTime()
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        if (samplePeaks) peaks(name) = peakMb.get()
         // Fingerprint AFTER the timer stops: executedPlan access is
         // planning only (the iterative kernels' loops already ran at
         // construction above — nothing re-executes here). The
@@ -619,8 +645,16 @@ object Bench {
     val total = results.collect { case (_, Right(s), _, _) => s }.sum
     val head = gitHead()
     val srcH = srcTreeHash()
+    // Present only under SPARK_GRAFT_PEAKMEM=1 (scale-rung subset
+    // runs): per-query peak JVM heap in MB, sampled at 10 Hz.
+    val peaksField =
+      if (samplePeaks)
+        peaks.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString(""","peaks_mb":{""", ",", "}")
+      else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans$peaksField,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
     // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
     // r4 #7) — a subset iteration run must not clobber it (an r6 `git
     // add -A` briefly committed a one-query file over the official
