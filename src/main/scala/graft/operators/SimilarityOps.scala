@@ -139,8 +139,17 @@ object SimilarityOps {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
     val probeExpr = probeExprStr
-    val base = emb.crossJoin(broadcast(
-      anchorsArr(emb, k, anchors, stashKey = s"$dir|$k")))
+    // Spread the corpus before the per-row anchor scoring: the table
+    // scans as O(row groups) partitions (one file per table here; a
+    // compacted shard at production scale), and the nested
+    // transform(...) probe expression is CodegenFallback — without
+    // the spread the whole interpreted n×k×d assignment runs in 1-2
+    // tasks (the covQ/stat_bootstrap_ci lesson, surfaced again by the
+    // sf10 correctness rung). One corpus-linear round-robin exchange
+    // buys full-width parallelism for every IVF consumer.
+    val base = emb.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(
+        anchorsArr(emb, k, anchors, stashKey = s"$dir|$k")))
     // withRank keeps the probe ORDER (1 = best anchor) — the
     // [[simProbeSweep]] axis; the default path is unchanged.
     if (withRank)
@@ -168,7 +177,15 @@ object SimilarityOps {
       sub: DataFrame): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
-    sub.crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
+    // Spread the subset before the interpreted n×k probe scoring: sub
+    // is typically a SMALL-BYTES table (one rep per distinct content)
+    // that AQE coalesces to one post-shuffle partition, but each row
+    // costs k×d interpreted MACs plus a k-struct sort — bytes-based
+    // coalescing is blind to per-row CPU, so without the explicit
+    // spread the whole pass single-threads (measured minutes-per-task
+    // at the sf10 rung; the ivfCells lesson, subset flavor).
+    sub.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), col("embedding"),
         explode(expr(probeExprStr)).as("aid"))
   }
@@ -626,7 +643,9 @@ object SimilarityOps {
       s"""element_at(transform(sort_array(transform(arr,
          |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
          |  s -> s.aid), 1)""".stripMargin
-    val assign = emb
+    // Spread before the interpreted n×k best-anchor scoring (the
+    // ivfCells lesson — one task otherwise at the sf10 rung).
+    val assign = emb.repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), expr(primExpr).as("aid"))
       .localCheckpoint()
@@ -1122,7 +1141,9 @@ object SimilarityOps {
     val top2 =
       s"""slice(sort_array(transform(arr,
          |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))), 1, 2)""".stripMargin
-    emb.crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
+    // Spread before the interpreted n×k top-2 scoring (ivfCells lesson).
+    emb.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), expr(top2).as("t2"))
       .select(col("vec_id"),
         expr("t2[0].aid").as("cid"),
@@ -1320,7 +1341,15 @@ object SimilarityOps {
     * shipping the projection. Scale: the projection is map-side
     * (zero shuffle), both rankings are TakeOrderedAndProject cuts. */
   def embRandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    // Spread before the quantize + 16×64-add projection map: the
+    // corpus scans as O(1) row groups (one file per table), and the
+    // transform/aggregate lambdas below are CodegenFallback — without
+    // the spread the whole interpreted pass runs in one task (the
+    // covQ/stat_bootstrap_ci lesson; measured stuck-for-minutes at
+    // the sf10 rung, where the single-task pass is 500k × 16×64
+    // interpreted MACs).
     val emb = Tables(spark, dir).embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("eq"))
@@ -1778,8 +1807,11 @@ object SimilarityOps {
       val base = emb.filter(!isDelta)
       val arr = anchorsArr(base, ivfK(base.count()), SampleAnchors)
         .localCheckpoint()
+      // Spread before the interpreted n×k probe scoring (ivfCells
+      // lesson); the bucketed write re-shuffles on aid anyway.
       def cellsOf(vs: DataFrame): DataFrame =
-        vs.crossJoin(broadcast(arr))
+        vs.repartition(spark.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(arr))
           .select(col("vec_id"), col("embedding"),
             explode(expr(probeExprStr)).as("aid"))
       Formats.writeBucketed(cellsOf(base), tbl, "aid", IvfIndexBuckets)
