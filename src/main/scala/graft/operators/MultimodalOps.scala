@@ -75,6 +75,61 @@ object MultimodalOps {
     (if (bytes.length == 0) 0.0 else s.toDouble / bytes.length, 64)
   }
 
+  /** Per-partition codec init (r12 optimization — guide §1.2 "per-task
+    * work"): headless AWT (executors have no display) AND the ImageIO
+    * stream cache OFF. The default cache backs EVERY ImageIO
+    * read/write with a temp FILE (create + write + delete per call) —
+    * measured 3× on mm_resize inside a full bench boot where /tmp
+    * carries thousands of gate-staging entries (10.2 s in-suite vs
+    * 3.8 s isolated, retry-confirmed). All payloads here are in-memory
+    * byte arrays; a disk-backed stream cache buys nothing at any
+    * scale. Both calls are idempotent JVM-global flags. */
+  private def initImageIO(): Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Round-robin spread of the narrow (doc_id-ish) scan feeding a
+    * per-row codec loop. The documents table scans as O(row groups)
+    * partitions — ONE task at bench scale — and the decode cost is
+    * per-row CPU that byte-based split sizing cannot see, so without
+    * the spread the whole encode→decode pass single-threads (the
+    * ivfCells lesson, §2.6 flavor). The exchanged rows are the narrow
+    * projection only (ids, not payloads), so the one extra exchange
+    * stays corpus-linear in a few bytes per row. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** PNG byte signature — dispatch guard for the amortized reader. */
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 137 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 13 && b(5) == 10 && b(6) == 26 && b(7) == 10
+
+  /** Encode through an amortized per-partition writer over an
+    * in-memory stream (the mmDecodeJpeg codec-amortization pattern:
+    * a bare ImageIO.write pays a writer-registry scan per call). */
+  private def pngEncode(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.write(img)
+    } finally out.close()
+    bos.toByteArray
+  }
+
+  /** Decode through an amortized per-partition reader (same pattern);
+    * throws on undecodable bytes — callers that accept arbitrary
+    * payloads catch and degrade exactly as ImageIO.read's null. */
+  private def pngDecode(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { reader.setInput(in); reader.read(0) }
+    finally in.close()
+  }
+
   /** Schema of [[decodePngFeatures]]: integer-exact pooled features
     * from the DECODED pixels; all features null when a payload does
     * not decode as an image (corrupt bytes must degrade to a null
@@ -106,8 +161,17 @@ object MultimodalOps {
     val enc = org.apache.spark.sql.Encoders.row(pngFeatureSchema)
     payloads.mapPartitions { rows =>
       // Decoder init once per partition: headless AWT must be set
-      // before the first ImageIO touch (executors have no display).
-      System.setProperty("java.awt.headless", "true")
+      // before the first ImageIO touch (executors have no display),
+      // stream cache off (see initImageIO). The PNG reader is
+      // amortized per partition; PNG-signed bytes go through it
+      // directly, anything else keeps the generic registry dispatch
+      // (GIF/BMP stay decodable — same reader ImageIO.read would
+      // pick, so decoded rasters are identical either way).
+      initImageIO()
+      val pngReader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pngReader.dispose()))
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -117,6 +181,9 @@ object MultimodalOps {
         // must take the same degrade path (review finding, r7).
         val img =
           if (bytes == null) null
+          else if (isPng(bytes))
+            try pngDecode(pngReader, bytes)
+            catch { case scala.util.control.NonFatal(_) => null }
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
@@ -226,9 +293,9 @@ object MultimodalOps {
       StructField("frame", IntegerType),
       StructField("px_sum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    Tables(spark, dir).documents.select(col("doc_id"))
+    spread(Tables(spark, dir).documents.select(col("doc_id")))
       .mapPartitions { rows =>
-        System.setProperty("java.awt.headless", "true")
+        initImageIO()
         val md = java.security.MessageDigest.getInstance("MD5")
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("gif").next()
@@ -310,15 +377,30 @@ object MultimodalOps {
       StructField("c", IntegerType),
       StructField("v", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    Tables(spark, dir).documents.select(col("doc_id"))
+    spread(Tables(spark, dir).documents.select(col("doc_id")))
       .mapPartitions { rows =>
-        System.setProperty("java.awt.headless", "true")
+        // Writer AND reader amortized per partition over in-memory
+        // streams (the mmDecodeJpeg pattern — r12: this leg paid FOUR
+        // per-row ImageIO registry dispatches and, with the default
+        // stream cache, four temp-file create/delete cycles per doc).
+        initImageIO()
         val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            writer.dispose()
+            reader.dispose()
+          })
         rows.flatMap { row =>
           val id = row.getLong(0)
-          // decode the real PNG payload
-          val src = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(synthPng(md, id)))
+          // synthesize + decode the real PNG payload
+          val img8 = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          fillMd5Pixels(img8, md, id.toString)
+          val src = pngDecode(reader, pngEncode(writer, img8))
           // exact 2x2 box filter
           val small = new java.awt.image.BufferedImage(
             4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -336,10 +418,7 @@ object MultimodalOps {
             r += 1
           }
           // re-encode the COMPUTED pixels, then decode that artifact
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(small, "png", bos)
-          val back = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val back = pngDecode(reader, pngEncode(writer, small))
           for (rr <- 0 until 4; cc <- 0 until 4)
             yield Row(id, rr, cc, back.getRaster.getSample(cc, rr, 0).toLong)
         }
@@ -361,11 +440,20 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(payloadSchema)
-    val payloads = Tables(spark, dir).documents.select(col("doc_id"))
+    val payloads = spread(Tables(spark, dir).documents.select(col("doc_id")))
       .mapPartitions { rows =>
-        System.setProperty("java.awt.headless", "true")
+        initImageIO()
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map(r => Row(r.getLong(0), synthPng(md, r.getLong(0))))
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => writer.dispose()))
+        rows.map { r =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          fillMd5Pixels(img, md, r.getLong(0).toString)
+          Row(r.getLong(0), pngEncode(writer, img))
+        }
       }(enc)
     decodePngFeatures(payloads).orderBy("doc_id")
   }
@@ -398,9 +486,9 @@ object MultimodalOps {
     * shuffle before the final sort. */
   def mmDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(jpegFidelitySchema)
-    Tables(spark, dir).documents.select(col("doc_id"))
+    spread(Tables(spark, dir).documents.select(col("doc_id")))
       .mapPartitions { rows =>
-        System.setProperty("java.awt.headless", "true")
+        initImageIO()
         val md = java.security.MessageDigest.getInstance("MD5")
         // Writer AND reader amortized per partition (a per-row
         // ImageIO.read pays a reader-registry scan and a disk-backed
@@ -599,7 +687,7 @@ object MultimodalOps {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(payloadSchema)
-    val payloads = Tables(spark, dir).documents.select(col("doc_id"))
+    val payloads = spread(Tables(spark, dir).documents.select(col("doc_id")))
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map(r => Row(r.getLong(0), synthWav(md, r.getLong(0))))
