@@ -775,7 +775,8 @@ object DedupOps {
       col("p").as("p1"), col("n").as("n1"))
     val b = d.select(col("doc_id").as("id2"), col("simhash"),
       col("p").as("p2"), col("n").as("n2"))
-    val par = spark.sparkContext.defaultParallelism
+    val par = graft.plans.AdaptivePar.forTable(spark, dir, "documents",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
     a.join(b, Seq("simhash"))
       .filter(col("id1") < col("id2"))
       // thr = 20% of the longer prefix in INTEGER division (Spark CAST
@@ -825,7 +826,8 @@ object DedupOps {
     // compute-heavy join stage needs an explicit spread; hash-on-aid is
     // the SMJ-required distribution at scale, and the fixed count is
     // immune to AQE's bytes-based coalescing.
-    val par = spark.sparkContext.defaultParallelism
+    val par = graft.plans.AdaptivePar.forTable(spark, dir, "embeddings",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
     val l = cells.repartition(par, col("aid"))
       .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
@@ -861,7 +863,8 @@ object DedupOps {
         col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("embedding"), col("aid"), col("source"))
       .localCheckpoint()
-    val par = spark.sparkContext.defaultParallelism
+    val par = graft.plans.AdaptivePar.forTable(spark, dir, "embeddings",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
     val bench = tagged.filter(col("source") === "src0")
       .repartition(par, col("aid"))
       .select(col("vec_id").as("bench_doc"), col("embedding").as("eb"), col("aid"))
@@ -1031,7 +1034,8 @@ object DedupOps {
       canon: DataFrame): DataFrame = {
     val cells = SimilarityOps.ivfCellsOver(spark, dir,
       canon.select("vec_id", "embedding")).localCheckpoint()
-    val par = spark.sparkContext.defaultParallelism
+    val par = graft.plans.AdaptivePar.forTable(spark, dir, "embeddings",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
     val l = cells.repartition(par, col("aid"))
       .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))

@@ -71,6 +71,18 @@ object GraphOps {
   private def free(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
     graft.plans.Checkpoints.free(sc, ids)
 
+  /** Loop-state / edge-layout width for every iterative kernel here,
+    * derived from the co-purchase driving table's on-disk bytes
+    * instead of the defaultParallelism constant (r12 — see
+    * [[graft.plans.AdaptivePar]]: capped at defaultParallelism, so
+    * the at-scale layout is byte-for-byte what the constant gave;
+    * at bench scale the loops stop paying 32 task fixtures per round
+    * for a few thousand rows — the 8-vs-32-core control measured the
+    * whole loop family equal-or-faster on a quarter of the cores). */
+  private[graft] def loopPar(spark: SparkSession, dir: String): Int =
+    graft.plans.AdaptivePar.forTable(spark, dir, "lineitem",
+      graft.plans.AdaptivePar.LoopBytesPerTask)
+
   /** Iteration cap — the oracle-mirroring bound, not the expected exit
     * (the kmeansLoop/KmMaxIter pattern): DuckDB unrolls exactly this
     * many MATERIALIZED CTE iterations, and because iterating past the
@@ -197,7 +209,7 @@ object GraphOps {
     //    the state-join key, so each round repartitions the
     //    VERTEX-SIZED rank table onto it and co-partitions — the
     //    classic Pregel round; the edge list is never reshuffled.
-    val par = sc.defaultParallelism
+    val par = loopPar(spark, dir)
     val (edges, edgeIds) = checkpointed(
       edgesRaw.join(deg, "src")
         .repartition(par, col(if (stateFits) "dst" else "src")))
@@ -351,7 +363,7 @@ object GraphOps {
     val t = Tables(spark, dir)
     val sc = spark.sparkContext
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
-    val par = sc.defaultParallelism
+    val par = loopPar(spark, dir)
     val pairs = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cv"), col("l_suppkey").as("sv"))
@@ -526,8 +538,10 @@ object GraphOps {
     * distribution the closure SMJ needs at scale (no extra exchange on
     * that path) and the fixed count is immune to AQE's bytes-based
     * coalescing, so one hub can no longer pin a task at 100×. */
-  private[graft] def wedges(edges: DataFrame): DataFrame = {
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+  private[graft] def wedges(edges: DataFrame, parIn: Int = -1): DataFrame = {
+    val par =
+      if (parIn > 0) parIn
+      else edges.sparkSession.sparkContext.defaultParallelism
     edges.select(col("p1").as("a"), col("p2").as("b"))
       .join(edges.select(col("p1").as("b"), col("p2").as("c")), "b")
       .repartition(par, col("a"), col("c"))
@@ -536,8 +550,8 @@ object GraphOps {
   /** Triangle participation counts over an oriented (p1 < p2) edge
     * list — the core [[graphTriangles]] wraps, parameterized so
     * GraphSpec can drive it with a synthetic hub fixture. */
-  private[graft] def triangleCounts(edges: DataFrame): DataFrame =
-    wedges(edges)
+  private[graft] def triangleCounts(edges: DataFrame, parIn: Int = -1): DataFrame =
+    wedges(edges, parIn)
       .join(edges.select(col("p1").as("a"), col("p2").as("c")), Seq("a", "c"))
       .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy("p_partkey")
@@ -548,7 +562,7 @@ object GraphOps {
       .filter(col("n_orders") >= 2)
       .select("p1", "p2")
       .localCheckpoint()
-    triangleCounts(edges)
+    triangleCounts(edges, loopPar(spark, dir))
       .orderBy(desc("n_triangles"), col("p_partkey"))
       .limit(20)
   }
@@ -574,7 +588,7 @@ object GraphOps {
     val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
     val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
-    val par = spark.sparkContext.defaultParallelism
+    val par = loopPar(spark, dir)
     val common = adj.select(col("src"), col("dst").as("a"))
       .join(adj.select(col("src"), col("dst").as("c")), "src")
       .filter(col("a") < col("c"))
@@ -629,7 +643,7 @@ object GraphOps {
       .filter(col("d") >= 2)
       .select(col("src"),
         expr("CAST(round(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)").as("wq"))
-    val par = spark.sparkContext.defaultParallelism
+    val par = loopPar(spark, dir)
     // Size gate on the vertex-sized degree table (the loop-state hint
     // class, one-shot edition). The bound is the part-table row count —
     // a metadata-only parquet count, and vertices here ARE parts — so
@@ -693,7 +707,8 @@ object GraphOps {
       .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
     val wedgeTot = adj.groupBy("src").agg(count(lit(1)).as("d"))
       .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val triTot = triangleCounts(edges).agg(sum("n_triangles").as("tri3"))
+    val triTot = triangleCounts(edges, loopPar(spark, dir))
+      .agg(sum("n_triangles").as("tri3"))
     triTot.crossJoin(broadcast(wedgeTot))
       .selectExpr(
         "CAST(tri3 div 3 AS BIGINT) AS n_triangles",
@@ -784,7 +799,7 @@ object GraphOps {
     GraphOps.checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
-        .repartition(spark.sparkContext.defaultParallelism, col("src")))
+        .repartition(loopPar(spark, dir), col("src")))
   }
 
   /** One BFS sweep from `seedV` (a 1-row (v) frame) over `sym` — the
@@ -917,7 +932,7 @@ object GraphOps {
     val (sym, symIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
-        .repartition(sc.defaultParallelism, col("src")))
+        .repartition(loopPar(spark, dir), col("src")))
     val verts = sym.select(col("src")).distinct()
     // Materialized 1-row |V| — the final closeness select runs AFTER
     // sym's checkpoint blocks are freed, so it must not re-derive
@@ -1020,7 +1035,7 @@ object GraphOps {
     val seeds = sym.select(col("src")).distinct()
       .orderBy(md5(col("src").cast("string").cast("binary")), col("src"))
       .limit(BetweennessSeeds)
-    betweennessFrom(spark, sym, seeds)
+    betweennessFrom(spark, sym, seeds, loopPar(spark, dir))
       .orderBy(desc("betweenness"), col("p_partkey"))
       .limit(20)
   }
@@ -1033,10 +1048,10 @@ object GraphOps {
     * vertex reached by ≥1 source: (p_partkey, n_sources,
     * betweenness). */
   private[graft] def betweennessFrom(spark: SparkSession, symIn: DataFrame,
-      seeds: DataFrame): DataFrame = {
+      seeds: DataFrame, parIn: Int = -1): DataFrame = {
     val sc = spark.sparkContext
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
-    val par = sc.defaultParallelism
+    val par = if (parIn > 0) parIn else sc.defaultParallelism
     // src-partitioned (the coPurchaseSym layout) so the gated forward
     // rounds co-partition instead of reshuffling edges.
     val (sym, symIds) = checkpointed(symIn.repartition(par, col("src")))
@@ -1194,7 +1209,8 @@ object GraphOps {
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(spark, dir)
     // lazy: the gate count materializes the blocks (VERDICT r7 #5).
-    val lab = labelPropagate(spark, edges, LpaRounds).localCheckpoint(eager = false)
+    val lab = labelPropagate(spark, edges, LpaRounds, loopPar(spark, dir))
+      .localCheckpoint(eager = false)
     val nV = lab.count()
     val mm = edges.agg(count(lit(1)).as("mm"))
     // The label table is vertex-sized but post-checkpoint (LogicalRDD,
@@ -1228,7 +1244,7 @@ object GraphOps {
 
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     val edges = supportEdges(spark, dir)
-    val (core, _) = corenessValues(spark, edges)
+    val (core, _) = corenessValues(spark, edges, loopPar(spark, dir))
     core.groupBy("c").agg(count(lit(1)).as("n_vertices"), min("v").as("min_vertex"))
       .select(col("c").as("coreness"), col("n_vertices"), col("min_vertex"))
       .orderBy("coreness")
@@ -1239,7 +1255,9 @@ object GraphOps {
     * freeze-confirming round). `edges` is an undirected (p1, p2) edge
     * list, one row per edge. */
   private[graft] def corenessValues(
-      spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
+      spark: SparkSession, edges: DataFrame,
+      parIn: Int = -1): (DataFrame, Int) = {
+    val corePar = if (parIn > 0) parIn else spark.sparkContext.defaultParallelism
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
@@ -1249,7 +1267,7 @@ object GraphOps {
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
-        .repartition(spark.sparkContext.defaultParallelism, col("dst")))
+        .repartition(corePar, col("dst")))
     var (cur, curIds) = checkpointedLazy(
       adj.groupBy("src").agg(count(lit(1)).as("c"))
         .select(col("src").as("v"), col("c")))
@@ -1304,7 +1322,7 @@ object GraphOps {
     val adj = edges.select(col("p1").as("src"), col("p2").as("dst"))
       .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
       .localCheckpoint() // feeds both wedge sides + the direct union
-    val par = spark.sparkContext.defaultParallelism
+    val par = loopPar(spark, dir)
     val wedge = adj.select(col("dst").as("m"), col("src").as("a"))
       .join(adj.select(col("src").as("m"), col("dst").as("c")), "m")
       .filter(col("a") =!= col("c"))
@@ -1348,7 +1366,8 @@ object GraphOps {
     * per round with superseded checkpoint blocks freed (the pagerank
     * bookkeeping). */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    labelPropagate(spark, supportEdges(spark, dir), LpaRounds)
+    labelPropagate(spark, supportEdges(spark, dir), LpaRounds,
+        loopPar(spark, dir))
       .groupBy("lbl").agg(count(lit(1)).as("n_members"), min("v").as("min_vertex"))
       .select(col("lbl").as("community"), col("n_members"), col("min_vertex"))
       .orderBy(desc("n_members"), col("community"))
@@ -1360,16 +1379,18 @@ object GraphOps {
     * self-vote-damped modal updates over the undirected (p1, p2)
     * edge list. */
   private[graft] def labelPropagate(
-      spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+      spark: SparkSession, edges: DataFrame, rounds: Int,
+      parIn: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = spark.sparkContext
     def free(ids: Set[Int]): Unit = GraphOps.free(sc, ids)
+    val lpPar = if (parIn > 0) parIn else sc.defaultParallelism
     // dst-partitioned — the vote join's state key, so the gated large
     // path co-partitions (the kcore layout rationale).
     val (adj, adjIds) = checkpointed(
       edges.select(col("p1").as("src"), col("p2").as("dst"))
         .unionByName(edges.select(col("p2").as("src"), col("p1").as("dst")))
-        .repartition(spark.sparkContext.defaultParallelism, col("dst")))
+        .repartition(lpPar, col("dst")))
     var (lab, labIds) = checkpointedLazy(
       adj.select(col("src")).distinct().select(col("src").as("v"), col("src").as("lbl")))
     // Round-invariant state size (every vertex keeps a label): one

@@ -97,8 +97,32 @@ object MultimodalOps {
     * ivfCells lesson, §2.6 flavor). The exchanged rows are the narrow
     * projection only (ids, not payloads), so the one extra exchange
     * stays corpus-linear in a few bytes per row. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.repartition(graft.plans.AdaptivePar.forBytes(spark,
+      // All spread callers here scan documents.parquet's doc_id column;
+      // width from that table's bytes (see AdaptivePar — capped at
+      // defaultParallelism, so at-scale behavior is the constant's).
+      docBytes(df), graft.plans.AdaptivePar.SpreadBytesPerTask))
+  }
+
+  /** documents.parquet on-disk bytes for the frame's source dir —
+    * threaded through a thread-local set by each caller would be
+    * overkill; the callers all pass a frame built from Tables(spark,
+    * dir).documents, so the scan's file path is recoverable from the
+    * logical plan's file index. Falls back to -1 (-> the
+    * defaultParallelism cap) if the plan shape ever changes. */
+  private def docBytes(df: DataFrame): Long =
+    try {
+      val files = df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              hfs.location.sizeInBytes
+          }
+      }
+      files.getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** PNG byte signature — dispatch guard for the amortized reader. */
   private def isPng(b: Array[Byte]): Boolean =

@@ -1538,7 +1538,8 @@ object Relational {
     // vs 1.35 s warm) cannot reappear — the generated stage is a tiny
     // static call + posexplode, not a 50-branch hex-compare tree.
     val reps = base
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.plans.AdaptivePar.forTable(spark, dir, "orders",
+        graft.plans.AdaptivePar.ExpandBytesPerTask))
       .select(col("c"),
         posexplode(expr(s"graft_bootstrap_weights(o_orderkey, $B)"))
           .as(Seq("b", "w")))
@@ -2835,7 +2836,8 @@ object Relational {
     // one row group = one thread without the spread (the
     // stat_bootstrap_ci lesson; measured 6.9 → ~2 s at sf0.1).
     Tables(spark, dir).orders
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(graft.plans.AdaptivePar.forTable(spark, dir, "orders",
+        graft.plans.AdaptivePar.ExpandBytesPerTask))
       .agg(
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
         count_distinct(col("o_custkey")).as("nd_ck"),

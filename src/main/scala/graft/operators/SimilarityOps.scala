@@ -95,6 +95,16 @@ object SimilarityOps {
     * (cells match-or-beat the sampled mode on recall and balance). */
   case object ParKmeansAnchors extends AnchorSource
 
+  /** Spread width for the interpreted per-row passes here, derived
+    * from the embeddings table's on-disk bytes (r12 — see
+    * [[graft.plans.AdaptivePar]]): capped at defaultParallelism (the
+    * pre-r12 constant, so the at-scale layout is unchanged); at bench
+    * scale the spreads stop paying a full thread-count of per-task
+    * fixtures to score a few thousand rows. */
+  private def spreadPar(spark: SparkSession, dir: String): Int =
+    graft.plans.AdaptivePar.forTable(spark, dir, "embeddings",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
+
   /** THE md5-ranked deterministic ordering (md5 of the id bytes, id
     * tiebreak) behind every sampled anchor/seed in this file — one
     * definition, because the oracle CTEs (ivfCellsSql, the emb_kmeans
@@ -147,7 +157,7 @@ object SimilarityOps {
     // tasks (the covQ/stat_bootstrap_ci lesson, surfaced again by the
     // sf10 correctness rung). One corpus-linear round-robin exchange
     // buys full-width parallelism for every IVF consumer.
-    val base = emb.repartition(spark.sparkContext.defaultParallelism)
+    val base = emb.repartition(spreadPar(spark, dir))
       .crossJoin(broadcast(
         anchorsArr(emb, k, anchors, stashKey = s"$dir|$k")))
     // withRank keeps the probe ORDER (1 = best anchor) — the
@@ -184,7 +194,7 @@ object SimilarityOps {
     // coalescing is blind to per-row CPU, so without the explicit
     // spread the whole pass single-threads (measured minutes-per-task
     // at the sf10 rung; the ivfCells lesson, subset flavor).
-    sub.repartition(spark.sparkContext.defaultParallelism)
+    sub.repartition(spreadPar(spark, dir))
       .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), col("embedding"),
         explode(expr(probeExprStr)).as("aid"))
@@ -645,7 +655,7 @@ object SimilarityOps {
          |  s -> s.aid), 1)""".stripMargin
     // Spread before the interpreted n×k best-anchor scoring (the
     // ivfCells lesson — one task otherwise at the sf10 rung).
-    val assign = emb.repartition(spark.sparkContext.defaultParallelism)
+    val assign = emb.repartition(spreadPar(spark, dir))
       .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), expr(primExpr).as("aid"))
       .localCheckpoint()
@@ -706,7 +716,7 @@ object SimilarityOps {
     // the shuffled bytes look tiny to the advisory-size heuristic. The
     // broadcast-candidate side stays unpartitioned (a repartition below
     // a BroadcastExchange would be pure waste).
-    val par = spark.sparkContext.defaultParallelism
+    val par = spreadPar(spark, dir)
     val l = cells.repartition(par, col("aid"))
       .select(col("vec_id").as("id1"), col("embedding").as("e1"), col("aid"))
     val r = cells.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("aid"))
@@ -1142,7 +1152,7 @@ object SimilarityOps {
       s"""slice(sort_array(transform(arr,
          |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))), 1, 2)""".stripMargin
     // Spread before the interpreted n×k top-2 scoring (ivfCells lesson).
-    emb.repartition(spark.sparkContext.defaultParallelism)
+    emb.repartition(spreadPar(spark, dir))
       .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), expr(top2).as("t2"))
       .select(col("vec_id"),
@@ -1206,7 +1216,7 @@ object SimilarityOps {
     // explode would single-thread the whole co-moment pass without the
     // spread (the stat_bootstrap_ci lesson).
     val eq = Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadPar(spark, dir))
       .select(expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("eq"))
@@ -1349,7 +1359,7 @@ object SimilarityOps {
     // the sf10 rung, where the single-task pass is 500k × 16×64
     // interpreted MACs).
     val emb = Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadPar(spark, dir))
       .select(col("vec_id"), col("embedding"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("eq"))
@@ -1642,7 +1652,7 @@ object SimilarityOps {
     // one thread without it (the stat_bootstrap_ci lesson, same as
     // embTopEigvec).
     val q = Tables(spark, dir).embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spreadPar(spark, dir))
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("q"))
@@ -1810,7 +1820,7 @@ object SimilarityOps {
       // Spread before the interpreted n×k probe scoring (ivfCells
       // lesson); the bucketed write re-shuffles on aid anyway.
       def cellsOf(vs: DataFrame): DataFrame =
-        vs.repartition(spark.sparkContext.defaultParallelism)
+        vs.repartition(spreadPar(spark, dir))
           .crossJoin(broadcast(arr))
           .select(col("vec_id"), col("embedding"),
             explode(expr(probeExprStr)).as("aid"))
