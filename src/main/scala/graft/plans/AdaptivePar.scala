@@ -48,6 +48,25 @@ object AdaptivePar {
     * so budget fewer input bytes per task than the loop tier. */
   val ExpandBytesPerTask: Long = 128L * 1024
 
+  /** Stateful-stream shuffle width per staged-source byte: every
+    * shuffle partition of a stateful operator is a STATE STORE
+    * instance paying per-batch snapshot/commit/maintenance files in
+    * the checkpoint, so a width-32 micro-batch over a few MB of
+    * staged replay is almost entirely store plumbing (measured: the
+    * gated stream family ran 1.7× faster at local[4] than local[32]
+    * on identical data). Capped at defaultParallelism as always — a
+    * production-volume source derives the full cluster width. */
+  val StreamBytesPerTask: Long = 256L * 1024
+
+  /** On-disk bytes of an arbitrary path (file or directory tree);
+    * -1 (→ defaultParallelism fallback) when unreadable. */
+  def pathBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   def forBytes(spark: SparkSession, bytes: Long, perTaskBytes: Long): Int = {
     val par = spark.sparkContext.defaultParallelism
     if (bytes <= 0) par

@@ -1233,16 +1233,18 @@ object StreamOps {
     val ckpt = work.resolve("ckpt").toString
     views.coalesce(1).write.parquet(srcV)
     clicks.coalesce(1).write.parquet(srcC)
-    val q = viewClickJoin(
-        spark.readStream.schema(views.schema).parquet(srcV),
-        spark.readStream.schema(clicks.schema).parquet(srcC))
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, Seq(srcV, srcC)) {
+      val q = viewClickJoin(
+          spark.readStream.schema(views.schema).parquet(srcV),
+          spark.readStream.schema(clicks.schema).parquet(srcC))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // Explicit schema: a zero-pair corpus leaves a data-less sink that
     // schema inference cannot read.
     val pairSchema = org.apache.spark.sql.types.StructType(
@@ -1286,15 +1288,17 @@ object StreamOps {
     ev.coalesce(1).write.parquet(src)
     val session = spark
     import session.implicits._
-    val q = transitionsStream(
-        spark.readStream.schema(ev.schema).parquet(src).as[Ev])
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, Seq(src)) {
+      val q = transitionsStream(
+          spark.readStream.schema(ev.schema).parquet(src).as[Ev])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("from_type",
         org.apache.spark.sql.types.StringType),
@@ -1815,16 +1819,18 @@ object StreamOps {
         .foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(tmp)
     }
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
-    val q = hourlyAggWatermarked(stream)
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, Seq(src.toString)) {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val q = hourlyAggWatermarked(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val nBatches = {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.list(ckpt.resolve("offsets"))
@@ -1980,6 +1986,37 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` sized to the
+    * staged replay volume (r12 — see [[graft.plans.AdaptivePar]]),
+    * restoring the session default after. Stateful operators create
+    * one STATE STORE per shuffle partition, each paying per-batch
+    * delta/snapshot/commit files in the checkpoint plus maintenance —
+    * at the gate's staged-file volume a width-32 run is almost all
+    * store plumbing (control: the gated stream family measured 1.7×
+    * faster at local[4] than local[32] on identical data). Width
+    * derives from the staged source bytes and caps at
+    * defaultParallelism, so a production-volume source keeps the full
+    * cluster width. Results are width-independent: state keys hash to
+    * SOME partition either way, and every gated readout re-aggregates
+    * and sorts. Scoped per query run (each gate builds a fresh
+    * checkpoint, so the state-partition count pinned into it is
+    * self-consistent); deliberately NOT applied to the restart gate,
+    * whose two query runs must agree on the width a shared checkpoint
+    * pinned — it keeps the session default. */
+  private def withStreamWidth[T](spark: org.apache.spark.sql.SparkSession,
+      stagedDirs: Seq[String])(body: => T): T = {
+    val bytes = stagedDirs
+      .map(graft.plans.AdaptivePar.pathBytes(spark, _))
+    val width =
+      if (bytes.exists(_ < 0)) spark.sparkContext.defaultParallelism
+      else graft.plans.AdaptivePar.forBytes(spark, bytes.sum,
+        graft.plans.AdaptivePar.StreamBytesPerTask)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, width.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Shared batch-replay-through-streaming driver for the gated §2.8
     * queries: stage the frame into a temp source dir (one corpus file
     * + the sentinel file), run the pipeline with AvailableNow — ONE
@@ -2038,15 +2075,17 @@ object StreamOps {
         frame.schema)
         .coalesce(1).write.mode("append").parquet(src)
     }
-    val stream = spark.readStream.schema(frame.schema).parquet(src)
-    val q = pipeline(stream)
-      .writeStream.format("parquet")
-      .option("path", sink)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamWidth(spark, Seq(src)) {
+      val stream = spark.readStream.schema(frame.schema).parquet(src)
+      val q = pipeline(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
   }
 
