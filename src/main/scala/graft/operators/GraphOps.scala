@@ -1055,16 +1055,21 @@ object GraphOps {
     // src-partitioned (the coPurchaseSym layout) so the gated forward
     // rounds co-partition instead of reshuffling edges.
     val (sym, symIds) = checkpointed(symIn.repartition(par, col("src")))
-    // Forward: settled(s, v, d, sig) grows by one level per round.
-    // Superseded checkpoint copies (the pre-union settled, the
-    // consumed frontier) are freed each round — the pagerank
-    // bookkeeping; settled and frontier share blocks at init, hence
-    // the id-equality guards.
+    // Forward: ONE checkpointed frame PER LEVEL (r12). The former
+    // per-round eager `settled ∪ next` re-checkpoint copied the whole
+    // accumulated table every round — O(levels²) block writes and one
+    // extra job per round — when every consumer (the anti-join, the
+    // DAG derivation, the backward level slices) only ever needs the
+    // UNION, which scans the per-level cached blocks directly with
+    // zero recopy. d rides as min(frontier.d) + 1 instead of a fresh
+    // lit(level): with no level literal the round's plan (and its
+    // generated code) is level-invariant, so codegen-cache hits
+    // replace a per-round Janino compile.
     var (frontier, fIds) = checkpointedLazy(
       seeds.select(col("src").as("s"), col("src").as("v"),
         lit(0L).as("d"), lit(1L).as("sig")))
-    var settled = frontier
-    var sIds = fIds
+    var frames: List[(DataFrame, Set[Int])] = List((frontier, fIds))
+    def settled: DataFrame = frames.map(_._1).reduce(_ unionByName _)
     var level = 0L
     var frontierN = 1L
     // SizeGate inputs: the frontier count is materialized every round
@@ -1080,22 +1085,19 @@ object GraphOps {
       val cand = sym
         .join(SizeGate.hintIfSmall(frontier, nFrontier, col("v")),
           col("src") === col("v"))
-        .groupBy(col("s"), col("dst")).agg(sum("sig").as("sig"))
-        .select(col("s"), col("dst").as("v"), lit(level).as("d"), col("sig"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum("sig").as("sig"), (min(col("d")) + lit(1L)).as("d"))
+        .select(col("s"), col("dst").as("v"), col("d"), col("sig"))
       val (next, nIds) = checkpointedLazy(
         cand.join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti"))
       frontierN = next.count()
       nFrontier = frontierN
       nSettled += frontierN
       if (frontierN > 0) {
-        val (merged, mIds) = checkpointed(settled.unionByName(next))
-        free(sIds)
-        if (fIds != sIds) free(fIds)
-        settled = merged; sIds = mIds
-        frontier = next; fIds = nIds
+        frames = (next, nIds) :: frames
+        frontier = next
       } else free(nIds)
     }
-    if (fIds != sIds) free(fIds)
     // Backward: per-level dependency tables, deepest first. deltas(L)
     // holds (s, v, dq) for every settled v at level L. The
     // shortest-path DAG edges are derived ONCE (the only further scan
@@ -1113,11 +1115,14 @@ object GraphOps {
           col("cv"), col("csig"))
         .repartition(par, col("s"), col("cv")))
     free(symIds)
+    // One EAGER checkpoint per level, accumulated as frames (r12 —
+    // the former lazy-next + eager `acc ∪ next` pair paid the same
+    // one job per level but recopied the whole accumulator each
+    // round; the readout only needs the union of the level frames).
     var (deltas, dIds) = checkpointed(
       settled.filter(col("d") === lmax)
         .select(col("s"), col("v"), lit(0L).as("dq")))
-    var acc = deltas
-    var aIds = dIds
+    var accFrames: List[(DataFrame, Set[Int])] = List((deltas, dIds))
     var l = lmax - 1
     while (l >= 0) {
       val contrib = tree.filter(col("du") === l)
@@ -1129,26 +1134,22 @@ object GraphOps {
         .agg(sum(expr(
           "CAST(usig AS DECIMAL(38,0)) * (1000000 + dq) div csig")).as("dq"))
         .select(col("s"), col("u").as("v"), col("dq"))
-      // next is lazy: the EAGER acc2 checkpoint right below consumes
-      // it, so one materialization job computes and caches both — the
-      // backward round's two driver actions become one (VERDICT r7
-      // #5). acc2 itself must stay eager: it is the only action of
-      // the round, and old acc/deltas blocks are freed right after.
-      val (next, nIds) = checkpointedLazy(
+      val (next, nIds) = checkpointed(
         settled.filter(col("d") === l).select(col("s"), col("v"))
           .join(contrib, Seq("s", "v"), "left")
           .select(col("s"), col("v"), coalesce(col("dq"), lit(0L)).as("dq")))
-      val (acc2, a2Ids) = checkpointed(acc.unionByName(next))
-      free(aIds)
-      if (dIds != aIds) free(dIds)
-      deltas = next; dIds = nIds
-      acc = acc2; aIds = a2Ids
+      accFrames = (next, nIds) :: accFrames
+      deltas = next
       l -= 1
     }
-    if (dIds != aIds) free(dIds)
-    free(sIds)
+    // Forward frames and the DAG fed only the (eager) backward
+    // checkpoints — free them; the accFrames blocks back the returned
+    // readout and are reclaimed by the caller's teardown (Bench
+    // unpersists every persistent RDD between queries).
+    frames.foreach(f => free(f._2))
     free(treeIds)
-    acc.filter(col("v") =!= col("s"))
+    accFrames.map(_._1).reduce(_ unionByName _)
+      .filter(col("v") =!= col("s"))
       .groupBy("v")
       .agg(sum("dq").as("bq"), count(lit(1)).as("n_sources"))
       .select(col("v").as("p_partkey"), col("n_sources"),

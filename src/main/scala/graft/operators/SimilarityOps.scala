@@ -204,9 +204,13 @@ object SimilarityOps {
     * array `arr` — shared by [[ivfCells]] and the incremental insert's
     * delta assignment (one definition of the assignment rule). */
   private def probeExprStr: String =
-    s"""slice(transform(sort_array(transform(arr,
-       |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
-       |  s -> s.aid), 1, $IvfP)""".stripMargin
+    // graft_anchor_sort == sort_array(transform(arr, a -> struct(0D -
+    // nanvl(graft_cosine(embedding, a.av), -1D), a.aid))) computed in
+    // ONE compiled library pass (r12 — the n×k×d scoring no longer
+    // pays per-anchor interpreter dispatch; exact-parity contract in
+    // the expression's scaladoc). The residual transform only renames
+    // P=4 struct fields per row.
+    s"transform(slice(graft_anchor_sort(embedding, arr), 1, $IvfP), s -> s.id)"
 
   /** DuckDB twin of [[ivfCells]]: same K formula, same md5-ranked anchor
     * sample, same (cos desc, aid asc) probe order, same NaN→-1 guard. */
@@ -650,9 +654,7 @@ object SimilarityOps {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
     val primExpr =
-      s"""element_at(transform(sort_array(transform(arr,
-         |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))),
-         |  s -> s.aid), 1)""".stripMargin
+      "element_at(graft_anchor_sort(embedding, arr), 1).id"
     // Spread before the interpreted n×k best-anchor scoring (the
     // ivfCells lesson — one task otherwise at the sf10 rung).
     val assign = emb.repartition(spreadPar(spark, dir))
@@ -1148,15 +1150,13 @@ object SimilarityOps {
   def embSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val k = ivfK(emb.count())
-    val top2 =
-      s"""slice(sort_array(transform(arr,
-         |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.av")}, -1D) AS negc, a.aid AS aid))), 1, 2)""".stripMargin
+    val top2 = "slice(graft_anchor_sort(embedding, arr), 1, 2)"
     // Spread before the interpreted n×k top-2 scoring (ivfCells lesson).
     emb.repartition(spreadPar(spark, dir))
       .crossJoin(broadcast(anchorsArr(emb, k, SampleAnchors)))
       .select(col("vec_id"), expr(top2).as("t2"))
       .select(col("vec_id"),
-        expr("t2[0].aid").as("cid"),
+        expr("t2[0].id").as("cid"),
         expr("1D + t2[0].negc").as("d1"),
         expr("1D + t2[1].negc").as("d2"))
       .select(col("cid"),
@@ -1965,9 +1965,10 @@ object SimilarityOps {
     * argmax cosine, ties to the smallest cid, NaN guarded (zero-norm
     * vectors or degenerate centroids rank last, as in ivfCells). */
   private def assignExpr: String =
-    s"""element_at(transform(sort_array(transform(arr,
-       |  a -> struct(0D - nanvl(${cosExprSpark("embedding", "a.cv")}, -1D) AS negc, a.cid AS cid))),
-       |  s -> s.cid), 1)""".stripMargin
+    // One compiled graft_anchor_sort pass (see probeExprStr) — the
+    // Lloyd loop's per-iteration n×k×d scoring was the single-task
+    // interpreted bulk of every kmeans-anchored query.
+    "element_at(graft_anchor_sort(embedding, arr), 1).id"
 
   /** Convergence-driven Lloyd loop shared by [[embKmeans]] and the
     * kmeans IVF anchor source — the "k-means centroids at scale" path

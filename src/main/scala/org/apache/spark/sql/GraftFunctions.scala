@@ -33,6 +33,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> checked("graft_cosine", 2)(c => CosineSim(c(0), c(1))),
+    "graft_anchor_sort" -> checked("graft_anchor_sort", 2)(c =>
+      graft.functions.AnchorSort(c(0), c(1))),
     "graft_shingle_hashes" -> checked("graft_shingle_hashes", 1)(c => ShingleHashes(c(0))),
     "graft_minhash_bands" -> checked("graft_minhash_bands", 1)(c => MinhashBands(c(0))),
     "graft_winnow_fps" -> checked("graft_winnow_fps", 1)(c => WinnowFps(c(0))),

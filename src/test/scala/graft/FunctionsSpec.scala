@@ -47,6 +47,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad documents disagree with the SQL pipeline")
   }
 
+  test("graft_anchor_sort equals the sort_array(transform(...)) anchor ranking") {
+    // The exact higher-order formulation the r12 expression replaced
+    // on the IVF/kmeans hot path — including the nanvl NaN guard and
+    // the (negc, id) tiebreak. Equality on real embeddings x a real
+    // anchor array IS the oracle-parity argument (the DuckDB oracles
+    // mirror this pipeline).
+    val ref =
+      """sort_array(transform(arr,
+        |  a -> struct(0D - nanvl(graft_cosine(embedding, a.av), -1D) AS negc,
+        |              a.aid AS id)))""".stripMargin
+    val t = Tables(spark, sf)
+    val anchors = t.embeddings.orderBy("vec_id").limit(7)
+      .select(col("vec_id").as("aid"), col("embedding").as("av"))
+      .agg(sort_array(collect_list(struct(col("aid"), col("av")))).as("arr"))
+    val bad = t.embeddings
+      .crossJoin(broadcast(anchors))
+      .select(
+        expr("graft_anchor_sort(embedding, arr)").as("fused"),
+        expr(ref).as("ref"))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(bad == 0, s"$bad vectors disagree with the sort_array pipeline")
+    // Zero-norm probe: NaN cosine must rank last via the -1 guard in
+    // both formulations (the ivfCells zero-norm contract).
+    val zero = t.embeddings.limit(1)
+      .select(expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+      .crossJoin(broadcast(anchors))
+      .select(
+        expr("graft_anchor_sort(embedding, arr)").as("fused"),
+        expr(ref).as("ref"))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(zero == 0, "zero-norm NaN guard diverges")
+  }
+
   test("RewriteFoldCosine rewrites the portable fold formulation to CosineSim") {
     val fold =
       "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
