@@ -251,12 +251,31 @@ object Bench {
     * plan change re-baselines within a couple of rounds. */
   private val MedianWindow = 5
 
-  /** Per-query medians over the trailing [[MedianWindow]] same-sf runs
-    * in [[HistoryPath]] — the baseline the stall trigger compares
-    * against. Regex-parsed: the rows are this main's own single-line
-    * format. A missing/foreign/corrupt file degrades to "no median"
-    * (no retry), never to a throw. */
-  private[graft] def trailingMedians(sfDir: String,
+  /** Core-count window guard (VERDICT r12 #3b): history lines carried
+    * no cpus field, so the driver's 8-core scaling boot joined the
+    * 32-core official window and BENCH_OFFICIAL became a median over
+    * mixed-core boots. Every line now records `"cpus":N` and both
+    * median windows filter on it. A LEGACY (cpus-less, pre-r13) line
+    * stays joinable — excluding it would blank the stall trigger and
+    * the live-artifact consistency check until the first new-format
+    * boot — but the hole is bounded by construction: legacy lines can
+    * never match an r13+ src hash (this very change edits src/main),
+    * so post-r13 OFFICIAL windows contain only cpus-stamped,
+    * same-cpus boots. */
+  private def cpusMatches(line: String, cpus: Int): Boolean = {
+    val cpusRe = "\"cpus\":(\\d+)".r
+    cpusRe.findFirstMatchIn(line) match {
+      case Some(m) => m.group(1) == cpus.toString
+      case None => true // legacy pre-r13 line (see above)
+    }
+  }
+
+  /** Per-query medians over the trailing [[MedianWindow]] same-sf,
+    * same-cpus runs in [[HistoryPath]] — the baseline the stall
+    * trigger compares against. Regex-parsed: the rows are this main's
+    * own single-line format. A missing/foreign/corrupt file degrades
+    * to "no median" (no retry), never to a throw. */
+  private[graft] def trailingMedians(sfDir: String, cpus: Int,
       path: String = HistoryPath): Map[String, Double] = {
     val qRe = "\"queries\":\\{([^}]*)\\}".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
@@ -269,6 +288,7 @@ object Bench {
       } catch { case _: java.io.IOException => Nil }
     val matching = lines
       .filter(l => sfRe.findFirstMatchIn(l).exists(_.group(1) == sfDir))
+      .filter(cpusMatches(_, cpus))
       .takeRight(MedianWindow)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     for (l <- matching; m <- qRe.findFirstMatchIn(l);
@@ -386,9 +406,12 @@ object Bench {
     * failures appears with count 0). Same degrade-don't-throw parsing
     * contract as [[trailingMedians]]; an "unknown" key matches
     * nothing — mixing unknown-provenance boots into an official
-    * window would defeat the same-code guarantee. */
+    * window would defeat the same-code guarantee. Window membership
+    * additionally requires a matching core count (see [[cpusMatches]]
+    * — VERDICT r12 #3b: the driver's 8-core boot must not pool into
+    * the 32-core official window). */
   private[graft] def officialMedian(sfDir: String, head: String,
-      src: String, path: String = HistoryPath)
+      src: String, cpus: Int, path: String = HistoryPath)
       : (Map[String, Double], List[Double], Map[String, Int]) = {
     val qRe = "\"queries\":\\{([^}]*)\\}".r
     val sfRe = "\"sf\":\"([^\"]*)\"".r
@@ -412,6 +435,7 @@ object Bench {
               head != "unknown"
         }
       }
+      .filter(cpusMatches(_, cpus))
       .takeRight(MedianWindow)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val seenQ = scala.collection.mutable.Set.empty[String]
@@ -562,7 +586,7 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
       else SparkEntry.queries.keys.toSeq.sorted
-    val medians = trailingMedians(sfDir)
+    val medians = trailingMedians(sfDir, cpus)
     val results = names.map { n =>
       val (r, sha) = materialize(n)
       // Stall self-adjudication (VERDICT r7 #1): one in-boot re-run
@@ -654,7 +678,7 @@ object Bench {
           .mkString(""","peaks_mb":{""", ",", "}")
       else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans$peaksField,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$nFail,"errors":$errs,"retries":$retries,"plans":$plans$peaksField,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
     // BENCH_LOCAL.json is the AUTHORITATIVE full-loop artifact (VERDICT
     // r4 #7) — a subset iteration run must not clobber it (an r6 `git
     // add -A` briefly committed a one-query file over the official
@@ -683,7 +707,7 @@ object Bench {
       // keeps only a ~2 KB tail of the build log, which the full
       // queries/plans maps overflow — the compact line fits, so the
       // round artifact regains a machine-readable official number.
-      val (med, totals, counts) = officialMedian(sfDir, head, srcH)
+      val (med, totals, counts) = officialMedian(sfDir, head, srcH, cpus)
       // ADVICE r11: an unresolvable src hash must not publish an
       // official artifact (the window would be untrustworthy).
       if (med.nonEmpty && srcH != "unknown") {
@@ -701,10 +725,19 @@ object Bench {
         val short = counts.filter(_._2 < totals.size).toSeq.sortBy(_._1)
           .map { case (k, c) => s"${jstr(k)}:$c" }
           .mkString("{", ",", "}")
+        // The compact line is printed LAST and stays well under the
+        // driver's ~2 KB log tail (VERDICT r12 #3a: the full per-query
+        // total line is ~25 KB and has never survived the tail cut).
+        // It carries the official number plus this boot's total and
+        // POINTERS to the two file artifacts holding the per-query
+        // maps the line itself cannot fit: BENCH_LOCAL.json (this
+        // boot's full contract line, queries+plans) and
+        // BENCH_OFFICIAL.json (per-query medians over the official
+        // window).
         val compact =
-          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"spread":$spread,"failed":$nFail,"n_short":${counts.count(_._2 < totals.size)},"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","cpus":$cpus,"boots":${totals.size},"boot_total":${fmt(total)},"spread":$spread,"failed":$nFail,"n_short":${counts.count(_._2 < totals.size)},"queries_file":"BENCH_LOCAL.json","official_file":"BENCH_OFFICIAL.json","head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)}}"""
         val full =
-          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","boots":${totals.size},"boot_totals":$bootsJson,"spread":$spread,"failed":$nFail,"short_basis":$short,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)},"queries":$medQs}"""
+          s"""{"metric":"official_median","value":${fmt(offTotal)},"unit":"sec","cpus":$cpus,"boots":${totals.size},"boot_totals":$bootsJson,"spread":$spread,"failed":$nFail,"short_basis":$short,"head":${jstr(head)},"src":${jstr(srcH)},"sf":${jstr(sfDir)},"queries":$medQs}"""
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_OFFICIAL.json"),
           (full + "\n").getBytes("UTF-8"))

@@ -174,19 +174,34 @@ class BenchArtifactSpec extends AnyFunSuite {
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath,
       rows.mkString("", "\n", "\n").getBytes("UTF-8"))
-    val m = Bench.trailingMedians("/sf0.1", f.getPath)
+    val m = Bench.trailingMedians("/sf0.1", 32, f.getPath)
     // Window = 5 trailing sf0.1 lines → the torn line contributes
     // nothing, so betweenness medians over [25.3, 15.2, 16.8, 52.1]
     // (even count → mean of middles = 21.05). One stalled entry must
-    // not become the baseline.
+    // not become the baseline. The fixture lines are LEGACY (cpus-less)
+    // format and must stay joinable at any cpus (r13 window guard).
     assert(m.get("graph_betweenness").exists(v => v > 15 && v < 30),
       s"betweenness median ${m.get("graph_betweenness")} outside the band")
     assert(m.get("q01").contains(1.0))
     // Foreign sf sees only its own line.
-    assert(Bench.trailingMedians("/sf0.001", f.getPath).isEmpty == false)
-    assert(Bench.trailingMedians("/sf9", f.getPath).isEmpty)
+    assert(Bench.trailingMedians("/sf0.001", 32, f.getPath).isEmpty == false)
+    assert(Bench.trailingMedians("/sf9", 32, f.getPath).isEmpty)
     // Missing file → no medians, no throw.
-    assert(Bench.trailingMedians("/sf0.1", "/nonexistent/h.jsonl").isEmpty)
+    assert(Bench.trailingMedians("/sf0.1", 32, "/nonexistent/h.jsonl").isEmpty)
+    // Core-count scoping (VERDICT r12 #3b): a cpus-stamped line joins
+    // only a same-cpus window; legacy cpus-less lines join any.
+    val fc = java.io.File.createTempFile("bench_hist_cpus", ".jsonl")
+    fc.deleteOnExit()
+    java.nio.file.Files.write(fc.toPath,
+      Seq(
+        """{"metric":"total","value":1,"unit":"sec","cpus":32,"queries":{"qa":2.0},"failed":0,"sf":"/sf0.1"}""",
+        """{"metric":"total","value":1,"unit":"sec","cpus":8,"queries":{"qa":8.0},"failed":0,"sf":"/sf0.1"}""",
+        """{"metric":"total","value":1,"unit":"sec","queries":{"qa":4.0},"failed":0,"sf":"/sf0.1"}""")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(Bench.trailingMedians("/sf0.1", 32, fc.getPath)
+      .get("qa").contains(3.0), "cpus=32 window must see the 32-core and legacy lines only")
+    assert(Bench.trailingMedians("/sf0.1", 8, fc.getPath)
+      .get("qa").contains(6.0), "cpus=8 window must see the 8-core and legacy lines only")
     // Committed-seed smoke, GUARDED (ADVICE r8): the live history is a
     // mutable bench-appended artifact — a pruned/rotated file or a
     // checkout with no sf0.1 lines yet must not fail the suite; the
@@ -199,7 +214,7 @@ class BenchArtifactSpec extends AnyFunSuite {
           java.nio.file.Paths.get(Bench.HistoryPath)).asScala.toList
       } catch { case _: java.io.IOException => Nil }
     if (live.exists(_.contains("\"sf\":\"/root/testdata/sf0.1\"")))
-      assert(Bench.trailingMedians("/root/testdata/sf0.1").nonEmpty)
+      assert(Bench.trailingMedians("/root/testdata/sf0.1", 32).nonEmpty)
   }
 
   test("officialMedian: same-source window, per-query stall absorption, artifact consistency (r12)") {
@@ -235,7 +250,8 @@ class BenchArtifactSpec extends AnyFunSuite {
     java.nio.file.Files.write(f.toPath,
       rows.mkString("", "\n", "\n").getBytes("UTF-8"))
     val (med, totals, counts) =
-      Bench.officialMedian("/sf0.1", "aaaa00000001", "src000000001", f.getPath)
+      Bench.officialMedian("/sf0.1", "aaaa00000001", "src000000001", 32,
+        f.getPath)
     assert(totals.size == 4, s"window totals wrong: $totals")
     assert(med.get("q1").contains((1.1 + 1.2) / 2), s"q1: ${med.get("q1")}")
     assert(med.get("q2").contains((2.2 + 9.0) / 2),
@@ -246,9 +262,26 @@ class BenchArtifactSpec extends AnyFunSuite {
       s"short-basis counts wrong: $counts")
     // Foreign src sees only its own boot; unknown keys match nothing.
     assert(Bench.officialMedian("/sf0.1", "cccc00000003", "src000000002",
-      f.getPath)._2.size == 1)
+      32, f.getPath)._2.size == 1)
     assert(Bench.officialMedian("/sf0.1", "unknown", "unknown",
-      f.getPath)._1.isEmpty)
+      32, f.getPath)._1.isEmpty)
+    // Core-count scoping (VERDICT r12 #3b): a same-src boot at a
+    // DIFFERENT core count must not pool into the official window —
+    // the r12 failure mode was the driver's 8-core scaling boot
+    // joining the 32-core median.
+    val fcpu = java.io.File.createTempFile("bench_official_cpus", ".jsonl")
+    fcpu.deleteOnExit()
+    def cline(cpus: Int, q1: Double) =
+      s"""{"metric":"total","value":$q1,"unit":"sec","cpus":$cpus,"queries":{"q1":$q1},"failed":0,"head":"aaaa00000001","src":"src000000001","sf":"/sf0.1"}"""
+    java.nio.file.Files.write(fcpu.toPath,
+      Seq(cline(32, 1.0), cline(8, 5.0), cline(32, 2.0))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val (m32, t32, _) = Bench.officialMedian(
+      "/sf0.1", "aaaa00000001", "src000000001", 32, fcpu.getPath)
+    assert(t32.size == 2 && m32.get("q1").contains(1.5),
+      s"8-core boot leaked into the 32-core official window: $t32 $m32")
+    assert(Bench.officialMedian("/sf0.1", "aaaa00000001", "src000000001",
+      8, fcpu.getPath)._2 == List(5.0))
     // gitHead resolves THIS repo's committed HEAD (sha12) when a .git
     // exists (ADVICE r11: with the gitdir-file indirection it now also
     // resolves inside worktrees — so the assertion is conditional only
@@ -293,8 +326,13 @@ class BenchArtifactSpec extends AnyFunSuite {
         .map(_.group(1).toInt)
       assert(v.isDefined && h.isDefined && sf.isDefined && boots.isDefined,
         "BENCH_OFFICIAL.json is missing value/head/sf/boots")
+      // r13+: the artifact records its window's core count; a legacy
+      // (cpus-less) artifact recomputes with a sentinel that matches
+      // no cpus-stamped line, reproducing its legacy-only window.
+      val aCpus = "\"cpus\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(-1)
       val (liveMed, liveTotals, _) = Bench.officialMedian(
-        sf.get, h.get, src.getOrElse("unknown"))
+        sf.get, h.get, src.getOrElse("unknown"), aCpus)
       // The artifact is valid only while the history still contains
       // its window (history is append-only, so a matching window can
       // only grow PAST the artifact's — in that case the artifact is
