@@ -2269,48 +2269,51 @@ object SimilarityOps {
     * engine-independent); a trained-codebook variant plugs into the
     * same slot the way k-means|| plugs into the IVF anchor slot.
     *
-    * Scale: encode fans each vector out to 16 codebook rows × 8
-    * subspaces (a fixed 128× row fan-out — linear, the documented PQ
-    * encode cost), the codebook broadcasts, and the reduce is ONE
-    * partial-aggregated groupBy(vec_id) with the 8 per-subspace mins
-    * as conditional aggregates (no second shuffle, no pivot). */
+    * Scale: the 16-entry codebook broadcasts as ONE array row and the
+    * 16×8 assignment arithmetic runs fused per vector
+    * ([[graft.functions.PqMinKeys]], r13) — map-side, no row fan-out,
+    * no shuffle; the old formulation fanned each vector out to 16
+    * codebook rows × 8 subspaces and reduced through a groupBy(min). */
   private val PqM = 8
 
-  /** (integer-grid vectors, 16-entry codebook) shared by the PQ ops. */
+  /** (integer-grid vectors, 1-row broadcastable codebook) shared by
+    * the PQ ops. The codebook is the 16 md5-min vectors collected into
+    * ONE cid-ordered array<array<bigint>> row (cid = md5-rank − 1 =
+    * the array position), so consumers attach it with a 1-row
+    * broadcast crossJoin and run the fused [[graft.functions.PqMinKeys]]
+    * per vector — the r13 replacement for the 16× crossJoin fan-out +
+    * posexplode + groupBy(min) pipeline (interpreted lambda math plus
+    * a 128×-row shuffle per encode; the fused key semantics are
+    * unchanged, see the expression's parity contract). */
   private def pqParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables(spark, dir).embeddings
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
           .as("xq"))
-    val cb = emb
-      .withColumn("skey", md5(col("vec_id").cast("string")))
-      .orderBy("skey").limit(16)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy("skey")) - 1).cast("long"))
-      .select(col("cid"), col("xq").as("cq"))
-    (emb, cb)
+    (emb, pqCbArr(emb))
   }
 
-  /** Per (vector, subspace) fused assignment keys dist·16 + cid, one
-    * row per (vec, codebook entry, subspace). */
-  private def pqKeys(emb: DataFrame, cb: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cb))
-      .select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${PqM - 1}), m ->
-           |  aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
-           |    acc + (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i))
-           |        * (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i)))
-           |  * 16 + cid)""".stripMargin)))
-      .withColumnRenamed("pos", "m").withColumnRenamed("col", "k")
+  /** The 16 md5-min rows of `src` (vec_id, xq, …) collected into one
+    * cid-ordered codebook row (cqs: array<array<bigint>>, position =
+    * cid) — the same rank the old Window row_number assigned, encoded
+    * positionally. */
+  private def pqCbArr(src: DataFrame): DataFrame =
+    src.withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy("skey").limit(16)
+      .agg(expr("transform(array_sort(collect_list(struct(skey, xq))), s -> s.xq)")
+        .as("cqs"))
+
+  /** codes / qerr readout from the fused key array (k % 16 = cid,
+    * k div 16 = exact subspace distance — [[embPqEncode]]'s contract). */
+  private def pqCodesCols: Seq[String] = Seq(
+    s"concat_ws('-', ${(0 until PqM).map(i => s"element_at(ks, ${i + 1}) % 16").mkString(", ")}) AS codes",
+    s"${(0 until PqM).map(i => s"(element_at(ks, ${i + 1}) div 16)").mkString(" + ")} AS qerr")
 
   def embPqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val (emb, cb) = pqParts(spark, dir)
-    val aggs = (0 until PqM).map(i =>
-      min(when(col("m") === i, col("k"))).as(s"k$i"))
-    pqKeys(emb, cb).groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-      .selectExpr("vec_id",
-        s"concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes",
-        s"${(0 until PqM).map(i => s"(k$i div 16)").mkString(" + ")} AS qerr")
+    val (emb, cbArr) = pqParts(spark, dir)
+    emb.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), expr(s"graft_pq_min_keys(xq, cqs, $PqM)").as("ks"))
+      .selectExpr("vec_id" +: pqCodesCols: _*)
       .orderBy("vec_id")
   }
 
@@ -2324,18 +2327,12 @@ object SimilarityOps {
   /** All (vec_id, adc_dist) rows pre-cut — IvfSpec draws a longer
     * shortlist from the same frame to measure re-rank recall. */
   private[graft] def simPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val (emb, cb) = pqParts(spark, dir)
-    val keys = pqKeys(emb, cb).groupBy("vec_id", "m").agg(min("k").as("k"))
+    val (emb, cbArr) = pqParts(spark, dir)
     val qv = emb.filter(col("vec_id") === 0).select(col("xq").as("qv"))
-    keys.select(col("vec_id"), col("m"), (col("k") % 16).as("cid"))
-      .join(broadcast(cb), "cid")
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
-          |  acc + (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i))
-          |      * (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i)))""".stripMargin)
-        .as("t"))
-      .groupBy("vec_id").agg(sum("t").as("adc_dist"))
+    emb.crossJoin(broadcast(cbArr)).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        expr(s"graft_pq_adc(graft_pq_min_keys(xq, cqs, $PqM), cqs, qv)")
+          .as("adc_dist"))
       .filter(col("vec_id") =!= 0)
   }
 
@@ -2361,25 +2358,23 @@ object SimilarityOps {
     * 2^20 integer grid — the coarse assignment is a full-64-dim exact
     * BIGINT L2 argmin (fused key dist·4 + cid, ties to the smaller
     * cid), residuals are elementwise BIGINT subtraction, and the fine
-    * encode reuses the [[pqKeys]] fused-key machinery verbatim over a
-    * residual codebook (residuals of the same 16 md5-min vectors —
-    * deterministic and engine-independent like the flat codebook; a
-    * trained residual codebook plugs into the same slot). Scale: two
-    * broadcast joins (4-row coarse, 16-row fine) around the fixed
-    * 128× encode fan-out — linear like the flat encode, plus one
-    * vector-sized argmin groupBy. */
+    * encode reuses the fused [[graft.functions.PqMinKeys]] key
+    * machinery verbatim over a residual codebook (residuals of the
+    * same 16 md5-min vectors — deterministic and engine-independent
+    * like the flat codebook; a trained residual codebook plugs into
+    * the same slot). Scale: two 1-row broadcast codebook attaches
+    * (coarse slice, fine) around map-side fused assignment — no
+    * fan-out, no argmin shuffles; only the cell-mean half-step
+    * aggregates. */
   def embPqResidual(spark: SparkSession, dir: String): DataFrame = {
-    val (emb, cb16) = pqParts(spark, dir)
-    val coarse = cb16.filter(col("cid") < 4)
-      .select(col("cid").as("ccid"), col("cq").as("ccq"))
-    val assign = emb.crossJoin(broadcast(coarse))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) ->
-          |  acc + (element_at(xq, i) - element_at(ccq, i))
-          |      * (element_at(xq, i) - element_at(ccq, i)))
-          |* 4 + ccid""".stripMargin).as("ck"))
-      .groupBy("vec_id").agg(min("ck").as("ck"))
-      .select(col("vec_id"), (col("ck") % 4).as("cell"))
+    val (emb, cbArr) = pqParts(spark, dir)
+    // Coarse assignment = the first 4 codebook entries, one 64-dim
+    // subspace: the fused key dist·4 + ccid (multiplier = |ccqs| = 4),
+    // computed map-side instead of the old 4× fan-out + groupBy(min).
+    val coarseArr = cbArr.select(expr("slice(cqs, 1, 4)").as("ccqs"))
+    val assign = emb.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"),
+        (expr("element_at(graft_pq_min_keys(xq, ccqs, 1), 1)") % 4).as("cell"))
     val withCell = emb.join(assign, "vec_id").localCheckpoint()
     // Cell MEANS, not the anchor vectors (one Lloyd half-step): the
     // residual ball is the within-cell spread around the mean — the
@@ -2404,21 +2399,15 @@ object SimilarityOps {
         expr("zip_with(xq, mq, (a, b) -> a - b)").as("xq"))
       .localCheckpoint()
     // Fine codebook: the residuals of the same 16 md5-min vectors the
-    // flat PQ uses, cid in the same skey order.
-    val fcb = res
-      .withColumn("skey", md5(col("vec_id").cast("string")))
-      .orderBy("skey").limit(16)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy("skey")) - 1).cast("long"))
-      .select(col("cid"), col("xq").as("cq"))
-    val aggs = (0 until PqM).map(i =>
-      min(when(col("m") === i, col("k"))).as(s"k$i"))
-    pqKeys(res.select("vec_id", "xq"), fcb)
-      .groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-      .join(assign, "vec_id")
-      .selectExpr("vec_id", "cell",
-        s"concat_ws('-', ${(0 until PqM).map(i => s"k$i % 16").mkString(", ")}) AS codes",
-        s"${(0 until PqM).map(i => s"(k$i div 16)").mkString(" + ")} AS qerr")
+    // flat PQ uses, cid in the same skey order. `res` already carries
+    // each vector's cell, so the old re-join against `assign` (which
+    // recomputed the whole coarse pass — assign is not checkpointed)
+    // is a plain column read here.
+    val fcbArr = pqCbArr(res)
+    res.crossJoin(broadcast(fcbArr))
+      .select(col("vec_id"), col("cell"),
+        expr(s"graft_pq_min_keys(xq, cqs, $PqM)").as("ks"))
+      .selectExpr(Seq("vec_id", "cell") ++ pqCodesCols: _*)
       .orderBy("vec_id")
   }
 

@@ -31,10 +31,37 @@ object GraftFunctions {
       build(children)
     }
 
+  /** Folds an analysis-time-constant integral expression into an Int
+    * (any FOLDABLE integral expression counts — see the
+    * graft_bootstrap_weights note below for why literal-only matching
+    * is wrong and why only UnsupportedOperationException is swallowed). */
+  private def foldIntArg(fnName: String, e: Expression): Int = {
+    val folded: Option[Int] =
+      if (!e.foldable) None
+      else (try e.eval(null)
+      catch { case _: UnsupportedOperationException => null }) match {
+        case i: java.lang.Integer => Some(i.intValue)
+        case l: java.lang.Long if l.longValue.isValidInt => Some(l.intValue)
+        case s: java.lang.Short => Some(s.intValue)
+        case b: java.lang.Byte => Some(b.intValue)
+        case _ => None
+      }
+    folded.getOrElse(throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "SECOND_FUNCTION_ARGUMENT_NOT_INTEGER",
+      messageParameters = Map(
+        "functionName" -> (fnName +
+          " (needs a foldable integral constant in Int range)"))))
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> checked("graft_cosine", 2)(c => CosineSim(c(0), c(1))),
     "graft_anchor_sort" -> checked("graft_anchor_sort", 2)(c =>
       graft.functions.AnchorSort(c(0), c(1))),
+    "graft_pq_min_keys" -> checked("graft_pq_min_keys", 3)(c =>
+      graft.functions.PqMinKeys(c(0), c(1),
+        foldIntArg("graft_pq_min_keys", c(2)))),
+    "graft_pq_adc" -> checked("graft_pq_adc", 3)(c =>
+      graft.functions.PqAdc(c(0), c(1), c(2))),
     "graft_shingle_hashes" -> checked("graft_shingle_hashes", 1)(c => ShingleHashes(c(0))),
     "graft_minhash_bands" -> checked("graft_minhash_bands", 1)(c => MinhashBands(c(0))),
     "graft_winnow_fps" -> checked("graft_winnow_fps", 1)(c => WinnowFps(c(0))),

@@ -101,6 +101,85 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0.0)
   }
 
+  test("graft_pq_min_keys / graft_pq_adc equal the fan-out + groupBy pipeline") {
+    // The exact crossJoin(16×) + posexplode + groupBy(min) pipeline the
+    // r13 fused expressions replaced on the PQ encode/probe path —
+    // including the dist·|cb|+cid fused-key tiebreak and the ADC
+    // join-on-decoded-cid accumulation. Equality on the real integer
+    // grid IS the oracle-parity argument (the DuckDB oracles mirror
+    // this pipeline). All arithmetic is exact BIGINT, so equality is
+    // bitwise, not tolerance-based.
+    val t = Tables(spark, sf)
+    val emb = t.embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))")
+        .as("xq"))
+    val cb = emb
+      .withColumn("skey", md5(col("vec_id").cast("string")))
+      .orderBy("skey").limit(16)
+      .withColumn("cid", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("skey")) - 1).cast("long"))
+      .select(col("cid"), col("xq").as("cq"))
+    val cbArr = cb.agg(
+      expr("transform(array_sort(collect_list(struct(cid, cq))), s -> s.cq)").as("cqs"))
+    val refKeys = emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 7), m ->
+          |  aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
+          |    acc + (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i))
+          |        * (element_at(xq, m * 8 + i) - element_at(cq, m * 8 + i)))
+          |  * 16 + cid)""".stripMargin)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "k")
+    val refAgg = refKeys.groupBy("vec_id", "m").agg(min("k").as("k"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, k))), s -> s.k)").as("ref"))
+    val badKeys = emb.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), expr("graft_pq_min_keys(xq, cqs, 8)").as("fused"))
+      .join(refAgg, "vec_id")
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(badKeys == 0, s"$badKeys vectors disagree with the fan-out pipeline")
+    // ADC: reference = decode cid per subspace, join the codebook back,
+    // per-subspace interpreted distance, sum.
+    val qv = emb.filter(col("vec_id") === 0).select(col("xq").as("qv"))
+    val refAdc = refKeys.groupBy("vec_id", "m").agg(min("k").as("k"))
+      .select(col("vec_id"), col("m"), (col("k") % 16).as("cid"))
+      .join(broadcast(cb), "cid")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i))
+          |      * (element_at(qv, m * 8 + i) - element_at(cq, m * 8 + i)))""".stripMargin)
+        .as("t"))
+      .groupBy("vec_id").agg(sum("t").as("ref"))
+    val badAdc = emb.crossJoin(broadcast(cbArr)).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        expr("graft_pq_adc(graft_pq_min_keys(xq, cqs, 8), cqs, qv)").as("fused"))
+      .join(refAdc, "vec_id")
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(badAdc == 0, s"$badAdc vectors disagree on ADC distance")
+    // Coarse single-subspace form (embPqResidual's assignment): m=1
+    // over a 4-entry codebook, multiplier 4.
+    val coarse = cb.filter(col("cid") < 4)
+      .select(col("cid").as("ccid"), col("cq").as("ccq"))
+    val refCoarse = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + (element_at(xq, i) - element_at(ccq, i))
+          |      * (element_at(xq, i) - element_at(ccq, i)))
+          |* 4 + ccid""".stripMargin).as("ck"))
+      .groupBy("vec_id").agg(min("ck").as("ref"))
+    val badCoarse = emb.crossJoin(broadcast(
+        cbArr.select(expr("slice(cqs, 1, 4)").as("ccqs"))))
+      .select(col("vec_id"),
+        expr("element_at(graft_pq_min_keys(xq, ccqs, 1), 1)").as("fused"))
+      .join(refCoarse, "vec_id")
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(badCoarse == 0, s"$badCoarse vectors disagree on the coarse argmin")
+  }
+
   test("graft_minhash_bands equals the SQL affine-min formulation") {
     val p = 2147483647L
     val bad = Tables(spark, sf).documents
