@@ -50,12 +50,24 @@ object DedupOps {
     * corpus/batch split of the incremental op) — the filter runs
     * BEFORE tokenization so neither side pays for the other's text. */
   private[graft] def shingleSetsWhere(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): DataFrame =
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    // Spread the tokenize+shingle+md5 pass (r13, guide §2 parallelism):
+    // documents.parquet is a single row group at bench scale, so the
+    // scan — and every checkpointed consumer stage downstream of it —
+    // otherwise runs 1-2 tasks; event-log profiling showed the shingle
+    // family's heavy stages (tokenize/md5 map sides, exploded
+    // inverted-index shuffles, pair verification) all pinned at that
+    // width. Hash-partition by doc_id (deterministic under retry,
+    // §2.5) at the CPU-spread byte tier, capped at defaultParallelism
+    // so at-scale layouts are unchanged.
+    val par = shinglePar(spark, dir)
     Tables(spark, dir).documents
       .filter(pred)
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"), expr(tokensExpr).as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), expr("graft_shingle_hashes(tk)").as("hs"))
+  }
 
   /** Shared DuckDB CTE producing the same hashed shingle sets. */
   private val shingleSql =
@@ -126,7 +138,14 @@ object DedupOps {
     // array<bigint> values, an interpreted array-ordering agg that
     // dominated the query once band collisions made candidates
     // plentiful). Both sides stay codegen'd broadcast/shuffle joins.
+    // The candidate frame is repartitioned first (r13): its BYTES are
+    // tiny, so the planner broadcasts sh and streams cand — putting
+    // the whole array_intersect/union verification on cand's 1-2
+    // post-distinct partitions (event-log: a 2 s single-task stage).
+    // Spreading the carrier of the per-row CPU is the same move as the
+    // pair-spread in dedup_edit_near; width caps at defaultParallelism.
     cand
+      .repartition(shinglePar(spark, dir), col("id1"), col("id2"))
       .join(sh.select(col("doc_id").as("id1"), col("hs").as("s1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("hs").as("s2")), "id2")
       .withColumn("jac", expr("CAST(size(array_intersect(s1, s2)) AS DOUBLE) / size(array_union(s1, s2))"))
@@ -151,7 +170,7 @@ object DedupOps {
     * (j, mh) key — both inherited postures, nothing new to tune. */
   def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingleSets(spark, dir).localCheckpoint()
-    val truth = ngramPairCountsFrom(sh)
+    val truth = ngramPairCountsFrom(sh, shinglePar(spark, dir))
       .filter(expr("2 * common >= n1 + n2 - common"))
       .select(col("id1"), col("id2"),
         expr("10 * common div (n1 + n2 - common)").as("jac_decile"))
@@ -264,23 +283,42 @@ object DedupOps {
     * [[dedupNgramJaccard]] (symmetric overlap) and [[dedupSubsumed]]
     * (asymmetric containment), so the cell/pair machinery can never
     * drift between the two set-similarity consumers. */
+  /** The shingle family's shared CPU-spread width: documents bytes at
+    * the spread tier, capped at defaultParallelism ([[graft.plans.AdaptivePar]]). */
+  private def shinglePar(spark: SparkSession, dir: String): Int =
+    graft.plans.AdaptivePar.forTable(spark, dir, "documents",
+      graft.plans.AdaptivePar.SpreadBytesPerTask)
+
   private def ngramPairCounts(spark: SparkSession, dir: String): DataFrame =
-    ngramPairCountsFrom(hashedShingleSets(spark, dir))
+    ngramPairCountsFrom(hashedShingleSets(spark, dir), shinglePar(spark, dir))
 
   /** Same pair-count machinery over a CALLER-SUPPLIED shingle-set
     * table — lets [[dedupLshRecall]] drive both the truth side and the
     * LSH candidate side from ONE checkpointed shingle pass. */
-  private def ngramPairCountsFrom(sh: DataFrame): DataFrame = {
+  private def ngramPairCountsFrom(sh: DataFrame, par: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
+    // Explicit cell width (r13): the cell stage's cost is the c²/2 pair
+    // emission per cell — per-row CPU that AQE's bytes-based coalescing
+    // cannot see (it folded this stage to 1-4 tasks at bench scale).
+    // An explicit hash repartition on the cell key pins the width (AQE
+    // honors user-specified partition counts, and groupBy(g) reuses
+    // the exchange — same clustering, no second shuffle); `par` is the
+    // callers' documents-bytes spread tier, capped at
+    // defaultParallelism as always.
+    cellsPairCounts(ex.repartition(par, col("g")))
+  }
+
+  /** Cell build + fused pair emission + pair-count aggregation — the
+    * df-window-capped inverted-index core. The O(c²) pair generation
+    * runs in graft_cell_pairs (one compiled pass per cell; see
+    * [[graft.functions.CellPairs]] for the parity contract with the
+    * flatten(transform(slice)) idiom it replaced). */
+  private def cellsPairCounts(ex: DataFrame): DataFrame = {
     val cells = ex.groupBy("g")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")).between(2, NgramDfCap))
-    val pairGen =
-      """flatten(transform(ids, (a, i) ->
-        |  transform(slice(ids, i + 2, size(ids)),
-        |    b -> named_struct('id1', a.doc_id, 'id2', b.doc_id, 'n1', a.n, 'n2', b.n))))""".stripMargin
     cells
-      .select(explode(expr(pairGen)).as("p"))
+      .select(explode(expr("graft_cell_pairs(ids)")).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("common"))
@@ -316,14 +354,20 @@ object DedupOps {
     * distinct pairs), exposed so ScalingSpec can measure the prefix
     * filter's pruning fraction directly. */
   private[graft] def ppjoinCandidates(spark: SparkSession, dir: String): DataFrame =
-    ppjoinCandidatesFrom(ppjoinSets(spark, dir))
+    ppjoinCandidatesFrom(ppjoinSets(spark, dir), shinglePar(spark, dir))
 
-  private def ppjoinCandidatesFrom(sh: DataFrame): DataFrame = {
+  private def ppjoinCandidatesFrom(sh: DataFrame, par: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sh.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
     val dfg = ex.groupBy("g").agg(count(lit(1)).as("dfg"))
     val w = Window.partitionBy("doc_id").orderBy(col("dfg"), col("g"))
+    // Explicit width on the per-doc prefix ranking (r13): the window
+    // sort's cost is per exploded ROW, which AQE's bytes-based
+    // coalescing folded to 3 tasks at bench scale; the explicit hash
+    // repartition is honored by AQE and satisfies the window's
+    // doc_id clustering, so no extra exchange is planned.
     val prefix = ex.join(dfg, "g")
+      .repartition(par, col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(2 * n + 4) div 5") + 1)
       .select(col("g"), col("doc_id"), col("n"))
@@ -344,9 +388,15 @@ object DedupOps {
       .localCheckpoint()
 
   def dedupPpjoin(spark: SparkSession, dir: String): DataFrame = {
+    val par = shinglePar(spark, dir)
     val sh = ppjoinSets(spark, dir)
-    val cand = ppjoinCandidatesFrom(sh)
+    val cand = ppjoinCandidatesFrom(sh, par)
+    // Same verification-carrier spread as dedup_minhash_lsh: cand's
+    // bytes are tiny so the planner broadcasts sh and streams cand —
+    // the exact array_intersect verification would otherwise run on
+    // cand's post-distinct partition count.
     cand
+      .repartition(par, col("id1"), col("id2"))
       .join(sh.select(col("doc_id").as("id1"), col("hs").as("h1"),
         col("n").as("n1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("hs").as("h2"),

@@ -62,6 +62,8 @@ object GraftFunctions {
         foldIntArg("graft_pq_min_keys", c(2)))),
     "graft_pq_adc" -> checked("graft_pq_adc", 3)(c =>
       graft.functions.PqAdc(c(0), c(1), c(2))),
+    "graft_cell_pairs" -> checked("graft_cell_pairs", 1)(c =>
+      graft.functions.CellPairs(c(0))),
     "graft_shingle_hashes" -> checked("graft_shingle_hashes", 1)(c => ShingleHashes(c(0))),
     "graft_minhash_bands" -> checked("graft_minhash_bands", 1)(c => MinhashBands(c(0))),
     "graft_winnow_fps" -> checked("graft_winnow_fps", 1)(c => WinnowFps(c(0))),

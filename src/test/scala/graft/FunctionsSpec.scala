@@ -180,6 +180,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(badCoarse == 0, s"$badCoarse vectors disagree on the coarse argmin")
   }
 
+  test("graft_cell_pairs equals the flatten(transform(slice)) pair emission") {
+    // The exact nested higher-order formulation the r13 expression
+    // replaced in the inverted-index cell stage — including emission
+    // order (i-major, i < j) and the (id, n) field carry-through.
+    val ref =
+      """flatten(transform(ids, (a, i) ->
+        |  transform(slice(ids, i + 2, size(ids)),
+        |    b -> named_struct('id1', a.doc_id, 'id2', b.doc_id, 'n1', a.n, 'n2', b.n))))""".stripMargin
+    val tk = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    val cells = Tables(spark, sf).documents
+      .select(col("doc_id"), expr(tk).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), expr("graft_shingle_hashes(tk)").as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("g"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val bad = cells
+      .select(expr("graft_cell_pairs(ids)").as("fused"), expr(ref).as("ref"))
+      .filter(col("fused") =!= col("ref"))
+      .count()
+    assert(bad == 0, s"$bad cells disagree with the nested-transform pipeline")
+    assert(cells.count() > 0, "fixture produced no multi-doc cells")
+  }
+
   test("graft_minhash_bands equals the SQL affine-min formulation") {
     val p = 2147483647L
     val bad = Tables(spark, sf).documents
